@@ -1,0 +1,192 @@
+package graft.index
+
+import graft.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Versioned, segment-based parquet index — the Spark answer to the
+  * reference's mutable SQLite index (SURVEY.md §7.4).
+  *
+  * Layout: `root/manifest.json` (atomic rename swap) lists, per table, the
+  * live segment directories plus per-segment min/max stats on the slot column.
+  * Every mutation writes new segments and a new manifest; readers pin one
+  * manifest = snapshot isolation (the analogue of the reference's WAL-mode
+  * reader/writer segregation, /root/reference/src/Kupo/App/Database/SQLite.hs:388-437).
+  *
+  * Spend-marking (U1 markInputs, SQLite.hs:645-652) is merge-on-read: spends
+  * accumulate in a delta table and `inputsWithSpends` reconciles at read time;
+  * `compact()` materializes. Rollback (U5, SQLite.hs:799-819) drops whole
+  * segments whose min slot is beyond the rollback point — only straddling
+  * segments are rewritten. At 100 TB this is the difference between touching
+  * a few partitions and rewriting the table.
+  */
+final class GraftIndex(val spark: SparkSession, val root: String) {
+  import GraftIndex._
+
+  Files.createDirectories(Paths.get(root))
+
+  def manifest: Manifest = Manifest.read(root).getOrElse(Manifest(0, Map.empty))
+
+  private def schemaOf(table: String) = table match {
+    case "inputs"      => Schemas.inputsType
+    case "spends"      => Schemas.spendsType
+    case "checkpoints" => Schemas.checkpointsType
+    case "binary_data" => Schemas.binaryDataType
+    case "scripts"     => Schemas.scriptsType
+    case "patterns"    => Schemas.patternsType
+    case "policies"    => Schemas.policiesType
+    case other         => sys.error(s"unknown table: $other")
+  }
+
+  /** Slot-stat column used for segment pruning, if the table has one. */
+  private def statColumn(table: String): Option[String] = table match {
+    case "inputs"      => Some("created_at")
+    case "spends"      => Some("spent_at")
+    case "checkpoints" => Some("slot_no")
+    case _             => None
+  }
+
+  def table(name: String): DataFrame = tableAt(name, manifest)
+
+  def tableAt(name: String, m: Manifest): DataFrame = {
+    val segs = m.tables.getOrElse(name, Nil)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
+    else
+      spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
+  }
+
+  /** Segment-pruned read: only segments whose [min,max] slot stats intersect
+    * [lo,hi] are opened (file-level pruning on top of parquet row-group stats). */
+  def tableSlotRange(name: String, lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val m = manifest
+    val segs = m.tables.getOrElse(name, Nil).filter { s =>
+      val okLo = (s.maxSlot, lo) match { case (Some(mx), Some(l)) => mx >= l; case _ => true }
+      val okHi = (s.minSlot, hi) match { case (Some(mn), Some(h)) => mn <= h; case _ => true }
+      okLo && okHi
+    }
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
+    else
+      spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
+  }
+
+  /** Append one segment (idempotent sinks S7/S8 become plain appends; PK
+    * dedup happens at read/compaction — the "INSERT OR IGNORE" analogue). */
+  def append(table: String, df: DataFrame): Unit = {
+    val m = manifest
+    val seg = writeSegment(table, df, m.version + 1)
+    // an all-null stat segment (e.g. empty batch) keeps None stats
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, m.tables.getOrElse(table, Nil) :+ seg)))
+  }
+
+  /** Replace the full contents of a table with `df` (mutation rewrites). */
+  def replace(table: String, df: DataFrame): Unit = {
+    val m = manifest
+    val seg = writeSegment(table, df, m.version + 1)
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, List(seg))))
+  }
+
+  /** Replace keeping the given existing segments and adding `df` as a new one
+    * (used by rollback: untouched segments survive without a rewrite). */
+  def replaceWith(table: String, kept: List[Segment], df: Option[DataFrame]): Unit = {
+    val m = manifest
+    val segs = kept ++ df.map(writeSegment(table, _, m.version + 1)).toList
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
+  }
+
+  private def writeSegment(table: String, df: DataFrame, version: Long): Segment = {
+    val path = f"$table/seg-$version%06d"
+    val out = df.select(schemaOf(table).fieldNames.map(col): _*)
+    // inputs segments are clustered by slot bucket and sorted by created_at:
+    // parquet row-group min/max stats + manifest segment stats then give
+    // two-level pruning for slot-range scans (no directory partitioning —
+    // multi-segment reads stay trivial and small batches don't explode into
+    // thousands of tiny partition dirs)
+    val clustered =
+      if (table == "inputs")
+        out.repartition(col("created_bucket"))
+          .sortWithinPartitions(col("created_at"), col("address"))
+      else out
+    clustered.write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
+    val stats = statColumn(table).flatMap { c =>
+      val row = spark.read.schema(schemaOf(table)).parquet(s"$root/$path")
+        .agg(min(col(c)), max(col(c))).head()
+      if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
+    }
+    Segment(path, stats.map(_._1), stats.map(_._2))
+  }
+
+  /** inputs reconciled with the spends delta — the effective fact table.
+    * The join broadcasts when the delta is small; compaction keeps it small. */
+  def inputsWithSpends: DataFrame = {
+    val in = table("inputs")
+    val sp = table("spends")
+      .dropDuplicates("tx_id", "output_index") // idempotent re-marking
+      .withColumnsRenamed(Map(
+        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with"))
+    in.join(sp, Seq("tx_id", "output_index"), "left_outer")
+      .select(
+        in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
+          coalesce(col("d_spent_at"), col("spent_at")).as("spent_at"),
+          coalesce(col("d_spent_by"), col("spent_by")).as("spent_by"),
+          coalesce(col("d_spent_with"), col("spent_with")).as("spent_with")): _*)
+  }
+
+  /** Materialize the spends delta into inputs and dedup PKs (S7 OR IGNORE). */
+  def compact(): Unit = {
+    val merged = inputsWithSpends
+      .dropDuplicates("tx_id", "output_index")
+      .cache()
+    merged.count() // materialize before the manifest swap reads are affected
+    replace("inputs", merged)
+    replace("spends", emptyOf("spends"))
+    merged.unpersist()
+  }
+
+  def emptyOf(table: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
+}
+
+object GraftIndex {
+  final case class Segment(path: String, minSlot: Option[Long], maxSlot: Option[Long])
+  final case class Manifest(version: Long, tables: Map[String, List[Segment]])
+
+  object Manifest {
+    /** Hand-rolled JSON — flat, fixed shape; avoids dragging a JSON library
+      * into the public API. */
+    def write(root: String, m: Manifest): Unit = {
+      def segJson(s: Segment) =
+        s"""{"path":"${s.path}","min":${s.minSlot.getOrElse("null")},"max":${s.maxSlot.getOrElse("null")}}"""
+      val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
+        s""""$t":[${segs.map(segJson).mkString(",")}]"""
+      }.mkString(",")
+      val json = s"""{"version":${m.version},"tables":{$tables}}"""
+      val tmp = Paths.get(root, s".manifest.tmp.${m.version}")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(root, "manifest.json"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def read(root: String): Option[Manifest] = {
+      val p = Paths.get(root, "manifest.json")
+      if (!Files.exists(p)) return None
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+      val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
+      val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)\}""".r
+      val tables = tableRe.findAllMatchIn(json).map { tm =>
+        val segs = segRe.findAllMatchIn(tm.group(2)).map { sm =>
+          def opt(s: String) = if (s == "null") None else Some(s.toLong)
+          Segment(sm.group(1), opt(sm.group(2)), opt(sm.group(3)))
+        }.toList
+        tm.group(1) -> segs
+      }.toMap
+      Some(Manifest(version, tables))
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.index
+
+import graft.model.Pattern
+import org.apache.spark.sql.functions._
+
+/** State-maintenance operators over a GraftIndex — SURVEY.md §2.5.
+  * Each one is a declarative rewrite job; segment stats turn the common cases
+  * into metadata-only segment drops instead of data rewrites. */
+object Mutations {
+
+  /** U1 markInputs (/root/reference/src/Kupo/App/Database/SQLite.hs:645-652,857-866):
+    * record spent provenance for consumed refs. Merge-on-read: append to the
+    * spends delta; `GraftIndex.inputsWithSpends` reconciles, `compact()`
+    * materializes. Only refs already present in the index are kept (the
+    * reference's UPDATE silently misses absent rows — same semantics). */
+  def markInputs(ix: GraftIndex, spends: org.apache.spark.sql.DataFrame): Unit = {
+    val existing = ix.table("inputs").select("tx_id", "output_index")
+    ix.append("spends", spends.join(existing, Seq("tx_id", "output_index"), "left_semi"))
+  }
+
+  /** U2 deleteInputs (SQLite.hs:641-643,846-855): delete rows matching a
+    * pattern — anti-filter rewrite. */
+  def deleteInputs(ix: GraftIndex, patterns: Set[Pattern]): Unit =
+    ix.replace("inputs", ix.table("inputs").where(!Pattern.anyOf(patterns)))
+
+  /** U3 pruneInputs (SQLite.hs:654-657,876-883): GC spent rows older than
+    * maxSlot − longestRollback. One declarative job — the reference's
+    * LIMIT-50000 incremental dance exists only to bound writer latency. */
+  def pruneInputs(ix: GraftIndex, longestRollback: Long): Long = {
+    val maxSlot = ix.table("checkpoints").agg(max("slot_no")).head() match {
+      case r if r.isNullAt(0) => return 0L
+      case r                  => r.getLong(0)
+    }
+    val threshold = maxSlot - longestRollback
+    val live = ix.inputsWithSpends
+    val keep = live.where(col("spent_at").isNull || col("spent_at") >= threshold)
+    val pruned = live.count() - keep.count()
+    ix.replace("inputs", keep)
+    ix.replace("spends", ix.emptyOf("spends"))
+    pruned
+  }
+
+  /** U4 pruneBinaryData (SQLite.hs:758-760,1031-1041): anti-join GC of datums
+    * referenced by no input. */
+  def pruneBinaryData(ix: GraftIndex): Unit = {
+    val referenced = ix.table("inputs")
+      .where(col("datum_info").isNotNull)
+      .select(col("datum_info.hash").as("binary_data_hash"))
+    ix.replace("binary_data",
+      ix.table("binary_data").join(referenced, Seq("binary_data_hash"), "left_anti"))
+  }
+
+  /** U5 rollbackTo (SQLite.hs:799-819): after rollback to slot s —
+    * no row created after s, no spent_at after s, no checkpoint after s.
+    * Segments entirely beyond s are dropped from the manifest (no IO);
+    * segments entirely at-or-before s are kept untouched; only straddling
+    * segments are rewritten. Returns the new max checkpoint slot, if any. */
+  def rollbackTo(ix: GraftIndex, s: Long): Option[Long] = {
+    rollbackTable(ix, "inputs", s, col("created_at") <= s)
+    rollbackTable(ix, "spends", s, col("spent_at") <= s)
+    rollbackTable(ix, "checkpoints", s, col("slot_no") <= s)
+    val row = ix.table("checkpoints").agg(max("slot_no")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  private def rollbackTable(ix: GraftIndex, table: String, s: Long,
+                            keep: org.apache.spark.sql.Column): Unit = {
+    val segs = ix.manifest.tables.getOrElse(table, Nil)
+    val (dropped, candidates) = segs.partition(_.minSlot.exists(_ > s))
+    val (untouched, straddling) = candidates.partition(_.maxSlot.exists(_ <= s))
+    val _ = dropped
+    if (straddling.nonEmpty) {
+      val df = ix.spark.read
+        .schema(ix.table(table).schema)
+        .parquet(straddling.map(sg => s"${ix.root}/${sg.path}"): _*)
+        .where(keep)
+      ix.replaceWith(table, untouched, Some(df))
+    } else if (dropped.nonEmpty) {
+      ix.replaceWith(table, untouched, None)
+    }
+  }
+}

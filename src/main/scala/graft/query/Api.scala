@@ -1,0 +1,52 @@
+package graft.query
+
+/** Typed query-parameter surface of GET /matches/{pattern} — mirrors the
+  * reference's Http query-param modules (SURVEY.md §2.3):
+  * SlotRange (/root/reference/src/Kupo/Data/Http/SlotRange.hs:34-97),
+  * StatusFlag (StatusFlag.hs:26-42), ReferenceFlag (ReferenceFlag.hs:13-28),
+  * OrderMatchesBy (OrderMatchesBy.hs:13-42), FilterMatchesBy (FilterMatchesBy.hs:25-102). */
+object Api {
+
+  sealed trait RangeField
+  object RangeField {
+    case object CreatedAt extends RangeField
+    case object SpentAt extends RangeField
+  }
+
+  /** Whole / After / Before / Between over created_at or spent_at. */
+  final case class SlotRange(
+      field: RangeField = RangeField.CreatedAt,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None)
+
+  sealed trait StatusFlag
+  object StatusFlag {
+    case object NoStatusFlag extends StatusFlag
+    case object OnlyUnspent extends StatusFlag
+    case object OnlySpent extends StatusFlag
+  }
+
+  sealed trait SortDirection
+  object SortDirection {
+    case object Asc extends SortDirection
+    /** Default: most_recent_first (OrderMatchesBy.hs:26-42). */
+    case object Desc extends SortDirection
+  }
+
+  /** Residual ?policy_id= / ?asset_name= / ?transaction_id= / ?output_index=
+    * filters, applied as extra conjuncts (the reference applies them per-row
+    * after the scan — Http.hs:662-684; here Catalyst folds them into the scan). */
+  final case class FilterMatchesBy(
+      policyId: Option[String] = None,
+      assetName: Option[String] = None,
+      transactionId: Option[String] = None,
+      outputIndex: Option[Int] = None)
+
+  final case class MatchesQuery(
+      patternText: String,
+      range: SlotRange = SlotRange(),
+      status: StatusFlag = StatusFlag.NoStatusFlag,
+      resolveHashes: Boolean = false,
+      order: SortDirection = SortDirection.Desc,
+      filter: FilterMatchesBy = FilterMatchesBy())
+}

@@ -1,0 +1,188 @@
+package graft.query
+
+import graft.index.GraftIndex
+import graft.model.Pattern
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship read query — `foldInputs`
+  * (/root/reference/src/Kupo/App/Database/Types.hs:98-105; SQL builder
+  * foldInputsQry SQLite.hs:919-1003; HTTP driver Http.hs:587-684), decomposed
+  * as SURVEY.md §2.3 F1-F8 and declared as one DataFrame expression so
+  * Catalyst plans it: the pattern + range + status + residual predicates all
+  * collapse into the parquet scan (PushedFilters), the two checkpoints joins
+  * and the datum/script resolution joins broadcast (small dimension tables),
+  * and the range additionally prunes index segments via manifest stats. */
+object FoldInputs {
+  import Api._
+
+  def apply(ix: GraftIndex, q: MatchesQuery): DataFrame = {
+    val pattern = Pattern.fromText(q.patternText)
+      .getOrElse(throw new IllegalArgumentException(s"invalid pattern: ${q.patternText}"))
+    require(!pattern.isIndexOnly, "metadata-tag patterns are index-time only")
+
+    // F1/F2 — segment-pruned scan + pattern predicate + slot-range predicate
+    val (lo, hi) = (q.range.lowerBound, q.range.upperBound)
+    val base = q.range.field match {
+      case RangeField.CreatedAt =>
+        // pruning on created_at stats is sound: segments are created-ordered
+        val scan =
+          if (lo.isDefined || hi.isDefined) prunedInputs(ix, lo, hi)
+          else ix.inputsWithSpends
+        scan.where(rangePredicate(col("created_at"), lo, hi))
+      case RangeField.SpentAt =>
+        ix.inputsWithSpends
+          .where(col("spent_at").isNotNull && rangePredicate(col("spent_at"), lo, hi))
+    }
+    val matched = base.where(pattern.toPredicate)
+
+    // F3 — status flag
+    val statused = q.status match {
+      case StatusFlag.NoStatusFlag => matched
+      case StatusFlag.OnlyUnspent  => matched.where(col("spent_at").isNull)
+      case StatusFlag.OnlySpent    => matched.where(col("spent_at").isNotNull)
+    }
+
+    // F7 — residual query-param filters (now just more pushed conjuncts)
+    val filtered = Seq[Option[org.apache.spark.sql.Column]](
+      q.filter.policyId.map(p => col("value.assets").getItem(p).isNotNull),
+      q.filter.assetName.flatMap(a => q.filter.policyId.map(p =>
+        col("value.assets").getItem(p).getItem(a).isNotNull)),
+      q.filter.transactionId.map(t => col("tx_id") === t),
+      q.filter.outputIndex.map(i => col("output_index") === i)
+    ).flatten.foldLeft(statused)(_ where _)
+
+    // F4 — header-hash resolution: two broadcast joins against checkpoints
+    val cp = ix.table("checkpoints")
+    val createdCp = broadcast(cp.select(
+      col("slot_no").as("created_at"), col("header_hash").as("created_header_hash")))
+    val spentCp = broadcast(cp.select(
+      col("slot_no").as("spent_at"), col("header_hash").as("spent_header_hash")))
+    val withPoints = filtered
+      .join(createdCp, Seq("created_at"), "inner")
+      .join(spentCp, Seq("spent_at"), "left_outer")
+
+    // F5 — optional ?resolve_hashes
+    val resolved =
+      if (!q.resolveHashes) withPoints
+      else withPoints
+        .join(broadcast(ix.table("binary_data")),
+          col("datum_info.hash") === col("binary_data_hash"), "left_outer")
+        .drop("binary_data_hash")
+        .withColumnRenamed("binary_data", "datum")
+        .join(broadcast(ix.table("scripts")), Seq("script_hash"), "left_outer")
+        .withColumnRenamed("script", "script_resolved")
+
+    // F6 — total order (the triple extends the PK: ties impossible)
+    val keys = Seq(col("created_at"), col("transaction_index"), col("output_index"))
+    val sorted = q.order match {
+      case SortDirection.Asc  => resolved.orderBy(keys.map(_.asc): _*)
+      case SortDirection.Desc => resolved.orderBy(keys.map(_.desc): _*)
+    }
+
+    // F8 — the result projection (resultToJson field set, Pattern.hs:447-522)
+    val cols = Seq(
+      col("tx_id").as("transaction_id"),
+      col("output_index"),
+      col("transaction_index"),
+      col("address"),
+      col("value"),
+      col("datum_info.hash").as("datum_hash"),
+      when(col("datum_info.flag") === 1, lit("inline"))
+        .when(col("datum_info.flag") === 0, lit("reference")).as("datum_type"),
+      col("script_hash"),
+      struct(col("created_at").as("slot_no"), col("created_header_hash").as("header_hash"))
+        .as("created_at"),
+      when(col("spent_at").isNotNull,
+        struct(col("spent_at").as("slot_no"), col("spent_header_hash").as("header_hash"),
+          col("spent_by.tx_id").as("transaction_id"), col("spent_by.input_index").as("input_index"),
+          col("spent_with").as("redeemer"))).as("spent_at")
+    ) ++ (if (q.resolveHashes) Seq(col("datum"), col("script_resolved").as("script")) else Nil)
+    sorted.select(cols: _*)
+  }
+
+  private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame = {
+    // spends may mark rows created in pruned-away segments? No: pruning is on
+    // created_at, and we prune segments of `inputs` only; the spends delta is
+    // read in full, so reconciliation stays correct for the surviving rows.
+    val in = ix.tableSlotRange("inputs", lo, hi)
+    val sp = ix.table("spends")
+      .dropDuplicates("tx_id", "output_index")
+      .withColumnsRenamed(Map(
+        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with"))
+    in.join(sp, Seq("tx_id", "output_index"), "left_outer")
+      .select(
+        in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
+          coalesce(col("d_spent_at"), col("spent_at")).as("spent_at"),
+          coalesce(col("d_spent_by"), col("spent_by")).as("spent_by"),
+          coalesce(col("d_spent_with"), col("spent_with")).as("spent_with")): _*)
+  }
+
+  private def rangePredicate(c: org.apache.spark.sql.Column,
+                             lo: Option[Long], hi: Option[Long]) =
+    (lo.map(c >= _) ++ hi.map(c <= _)).reduceOption(_ && _).getOrElse(lit(true))
+
+  // ---- Related read operators (SURVEY.md §2.3 R1-R8) ----
+
+  /** R1 countInputs. */
+  def countInputs(ix: GraftIndex, patternText: String): Long =
+    ix.inputsWithSpends.where(patternOf(patternText).toPredicate).count()
+
+  /** R2 countPolicies — distinct policies carried by matching outputs. */
+  def countPolicies(ix: GraftIndex, patternText: String): Long =
+    foldPolicies(ix, patternText).select("policy_id").distinct().count()
+
+  /** R3 foldPolicies — (output_reference, policy) pairs under a pattern,
+    * answered from the value.assets map (no side-table join needed). */
+  def foldPolicies(ix: GraftIndex, patternText: String): DataFrame =
+    ix.inputsWithSpends
+      .where(patternOf(patternText).toPredicate)
+      .select(col("tx_id"), col("output_index"),
+        explode(map_keys(col("value.assets"))).as("policy_id"))
+
+  /** R4/R5 point lookups. */
+  def getBinaryData(ix: GraftIndex, hashHex: String): Option[String] =
+    ix.table("binary_data").where(col("binary_data_hash") === hashHex)
+      .limit(1).collect().headOption.map(_.getString(1))
+
+  def getScript(ix: GraftIndex, hashHex: String): Option[String] =
+    ix.table("scripts").where(col("script_hash") === hashHex)
+      .limit(1).collect().headOption.map(_.getString(1))
+
+  /** R6 listCheckpointsDesc — logarithmically-spaced recent checkpoints
+    * (SQLite.hs:722-733,1005-1010): for each offset, the nearest checkpoint at
+    * or after (tip − offset); dedup; desc. One pass: build the offset table,
+    * broadcast it, take min(slot_no) ≥ target per offset. */
+  def listCheckpointsDesc(ix: GraftIndex): DataFrame = {
+    val cp = ix.table("checkpoints")
+    val tip = cp.agg(max("slot_no")).head()
+    if (tip.isNullAt(0)) return cp.limit(0)
+    val tipSlot = tip.getLong(0)
+    val offsets = (0L to 10L) ++ Iterator.iterate(20L)(_ * 2).takeWhile(_ <= tipSlot).toSeq
+    val targets = offsets.map(tipSlot - _).distinct.filter(_ >= 0)
+    val spark = ix.spark
+    import spark.implicits._
+    val targetDf = broadcast(targets.toDF("target"))
+    cp.join(targetDf, col("slot_no") >= col("target"))
+      .groupBy(col("target"))
+      .agg(min("slot_no").as("slot_no"))
+      .join(cp, "slot_no")
+      .select(col("slot_no"), col("header_hash"))
+      .dropDuplicates("slot_no")
+      .orderBy(col("slot_no").desc)
+  }
+
+  /** R7 listAncestorsDesc — top-k checkpoints strictly before a slot. */
+  def listAncestorsDesc(ix: GraftIndex, slot: Long, n: Int): DataFrame =
+    ix.table("checkpoints").where(col("slot_no") < slot)
+      .orderBy(col("slot_no").desc).limit(n)
+
+  /** R8 selectMaxCheckpoint — argmax as orderBy-limit-1. */
+  def maxCheckpoint(ix: GraftIndex): Option[(Long, String)] =
+    ix.table("checkpoints").orderBy(col("slot_no").desc).limit(1)
+      .collect().headOption.map(r => (r.getLong(0), r.getString(1)))
+
+  private def patternOf(text: String): Pattern =
+    Pattern.fromText(text)
+      .getOrElse(throw new IllegalArgumentException(s"invalid pattern: $text"))
+}

@@ -1,0 +1,248 @@
+package graft
+
+import graft.index.{GraftIndex, Mutations}
+import graft.ingest.Indexer
+import graft.model.Pattern
+import graft.query.{Api, FoldInputs}
+import org.apache.spark.sql.functions._
+
+/** End-to-end: generated chain → MatchBlock ingest → GraftIndex → FoldInputs,
+  * compared against a straight-line in-memory Scala model (ports the idea of
+  * the reference's model-based suite, /root/reference/test/Test/Kupo/AppSpec.hs). */
+class IndexSpec extends SparkSpec {
+  import Api._
+
+  // ---- in-memory model ----
+  final case class ModelRow(txId: String, outIx: Int, txIx: Int, address: String,
+                            coins: Long, assets: Map[String, Map[String, Long]],
+                            createdAt: Long, var spentAt: Option[Long] = None)
+
+  private def runModel(blocks: Seq[FixtureChain.Blk], patterns: Set[Pattern]): Seq[ModelRow] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[ModelRow]
+    blocks.foreach { blk =>
+      blk.txs.zipWithIndex.foreach { case (tx, txIx) =>
+        tx.outputs.zipWithIndex.foreach { case (o, oIx) =>
+          val matches = patterns.exists {
+            case p @ (Pattern.MatchAny(_) | Pattern.MatchExact(_) | Pattern.MatchPayment(_) |
+                      Pattern.MatchDelegation(_) | Pattern.MatchPaymentAndDelegation(_, _)) =>
+              p.matchesAddress(o.address)
+            case Pattern.MatchTransactionId(t)       => t == tx.id
+            case Pattern.MatchOutputReference(t, i)  => t == tx.id && i == oIx
+            case Pattern.MatchPolicyId(p)            => o.assets.contains(p)
+            case Pattern.MatchAssetId(p, a)          => o.assets.get(p).exists(_.contains(a))
+            case Pattern.MatchMetadataTag(tag)       => tx.metadataLabels.contains(tag)
+          }
+          if (matches) rows += ModelRow(tx.id, oIx, txIx, o.address, o.coins, o.assets, blk.slot)
+        }
+        tx.inputs.foreach { case (t, i) =>
+          rows.find(r => r.txId == t && r.outIx == i).foreach(_.spentAt = Some(blk.slot))
+        }
+      }
+    }
+    rows.toSeq
+  }
+
+  private val patterns: Set[Pattern] = Set(Pattern.MatchAny(includingBootstrap = false))
+  private lazy val blocks = FixtureChain.chain(12)
+  private lazy val model = runModel(blocks, patterns)
+
+  private def freshIndex(): GraftIndex = {
+    val ix = new GraftIndex(spark, tmpDir("graft-ix"))
+    // ingest in 3 micro-batches of 4 blocks to exercise multi-segment reads
+    blocks.grouped(4).foreach { batch =>
+      Indexer.ingest(ix, FixtureChain.toDf(spark, batch), patterns)
+    }
+    ix
+  }
+
+  private lazy val ix = freshIndex()
+
+  test("ingest matches the model: row set, spent marks") {
+    val got = ix.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val want = model.map(r => (r.txId, r.outIx, r.createdAt, r.spentAt)).toSet
+    assert(got == want)
+  }
+
+  test("bootstrap outputs are excluded by OnlyShelley") {
+    assert(ix.table("inputs").where(col("address").startsWith("00")).count() == 0)
+    assert(model.forall(r => !r.address.startsWith("00")))
+  }
+
+  test("foldInputs: unspent-only, desc order, matches model") {
+    val res = FoldInputs(ix, MatchesQuery("*/*", status = StatusFlag.OnlyUnspent))
+    val got = res.select("transaction_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val want = model.filter(_.spentAt.isEmpty)
+      .sortBy(r => (-r.createdAt, -r.txIx, -r.outIx))
+      .map(r => (r.txId, r.outIx))
+    assert(got.toSeq == want)
+  }
+
+  test("foldInputs: created_at range + asc order") {
+    val res = FoldInputs(ix, MatchesQuery("*/*",
+      range = SlotRange(RangeField.CreatedAt, Some(30L), Some(70L)),
+      order = SortDirection.Asc))
+    val got = res.select(col("transaction_id"), col("output_index"), col("created_at.slot_no")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val want = model.filter(r => r.createdAt >= 30 && r.createdAt <= 70)
+      .sortBy(r => (r.createdAt, r.txIx, r.outIx))
+      .map(r => (r.txId, r.outIx, r.createdAt))
+    assert(got.toSeq == want)
+  }
+
+  test("foldInputs: spent_at range selects only spent rows in window") {
+    val res = FoldInputs(ix, MatchesQuery("*/*",
+      range = SlotRange(RangeField.SpentAt, Some(40L), None)))
+    val got = res.select("transaction_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = model.filter(_.spentAt.exists(_ >= 40)).map(r => (r.txId, r.outIx)).toSet
+    assert(got == want)
+  }
+
+  test("foldInputs: delegation pattern narrows results") {
+    val delCred = FixtureChain.baseAddr(0, 0).substring(2, 58)
+    val res = FoldInputs(ix, MatchesQuery(s"*/$delCred"))
+    val got = res.select("address").distinct().collect().map(_.getString(0)).toSet
+    val want = model.filter(_.address.startsWith("01" + delCred)).map(_.address).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("foldInputs: policy pattern via the value map") {
+    val policy = graft.tools.FixtureChain.hex28(50)
+    val res = FoldInputs(ix, MatchesQuery(s"$policy.*"))
+    val got = res.select("transaction_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = model.filter(_.assets.contains(policy)).map(r => (r.txId, r.outIx)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("foldInputs: checkpoint header hashes joined for created and spent points") {
+    val res = FoldInputs(ix, MatchesQuery("*/*", status = StatusFlag.OnlySpent))
+    val hashes = blocks.map(b => b.slot -> b.headerHash).toMap
+    res.select(col("created_at.slot_no"), col("created_at.header_hash"),
+               col("spent_at.slot_no"), col("spent_at.header_hash"))
+      .collect().foreach { r =>
+        assert(hashes(r.getLong(0)) == r.getString(1))
+        assert(hashes(r.getLong(2)) == r.getString(3))
+      }
+  }
+
+  test("spent provenance carries spending tx and redeemer") {
+    val res = FoldInputs(ix, MatchesQuery("*/*", status = StatusFlag.OnlySpent))
+      .select(col("spent_at.transaction_id"), col("spent_at.redeemer"))
+      .collect()
+    assert(res.nonEmpty && res.forall(r => r.getString(0) != null && r.getString(0).length == 64))
+    assert(res.exists(r => r.getString(1) != null)) // some spends carry redeemers
+  }
+
+  test("resolve_hashes inlines datums") {
+    val res = FoldInputs(ix, MatchesQuery("*/*", resolveHashes = true))
+    val withDatum = res.where(col("datum_type") === "inline" && col("datum").isNotNull)
+    assert(withDatum.count() > 0)
+  }
+
+  test("R1/R2/R3: counts and policy projection") {
+    assert(FoldInputs.countInputs(ix, "*/*") == model.size)
+    val wantPolicies = model.flatMap(r => r.assets.keys.map(p => (r.txId, r.outIx, p))).toSet
+    val gotPolicies = FoldInputs.foldPolicies(ix, "*/*").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(gotPolicies == wantPolicies)
+    assert(FoldInputs.countPolicies(ix, "*/*") == wantPolicies.map(_._3).size)
+  }
+
+  test("policies side table agrees with the value map") {
+    val viaTable = ix.table("policies").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val viaMap = FoldInputs.foldPolicies(ix, "*").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaTable == viaMap)
+  }
+
+  test("R6: log-spaced checkpoints start at tip, are distinct and descending") {
+    val cps = FoldInputs.listCheckpointsDesc(ix).collect().map(_.getLong(0)).toSeq
+    assert(cps.head == blocks.map(_.slot).max)
+    assert(cps == cps.distinct && cps == cps.sorted.reverse)
+  }
+
+  test("R7/R8: ancestors and max checkpoint") {
+    val anc = FoldInputs.listAncestorsDesc(ix, 50L, 3).collect().map(_.getLong(0)).toSeq
+    assert(anc == Seq(40L, 30L, 20L))
+    assert(FoldInputs.maxCheckpoint(ix).map(_._1).contains(blocks.map(_.slot).max))
+  }
+
+  test("R4: binary data point lookup") {
+    val someHash = ix.table("binary_data").limit(1).collect().headOption.map(_.getString(0))
+    assert(someHash.nonEmpty)
+    assert(FoldInputs.getBinaryData(ix, someHash.get).nonEmpty)
+  }
+
+  test("compact() preserves query results") {
+    val ix2 = freshIndex()
+    val before = FoldInputs(ix2, MatchesQuery("*/*"))
+      .select("transaction_id", "output_index", "spent_at").collect().toSeq.toString
+    ix2.compact()
+    assert(ix2.table("spends").count() == 0)
+    val after = FoldInputs(ix2, MatchesQuery("*/*"))
+      .select("transaction_id", "output_index", "spent_at").collect().toSeq.toString
+    assert(before == after)
+  }
+
+  test("U5 rollbackTo: invariants hold and max checkpoint returned") {
+    val ix2 = freshIndex()
+    val s = 60L
+    val newMax = Mutations.rollbackTo(ix2, s)
+    assert(newMax.contains(60L))
+    val live = ix2.inputsWithSpends
+    assert(live.where(col("created_at") > s).count() == 0)
+    assert(live.where(col("spent_at") > s).count() == 0)
+    assert(ix2.table("checkpoints").where(col("slot_no") > s).count() == 0)
+    // un-spending: rows spent after s are live again
+    val modelAfter = runModel(blocks.filter(_.slot <= s), patterns)
+    val got = live.select("tx_id", "output_index", "spent_at").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val want = modelAfter.map(r => (r.txId, r.outIx, r.spentAt)).toSet
+    assert(got == want)
+  }
+
+  test("U3 pruneInputs drops spent rows older than the safe zone") {
+    val ix2 = freshIndex()
+    ix2.compact()
+    val maxSlot = blocks.map(_.slot).max
+    val k = 30L
+    Mutations.pruneInputs(ix2, k)
+    val live = ix2.inputsWithSpends
+    assert(live.where(col("spent_at").isNotNull && col("spent_at") < maxSlot - k).count() == 0)
+    val wantKept = model.count(r => r.spentAt.forall(_ >= maxSlot - k))
+    assert(live.count() == wantKept)
+  }
+
+  test("U4 pruneBinaryData GCs unreferenced datums") {
+    val ix2 = freshIndex()
+    Mutations.pruneBinaryData(ix2)
+    val referenced = ix2.table("inputs").where(col("datum_info").isNotNull)
+      .select(col("datum_info.hash")).distinct().collect().map(_.getString(0)).toSet
+    val kept = ix2.table("binary_data").collect().map(_.getString(0)).toSet
+    assert(kept.subsetOf(referenced))
+  }
+
+  test("U2 deleteInputs removes matching rows only") {
+    val ix2 = freshIndex()
+    val delCred = FixtureChain.baseAddr(0, 0).substring(2, 58)
+    Mutations.deleteInputs(ix2, Set(Pattern.MatchDelegation(delCred)))
+    assert(ix2.table("inputs").where(col("address").startsWith("01" + delCred)).count() == 0)
+    val remaining = model.filterNot(_.address.startsWith("01" + delCred))
+    assert(ix2.table("inputs").count() == remaining.size)
+  }
+
+  test("re-ingesting a batch is idempotent after compaction") {
+    val ix2 = freshIndex()
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, blocks.take(4)), patterns) // duplicate batch
+    ix2.compact()
+    assert(ix2.table("inputs").count() == model.size)
+  }
+}
