@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora — exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Every operator is a groupBy/join on a DERIVED KEY (content hash, band
+  * signature, LSH bucket): candidate generation stays ~linear in the number
+  * of true near-duplicates and is never O(n²) — the only property that
+  * survives a 100 TB corpus. Hash functions are md5-derived so a SQL oracle
+  * can mirror them exactly. */
+object Dedup {
+
+  /** Exact dedup: one shuffle on md5(text). Survivor = min id. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Survivor selection as a window: rank duplicates within each content
+    * group, keep rank 1 — the shape to use when the full rows (not just ids)
+    * must be kept, in one pass without a self-join. */
+  def survivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("dup_rank", row_number().over(w)).where(col("dup_rank") === 1).drop("dup_rank")
+  }
+
+  /** MinHash signatures over character n-gram shingles: ONE md5 per shingle,
+    * `numHashes` (≤4) hash functions carved from its disjoint 8-hex-char
+    * substrings, mins folded in a single groupBy pass. 4× less hashing and
+    * 4× fewer shuffle rows than the per-seed-explode shape.
+    * Output: (id, mh0..mh{numHashes-1}). */
+  def minhashSignatures(docs: DataFrame, shingle: Int = 8, numHashes: Int = 4,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4, "md5 yields 4 disjoint 8-hex-char hashes")
+    val shingled = docs.select(
+        col(idCol),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (shingle - 1), lit(1)))).as("i"),
+        col(textCol))
+      .select(col(idCol), md5(col(textCol).substr(col("i"), lit(shingle))).as("h"))
+    val mins = (0 until numHashes).map(j =>
+      min(substring(col("h"), j * 8 + 1, 8)).as(s"mh$j"))
+    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a wide signature: ids agreeing on a whole band are
+    * candidate pairs. `rowsPerBand` signature columns concatenate into one
+    * band key; the pair join is on (band, key). */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sigs.select(col(idCol), lit(b).as("band"), concat(cols: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Token-set Jaccard evaluated ONLY on candidate pairs (post-LSH):
+    * |A∩B| plus set sizes as exact ints; the ratio is downstream arithmetic. */
+  def jaccardOnCandidates(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(tok.as("ta"), col(s"ta.$idCol") === col("doc_a"))
+      .join(tok.as("tb"), col(s"tb.$idCol") === col("doc_b") && col("tb.token") === col("ta.token"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+  }
+
+  /** Character-n-gram Jaccard on candidate pairs (shingle sets instead of
+    * token sets — robust to word-boundary edits). */
+  def ngramJaccardOnCandidates(docs: DataFrame, pairs: DataFrame, n: Int = 8,
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(
+        col(idCol),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("i"),
+        col(textCol))
+      .select(col(idCol), col(textCol).substr(col("i"), lit(n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(grams.as("ga"), col(s"ga.$idCol") === col("doc_a"))
+      .join(grams.as("gb"), col(s"gb.$idCol") === col("doc_b") && col("gb.gram") === col("ga.gram"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 32, md5-nibble hash family): per-bit
+    * majority vote over token hashes. Near-dups then differ in few bits —
+    * compare with `bit_count(a ^ b)` on bucketed candidates. */
+  def simhash(docs: DataFrame, bits: Int = 16,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perBit = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .select(col(idCol), col("token"), explode(sequence(lit(1), lit(bits))).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(when(md5(col("token")).substr(col("b"), lit(1)) >= "8", 1).otherwise(-1)).as("s"))
+    perBit.groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b") - 1).cast("long")).otherwise(0L))
+        .cast("long").as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs: bucket by random-hyperplane signature
+    * (only vectors sharing a bucket are compared — candidate generation is
+    * the LSH join, not a cross product), then keep pairs with cosine ≥ τ. */
+  def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
+    val bucketed = Similarity.hyperplaneBucket(embeddings, planes)
+      .join(embeddings, "vec_id")
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** md5 carved into `n` independent 8-hex-char hash values. */
+  def carvedHashes(c: Column, n: Int): Seq[Column] =
+    (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))
+}

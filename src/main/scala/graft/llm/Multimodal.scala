@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata. The Spark-side plumbing — schema, partitioning, batch
+  * shape, frame expansion — is real and tested; the codec step itself is a
+  * STUB (no media libraries in this container): `StubCodec.decode` derives a
+  * deterministic fake feature vector from the payload bytes, and is the one
+  * function a deployment swaps for a JNI/ffmpeg/JPEG decoder.
+  *
+  * Scale notes: payloads never pass through a shuffle — every operator here
+  * is a per-partition map; the only wide operation a media pipeline needs
+  * (dedup by content hash) runs on the 16-byte hash, not the blob. Decoding
+  * runs via `mapPartitions` so a real decoder amortizes per-partition init
+  * (codec contexts, GPU handles) across rows — the same batching contract as
+  * arrow-batched UDFs. */
+object Multimodal {
+
+  /** media table schema: one row per asset, payload opaque. */
+  val mediaType: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true)
+    )), nullable = false)
+  ))
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+                             duration_ms: Option[Int], sample_rate: Option[Int])
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 content_hash: String, features: Array[Float])
+
+  /** Byte-level stats + content hash — pure codegen'd columns, no decode. */
+  def byteStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_hash"),
+      col("meta"))
+
+  /** Exact media dedup: groupBy the 16-byte content hash (never the blob). */
+  def dedupExact(media: DataFrame): DataFrame =
+    byteStats(media)
+      .groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** THE STUB: a real deployment replaces this object with a codec binding.
+    * Deterministic fake decode — features are carved from md5 of the payload
+    * so tests and oracles can reproduce them. */
+  object StubCodec {
+    /** ??? in spirit — the decode itself cannot be real in this container. */
+    def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(payload ++ Array(i.toByte, kind.length.toByte))
+        // 4 bytes → [0,1) float; deterministic across JVMs
+        val v = ((h(0) & 0xffL) << 24 | (h(1) & 0xffL) << 16 |
+                 (h(2) & 0xffL) << 8 | (h(3) & 0xffL)).toFloat
+        v / (1L << 32).toFloat
+      }
+    }
+  }
+
+  /** Feature extraction with the mapPartitions batch shape: per-partition
+    * init happens once (the `md` allocation stands in for codec/GPU setup),
+    * then rows stream through. Swap StubCodec.decode for the real thing. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int)
+                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real decoder: open codec context here, once per partition
+      rows.map { r =>
+        val feats = StubCodec.decode(r.kind, r.payload, dim)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hash, feats)
+      }
+    }
+  }
+
+  /** Frame sampling plumbing for video/audio: expand each asset into
+    * (media_id, frame_no, offset_ms) rows every `everyMs` — pure Catalyst
+    * (sequence + posexplode), so at scale it's a codegen'd generator, and the
+    * per-frame decode joins in afterwards via extractFeatures. */
+  def frameSample(media: DataFrame, everyMs: Int): DataFrame =
+    media
+      .where(col("meta.duration_ms").isNotNull)
+      .select(col("media_id"), col("kind"),
+        posexplode(sequence(lit(0), greatest(col("meta.duration_ms") - 1, lit(0)), lit(everyMs)))
+          .as(Seq("frame_no", "offset_ms")))
+
+  /** Resize plumbing: metadata transform only (payload stays opaque until a
+    * real codec is bound); records the target box, preserving aspect ratio. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(maxSide) / greatest(w, h), lit(1.0))
+    media.where(col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("media_id"), col("kind"),
+        col("meta.width").as("src_w"), col("meta.height").as("src_h"),
+        round(w * scale).cast("int").as("dst_w"),
+        round(h * scale).cast("int").as("dst_h"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All arithmetic is an ORDERED sequential double fold over the array —
+  * `aggregate(zip_with(...))` — which is whole-stage-codegen'd by Catalyst
+  * and (verified empirically) bit-identical to DuckDB's
+  * `list_cosine_similarity` on DOUBLE[], so oracle checks can hash-compare
+  * floating-point scores exactly.
+  *
+  * Scale shape: the query vector (or the centroid set) is a broadcast-sized
+  * dimension; the big side streams through one codegen stage with no shuffle
+  * for brute force, and one hash-partitioned shuffle on `cell` for IVF. At
+  * 100 TB the IVF variant reads only the probed cells if the table is
+  * bucketed/partitioned by `cell` — that's the point of the design. */
+object Similarity {
+
+  /** dot(a, b) as an ordered fold; inputs are cast elementwise to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector: no shuffle — the
+    * query row is crossed in as a broadcast single-row dimension, scores are
+    * computed in one codegen span, and only the global top-k ordering
+    * reduces (TakeOrderedAndProject). */
+  def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = broadcast(
+      embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qe")))
+    embeddings.where(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Assign every vector to its nearest centroid (max cosine, centroid id as
+    * tie-break). `centroids` must be broadcast-sized (IVF coarse quantizer:
+    * hundreds to ~64k cells). Output: input columns + `cell`. */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("centroid_id"), col("centroid").as("ce")))
+    val scored = embeddings.join(cents)
+      .withColumn("cell_sim", cosine(col("embedding"), col("ce")))
+    // argmax via max_by on the (sim, -id) pair — deterministic tie-break
+    scored
+      .groupBy(embeddings.columns.map(col): _*)
+      .agg(max_by(col("centroid_id"), struct(col("cell_sim"), -col("centroid_id"))).as("cell"))
+  }
+
+  /** IVF search: probe only the `nprobe` cells nearest to the query vector,
+    * then brute-force within the probed subset. With the index table
+    * partitioned by `cell`, the scan touches ~nprobe/|cells| of the data. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame,
+              queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(
+      assigned.where(col("vec_id") === queryVecId).select(col("embedding").as("qe")))
+    val probedCells = broadcast(
+      centroids.crossJoin(q)
+        .select(col("centroid_id"), cosine(col("centroid"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("centroid_id"))
+        .limit(nprobe)
+        .select(col("centroid_id").as("cell")))
+    assigned.where(col("vec_id") =!= queryVecId)
+      .join(probedCells, Seq("cell"), "left_semi") // partition-prunable at scale
+      .crossJoin(q)
+      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("qe")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: one sign bit per hyperplane,
+    * concatenated to a string bucket key. Hyperplanes are given as a
+    * broadcast-sized DataFrame (plane_id, plane) — deterministic by
+    * construction (callers derive planes from fixed rows or seeds). */
+  def hyperplaneBucket(embeddings: DataFrame, planes: DataFrame): DataFrame = {
+    val ps = broadcast(planes.select(col("plane_id"), col("plane")))
+    embeddings.join(ps)
+      .select(col("vec_id"), col("plane_id"),
+        when(dot(col("embedding"), col("plane")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
+      .groupBy(col("vec_id"))
+      // deterministic order: sort (plane_id, bit) pairs, then strip ids
+      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
+        p => p.getField("bit"))).as("bucket"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language-ID, quality scoring,
+  * token counting, document fingerprinting. All built from codegen'd
+  * built-in functions — no UDFs anywhere, so every operator stays inside one
+  * WholeStageCodegen span and scales as a pure map (no shuffle at all except
+  * where an aggregate is the point). */
+object TextAnalysis {
+
+  /** Marker-stopword language scores for a fixed language set. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"))
+
+  /** n-gram(token) heuristic language-ID with a fixed tie-break chain
+    * (en > de > fr > es). Deterministic by construction. */
+  def langId(docs: DataFrame, textCol: String = "text"): Column = {
+    val toks = split(col(textCol), " ")
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => ms.map(m => t === m).reduce(_ || _)))
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, " ")).cast("long")
+
+  /** BPE-ish token count: word pieces + standalone punctuation, via a regex
+    * split (`\w+` runs and single non-word non-space chars each count as one
+    * token — the pre-tokenization step of GPT-style BPE vocabularies). */
+  val BpeishPattern = "\\w+|[^\\w\\s]"
+  def bpeishTokens(textCol: Column): Column =
+    regexp_extract_all(textCol, lit(BpeishPattern), lit(0))
+  def bpeishTokenCount(textCol: Column): Column = size(bpeishTokens(textCol)).cast("long")
+
+  /** Quality signals: exact integer counts (ratios are downstream
+    * arithmetic — keeping the compare surface integral). */
+  def qualitySignals(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      size(filter(toks, x => x === "the")).cast("long").as("n_the"),
+      (length(t) - length(regexp_replace(t, "[\\w\\s]", ""))).cast("long").as("n_word_or_space"),
+      bpeishTokenCount(t).as("n_bpeish"))
+  }
+
+  /** Scalar quality score in [0,1]: mean of unique-token ratio, stopword
+    * presence, and a length band — the standard cheap pre-filter before
+    * expensive dedup/classification passes. Pure double arithmetic on
+    * integer counts (deterministic IEEE, oracle-comparable). */
+  def qualityScore(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
+    val stopHit = when(size(filter(toks,
+      x => x === "the" || x === "and" || x === "of")) > 0, 1.0).otherwise(0.0)
+    val lenOk = when(length(textCol).between(20, 100000), 1.0).otherwise(0.0)
+    // raw IEEE arithmetic — bit-reproducible across engines (no rounding step,
+    // whose tie-breaking differs subtly between implementations)
+    (uniqRatio + stopHit + lenOk) / 3.0
+  }
+
+  /** Order/repetition-invariant content signature: hash of the sorted
+    * distinct token set. */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+
+  /** Rolling-hash fingerprint over char windows (winnowing-style): min of the
+    * window hashes — cheap shift-resistant signature. */
+  def rollingMinHash(textCol: Column, window: Int = 16): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(textCol) - (window - 1), lit(1))),
+      i => md5(textCol.substr(i, lit(window)))))
+}

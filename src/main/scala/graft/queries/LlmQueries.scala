@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import QueryDef.table
 
@@ -268,6 +269,149 @@ object LlmQueries {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
              |       substr(md5(text), 1, 8) AS content_key
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality score in [0,1]: unique-token ratio + stopword presence + length
+    // band, averaged. Pure map — no shuffle; the standard cheap pre-filter
+    // before expensive dedup/classification passes.
+    QueryDef("q_quality_score",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |     / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+             |   + CASE WHEN len(list_filter(string_split(text,' '),
+             |                  x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
+             |   + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
+             |  ) / 3.0 AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish token counting: word runs + standalone punctuation via one
+    // regexp (GPT-style pre-tokenization) — codegen'd, zero shuffle.
+    QueryDef("q_token_regex",
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Window-function survivor pick: rank within each content group, keep
+    // rank 1 — the one-pass dedup shape when whole rows must survive.
+    QueryDef("q_dedup_window",
+      (s, d) => Dedup.survivors(table(s, d, "documents"))
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS content_hash FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Tumbling-window aggregation over the event stream: 1h buckets ×
+    // event_type; double sums fixed-pointed via floor(value*1000) so the
+    // distributed sum is order-independent (bigint adds commute — the only
+    // sum shape that hash-compares across engines).
+    QueryDef("q_events_window",
+      (s, d) => table(s, d, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+        .orderBy(col("hour_bucket"), col("event_type")),
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+             |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             |       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+             |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
+
+    // Embedding-cosine near-dup: random-hyperplane LSH buckets (planes = 4
+    // fixed corpus vectors), pairwise cosine ONLY within a bucket — candidate
+    // generation is a join on the 4-bit signature, never O(n²).
+    QueryDef("q_embed_neardup",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val planes = emb.where(col("vec_id").between(1, 4))
+          .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+        Dedup.embeddingNearDups(emb.select("vec_id", "embedding"), planes, threshold = 0.3)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH planes AS (
+             |  SELECT vec_id AS plane_id, embedding::DOUBLE[] AS plane
+             |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+             |sig AS (
+             |  SELECT e.vec_id,
+             |         string_agg(CASE WHEN list_cosine_similarity(e.embedding::DOUBLE[], p.plane) >= 0
+             |                         THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+             |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+             |b AS (SELECT s.vec_id, s.bucket, e.embedding FROM sig s JOIN embeddings e USING (vec_id))
+             |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             |       list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
+             |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.3
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // IVF ANN: coarse-quantize to 4 fixed centroids, probe the 2 cells
+    // nearest the query, brute-force inside. Partitioned by cell at scale,
+    // the scan touches ~nprobe/|cells| of the data.
+    QueryDef("q_ann_ivf",
+      (s, d) => {
+        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
+        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        val assigned = Similarity.assignCells(emb, centroids)
+        Similarity.ivfTopK(assigned, centroids, queryVecId = 0L, k = 10, nprobe = 2)
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+             |scored AS (
+             |  SELECT e.vec_id, e.embedding, c.centroid_id,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
+             |  FROM embeddings e CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+             |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+             |probed AS (
+             |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
+             |  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.centroid_id LIMIT 2)
+             |SELECT a.vec_id, a.cell,
+             |       list_cosine_similarity(a.embedding::DOUBLE[], q.qe) AS cos_sim
+             |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
+             |WHERE a.vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
+    // token sets — robust to word-boundary edits).
+    QueryDef("q_ngram_jaccard",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, shingle = 8, numHashes = 4)
+        val pairs = Dedup.lshCandidatePairs(sigs, bands = 2, rowsPerBand = 2)
+        Dedup.ngramJaccardOnCandidates(docs, pairs, n = 8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $sigsWideDuckSql,
+              |$bandsDuckSql,
+              |grams AS (
+              |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
+              |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+              |        FROM documents)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+              |  FROM pairs p
+              |  JOIN grams ga ON ga.doc_id = p.doc_a
+              |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+              |  GROUP BY p.doc_a, p.doc_b)
+              |SELECT p.doc_a, p.doc_b, COALESCE(i.n_common, 0) AS n_common,
+              |       sa.sz AS size_a, sb.sz AS size_b
+              |FROM pairs p
+              |JOIN sizes sa ON sa.doc_id = p.doc_a
+              |JOIN sizes sb ON sb.doc_id = p.doc_b
+              |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin))
   )
 }

@@ -3,6 +3,7 @@ package graft
 import graft.index.{GraftIndex, Mutations}
 import graft.ingest.Indexer
 import graft.model.Pattern
+import graft.tools.FixtureChain
 import graft.query.{Api, FoldInputs}
 import org.apache.spark.sql.functions._
 

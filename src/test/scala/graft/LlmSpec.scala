@@ -1,0 +1,133 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** graft.llm — dedup / similarity / text-analysis / multimodal operators. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat and looked at the dog"),
+    (2L, "the cat sat on the mat and looked at the dog"), // exact dup of 1
+    (3L, "the cat sat on the mat and looked at the fox"), // near dup of 1
+    (4L, "der hund und das pferd liefen durch der wald und das feld"),
+    (5L, "completely unrelated text about spark query engines and parquet")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, survivor = min id") {
+    val d = Dedup.exact(docs).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d.length == 4)
+    val dup = d.filter(_._3 == 2L)
+    assert(dup.length == 1 && dup.head._2 == 1L)
+    val surv = Dedup.survivors(docs).select("doc_id").as[Long].collect().sorted
+    assert(surv.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("minhash+LSH surfaces the exact and near dup, not unrelated docs") {
+    val sigs = Dedup.minhashSignatures(docs, shingle = 8, numHashes = 4)
+    assert(sigs.columns.toSet == Set("doc_id", "mh0", "mh1", "mh2", "mh3"))
+    // identical docs → identical signatures
+    val s = sigs.orderBy("doc_id").collect()
+    assert(s(0).toSeq.drop(1) == s(1).toSeq.drop(1))
+    val pairs = Dedup.lshCandidatePairs(sigs, bands = 2, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard on candidates: exact dup has full overlap") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardOnCandidates(docs, pairs).orderBy("doc_a", "doc_b").collect()
+    val full = j(0)
+    assert(full.getLong(2) == full.getLong(3) && full.getLong(3) == full.getLong(4))
+    val near = j(1) // differs by one token (dog→fox): overlap = size - 1
+    assert(near.getLong(2) == near.getLong(3) - 1)
+    val nj = Dedup.ngramJaccardOnCandidates(docs, pairs, n = 8)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(nj(0).getLong(2) == nj(0).getLong(3)) // identical text: full 8-gram overlap
+  }
+
+  test("simhash: identical docs equal, near dups closer than unrelated") {
+    val sh = Dedup.simhash(docs, bits = 16).orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= hamming(sh(1L), sh(5L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val top = Similarity.bruteForceTopK(vecs, queryVecId = 0L, k = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("IVF probes only the query cell and finds the neighbor") {
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(vecs, centroids)
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells(1L) == 0L && cells(2L) == 1L && cells(3L) == 1L)
+    val top = Similarity.ivfTopK(assigned, centroids, queryVecId = 0L, k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.contains(1L) && !top.contains(2L)) // cell 1 not probed
+  }
+
+  test("embedding near-dup pairs via hyperplane buckets") {
+    val planes = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("plane_id", "plane")
+    val nd = Dedup.embeddingNearDups(vecs, planes, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((2L, 3L)))
+    assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("text analysis: lang id, token counts, quality, fingerprint") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(docs).as("lang"),
+        TextAnalysis.tokenCount(col("text")).as("nt"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("nb"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "en" && out(3).getString(1) == "de")
+    assert(out(0).getLong(2) == 11L)
+    assert(out.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    assert(out(0).getString(5) == out(1).getString(5)) // same content, same fp
+    val punct = Seq((9L, "a,b c.")).toDF("doc_id", "text")
+    val nb = punct.select(TextAnalysis.bpeishTokenCount(col("text"))).as[Long].head()
+    assert(nb == 5L) // a , b c .
+  }
+
+  test("multimodal: byte stats, dedup, stub decode, frame sampling, resize") {
+    import Multimodal._
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3), MediaMeta(Some(800), Some(600), None, None)),
+      MediaRow(2L, "image", Array[Byte](1, 2, 3), MediaMeta(Some(800), Some(600), None, None)),
+      MediaRow(3L, "video", Array[Byte](9, 9), MediaMeta(Some(320), Some(240), Some(2500), None))
+    ).toDS()
+    val stats = byteStats(media.toDF()).orderBy("media_id").collect()
+    assert(stats(0).getLong(2) == 3L && stats(0).getString(3) == stats(1).getString(3))
+    val dd = dedupExact(media.toDF()).collect()
+    assert(dd.length == 2 && dd.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
+    val feats = extractFeatures(media, dim = 4)(spark).collect().sortBy(_.media_id)
+    assert(feats(0).features.length == 4)
+    assert(feats(0).features.sameElements(feats(1).features)) // deterministic stub
+    assert(!feats(0).features.sameElements(feats(2).features))
+    val frames = frameSample(media.toDF(), everyMs = 1000).collect()
+    assert(frames.length == 3) // 0, 1000, 2000 for the 2500ms video
+    val rs = resizePlan(media.toDF(), maxSide = 400).orderBy("media_id").collect()
+    assert(rs(0).getInt(4) == 400 && rs(0).getInt(5) == 300)
+    assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
+  }
+}
