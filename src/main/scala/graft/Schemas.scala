@@ -59,7 +59,10 @@ object Schemas {
       StructField("datums", MapType(StringType, StringType), nullable = true),
       StructField("scripts", MapType(StringType, StringType), nullable = true),
       StructField("redeemers", MapType(IntegerType, StringType), nullable = true),
-      StructField("metadata_labels", ArrayType(LongType), nullable = true)
+      StructField("metadata_labels", ArrayType(LongType), nullable = true),
+      // label → raw payload (JSON/CBOR-hex as delivered by the wire); kept
+      // for R11 GET /metadata/{slot} (SURVEY.md §2.3), never indexed
+      StructField("metadata", MapType(StringType, StringType), nullable = true)
     ))), nullable = false)
   ))
 

@@ -38,6 +38,29 @@ object Bech32 {
     fiveToEight(data.dropRight(6)).map(hrp -> _)
   }
 
+  /** Inverse of decode: (hrp, bytes) → bech32 text (used by tests and by
+    * emitters that need the wire form; same no-length-cap dialect). */
+  def encode(hrp: String, bytes: Array[Byte]): String = {
+    val data = eightToFive(bytes)
+    val checksum = {
+      val values = hrpExpand(hrp) ++ data ++ Seq(0, 0, 0, 0, 0, 0)
+      val mod = polymod(values) ^ 1
+      (0 until 6).map(i => (mod >>> (5 * (5 - i))) & 31)
+    }
+    hrp + "1" + (data ++ checksum).map(charset(_)).mkString
+  }
+
+  private def eightToFive(bytes: Array[Byte]): Seq[Int] = {
+    var acc = 0; var bits = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    bytes.foreach { b =>
+      acc = (acc << 8) | (b & 0xff); bits += 8
+      while (bits >= 5) { bits -= 5; out += ((acc >>> bits) & 31) }
+    }
+    if (bits > 0) out += ((acc << (5 - bits)) & 31)
+    out.toSeq
+  }
+
   /** 5-bit groups → bytes, rejecting bad padding (BIP-173 convertbits(5,8,false)). */
   private def fiveToEight(data: Seq[Int]): Option[Array[Byte]] = {
     var acc = 0; var bits = 0

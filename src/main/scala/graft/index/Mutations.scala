@@ -50,6 +50,35 @@ object Mutations {
       ix.table("binary_data").join(referenced, Seq("binary_data_hash"), "left_anti"))
   }
 
+  /** S9 copyDatabase (SQLite.hs:476-576): bootstrap a new index as a
+    * filtered copy of an existing one — per-pattern row copy in the
+    * reference (count → 10k-row queue → batch insert → VACUUM); here ONE
+    * declarative job per table: inputs filtered by the pattern set,
+    * policies semi-joined to survivors, datums/scripts pruned to referenced
+    * hashes, checkpoints copied whole. Returns the new index. */
+  def copyFiltered(src: GraftIndex, dstRoot: String, patterns: Set[Pattern]): GraftIndex = {
+    val dst = new GraftIndex(src.spark, dstRoot)
+    val kept = src.inputsWithSpends.where(Pattern.anyOf(patterns))
+    dst.replace("inputs", kept)
+    val keptRefs = dst.table("inputs").select("tx_id", "output_index")
+    dst.replace("policies",
+      src.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"))
+    val keptDatums = dst.table("inputs")
+      .where(col("datum_info").isNotNull)
+      .select(col("datum_info.hash").as("binary_data_hash"))
+    dst.replace("binary_data",
+      src.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"))
+    val keptScripts = dst.table("inputs")
+      .where(col("script_hash").isNotNull).select("script_hash")
+    dst.replace("scripts",
+      src.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"))
+    dst.replace("checkpoints", src.table("checkpoints"))
+    val spark = src.spark
+    import spark.implicits._
+    dst.replace("patterns", patterns.map(_.toText).toSeq.toDF("pattern"))
+    dst
+  }
+
   /** U5 rollbackTo (SQLite.hs:799-819): after rollback to slot s —
     * no row created after s, no spent_at after s, no checkpoint after s.
     * Segments entirely beyond s are dropped from the manifest (no IO);

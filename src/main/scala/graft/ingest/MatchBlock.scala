@@ -40,8 +40,11 @@ object MatchBlock {
       col("tx.metadata_labels").as("metadata_labels"),
       posexplode(col("tx.outputs")).as(Seq("output_index", "out")))
 
-    // M3+M4: disjunctive pattern filter, then project to the inputs row shape
+    // M3+M4: disjunctive pattern filter, then project to the inputs row shape.
+    // Null outputs are positional padding from invalid-transaction
+    // normalization (BlockReader: collateral return at index |outputs|).
     val produced = outputs
+      .where(col("out").isNotNull)
       .withColumn("address", col("out.address"))
       .withColumn("value", col("out.value"))
       .where(Pattern.anyOf(patterns))

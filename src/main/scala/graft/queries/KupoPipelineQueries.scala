@@ -3,70 +3,110 @@ package graft.queries
 import graft.Schemas
 import graft.index.GraftIndex
 import graft.query.{Api, FoldInputs}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import QueryDef.table
 
-/** The flagship end-to-end check: a kupo index DERIVED deterministically from
-  * the driver tables, written through the real GraftIndex, queried through
-  * the real FoldInputs — and the whole derivation+query mirrored as one
-  * DuckDB CTE so the oracle can hash-compare it (SURVEY.md §7.3's minimum
-  * slice, re-expressed over the shared testdata).
+/** The flagship end-to-end checks: a kupo index DERIVED deterministically
+  * from the driver tables, written through the real GraftIndex, queried
+  * through the real FoldInputs — and the whole derivation+query mirrored as
+  * one DuckDB CTE so the oracle can hash-compare it (SURVEY.md §7.3's
+  * minimum slice, re-expressed over the shared testdata).
   *
-  * Derivation (lineitem row → index row):
-  *   transaction_id    = md5(l_orderkey)          (stand-in txid)
+  * Derivation (lineitem row → index row), mirrored EXACTLY in derivationSql:
+  *   transaction_id    = md5(l_orderkey) ‖ md5(l_orderkey)   (64-hex txid)
   *   output_index      = l_linenumber
   *   transaction_index = l_orderkey % 7
   *   address           = '01' ‖ lpad(l_partkey % 40, 56, '0')   (delegation)
   *                            ‖ '01' ‖ lpad(l_suppkey, 56, '0') (payment)
   *   coins             = l_quantity (integral)
+  *   assets            = when l_partkey % 3 = 0:
+  *                         { lpad(l_partkey % 5, 56, '0') →
+  *                           { lpad(l_suppkey % 3, 6, '0') → l_quantity } }
+  *   datum_info        = when l_orderkey % 11 = 0:
+  *                         (flag = l_orderkey % 2, hash = md5('d' ‖ l_orderkey))
+  *   script_hash       = when l_orderkey % 13 = 0: md5('s' ‖ l_orderkey)
   *   created_at        = l_orderkey (slot)
   *   spent_at          = l_orderkey + 5 when l_returnflag = 'R'
+  *   spent_by          = (md5(l_orderkey+1) ‖ md5(l_orderkey+1), l_linenumber % 3)
+  *   spent_with        = 'rdmr' ‖ (l_orderkey % 97) when also l_orderkey % 3 = 0
+  *   binary_data       = datum hashes where l_orderkey % 22 = 0 (half resolve)
+  *   scripts           = script hashes where l_orderkey % 26 = 0
   *   checkpoints       = every created/spent slot, header = md5(slot)
   */
 object KupoPipelineQueries {
 
   /** Delegation credential the flagship query filters on (l_partkey % 40 == 7). */
   private val cred7 = "0" * 55 + "7"
+  /** Policy / asset the P9/P10 queries filter on. */
+  private val policy2 = "0" * 55 + "2"
+  private val asset1 = "0" * 5 + "1"
+
+  private def txIdOf(c: Column): Column = concat(md5(c.cast("string")), md5(c.cast("string")))
 
   private def derivedInputs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem").select(
-      md5(col("l_orderkey").cast("string")).as("tx_id"),
+      txIdOf(col("l_orderkey")).as("tx_id"),
       col("l_linenumber").as("output_index"),
       (col("l_orderkey") % 7).cast("int").as("transaction_index"),
       concat(lit("01"), lpad((col("l_partkey") % 40).cast("string"), 56, "0"),
              lit("01"), lpad(col("l_suppkey").cast("string"), 56, "0")).as("address"),
       lpad(col("l_suppkey").cast("string"), 56, "0").as("payment_credential"),
-      struct(col("l_quantity").cast(DecimalType(38, 0)).as("coins"),
-             map().cast(Schemas.valueType("assets").dataType).as("assets")).as("value"),
-      lit(null).cast(Schemas.datumInfoType).as("datum_info"),
-      lit(null).cast("string").as("script_hash"),
+      struct(
+        col("l_quantity").cast(DecimalType(38, 0)).as("coins"),
+        when(col("l_partkey") % 3 === 0,
+          map(lpad((col("l_partkey") % 5).cast("string"), 56, "0"),
+              map(lpad((col("l_suppkey") % 3).cast("string"), 6, "0"),
+                  col("l_quantity").cast(DecimalType(38, 0)))))
+          .as("assets")).as("value"),
+      when(col("l_orderkey") % 11 === 0,
+        struct((col("l_orderkey") % 2).cast("byte").as("flag"),
+               md5(concat(lit("d"), col("l_orderkey").cast("string"))).as("hash")))
+        .as("datum_info"),
+      when(col("l_orderkey") % 13 === 0,
+        md5(concat(lit("s"), col("l_orderkey").cast("string")))).as("script_hash"),
       col("l_orderkey").as("created_at"),
       when(col("l_returnflag") === "R", col("l_orderkey") + 5)
         .otherwise(lit(null)).cast("long").as("spent_at"),
-      lit(null).cast(Schemas.spentByType).as("spent_by"),
-      lit(null).cast("string").as("spent_with"),
+      when(col("l_returnflag") === "R",
+        struct(txIdOf(col("l_orderkey") + 1).as("tx_id"),
+               (col("l_linenumber") % 3).cast("int").as("input_index")))
+        .as("spent_by"),
+      when(col("l_returnflag") === "R" && col("l_orderkey") % 3 === 0,
+        concat(lit("rdmr"), (col("l_orderkey") % 97).cast("string"))).as("spent_with"),
       (col("l_orderkey") / Schemas.BucketSize).cast("long").as("created_bucket"))
 
   private val cache = scala.collection.mutable.Map.empty[String, GraftIndex]
 
   /** Build (once per sfDir per JVM) a real GraftIndex from the derivation —
-    * the index is immutable here, so the three kupo queries share it the way
-    * a deployment shares one index across many reads. */
+    * the index is immutable here, so the kupo queries share it the way a
+    * deployment shares one index across many reads. */
   def buildIndex(s: SparkSession, dir: String): GraftIndex = synchronized {
     cache.getOrElseUpdate(dir, buildIndexUncached(s, dir))
   }
 
   private def buildIndexUncached(s: SparkSession, dir: String): GraftIndex = {
     val ix = new GraftIndex(s, java.nio.file.Files.createTempDirectory("graft-kupo").toString)
-    val inputs = derivedInputs(s, dir)
+    val inputs = derivedInputs(s, dir).cache()
     val checkpoints = inputs.select(col("created_at").as("slot_no"))
       .union(inputs.where(col("spent_at").isNotNull).select(col("spent_at")))
       .distinct()
       .select(col("slot_no"), md5(col("slot_no").cast("string")).as("header_hash"))
+    val li = table(s, dir, "lineitem")
+    val binaryData = li.where(col("l_orderkey") % 22 === 0)
+      .select(md5(concat(lit("d"), col("l_orderkey").cast("string"))).as("binary_data_hash"))
+      .distinct()
+      .select(col("binary_data_hash"), md5(col("binary_data_hash")).as("binary_data"))
+    val scripts = li.where(col("l_orderkey") % 26 === 0)
+      .select(md5(concat(lit("s"), col("l_orderkey").cast("string"))).as("script_hash"))
+      .distinct()
+      .select(col("script_hash"), md5(col("script_hash")).as("script"))
     ix.replace("inputs", inputs)
     ix.replace("checkpoints", checkpoints)
+    ix.replace("binary_data", binaryData)
+    ix.replace("scripts", scripts)
+    inputs.unpersist()
     ix
   }
 
@@ -78,14 +118,23 @@ object KupoPipelineQueries {
 
   private val derivationSql =
     """WITH inputs AS (
-      |  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS transaction_id,
+      |  SELECT md5(CAST(l_orderkey AS VARCHAR)) || md5(CAST(l_orderkey AS VARCHAR)) AS transaction_id,
       |         l_linenumber AS output_index,
       |         CAST(l_orderkey % 7 AS INT) AS transaction_index,
       |         '01' || lpad(CAST(l_partkey % 40 AS VARCHAR), 56, '0')
       |              || '01' || lpad(CAST(l_suppkey AS VARCHAR), 56, '0') AS address,
       |         CAST(l_quantity AS DECIMAL(38,0)) AS coins,
+      |         CASE WHEN l_partkey % 3 = 0 THEN lpad(CAST(l_partkey % 5 AS VARCHAR), 56, '0') END AS policy_id,
+      |         CASE WHEN l_partkey % 3 = 0 THEN lpad(CAST(l_suppkey % 3 AS VARCHAR), 6, '0') END AS asset_name,
+      |         CASE WHEN l_orderkey % 11 = 0 THEN md5('d' || CAST(l_orderkey AS VARCHAR)) END AS datum_hash,
+      |         CASE WHEN l_orderkey % 13 = 0 THEN md5('s' || CAST(l_orderkey AS VARCHAR)) END AS script_hash,
       |         l_orderkey AS created_at,
-      |         CASE WHEN l_returnflag = 'R' THEN l_orderkey + 5 ELSE NULL END AS spent_at
+      |         CASE WHEN l_returnflag = 'R' THEN l_orderkey + 5 END AS spent_at,
+      |         CASE WHEN l_returnflag = 'R'
+      |              THEN md5(CAST(l_orderkey + 1 AS VARCHAR)) || md5(CAST(l_orderkey + 1 AS VARCHAR)) END AS spender,
+      |         CASE WHEN l_returnflag = 'R' THEN CAST(l_linenumber % 3 AS INT) END AS spend_input_index,
+      |         CASE WHEN l_returnflag = 'R' AND l_orderkey % 3 = 0
+      |              THEN 'rdmr' || CAST(l_orderkey % 97 AS VARCHAR) END AS redeemer
       |  FROM lineitem)
       |""".stripMargin
 
@@ -112,8 +161,9 @@ object KupoPipelineQueries {
            |  AND spent_at IS NULL
            |ORDER BY created_at DESC, transaction_index DESC, output_index DESC""".stripMargin)),
 
-    // Spent-side range query: ?spent_after & ?spent_before over the wildcard
-    // pattern, with spent-point header hashes (F2 on spent_at + F4 left join).
+    // Spent-side range query with full spend provenance: ?spent_after &
+    // ?spent_before over the wildcard pattern (F2 on spent_at + F4 left join
+    // + v2.10 spent_by/spent_with fields in F8).
     QueryDef("q_kupo_spent_range",
       (s, d) => {
         val ix = buildIndex(s, d)
@@ -123,11 +173,15 @@ object KupoPipelineQueries {
           order = Api.SortDirection.Asc))
           .select(col("transaction_id"), col("output_index"),
             col("spent_at.slot_no").as("spent_slot"),
-            col("spent_at.header_hash").as("spent_hash"))
+            col("spent_at.header_hash").as("spent_hash"),
+            col("spent_at.transaction_id").as("spender"),
+            col("spent_at.input_index").as("spend_input_index"),
+            col("spent_at.redeemer").as("redeemer"))
       },
       Some(derivationSql +
         """SELECT transaction_id, output_index, spent_at AS spent_slot,
-          |       md5(CAST(spent_at AS VARCHAR)) AS spent_hash
+          |       md5(CAST(spent_at AS VARCHAR)) AS spent_hash,
+          |       spender, spend_input_index, redeemer
           |FROM inputs
           |WHERE spent_at IS NOT NULL AND spent_at BETWEEN 500 AND 1500
           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
@@ -142,6 +196,96 @@ object KupoPipelineQueries {
       },
       Some(derivationSql +
         s"""SELECT count(*) AS n FROM inputs
-           |WHERE address LIKE '01%' AND address LIKE '%${"0" * 55 + "3"}'""".stripMargin))
+           |WHERE address LIKE '01%' AND address LIKE '%${"0" * 55 + "3"}'""".stripMargin)),
+
+    // P9 MatchPolicyId: GET /matches/{policy}.* — map-key membership pushed
+    // into the scan (the reference needs a policies-table join here).
+    QueryDef("q_kupo_policy",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        flat(FoldInputs(ix, Api.MatchesQuery(
+          s"$policy2.*", order = Api.SortDirection.Asc)))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id, output_index, transaction_index, address, coins,
+           |       created_at AS created_slot,
+           |       md5(CAST(created_at AS VARCHAR)) AS created_hash
+           |FROM inputs WHERE policy_id = '$policy2'
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+
+    // P10-equivalent via F7 residual filters: ?policy_id=&asset_name= over
+    // the wildcard pattern — exact asset match, no post-scan re-check
+    // (the reference re-filters rows in the HTTP layer, Http.hs:657-670).
+    QueryDef("q_kupo_asset_residual",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        flat(FoldInputs(ix, Api.MatchesQuery(
+          "*", order = Api.SortDirection.Asc,
+          filter = Api.FilterMatchesBy(policyId = Some(policy2), assetName = Some(asset1)))))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id, output_index, transaction_index, address, coins,
+           |       created_at AS created_slot,
+           |       md5(CAST(created_at AS VARCHAR)) AS created_hash
+           |FROM inputs WHERE policy_id = '$policy2' AND asset_name = '$asset1'
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+
+    // P7 MatchTransactionId: *@txid — struct-column equality replaces the
+    // reference's packed-bytes BETWEEN range trick (Database.hs:745-755).
+    QueryDef("q_kupo_txid",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        val k = table(s, d, "lineitem").agg(min("l_orderkey")).head().getLong(0)
+        val txId = { val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString); h + h }
+        flat(FoldInputs(ix, Api.MatchesQuery(s"*@$txId", order = Api.SortDirection.Asc)))
+      },
+      Some(derivationSql +
+        """SELECT transaction_id, output_index, transaction_index, address, coins,
+          |       created_at AS created_slot,
+          |       md5(CAST(created_at AS VARCHAR)) AS created_hash
+          |FROM inputs
+          |WHERE transaction_id =
+          |      (SELECT md5(CAST(min(l_orderkey) AS VARCHAR)) || md5(CAST(min(l_orderkey) AS VARCHAR)) FROM lineitem)
+          |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+
+    // F5 ?resolve_hashes: two broadcast left joins resolve datum/script
+    // payloads inline (binary_data covers half the datum hashes — the null
+    // path is exercised too).
+    QueryDef("q_kupo_resolve_hashes",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        FoldInputs(ix, Api.MatchesQuery(
+          "*", resolveHashes = true, order = Api.SortDirection.Asc))
+          .where(col("datum_hash").isNotNull || col("script_hash").isNotNull)
+          .select(col("transaction_id"), col("output_index"),
+            col("datum_hash"), col("datum"), col("script_hash"), col("script"))
+      },
+      Some(derivationSql +
+        """SELECT i.transaction_id, i.output_index, i.datum_hash,
+          |       CASE WHEN i.datum_hash IS NOT NULL AND EXISTS
+          |            (SELECT 1 FROM lineitem l WHERE l.l_orderkey % 22 = 0
+          |             AND md5('d' || CAST(l.l_orderkey AS VARCHAR)) = i.datum_hash)
+          |            THEN md5(i.datum_hash) END AS datum,
+          |       i.script_hash,
+          |       CASE WHEN i.script_hash IS NOT NULL AND EXISTS
+          |            (SELECT 1 FROM lineitem l WHERE l.l_orderkey % 26 = 0
+          |             AND md5('s' || CAST(l.l_orderkey AS VARCHAR)) = i.script_hash)
+          |            THEN md5(i.script_hash) END AS script
+          |FROM inputs i
+          |WHERE i.datum_hash IS NOT NULL OR i.script_hash IS NOT NULL
+          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
+
+    // R3 foldPolicies: (output_reference, policy) projection under a
+    // pattern, answered from the value.assets map — no side-table join.
+    QueryDef("q_kupo_fold_policies",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        FoldInputs.foldPolicies(ix, "*")
+          .orderBy(col("tx_id"), col("output_index"), col("policy_id"))
+      },
+      Some(derivationSql +
+        """SELECT transaction_id AS tx_id, output_index, policy_id
+          |FROM inputs WHERE policy_id IS NOT NULL
+          |ORDER BY tx_id, output_index, policy_id""".stripMargin))
   )
 }

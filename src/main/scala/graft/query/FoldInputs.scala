@@ -101,6 +101,36 @@ object FoldInputs {
     sorted.select(cols: _*)
   }
 
+  /** F8's JSON encoding — resultToJson (Pattern.hs:447-522): one JSON string
+    * per row with kupo's field set; assets flatten to dotted
+    * "policy.asset" keys and quantities optionally stringify
+    * (QuantityEncoding, /root/reference/src/Kupo/Data/Http/QuantityEncoding.hs:31 —
+    * clients that can't parse big JSON ints opt into strings). Pure
+    * codegen'd expressions — the projection stays inside WholeStageCodegen. */
+  def asJson(result: DataFrame, stringQuantities: Boolean = false): DataFrame = {
+    val assets = col("value.assets")
+    val flatEntries = flatten(transform(map_entries(assets), p =>
+      transform(map_entries(p.getField("value")), a =>
+        struct(concat(p.getField("key"), lit("."), a.getField("key")).as("key"),
+          a.getField("value").as("value")))))
+    def qty(c: org.apache.spark.sql.Column) =
+      if (stringQuantities) c.cast("string") else c
+    val value = when(assets.isNotNull && size(map_keys(assets)) > 0,
+      struct(qty(col("value.coins")).as("coins"),
+        map_from_entries(if (stringQuantities)
+          transform(flatEntries, e =>
+            struct(e.getField("key").as("key"), e.getField("value").cast("string").as("value")))
+        else flatEntries).as("assets")))
+      .otherwise(struct(qty(col("value.coins")).as("coins"),
+        lit(null).cast(if (stringQuantities) "map<string,string>" else "map<string,decimal(38,0)>")
+          .as("assets")))
+    result.select(to_json(struct(
+      col("transaction_id"), col("transaction_index"), col("output_index"),
+      col("address"), value.as("value"),
+      col("datum_hash"), col("datum_type"), col("script_hash"),
+      col("created_at"), col("spent_at"))).as("result_json"))
+  }
+
   private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame = {
     // spends may mark rows created in pruned-away segments? No: pruning is on
     // created_at, and we prune segments of `inputs` only; the spends delta is

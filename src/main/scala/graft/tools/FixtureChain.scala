@@ -20,7 +20,8 @@ object FixtureChain {
                       datums: Map[String, String] = Map.empty,
                       scripts: Map[String, String] = Map.empty,
                       redeemers: Map[Int, String] = Map.empty,
-                      metadataLabels: Seq[Long] = Nil)
+                      metadataLabels: Seq[Long] = Nil,
+                      metadata: Map[String, String] = Map.empty)
   final case class Blk(slot: Long, headerHash: String, txs: Seq[Tx])
 
   def hex32(seed: Int): String = {
@@ -74,7 +75,10 @@ object FixtureChain {
         outs.zipWithIndex.foreach { case (_, o) => available += ((txId, o)) }
         Tx(txId, spend, outs,
           redeemers = if (spend.nonEmpty && t == 1) Map(0 -> ("4d01" + f"$b%02x")) else Map.empty,
-          metadataLabels = if (b % 2 == 0) Seq(674L, 721L) else Nil)
+          metadataLabels = if (b % 2 == 0) Seq(674L, 721L) else Nil,
+          metadata = if (b % 2 == 0)
+            Map("674" -> s"""{"msg":["block $b"]}""", "721" -> "a11902d1a0")
+          else Map.empty)
       }
       Blk(slot, hex32(500000 + b), txs)
     }
@@ -99,7 +103,8 @@ object FixtureChain {
           if (tx.datums.isEmpty) null else tx.datums,
           if (tx.scripts.isEmpty) null else tx.scripts,
           if (tx.redeemers.isEmpty) null else tx.redeemers,
-          if (tx.metadataLabels.isEmpty) null else tx.metadataLabels)
+          if (tx.metadataLabels.isEmpty) null else tx.metadataLabels,
+          if (tx.metadata.isEmpty) null else tx.metadata)
       })
     }
     spark.createDataFrame(
