@@ -75,20 +75,27 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
       spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
   }
 
+  /** A segment with a non-nullable stat column and no stats is provably
+    * empty — dropping it from the manifest keeps empty-delta short-circuits
+    * (reconcile) and segment pruning honest, at zero extra jobs. */
+  private def liveSegments(table: String, segs: List[Segment]): List[Segment] =
+    if (statColumn(table).isEmpty) segs else segs.filter(_.minSlot.isDefined)
+
   /** Append one segment (idempotent sinks S7/S8 become plain appends; PK
     * dedup happens at read/compaction — the "INSERT OR IGNORE" analogue). */
   def append(table: String, df: DataFrame): Unit = {
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
-    // an all-null stat segment (e.g. empty batch) keeps None stats
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, m.tables.getOrElse(table, Nil) :+ seg)))
+    val segs = liveSegments(table, m.tables.getOrElse(table, Nil) :+ seg)
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
   }
 
   /** Replace the full contents of a table with `df` (mutation rewrites). */
   def replace(table: String, df: DataFrame): Unit = {
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, List(seg))))
+    Manifest.write(root, Manifest(m.version + 1,
+      m.tables.updated(table, liveSegments(table, List(seg)))))
   }
 
   /** Replace keeping the given existing segments and adding `df` as a new one
@@ -96,7 +103,8 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
   def replaceWith(table: String, kept: List[Segment], df: Option[DataFrame]): Unit = {
     val m = manifest
     val segs = kept ++ df.map(writeSegment(table, _, m.version + 1)).toList
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
+    Manifest.write(root, Manifest(m.version + 1,
+      m.tables.updated(table, liveSegments(table, segs))))
   }
 
   private def writeSegment(table: String, df: DataFrame, version: Long): Segment = {
@@ -112,23 +120,36 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
         out.repartition(col("created_bucket"))
           .sortWithinPartitions(col("created_at"), col("address"))
       else out
-    clustered.write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
-    val stats = statColumn(table).flatMap { c =>
-      val row = spark.read.schema(schemaOf(table)).parquet(s"$root/$path")
-        .agg(min(col(c)), max(col(c))).head()
-      if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
+    // segment min/max stats ride along with the write action (Observation) —
+    // no second read-the-parquet-back job per segment
+    val observed = statColumn(table).map { c =>
+      val obs = org.apache.spark.sql.Observation(f"stats-$table-$version%06d")
+      (obs, clustered.observe(obs, min(col(c)).as("mn"), max(col(c)).as("mx")))
+    }
+    observed.map(_._2).getOrElse(clustered)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
+    val stats = observed.flatMap { case (obs, _) =>
+      val row = obs.get
+      Option(row("mn").asInstanceOf[java.lang.Long])
+        .map(mn => (mn.toLong, row("mx").asInstanceOf[java.lang.Long].toLong))
     }
     Segment(path, stats.map(_._1), stats.map(_._2))
   }
 
-  /** inputs reconciled with the spends delta — the effective fact table.
-    * The join broadcasts when the delta is small; compaction keeps it small. */
-  def inputsWithSpends: DataFrame = {
-    val in = table("inputs")
-    val sp = table("spends")
+  /** Reconcile an inputs scan with the spends delta (merge-on-read).
+    * Empty delta (the steady state right after compact()) short-circuits to
+    * the bare scan — NO join, no shuffle; a non-empty delta joins as an
+    * explicit BROADCAST: the delta is bounded by compaction cadence (like
+    * deletion vectors), so the big side never shuffles. Without this the
+    * planner picks a SortMergeJoin and shuffles the whole fact table to
+    * reconcile a few thousand spend marks — the difference between a
+    * map-only scan and a 100 TB shuffle. */
+  def reconcile(in: DataFrame): DataFrame = {
+    if (manifest.tables.getOrElse("spends", Nil).isEmpty) return in
+    val sp = broadcast(table("spends")
       .dropDuplicates("tx_id", "output_index") // idempotent re-marking
       .withColumnsRenamed(Map(
-        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with"))
+        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")))
     in.join(sp, Seq("tx_id", "output_index"), "left_outer")
       .select(
         in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
@@ -136,6 +157,9 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
           coalesce(col("d_spent_by"), col("spent_by")).as("spent_by"),
           coalesce(col("d_spent_with"), col("spent_with")).as("spent_with")): _*)
   }
+
+  /** inputs reconciled with the spends delta — the effective fact table. */
+  def inputsWithSpends: DataFrame = reconcile(table("inputs"))
 
   /** Materialize the spends delta into inputs and dedup PKs (S7 OR IGNORE). */
   def compact(): Unit = {

@@ -131,22 +131,11 @@ object FoldInputs {
       col("created_at"), col("spent_at"))).as("result_json"))
   }
 
-  private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame = {
+  private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame =
     // spends may mark rows created in pruned-away segments? No: pruning is on
     // created_at, and we prune segments of `inputs` only; the spends delta is
     // read in full, so reconciliation stays correct for the surviving rows.
-    val in = ix.tableSlotRange("inputs", lo, hi)
-    val sp = ix.table("spends")
-      .dropDuplicates("tx_id", "output_index")
-      .withColumnsRenamed(Map(
-        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with"))
-    in.join(sp, Seq("tx_id", "output_index"), "left_outer")
-      .select(
-        in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
-          coalesce(col("d_spent_at"), col("spent_at")).as("spent_at"),
-          coalesce(col("d_spent_by"), col("spent_by")).as("spent_by"),
-          coalesce(col("d_spent_with"), col("spent_with")).as("spent_with")): _*)
-  }
+    ix.reconcile(ix.tableSlotRange("inputs", lo, hi))
 
   private def rangePredicate(c: org.apache.spark.sql.Column,
                              lo: Option[Long], hi: Option[Long]) =

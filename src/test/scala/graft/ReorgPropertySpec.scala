@@ -1,0 +1,140 @@
+package graft
+
+import graft.index.{GraftIndex, Mutations}
+import graft.ingest.Indexer
+import graft.model.Pattern
+import graft.tools.FixtureChain.{Blk, Out, Tx, baseAddr, hex32, toDf}
+
+/** Model-based reorg testing — the rebuild of the reference's state-machine
+  * suite (/root/reference/test/Test/Kupo/AppSpec.hs, test/README.md:11-17):
+  * random roll-forward / roll-backward / GC sequences applied to both the
+  * real index and a trivial in-memory model, states compared after every
+  * mutation batch. Seeded → deterministic across runs. */
+class ReorgPropertySpec extends SparkSpec {
+
+  private case class MRow(txId: String, outputIndex: Int, address: String,
+                          createdAt: Long, spentAt: Option[Long])
+
+  private final class Model {
+    var rows: Vector[MRow] = Vector.empty
+    var checkpoints: Set[Long] = Set.empty
+
+    def ingest(blocks: Seq[Blk]): Unit = {
+      blocks.foreach { b =>
+        checkpoints += b.slot
+        b.txs.foreach { tx =>
+          tx.outputs.zipWithIndex.foreach { case (o, i) =>
+            rows :+= MRow(tx.id, i, o.address, b.slot, None)
+          }
+          tx.inputs.foreach { case (t, i) =>
+            rows = rows.map(r =>
+              if (r.txId == t && r.outputIndex == i && r.spentAt.isEmpty)
+                r.copy(spentAt = Some(b.slot))
+              else r)
+          }
+        }
+      }
+    }
+
+    /** U5 invariants (SQLite.hs:799-819). */
+    def rollback(s: Long): Unit = {
+      rows = rows.filter(_.createdAt <= s)
+        .map(r => if (r.spentAt.exists(_ > s)) r.copy(spentAt = None) else r)
+      checkpoints = checkpoints.filter(_ <= s)
+    }
+
+    /** U3 (SQLite.hs:876-883). */
+    def prune(longestRollback: Long): Unit =
+      checkpoints.maxOption.foreach { tip =>
+        rows = rows.filter(r => r.spentAt.forall(_ >= tip - longestRollback))
+      }
+
+    def state: Set[(String, Int, Long, Option[Long])] =
+      rows.map(r => (r.txId, r.outputIndex, r.createdAt, r.spentAt)).toSet
+  }
+
+  /** Chain generator with reorg-aware state: spendable refs track rollbacks. */
+  private final class Gen(seed: Long) {
+    val rnd = new scala.util.Random(seed)
+    var slot: Long = 0
+    // (txId, outputIndex, createdAt, spent)
+    var utxo: Vector[(String, Int, Long, Boolean)] = Vector.empty
+    private var blkCounter = 0
+
+    def nextBlocks(n: Int): Seq[Blk] = (0 until n).map { _ =>
+      slot += 1 + rnd.nextInt(5)
+      blkCounter += 1
+      val txs = (0 to rnd.nextInt(2)).map { t =>
+        val txId = hex32(seed.toInt * 100000 + blkCounter * 100 + t)
+        val spendable = utxo.zipWithIndex.filter(!_._1._4)
+        val spends =
+          if (spendable.nonEmpty && rnd.nextBoolean()) {
+            val (ref, at) = spendable(rnd.nextInt(spendable.size))
+            utxo = utxo.updated(at, ref.copy(_4 = true))
+            Seq((ref._1, ref._2))
+          } else Nil
+        val outs = (0 to rnd.nextInt(2)).map { o =>
+          Out(baseAddr(rnd.nextInt(3), rnd.nextInt(2)), 1000L + o)
+        }
+        outs.indices.foreach(i => utxo :+= ((txId, i, slot, false)))
+        Tx(txId, spends, outs)
+      }
+      Blk(slot, hex32(seed.toInt * 999 + blkCounter), txs)
+    }
+
+    def rollbackTo(s: Long): Unit = {
+      // forget rows created after s; un-spend refs consumed after s: the
+      // generator does not track spend slots, so conservatively mark nothing
+      // un-spent (the engine and model both see the same replayed history)
+      utxo = utxo.filter(_._3 <= s)
+      slot = s
+    }
+  }
+
+  private def engineState(ix: GraftIndex): Set[(String, Int, Long, Option[Long])] =
+    ix.inputsWithSpends.select("tx_id", "output_index", "created_at", "spent_at")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  for (seed <- Seq(1L, 42L)) {
+    test(s"random forward/rollback/GC sequence matches the model (seed=$seed)") {
+      val gen = new Gen(seed)
+      val model = new Model
+      val ix = new GraftIndex(spark, tmpDir(s"graft-prop-$seed"))
+      val patterns = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+      val rnd = new scala.util.Random(seed * 7)
+
+      var checksRun = 0
+      (0 until 12).foreach { step =>
+        rnd.nextInt(10) match {
+          case r if r <= 5 || gen.slot == 0 => // forward batch
+            val blocks = gen.nextBlocks(1 + rnd.nextInt(3))
+            Indexer.ingest(ix, toDf(spark, blocks), patterns)
+            model.ingest(blocks)
+          case 6 | 7 => // reorg to a random earlier slot
+            val target = math.max(0L, gen.slot - (1 + rnd.nextInt(8)))
+            Mutations.rollbackTo(ix, target)
+            model.rollback(target)
+            gen.rollbackTo(target)
+          case 8 => // GC spent rows outside the safe zone
+            val k = 5L + rnd.nextInt(10)
+            Mutations.pruneInputs(ix, k)
+            model.prune(k)
+          case 9 =>
+            ix.compact()
+        }
+        if (step % 3 == 2) { // compare state every few mutations
+          assert(engineState(ix) == model.state, s"divergence at step $step (seed=$seed)")
+          checksRun += 1
+        }
+      }
+      assert(engineState(ix) == model.state)
+      assert(checksRun >= 3)
+      val maxCp = ix.table("checkpoints").agg(org.apache.spark.sql.functions.max("slot_no"))
+        .head()
+      val engineMax = if (maxCp.isNullAt(0)) None else Some(maxCp.getLong(0))
+      assert(engineMax == model.checkpoints.maxOption)
+    }
+  }
+}
