@@ -1,9 +1,9 @@
 package graft.ingest
 
-import graft.codec.{Base58, Bech32, Blake2b, Hex}
-import graft.model.Address
+import graft.codec.Hex
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,30 +92,16 @@ object BlockReader {
         StructField("id", StringType, nullable = true))), nullable = true)
     )), nullable = true)))
 
-  /** Wire address text (bech32 `addr…`, base58 Byron, or raw hex) → kupo hex.
-    * Ingest-time-only UDF over the pure codecs — mirrors decodeAddress
-    * delegating to patternFromText (Ogmios.hs:349-358). */
-  val toKupoAddress: UserDefinedFunction = udf { (txt: String) =>
-    if (txt == null) None
-    else {
-      val viaBech32 = Bech32.decode(txt).flatMap { case (hrp, bytes) =>
-        if (hrp.startsWith("addr")) Address.fromOnChainBytes(bytes) else None
-      }
-      def viaHex = Hex.decode(txt).flatMap(Address.fromOnChainBytes)
-      def viaBase58 = Base58.decode(txt).flatMap { bytes =>
-        if (bytes.length > 1 && (bytes(0) & 0xff) >= 0x80) Some("00" + Hex.encode(bytes))
-        else None
-      }
-      viaBech32.orElse(viaHex).orElse(viaBase58)
-    }: Option[String]
-  }
-
-  private val blake256Hex: UserDefinedFunction = udf { (hex: String) =>
-    Option(hex).flatMap(Hex.decode).map(b => Hex.encode(Blake2b.hash256(b))): Option[String]
-  }
-  private val blake224Hex: UserDefinedFunction = udf { (hex: String) =>
-    Option(hex).flatMap(Hex.decode).map(b => Hex.encode(Blake2b.hash224(b))): Option[String]
-  }
+  /** Wire address text (bech32 `addr…`, base58 Byron, or raw hex) → kupo
+    * hex, mirroring decodeAddress via patternFromText (Ogmios.hs:349-358);
+    * inline datum/script hashing likewise. These are native Catalyst
+    * expressions (graft.expressions) rather than UDFs: the normalization
+    * runs on EVERY produced output, and keeping it inside WholeStageCodegen
+    * removes the UDF serialization/boxing fence from the 100 TB ingest
+    * path. */
+  private def toKupoAddress(c: Column): Column = graft.GraftFunctions.kupoAddress(c)
+  private def blake256Hex(c: Column): Column = graft.GraftFunctions.blake2b256Hex(c)
+  private def blake224Hex(c: Column): Column = graft.GraftFunctions.blake2b224Hex(c)
 
   /** Parse raw JSON lines (one column `raw`) into the typed envelope. */
   def parseEnvelope(raw: DataFrame): DataFrame =

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` classic APIs (Column ⇄ Expression, function
+  * registry) — the standard shim pattern Spark extension libraries use to
+  * expose native expressions as Columns without a UDF boundary. Everything
+  * here delegates to public-bytecode Spark methods; no behavior lives in
+  * this package. */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+                       info: ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+}
