@@ -121,14 +121,19 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs: bucket by random-hyperplane signature
     * (only vectors sharing a bucket are compared — candidate generation is
-    * the LSH join, not a cross product), then keep pairs with cosine ≥ τ. */
+    * the LSH join, not a cross product), then keep pairs with cosine ≥ τ.
+    * Norms are computed ONCE per vector before the pair join (n norms
+    * instead of 2·|pairs| recomputations); cos = dot/(nₐ·n_b) is the same
+    * expression tree, so scores stay bit-identical to the two-sided form. */
   def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
     val bucketed = Similarity.hyperplaneBucket(embeddings, planes)
       .join(embeddings, "vec_id")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 

@@ -326,6 +326,43 @@ object LlmQueries {
              |       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
              |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
 
+    // Gap-based sessionization: a session breaks after 30 min of user
+    // inactivity — lag + running sum windows, then a per-session rollup.
+    // The window partitions by user_id: one shuffle, then all window work is
+    // partition-local (the 100 TB shape for event-stream sessionization).
+    QueryDef("q_sessionize",
+      (s, d) => {
+        table(s, d, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT user_id, session_id, count(*) AS n_events,
+                |       min(event_id) AS first_event, max(event_id) AS last_event
+                |FROM (
+                |  SELECT user_id, event_id,
+                |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                |                        ROWS UNBOUNDED PRECEDING) AS session_id
+                |  FROM (
+                |    SELECT user_id, event_id, ts,
+                |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                |                     > 1800000000000 THEN 1 ELSE 0 END AS brk
+                |    FROM events))
+                |GROUP BY user_id, session_id
+                |ORDER BY user_id, session_id""".stripMargin)
+      },
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+             |       min(event_id) AS first_event, max(event_id) AS last_event
+             |FROM (
+             |  SELECT user_id, event_id,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM (
+             |    SELECT user_id, event_id, ts,
+             |           CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |                     > 1800000000000 THEN 1 ELSE 0 END AS brk
+             |    FROM events))
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // Embedding-cosine near-dup: random-hyperplane LSH buckets (planes = 4
     // fixed corpus vectors), pairwise cosine ONLY within a bucket — candidate
     // generation is a join on the 4-bit signature, never O(n²).

@@ -57,6 +57,40 @@ object Demo {
       range = Api.SlotRange(Api.RangeField.CreatedAt, Some(9999L), None))).count()
     println(s"== probe empty-range -> $n rows")
 
+    // U6: register a wildcard pattern with history backfill, then query it
+    import graft.index.PatternManager
+    PatternManager.putPatterns(ix, FixtureChain.toDf(spark, blocks.take(6)),
+      Set[Pattern](Pattern.MatchAny(true)), since = 0L, allowUnsafe = true)
+    println("== after putPatterns(*): " + FoldInputs.countInputs(ix, "*") +
+      " inputs, patterns = " + PatternManager.listPatterns(ix).map(_.toText).sorted.mkString(","))
+    println("== checkpoint by slot 45 (ancestor) -> " +
+      PatternManager.getCheckpointBySlot(ix, 45L).map(_._1))
+
+    // S6: streaming ingest from Ogmios-shaped JSONL with a rollback barrier
+    import graft.streaming.StreamingIndexer
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-demo-stream")
+    val addrTxt = graft.codec.Bech32.encode("addr",
+      graft.codec.Hex.decode("01" + ("11" * 28) + ("22" * 28)).get)
+    def fwdLine(slot: Long) =
+      s"""{"jsonrpc":"2.0","method":"nextBlock","result":{"direction":"forward","block":{"id":"${f"$slot%064d"}","slot":$slot,"transactions":[{"id":"${f"$slot%064d"}","spends":"inputs","inputs":[],"outputs":[{"address":"$addrTxt","value":{"ada":{"lovelace":$slot}}}]}]},"tip":{"slot":999,"id":"${"0" * 64}"}}}"""
+    java.nio.file.Files.write(streamDir.resolve("000.jsonl"),
+      Seq(fwdLine(200), fwdLine(210)).mkString("\n").getBytes)
+    val six = new GraftIndex(spark, java.nio.file.Files.createTempDirectory("graft-demo-six").toString)
+    StreamingIndexer.runAvailableNow(spark, streamDir.toString, six,
+      Set[Pattern](Pattern.MatchAny(true)))
+    println("== streaming ingest -> " + six.table("inputs").count() + " rows, tip " +
+      FoldInputs.maxCheckpoint(six).map(_._1))
+
+    // graft.llm: dedup + similarity over tiny frames
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "dogs bark loud"))
+      .toDF("doc_id", "text")
+    println("== llm exact-dedup groups: " + graft.llm.Dedup.exact(docs).count())
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    println("== llm top-1 neighbor of v0: " + graft.llm.Similarity
+      .bruteForceTopK(vecs, 0L, 1).select("vec_id").as[Long].head())
+
     spark.stop()
   }
 }
