@@ -121,19 +121,30 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
           .sortWithinPartitions(col("created_at"), col("address"))
       else out
     // segment min/max stats ride along with the write action (Observation) —
-    // no second read-the-parquet-back job per segment
+    // no second read-the-parquet-back job per segment. inputs additionally
+    // track max(spent_at): rollback must find baked-in spend marks beyond the
+    // rollback point even in segments whose created_at stats look untouched
+    // (the reference's UPDATE … SET spent_at = NULL WHERE spent_at > s,
+    // /root/reference/src/Kupo/App/Database/SQLite.hs:1057-1059)
     val observed = statColumn(table).map { c =>
       val obs = org.apache.spark.sql.Observation(f"stats-$table-$version%06d")
-      (obs, clustered.observe(obs, min(col(c)).as("mn"), max(col(c)).as("mx")))
+      val aggs = Seq(min(col(c)).as("mn"), max(col(c)).as("mx")) ++
+        (if (table == "inputs") Seq(max(col("spent_at")).as("sp")) else Nil)
+      (obs, clustered.observe(obs, aggs.head, aggs.tail: _*))
     }
     observed.map(_._2).getOrElse(clustered)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
-    val stats = observed.flatMap { case (obs, _) =>
-      val row = obs.get
-      Option(row("mn").asInstanceOf[java.lang.Long])
-        .map(mn => (mn.toLong, row("mx").asInstanceOf[java.lang.Long].toLong))
+    val row: Option[Map[String, Any]] = observed.map { case (obs, _) => obs.get }
+    val stats = row.flatMap { r =>
+      Option(r("mn").asInstanceOf[java.lang.Long])
+        .map(mn => (mn.toLong, r("mx").asInstanceOf[java.lang.Long].toLong))
     }
-    Segment(path, stats.map(_._1), stats.map(_._2))
+    val spent: SpentStat =
+      if (table != "inputs") SpentStat.Unknown
+      else row.flatMap(r => Option(r("sp").asInstanceOf[java.lang.Long]))
+        .map(sp => SpentStat.MaxAt(sp.toLong): SpentStat)
+        .getOrElse(SpentStat.NoneSpent)
+    Segment(path, stats.map(_._1), stats.map(_._2), spent)
   }
 
   /** Reconcile an inputs scan with the spends delta (merge-on-read).
@@ -177,15 +188,33 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
 }
 
 object GraftIndex {
-  final case class Segment(path: String, minSlot: Option[Long], maxSlot: Option[Long])
+  /** Per-segment max(spent_at) stat — `Unknown` (pre-upgrade manifests: must
+    * be rewritten conservatively on rollback), `NoneSpent` (no spent rows),
+    * or `MaxAt` (rollback to s can skip the segment iff max ≤ s). */
+  sealed trait SpentStat
+  object SpentStat {
+    case object Unknown extends SpentStat
+    case object NoneSpent extends SpentStat
+    final case class MaxAt(slot: Long) extends SpentStat
+  }
+
+  final case class Segment(path: String, minSlot: Option[Long], maxSlot: Option[Long],
+                           spent: SpentStat = SpentStat.Unknown)
   final case class Manifest(version: Long, tables: Map[String, List[Segment]])
 
   object Manifest {
     /** Hand-rolled JSON — flat, fixed shape; avoids dragging a JSON library
-      * into the public API. */
+      * into the public API. `spent` is absent for Unknown, null for
+      * NoneSpent, a number for MaxAt (backward-compatible read). */
     def write(root: String, m: Manifest): Unit = {
-      def segJson(s: Segment) =
-        s"""{"path":"${s.path}","min":${s.minSlot.getOrElse("null")},"max":${s.maxSlot.getOrElse("null")}}"""
+      def segJson(s: Segment) = {
+        val spent = s.spent match {
+          case SpentStat.Unknown   => ""
+          case SpentStat.NoneSpent => ""","spent":null"""
+          case SpentStat.MaxAt(v)  => s""","spent":$v"""
+        }
+        s"""{"path":"${s.path}","min":${s.minSlot.getOrElse("null")},"max":${s.maxSlot.getOrElse("null")}$spent}"""
+      }
       val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
         s""""$t":[${segs.map(segJson).mkString(",")}]"""
       }.mkString(",")
@@ -202,11 +231,16 @@ object GraftIndex {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
-      val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)\}""".r
+      val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?\}""".r
       val tables = tableRe.findAllMatchIn(json).map { tm =>
         val segs = segRe.findAllMatchIn(tm.group(2)).map { sm =>
           def opt(s: String) = if (s == "null") None else Some(s.toLong)
-          Segment(sm.group(1), opt(sm.group(2)), opt(sm.group(3)))
+          val spent = Option(sm.group(4)) match {
+            case None         => SpentStat.Unknown
+            case Some("null") => SpentStat.NoneSpent
+            case Some(v)      => SpentStat.MaxAt(v.toLong)
+          }
+          Segment(sm.group(1), opt(sm.group(2)), opt(sm.group(3)), spent)
         }.toList
         tm.group(1) -> segs
       }.toMap

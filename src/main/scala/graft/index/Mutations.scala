@@ -80,16 +80,51 @@ object Mutations {
   }
 
   /** U5 rollbackTo (SQLite.hs:799-819): after rollback to slot s —
-    * no row created after s, no spent_at after s, no checkpoint after s.
+    * no row created after s, no spent_at after s (baked-in marks are
+    * UN-SPENT, not dropped: SQLite.hs:1057-1059 `UPDATE inputs SET
+    * spent_at = NULL WHERE spent_at > s`), no checkpoint after s.
     * Segments entirely beyond s are dropped from the manifest (no IO);
-    * segments entirely at-or-before s are kept untouched; only straddling
-    * segments are rewritten. Returns the new max checkpoint slot, if any. */
+    * segments provably clean (created ≤ s AND max spent_at ≤ s per the
+    * manifest spent stat) are kept untouched; everything else is rewritten.
+    * Returns the new max checkpoint slot, if any. */
   def rollbackTo(ix: GraftIndex, s: Long): Option[Long] = {
-    rollbackTable(ix, "inputs", s, col("created_at") <= s)
+    rollbackInputs(ix, s)
     rollbackTable(ix, "spends", s, col("spent_at") <= s)
     rollbackTable(ix, "checkpoints", s, col("slot_no") <= s)
     val row = ix.table("checkpoints").agg(max("slot_no")).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** inputs-table rollback: drop rows created after s AND null out spend
+    * provenance recorded after s. A segment escapes the rewrite only when
+    * BOTH its created_at and its spent_at stats prove it untouched —
+    * `SpentStat.Unknown` (pre-upgrade manifest) rewrites conservatively. */
+  private def rollbackInputs(ix: GraftIndex, s: Long): Unit = {
+    import GraftIndex.SpentStat
+    val segs = ix.manifest.tables.getOrElse("inputs", Nil)
+    val (dropped, candidates) = segs.partition(_.minSlot.exists(_ > s))
+    val (untouched, straddling) = candidates.partition { sg =>
+      val createdClean = sg.maxSlot.exists(_ <= s)
+      val spentClean = sg.spent match {
+        case SpentStat.NoneSpent => true
+        case SpentStat.MaxAt(m)  => m <= s
+        case SpentStat.Unknown   => false
+      }
+      createdClean && spentClean
+    }
+    if (straddling.nonEmpty) {
+      val keepSpend = col("spent_at").isNotNull && col("spent_at") <= s
+      val df = ix.spark.read
+        .schema(ix.table("inputs").schema)
+        .parquet(straddling.map(sg => s"${ix.root}/${sg.path}"): _*)
+        .where(col("created_at") <= s)
+        .withColumn("spent_by", when(keepSpend, col("spent_by")))
+        .withColumn("spent_with", when(keepSpend, col("spent_with")))
+        .withColumn("spent_at", when(keepSpend, col("spent_at")))
+      ix.replaceWith("inputs", untouched, Some(df))
+    } else if (dropped.nonEmpty) {
+      ix.replaceWith("inputs", untouched, None)
+    }
   }
 
   private def rollbackTable(ix: GraftIndex, table: String, s: Long,

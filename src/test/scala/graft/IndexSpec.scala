@@ -210,6 +210,36 @@ class IndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("U5 rollback after compact() un-spends marks baked into inputs") {
+    // the round-1 confirmed bug: ingest block@10 producing R → block@20
+    // spending R → compact() (spend marks baked into inputs) → rollbackTo(15)
+    // must null R's spent provenance (SQLite.hs:1057-1059), even though the
+    // inputs segment's created_at stats (≤ 15) look untouched
+    val ix2 = new GraftIndex(spark, tmpDir("graft-rollback-compact"))
+    val p = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+    val txA = FixtureChain.hex32(777001)
+    val txB = FixtureChain.hex32(777002)
+    val b10 = FixtureChain.Blk(10L, FixtureChain.hex32(888001),
+      Seq(FixtureChain.Tx(txA, Nil, Seq(FixtureChain.Out(FixtureChain.baseAddr(0, 0), 1000L)))))
+    val b20 = FixtureChain.Blk(20L, FixtureChain.hex32(888002),
+      Seq(FixtureChain.Tx(txB, Seq((txA, 0)),
+        Seq(FixtureChain.Out(FixtureChain.baseAddr(1, 0), 500L)))))
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, Seq(b10)), p)
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, Seq(b20)), p)
+    ix2.compact()
+    val spentBefore = ix2.inputsWithSpends
+      .where(col("tx_id") === txA && col("output_index") === 0).head()
+    assert(spentBefore.getAs[Long]("spent_at") == 20L) // mark baked in
+    Mutations.rollbackTo(ix2, 15L)
+    val live = ix2.inputsWithSpends
+    assert(live.where(col("created_at") > 15L).count() == 0)     // txB's output gone
+    assert(live.where(col("spent_at").isNotNull).count() == 0)   // R un-spent
+    val r = live.where(col("tx_id") === txA && col("output_index") === 0).head()
+    assert(r.isNullAt(r.fieldIndex("spent_at")))
+    assert(r.isNullAt(r.fieldIndex("spent_by")))
+    assert(r.isNullAt(r.fieldIndex("spent_with")))
+  }
+
   test("U3 pruneInputs drops spent rows older than the safe zone") {
     val ix2 = freshIndex()
     ix2.compact()

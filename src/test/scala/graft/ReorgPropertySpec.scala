@@ -97,7 +97,7 @@ class ReorgPropertySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
 
-  for (seed <- Seq(1L, 42L)) {
+  for (seed <- Seq(1L, 42L, 2026L)) {
     test(s"random forward/rollback/GC sequence matches the model (seed=$seed)") {
       val gen = new Gen(seed)
       val model = new Model
@@ -106,13 +106,16 @@ class ReorgPropertySpec extends SparkSpec {
       val rnd = new scala.util.Random(seed * 7)
 
       var checksRun = 0
-      (0 until 12).foreach { step =>
+      (0 until 18).foreach { step =>
         rnd.nextInt(10) match {
           case r if r <= 5 || gen.slot == 0 => // forward batch
             val blocks = gen.nextBlocks(1 + rnd.nextInt(3))
             Indexer.ingest(ix, toDf(spark, blocks), patterns)
             model.ingest(blocks)
-          case 6 | 7 => // reorg to a random earlier slot
+          case r @ (6 | 7) => // reorg to a random earlier slot — case 7
+            // compacts first, so rollback must un-bake spent marks from
+            // inputs (the round-1 U5 bug path: compact → rollback)
+            if (r == 7) ix.compact()
             val target = math.max(0L, gen.slot - (1 + rnd.nextInt(8)))
             Mutations.rollbackTo(ix, target)
             model.rollback(target)
