@@ -14,13 +14,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Sort columns by name, stringify values, sort rows."""
+def canon(rows, cols, sort_rows):
+    """Sort columns by name, stringify values; optionally sort rows.
+
+    The driver's hash compare preserves RESULT ORDER and exact value types,
+    so the primary check here is order-preserving; the sorted variant only
+    distinguishes "order-only divergence" from a real value mismatch."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(repr(r[i]) for i in order))
-    out.sort()
+    if sort_rows:
+        out.sort()
     return [c for c in sorted(cols)], out
 
 
@@ -44,16 +49,30 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-            got_cols, got_rows = canon(got.fetchall(), got.columns)
+            got_fetched, got_types = got.fetchall(), [str(t) for t in got.types]
+            got_cols, got_rows = canon(got_fetched, got.columns, sort_rows=False)
             want = con.sql(oracle[name])
-            want_cols, want_rows = canon(want.fetchall(), want.columns)
+            want_fetched, want_types = want.fetchall(), [str(t) for t in want.types]
+            want_cols, want_rows = canon(want_fetched, want.columns, sort_rows=False)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        type_by_col = dict(zip(got.columns, got_types))
+        want_type_by_col = dict(zip(want.columns, want_types))
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}"); n_fail += 1
+        elif type_by_col != want_type_by_col:
+            bad = {c: (type_by_col[c], want_type_by_col[c])
+                   for c in type_by_col if type_by_col[c] != want_type_by_col.get(c)}
+            print(f"FAIL {name}: column types differ (spark vs oracle): {bad}"); n_fail += 1
         elif got_rows != want_rows:
-            diff = [(a, b) for a, b in zip(got_rows, want_rows) if a != b][:3]
-            print(f"FAIL {name}: {len(got_rows)} vs {len(want_rows)} rows; first diffs: {diff}")
+            _, got_sorted = canon(got_fetched, got.columns, sort_rows=True)
+            _, want_sorted = canon(want_fetched, want.columns, sort_rows=True)
+            if got_sorted == want_sorted:
+                diff = [(i, a, b) for i, (a, b) in enumerate(zip(got_rows, want_rows)) if a != b][:3]
+                print(f"FAIL {name}: set-equal but ORDER differs; first diffs: {diff}")
+            else:
+                diff = [(a, b) for a, b in zip(got_sorted, want_sorted) if a != b][:3]
+                print(f"FAIL {name}: {len(got_rows)} vs {len(want_rows)} rows; first diffs: {diff}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got_rows)} rows)"); n_pass += 1

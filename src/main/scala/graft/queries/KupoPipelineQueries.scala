@@ -110,11 +110,23 @@ object KupoPipelineQueries {
     ix
   }
 
-  private def flat(res: DataFrame): DataFrame = res.select(
-    col("transaction_id"), col("output_index"), col("transaction_index"),
-    col("address"), col("value.coins").as("coins"),
-    col("created_at.slot_no").as("created_slot"),
-    col("created_at.header_hash").as("created_hash"))
+  /** Compare-surface projection. `coins` is cast to BIGINT (l_quantity is
+    * integral): decimals hash differently between engines in the driver's
+    * canonicalization — keep the compare surface integer/string-only. The
+    * final ORDER BY appends (address, coins) to the kupo sort triple: the
+    * testdata has duplicate (l_orderkey, l_linenumber) pairs, so the triple
+    * alone is NOT total here, and any remaining ties are fully identical
+    * rows (order-insensitive for hashing). */
+  private def flat(res: DataFrame, desc: Boolean = false): DataFrame = {
+    val sel = res.select(
+      col("transaction_id"), col("output_index"), col("transaction_index"),
+      col("address"), col("value.coins").cast("long").as("coins"),
+      col("created_at.slot_no").as("created_slot"),
+      col("created_at.header_hash").as("created_hash"))
+    val keys = Seq(col("created_slot"), col("transaction_index"),
+      col("output_index"), col("address"), col("coins"))
+    sel.orderBy(keys.map(k => if (desc) k.desc else k.asc): _*)
+  }
 
   private val derivationSql =
     """WITH inputs AS (
@@ -123,7 +135,7 @@ object KupoPipelineQueries {
       |         CAST(l_orderkey % 7 AS INT) AS transaction_index,
       |         '01' || lpad(CAST(l_partkey % 40 AS VARCHAR), 56, '0')
       |              || '01' || lpad(CAST(l_suppkey AS VARCHAR), 56, '0') AS address,
-      |         CAST(l_quantity AS DECIMAL(38,0)) AS coins,
+      |         CAST(l_quantity AS BIGINT) AS coins,
       |         CASE WHEN l_partkey % 3 = 0 THEN lpad(CAST(l_partkey % 5 AS VARCHAR), 56, '0') END AS policy_id,
       |         CASE WHEN l_partkey % 3 = 0 THEN lpad(CAST(l_suppkey % 3 AS VARCHAR), 6, '0') END AS asset_name,
       |         CASE WHEN l_orderkey % 11 = 0 THEN md5('d' || CAST(l_orderkey AS VARCHAR)) END AS datum_hash,
@@ -149,7 +161,7 @@ object KupoPipelineQueries {
           s"*/$cred7",
           range = Api.SlotRange(Api.RangeField.CreatedAt, Some(100L), Some(3000L)),
           status = Api.StatusFlag.OnlyUnspent,
-          order = Api.SortDirection.Desc)))
+          order = Api.SortDirection.Desc)), desc = true)
       },
       Some(derivationSql +
         s"""SELECT transaction_id, output_index, transaction_index, address, coins,
@@ -159,7 +171,8 @@ object KupoPipelineQueries {
            |WHERE address LIKE '01$cred7%'
            |  AND created_at BETWEEN 100 AND 3000
            |  AND spent_at IS NULL
-           |ORDER BY created_at DESC, transaction_index DESC, output_index DESC""".stripMargin)),
+           |ORDER BY created_at DESC, transaction_index DESC, output_index DESC,
+           |         address DESC, coins DESC""".stripMargin)),
 
     // Spent-side range query with full spend provenance: ?spent_after &
     // ?spent_before over the wildcard pattern (F2 on spent_at + F4 left join
@@ -211,7 +224,8 @@ object KupoPipelineQueries {
            |       created_at AS created_slot,
            |       md5(CAST(created_at AS VARCHAR)) AS created_hash
            |FROM inputs WHERE policy_id = '$policy2'
-           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
+           |         address ASC, coins ASC""".stripMargin)),
 
     // P10-equivalent via F7 residual filters: ?policy_id=&asset_name= over
     // the wildcard pattern — exact asset match, no post-scan re-check
@@ -228,7 +242,8 @@ object KupoPipelineQueries {
            |       created_at AS created_slot,
            |       md5(CAST(created_at AS VARCHAR)) AS created_hash
            |FROM inputs WHERE policy_id = '$policy2' AND asset_name = '$asset1'
-           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
+           |         address ASC, coins ASC""".stripMargin)),
 
     // P7 MatchTransactionId: *@txid — struct-column equality replaces the
     // reference's packed-bytes BETWEEN range trick (Database.hs:745-755).
@@ -246,7 +261,8 @@ object KupoPipelineQueries {
           |FROM inputs
           |WHERE transaction_id =
           |      (SELECT md5(CAST(min(l_orderkey) AS VARCHAR)) || md5(CAST(min(l_orderkey) AS VARCHAR)) FROM lineitem)
-          |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+          |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
+          |         address ASC, coins ASC""".stripMargin)),
 
     // P6 MatchPaymentAndDelegation: <payment>/<delegation> — prefix AND
     // suffix predicate over the kupo address form (Database.hs:737-740).
@@ -272,7 +288,8 @@ object KupoPipelineQueries {
           |       md5(CAST(i.created_at AS VARCHAR)) AS created_hash
           |FROM inputs i, first_li f
           |WHERE i.address LIKE '01' || f.del || '%' AND i.address LIKE '%' || f.pay
-          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
+          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC,
+          |         i.address ASC, i.coins ASC""".stripMargin)),
 
     // P8 MatchOutputReference: <ix>@<txid> — exact PK point lookup (the
     // reference's packed-bytes equality, Database.hs:741-744).
@@ -296,7 +313,8 @@ object KupoPipelineQueries {
           |       md5(CAST(i.created_at AS VARCHAR)) AS created_hash
           |FROM inputs i, first_li f
           |WHERE i.transaction_id = f.tid AND i.output_index = f.ix
-          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
+          |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC,
+          |         i.address ASC, i.coins ASC""".stripMargin)),
 
     // F5 ?resolve_hashes: two broadcast left joins resolve datum/script
     // payloads inline (binary_data covers half the datum hashes — the null

@@ -316,7 +316,7 @@ object LlmQueries {
         .orderBy(col("hour_bucket"), col("event_type")),
       Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
              |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-             |       sum(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
              |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
 
     // Gap-based sessionization: a session breaks after 30 min of user
@@ -345,8 +345,8 @@ object LlmQueries {
              |       min(event_id) AS first_event, max(event_id) AS last_event
              |FROM (
              |  SELECT user_id, event_id,
-             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                        ROWS UNBOUNDED PRECEDING) AS session_id
+             |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM (
              |    SELECT user_id, event_id, ts,
              |           CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

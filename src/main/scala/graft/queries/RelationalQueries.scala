@@ -2,16 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import QueryDef.table
 
 /** Kupo's operator inventory embodied as generic relational pipelines over
   * the driver tables (FIXTURES.md §B mapping) — each one DuckDB-checkable.
-  * Money/ratio outputs are cast to exact DECIMAL so aggregation order can
-  * never perturb the hash compare. Scale notes per query are inline. */
+  * Money outputs use scaled-BIGINT fixed point (`floor(x * 100 + 0.5)` —
+  * pure IEEE double ops, bit-identical across engines, then exact integer
+  * arithmetic): DOUBLE→DECIMAL casts round differently between engines on
+  * half-way values and decimals hash differently in the driver compare, so
+  * the compare surface stays integer/string-only. Scale notes inline. */
 object RelationalQueries {
-
-  private val dec = DecimalType(18, 2)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -20,9 +20,11 @@ object RelationalQueries {
     QueryDef("q_p3_filter_exact",
       (s, d) => table(s, d, "customer")
         .where(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast(dec).as("acctbal"))
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100 + 0.5).as("acctbal_cents"))
         .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      Some("""SELECT c_custkey, c_name,
+             |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
              |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)),
 
     // P5/O1 — prefix predicate (the delegation-part LIKE 'prefix%' shape);
@@ -65,19 +67,25 @@ object RelationalQueries {
     // everything else broadcasts.
     QueryDef("q_f4_join_broadcast",
       (s, d) => {
+        // price/discount to integer cents first, then revenue in units of
+        // 1e-4: pure BIGINT arithmetic, so the distributed sum commutes and
+        // both engines agree bit-for-bit
         val li = table(s, d, "lineitem")
-          .withColumn("revenue", col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .withColumn("revenue_c4",
+            floor(col("l_extendedprice") * 100 + 0.5) *
+              (lit(100L) - floor(col("l_discount") * 100 + 0.5)))
         li.join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
           .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(sum(col("revenue")).cast(DecimalType(38, 4)).as("revenue"),
+          .agg(sum(col("revenue_c4")).as("revenue_c4"),
                count(lit(1)).as("n_items"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c4,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey  = o_orderkey
@@ -123,13 +131,13 @@ object RelationalQueries {
           .agg(max(col("o_totalprice")).as("mx"))
         m.join(o, m("status") === o("o_orderstatus") && m("mx") === o("o_totalprice"))
           .groupBy(col("status"))
-          .agg(max(col("o_totalprice")).cast(dec).as("max_price"),
+          .agg(floor(max(col("o_totalprice")) * 100 + 0.5).as("max_price_cents"),
                min(col("o_orderkey")).as("argmax_key"))
           .orderBy(col("status"))
       },
       Some("""WITH m AS (SELECT o_orderstatus AS status, max(o_totalprice) AS mx
              |           FROM orders GROUP BY o_orderstatus)
-             |SELECT status, CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price,
+             |SELECT status, CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_price_cents,
              |       min(o_orderkey) AS argmax_key
              |FROM m JOIN orders ON status = o_orderstatus AND mx = o_totalprice
              |GROUP BY status ORDER BY status""".stripMargin)),
@@ -212,11 +220,12 @@ object RelationalQueries {
       (s, d) => table(s, d, "events")
         .where(col("event_id") <= 800)
         .select(col("event_id"),
-          when(col("event_id") > 400, lit(null).cast(dec))
-            .otherwise(col("value").cast(dec)).as("value_eff"))
+          when(col("event_id") > 400, lit(null).cast("long"))
+            .otherwise(floor(col("value") * 100 + 0.5)).as("value_cents"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id,
-             |  CASE WHEN event_id > 400 THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END AS value_eff
+             |  CASE WHEN event_id > 400 THEN NULL
+             |       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS value_cents
              |FROM events WHERE event_id <= 800 ORDER BY event_id""".stripMargin)),
 
     // U1 — markInputs merge shape: left join a derived delta, coalesce marks.
