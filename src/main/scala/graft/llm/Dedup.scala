@@ -27,23 +27,46 @@ object Dedup {
     docs.withColumn("dup_rank", row_number().over(w)).where(col("dup_rank") === 1).drop("dup_rank")
   }
 
-  /** MinHash signatures over character n-gram shingles: ONE md5 per shingle,
-    * `numHashes` (≤4) hash functions carved from its disjoint 8-hex-char
-    * substrings, mins folded in a single groupBy pass. 4× less hashing and
-    * 4× fewer shuffle rows than the per-seed-explode shape.
-    * Output: (id, mh0..mh{numHashes-1}). */
-  def minhashSignatures(docs: DataFrame, shingle: Int = 8, numHashes: Int = 4,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(numHashes >= 1 && numHashes <= 4, "md5 yields 4 disjoint 8-hex-char hashes")
-    val shingled = docs.select(
+  /** Distinct character n-gram shingle set per document — THE shared
+    * artifact of the shingle-based family: MinHash signatures and n-gram
+    * Jaccard both derive from it, so a deployment computes (and persists)
+    * the corpus shingle set once instead of re-exploding the corpus per
+    * query. MinHash over the distinct set equals MinHash over the positional
+    * multiset (min is duplicate-insensitive). */
+  def charGrams(docs: DataFrame, n: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
         col(idCol),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (shingle - 1), lit(1)))).as("i"),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("i"),
         col(textCol))
-      .select(col(idCol), md5(col(textCol).substr(col("i"), lit(shingle))).as("h"))
+      .select(col(idCol), col(textCol).substr(col("i"), lit(n)).as("gram"))
+      .distinct()
+
+  /** Distinct token set per document — shared artifact of the token-based
+    * family (token Jaccard, SimHash variants). */
+  def docTokens(docs: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+
+  /** MinHash signatures from a precomputed shingle-set frame: ONE md5 per
+    * shingle, `numHashes` (≤4) hash functions carved from its disjoint
+    * 8-hex-char substrings, mins folded in a single groupBy pass. 4× less
+    * hashing and 4× fewer shuffle rows than the per-seed-explode shape.
+    * Output: (id, mh0..mh{numHashes-1}). */
+  def minhashFromGrams(grams: DataFrame, numHashes: Int = 4,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4, "md5 yields 4 disjoint 8-hex-char hashes")
+    val hashed = grams.select(col(idCol), md5(col("gram")).as("h"))
     val mins = (0 until numHashes).map(j =>
       min(substring(col("h"), j * 8 + 1, 8)).as(s"mh$j"))
-    shingled.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
+
+  /** Convenience: shingle + sign in one call (prefer sharing `charGrams`
+    * across the query family and calling `minhashFromGrams`). */
+  def minhashSignatures(docs: DataFrame, shingle: Int = 8, numHashes: Int = 4,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromGrams(charGrams(docs, shingle, idCol, textCol), numHashes, idCol)
 
   /** LSH banding over a wide signature: ids agreeing on a whole band are
     * candidate pairs. `rowsPerBand` signature columns concatenate into one
@@ -61,15 +84,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Token-set Jaccard evaluated ONLY on candidate pairs (post-LSH):
-    * |A∩B| plus set sizes as exact ints; the ratio is downstream arithmetic. */
-  def jaccardOnCandidates(docs: DataFrame, pairs: DataFrame,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
-    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+  /** Set Jaccard on candidate pairs from a precomputed element-set frame
+    * (id, elem): |A∩B| plus set sizes as exact ints; the ratio is downstream
+    * arithmetic. The element frame feeds FOUR branches of the DAG (two size
+    * joins + both sides of the intersection join) — callers should pass a
+    * persisted/cached frame so the corpus explode is computed once, not 4×. */
+  def setJaccardOnPairs(elems: DataFrame, pairs: DataFrame, elemCol: String,
+                        idCol: String = "doc_id",
+                        precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      elems.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
+    // restrict the element frame to docs that occur in candidate pairs BEFORE
+    // the intersection join: the (id, elem) shuffle then carries only
+    // candidate docs (~|near-dups|), not the whole corpus — post-LSH that is
+    // orders of magnitude smaller, and the candidate doc-id set is broadcast-
+    // sized by construction (LSH keeps candidates ~linear in true dups)
+    val docsInPairs = broadcast(
+      pairs.select(col("doc_a").as(idCol)).union(pairs.select(col("doc_b").as(idCol))).distinct())
+    val relevant = elems.join(docsInPairs, Seq(idCol), "left_semi")
     val inter = pairs
-      .join(tok.as("ta"), col(s"ta.$idCol") === col("doc_a"))
-      .join(tok.as("tb"), col(s"tb.$idCol") === col("doc_b") && col("tb.token") === col("ta.token"))
+      .join(relevant.as("ea"), col(s"ea.$idCol") === col("doc_a"))
+      .join(relevant.as("eb"),
+        col(s"eb.$idCol") === col("doc_b") && col(s"eb.$elemCol") === col(s"ea.$elemCol"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
@@ -80,29 +116,16 @@ object Dedup {
         col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
   }
 
+  /** Token-set Jaccard evaluated ONLY on candidate pairs (post-LSH). */
+  def jaccardOnCandidates(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    setJaccardOnPairs(docTokens(docs, idCol, textCol), pairs, "token", idCol)
+
   /** Character-n-gram Jaccard on candidate pairs (shingle sets instead of
     * token sets — robust to word-boundary edits). */
   def ngramJaccardOnCandidates(docs: DataFrame, pairs: DataFrame, n: Int = 8,
-                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = docs.select(
-        col(idCol),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("i"),
-        col(textCol))
-      .select(col(idCol), col(textCol).substr(col("i"), lit(n)).as("gram"))
-      .distinct()
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(grams.as("ga"), col(s"ga.$idCol") === col("doc_a"))
-      .join(grams.as("gb"), col(s"gb.$idCol") === col("doc_b") && col("gb.gram") === col("ga.gram"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
-      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
-      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
-      .select(col("doc_a"), col("doc_b"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
-  }
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    setJaccardOnPairs(charGrams(docs, n, idCol, textCol), pairs, "gram", idCol)
 
   /** SimHash fingerprint (`bits` ≤ 32, md5-nibble hash family): per-bit
     * majority vote over token hashes. Near-dups then differ in few bits —
@@ -111,9 +134,10 @@ object Dedup {
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val perBit = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .select(col(idCol), col("token"), explode(sequence(lit(1), lit(bits))).as("b"))
+      .select(col(idCol), md5(col("token")).as("h")) // digest once, before the bit explode
+      .select(col(idCol), col("h"), explode(sequence(lit(1), lit(bits))).as("b"))
       .groupBy(col(idCol), col("b"))
-      .agg(sum(when(md5(col("token")).substr(col("b"), lit(1)) >= "8", 1).otherwise(-1)).as("s"))
+      .agg(sum(when(col("h").substr(col("b"), lit(1)) >= "8", 1).otherwise(-1)).as("s"))
     perBit.groupBy(col(idCol))
       .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b") - 1).cast("long")).otherwise(0L))
         .cast("long").as("simhash"))
@@ -126,9 +150,13 @@ object Dedup {
     * instead of 2·|pairs| recomputations); cos = dot/(nₐ·n_b) is the same
     * expression tree, so scores stay bit-identical to the two-sided form. */
   def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
+    // the signed+normed frame feeds both sides of the pair join — persist it
+    // so the hyperplane signatures and norms are computed once, not twice
+    // (at scale this frame IS the persisted LSH index artifact)
     val bucketed = Similarity.hyperplaneBucket(embeddings, planes)
       .join(embeddings, "vec_id")
       .withColumn("nrm", Similarity.norm(col("embedding")))
+      .cache()
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -38,11 +38,17 @@ object Similarity {
     * computed in one codegen span, and only the global top-k ordering
     * reduces (TakeOrderedAndProject). */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    // query norm computed ONCE in the broadcast row, not per scanned row
+    // (norm is a full array fold — hoisting it halves the per-row work);
+    // sqrt(a)·sqrt(b) is the same float expression either way, so scores
+    // stay bit-identical to the two-sided form
     val q = broadcast(
-      embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qe")))
+      embeddings.where(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qe"), norm(col("embedding")).as("qn")))
     embeddings.where(col("vec_id") =!= queryVecId)
       .crossJoin(q)
-      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cos_sim"))
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -53,12 +59,16 @@ object Similarity {
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids
       .select(col("centroid_id"), col("centroid").as("ce")))
-    val scored = embeddings.join(cents)
-      .withColumn("cell_sim", cosine(col("embedding"), col("ce")))
-    // argmax via max_by on the (sim, -id) pair — deterministic tie-break
-    scored
-      .groupBy(embeddings.columns.map(col): _*)
+    val scored = embeddings.select(col("vec_id"), col("embedding")).join(cents)
+      .select(col("vec_id"), col("centroid_id"), cosine(col("embedding"), col("ce")).as("cell_sim"))
+    // argmax via max_by on the (sim, -id) pair — deterministic tie-break.
+    // Group on vec_id ONLY and re-join the cell id: the shuffle carries
+    // (vec_id, centroid_id, sim) rows, never the embedding payload —
+    // at 100 TB the vectors stay where they are and only 12-byte score
+    // triples move
+    val cells = scored.groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"), struct(col("cell_sim"), -col("centroid_id"))).as("cell"))
+    embeddings.join(cells, "vec_id")
   }
 
   /** IVF search: probe only the `nprobe` cells nearest to the query vector,
@@ -66,18 +76,22 @@ object Similarity {
     * partitioned by `cell`, the scan touches ~nprobe/|cells| of the data. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame,
               queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
+    // query norm hoisted into the broadcast row (see bruteForceTopK)
     val q = broadcast(
-      assigned.where(col("vec_id") === queryVecId).select(col("embedding").as("qe")))
+      assigned.where(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qe"), norm(col("embedding")).as("qn")))
     val probedCells = broadcast(
       centroids.crossJoin(q)
-        .select(col("centroid_id"), cosine(col("centroid"), col("qe")).as("sim"))
+        .select(col("centroid_id"),
+          (dot(col("centroid"), col("qe")) / (norm(col("centroid")) * col("qn"))).as("sim"))
         .orderBy(col("sim").desc, col("centroid_id"))
         .limit(nprobe)
         .select(col("centroid_id").as("cell")))
     assigned.where(col("vec_id") =!= queryVecId)
       .join(probedCells, Seq("cell"), "left_semi") // partition-prunable at scale
       .crossJoin(q)
-      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("qe")).as("cos_sim"))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
