@@ -11,12 +11,14 @@ object Mutations {
   /** U1 markInputs (/root/reference/src/Kupo/App/Database/SQLite.hs:645-652,857-866):
     * record spent provenance for consumed refs. Merge-on-read: append to the
     * spends delta; `GraftIndex.inputsWithSpends` reconciles, `compact()`
-    * materializes. Only refs already present in the index are kept (the
-    * reference's UPDATE silently misses absent rows — same semantics). */
-  def markInputs(ix: GraftIndex, spends: org.apache.spark.sql.DataFrame): Unit = {
-    val existing = ix.table("inputs").select("tx_id", "output_index")
-    ix.append("spends", spends.join(existing, Seq("tx_id", "output_index"), "left_semi"))
-  }
+    * materializes. NO existence check against `inputs`: reconciliation joins
+    * FROM the inputs side, so a mark whose ref was never indexed is simply
+    * unobservable (and compact() drops it) — exactly the reference's UPDATE
+    * silently missing absent rows. The round-1 semi-join bought nothing and
+    * cost a full O(index) scan per micro-batch — the per-batch work is now
+    * O(batch). */
+  def markInputs(ix: GraftIndex, spends: org.apache.spark.sql.DataFrame): Unit =
+    ix.append("spends", spends)
 
   /** U2 deleteInputs (SQLite.hs:641-643,846-855): delete rows matching a
     * pattern — anti-filter rewrite. */
@@ -32,12 +34,18 @@ object Mutations {
       case r                  => r.getLong(0)
     }
     val threshold = maxSlot - longestRollback
-    val live = ix.inputsWithSpends
-    val keep = live.where(col("spent_at").isNull || col("spent_at") >= threshold)
-    val pruned = live.count() - keep.count()
+    // observe before/after counts ON the rewrite itself — one pass over the
+    // table instead of two extra counting scans (the reference's return value
+    // comes free from sqlite's changes(); ours rides the write action)
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKept = org.apache.spark.sql.Observation()
+    val keep = ix.inputsWithSpends
+      .observe(obsAll, count(lit(1)).as("n"))
+      .where(col("spent_at").isNull || col("spent_at") >= threshold)
+      .observe(obsKept, count(lit(1)).as("n"))
     ix.replace("inputs", keep)
     ix.replace("spends", ix.emptyOf("spends"))
-    pruned
+    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
   }
 
   /** U4 pruneBinaryData (SQLite.hs:758-760,1031-1041): anti-join GC of datums

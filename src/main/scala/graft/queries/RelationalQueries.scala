@@ -156,18 +156,22 @@ object RelationalQueries {
 
     // R6 — log-spaced checkpoint sampling over event_id-as-slot: nearest
     // event at-or-after tip−offset for offsets 0,1,2,4,…,512; dedup, desc.
+    // One conditional-min aggregation pass (map-side combined) instead of a
+    // non-equi join that would multiply the table by the offset count.
     QueryDef("q_r6_log_checkpoints",
       (s, d) => {
         import s.implicits._
         val ev = table(s, d, "events").select(col("event_id"))
-        val offsets = (Seq(0L, 1L, 2L) ++ Iterator.iterate(4L)(_ * 2).takeWhile(_ <= 512L).toSeq).toDF("off")
-        val tip = ev.agg(max("event_id").as("tip"))
-        ev.crossJoin(broadcast(tip.crossJoin(offsets).select((col("tip") - col("off")).as("target"))))
-          .where(col("event_id") >= col("target") && col("target") >= 0)
-          .groupBy(col("target"))
-          .agg(min(col("event_id")).as("checkpoint"))
-          .select(col("checkpoint")).distinct()
-          .orderBy(col("checkpoint").desc)
+        val tip = ev.agg(max("event_id")).head().getLong(0)
+        val offsets = Seq(0L, 1L, 2L) ++ Iterator.iterate(4L)(_ * 2).takeWhile(_ <= 512L)
+        val targets = offsets.map(tip - _).filter(_ >= 0).distinct
+        val minCols = targets.zipWithIndex.map { case (t, i) =>
+          min(when(col("event_id") >= t, col("event_id"))).as(s"m$i")
+        }
+        val row = ev.agg(minCols.head, minCols.tail: _*).head()
+        val cps = targets.indices
+          .flatMap(i => if (row.isNullAt(i)) None else Some(row.getLong(i))).distinct
+        cps.toDF("checkpoint").orderBy(col("checkpoint").desc)
       },
       Some("""WITH tip AS (SELECT max(event_id) AS t FROM events),
              |     offs(off) AS (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128),(256),(512)),

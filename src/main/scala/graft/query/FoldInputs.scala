@@ -52,25 +52,33 @@ object FoldInputs {
       q.filter.outputIndex.map(i => col("output_index") === i)
     ).flatten.foldLeft(statused)(_ where _)
 
-    // F4 — header-hash resolution: two broadcast joins against checkpoints
+    // F4 — header-hash resolution: two joins against checkpoints. NO forced
+    // broadcast: checkpoints grows with chain length (~10M rows mainnet,
+    // hundreds of MB) — Catalyst threshold-gates the broadcast from the
+    // parquet size stats, and AQE upgrades to broadcast at runtime when the
+    // filtered side turns out small. Hand-forcing it would OOM at scale.
     val cp = ix.table("checkpoints")
-    val createdCp = broadcast(cp.select(
-      col("slot_no").as("created_at"), col("header_hash").as("created_header_hash")))
-    val spentCp = broadcast(cp.select(
-      col("slot_no").as("spent_at"), col("header_hash").as("spent_header_hash")))
+    val createdCp = cp.select(
+      col("slot_no").as("created_at"), col("header_hash").as("created_header_hash"))
+    val spentCp = cp.select(
+      col("slot_no").as("spent_at"), col("header_hash").as("spent_header_hash"))
     val withPoints = filtered
       .join(createdCp, Seq("created_at"), "inner")
       .join(spentCp, Seq("spent_at"), "left_outer")
 
-    // F5 — optional ?resolve_hashes
+    // F5 — optional ?resolve_hashes. binary_data/scripts carry payloads
+    // (13.6M datums, multi-GB mainnet — BASELINE.md): these joins must
+    // NEVER build a broadcast side that scales with chain length. Left
+    // declarative: equi-join on the hash key → shuffled hash / sort-merge
+    // at scale, automatic broadcast only when stats say the table is small.
     val resolved =
       if (!q.resolveHashes) withPoints
       else withPoints
-        .join(broadcast(ix.table("binary_data")),
+        .join(ix.table("binary_data"),
           col("datum_info.hash") === col("binary_data_hash"), "left_outer")
         .drop("binary_data_hash")
         .withColumnRenamed("binary_data", "datum")
-        .join(broadcast(ix.table("scripts")), Seq("script_hash"), "left_outer")
+        .join(ix.table("scripts"), Seq("script_hash"), "left_outer")
         .withColumnRenamed("script", "script_resolved")
 
     // F6 — total order (the triple extends the PK: ties impossible)
@@ -170,8 +178,12 @@ object FoldInputs {
 
   /** R6 listCheckpointsDesc — logarithmically-spaced recent checkpoints
     * (SQLite.hs:722-733,1005-1010): for each offset, the nearest checkpoint at
-    * or after (tip − offset); dedup; desc. One pass: build the offset table,
-    * broadcast it, take min(slot_no) ≥ target per offset. */
+    * or after (tip − offset); dedup; desc. ~40 conditional `min(when(...))`
+    * aggregates in ONE map-side-combined pass — the round-1 non-equi join
+    * multiplied the checkpoints table by the offset count (≈40× row blowup,
+    * 400M intermediate rows at mainnet's 10M checkpoints) to produce an
+    * 11-row answer. Then one `isin` point lookup resolves header hashes
+    * (pushed to the scan). */
   def listCheckpointsDesc(ix: GraftIndex): DataFrame = {
     val cp = ix.table("checkpoints")
     val tip = cp.agg(max("slot_no")).head()
@@ -179,15 +191,15 @@ object FoldInputs {
     val tipSlot = tip.getLong(0)
     val offsets = (0L to 10L) ++ Iterator.iterate(20L)(_ * 2).takeWhile(_ <= tipSlot).toSeq
     val targets = offsets.map(tipSlot - _).distinct.filter(_ >= 0)
-    val spark = ix.spark
-    import spark.implicits._
-    val targetDf = broadcast(targets.toDF("target"))
-    cp.join(targetDf, col("slot_no") >= col("target"))
-      .groupBy(col("target"))
-      .agg(min("slot_no").as("slot_no"))
-      .join(cp, "slot_no")
+    val minCols = targets.zipWithIndex.map { case (t, i) =>
+      min(when(col("slot_no") >= t, col("slot_no"))).as(s"m$i")
+    }
+    val row = cp.agg(minCols.head, minCols.tail: _*).head()
+    val slots = targets.indices
+      .flatMap(i => if (row.isNullAt(i)) None else Some(row.getLong(i)))
+      .distinct
+    cp.where(col("slot_no").isInCollection(slots))
       .select(col("slot_no"), col("header_hash"))
-      .dropDuplicates("slot_no")
       .orderBy(col("slot_no").desc)
   }
 
