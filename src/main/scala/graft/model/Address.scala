@@ -84,6 +84,40 @@ object Address {
 
   def isBootstrap(kupoHex: String): Boolean = kupoHex.startsWith("00")
 
+  /** Structural validation of Byron (bootstrap) address bytes — the CBOR
+    * envelope `[ #6.24(bytes), crc32 ]`, with the CRC checked against the
+    * payload. Mirrors what the reference gets from the ledger's address
+    * decoder on the base58 path (/root/reference/src/Kupo/Data/Pattern.hs:281-284,
+    * addressFromBytes → decodeAddrLenient): arbitrary base58-decodable text
+    * must NOT parse as an exact bootstrap address. */
+  def isValidByron(bytes: Array[Byte]): Boolean = {
+    // 0x82 array(2) ‖ 0xd8 0x18 tag(24) ‖ bytes header ‖ payload ‖ uint crc
+    if (bytes.length < 8 || (bytes(0) & 0xff) != 0x82 ||
+        (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0x18) return false
+    val (payloadStart, payloadLen) = (bytes(3) & 0xff) match {
+      case h if h >= 0x40 && h <= 0x57 => (4, h - 0x40)          // tiny bytes
+      case 0x58 if bytes.length > 4    => (5, bytes(4) & 0xff)   // 1-byte length
+      case 0x59 if bytes.length > 5    =>                        // 2-byte length
+        (6, ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff))
+      case _ => return false
+    }
+    val crcStart = payloadStart + payloadLen
+    if (crcStart >= bytes.length) return false
+    val crcBytes = bytes.drop(crcStart)
+    val crcValue: Long = (crcBytes(0) & 0xff) match {
+      case h if h < 0x18                          => if (crcBytes.length == 1) h.toLong else return false
+      case 0x18 if crcBytes.length == 2           => crcBytes(1) & 0xffL
+      case 0x19 if crcBytes.length == 3           =>
+        ((crcBytes(1) & 0xffL) << 8) | (crcBytes(2) & 0xffL)
+      case 0x1a if crcBytes.length == 5           =>
+        crcBytes.drop(1).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      case _ => return false
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, payloadStart, payloadLen)
+    crc.getValue == crcValue
+  }
+
   /** Payment credential = last 28 bytes, for every non-bootstrap address
     * (invariant guaranteed by the serialization — Database.hs:560-564). */
   def paymentPartHex(kupoHex: String): Option[String] =

@@ -167,10 +167,10 @@ object Pattern {
       else None
     }
     def base58 = Base58.decode(txt).flatMap { bytes =>
-      // Byron addresses are CBOR arrays starting 0x82/0x83; require plausible CBOR
-      // so arbitrary base58-ish text doesn't parse as an exact bootstrap address.
-      if (bytes.length > 1 && (bytes(0) & 0xff) >= 0x80)
-        Address.fromOnChainBytes(Array(0x82.toByte) ++ bytes).map(_ => MatchExact("00" + Hex.encode(bytes)))
+      // full structural check (CBOR envelope + CRC32) — the reference gets
+      // this from the ledger's address decoder; a plain first-byte heuristic
+      // would let arbitrary base58 text parse as a bootstrap address
+      if (Address.isValidByron(bytes)) Some(MatchExact("00" + Hex.encode(bytes)))
       else None
     }
     base16.orElse(bech32).orElse(base58)

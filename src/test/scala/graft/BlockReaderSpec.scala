@@ -117,6 +117,49 @@ class BlockReaderSpec extends SparkSpec {
     assert(rb.length == 1 && rb.head.getLong(0) == 100L)
   }
 
+  test("golden vector: the reference's recorded Ogmios response parses") {
+    // the actual wire fixture the reference pins its decoders to
+    // (/root/reference/test/vectors/golden/1.json, used by OgmiosSpec) — a
+    // Mary-era mainnet block with 11 txs, bech32 + pointer + Byron addresses
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/vectors/golden/1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val oneLine = raw.replace("\n", "") // pretty-printed → single JSONL line
+    val genv = BlockReader.parseEnvelope(Seq(oneLine).toDF("raw"))
+    val blocks = BlockReader.blocks(genv).collect()
+    assert(blocks.length == 1)
+    val blk = blocks.head
+    assert(blk.getLong(0) == 26366727L)
+    assert(blk.getString(1) == "afcb6d128c1c09abd11601b22ccae05c4af29bb9768884d985f61f4d6db23ed9")
+    val txs = blk.getSeq[org.apache.spark.sql.Row](2)
+    assert(txs.length == 11)
+    assert(txs.map(_.getSeq[org.apache.spark.sql.Row](1).length).sum == 18) // inputs
+    val outs = txs.flatMap(_.getSeq[org.apache.spark.sql.Row](2))
+    assert(outs.length == 23 && outs.forall(_ != null))
+    // first input of the first tx, straight from the vector
+    val firstIn = txs.head.getSeq[org.apache.spark.sql.Row](1).head
+    assert(firstIn.getString(0) == "37bd6f94819f37c2329f11304a96affa5ce0b7d67d4e9cf7aca40702dcca1c6c")
+    assert(firstIn.getInt(1) == 0)
+    // total lovelace across all outputs (fixed by the vector)
+    val totalCoins = outs.map(_.getStruct(1).getDecimal(0).longValueExact()).sum
+    assert(totalCoins == 173196229927L)
+    // every address normalized to the kupo form: tag byte then hex credentials
+    val addrs = outs.map(_.getString(0))
+    assert(addrs.forall(a => a != null && a.matches("0[0-3][0-9a-f]+")))
+    // cross-check the native kupoAddress expression against the Scala model
+    // on the two exotic paths the vector exercises: a pointer address …
+    val pointerWire = "addr1gy5p8wv6sr8mgqjrwj7s75pft9y94ftwqey9vnlcqhew2xaumxqe2cdam3npgv60hqa"
+    val pointerKupo = graft.model.Address.fromOnChainBytes(
+      graft.codec.Bech32.decode(pointerWire).get._2).get
+    assert(pointerKupo.startsWith("02") && addrs.contains(pointerKupo))
+    // … and a Byron base58 address
+    val byronWire = "DdzFFzCqrhtCwu1SwuTR7BbedvHS9iA7pe8LAwGACZkkniEwKNiqdFhVMAFjNSwEKPSqPxvCGwqiBYRJDxBexNRYEnz1aLw6ZVQ4P3cN"
+    val byronBytes = graft.codec.Base58.decode(byronWire).get
+    assert(graft.model.Address.isValidByron(byronBytes))
+    assert(addrs.contains("00" + graft.codec.Hex.encode(byronBytes)))
+    assert(addrs.count(_.startsWith("00")) == 11) // 11 Byron outputs in the vector
+  }
+
   test("end-to-end: parsed blocks flow through Indexer into a queryable index") {
     val ix = new GraftIndex(spark, tmpDir("graft-ogmios"))
     Indexer.ingest(ix, BlockReader.blocks(env), Set[Pattern](Pattern.MatchAny(true)))

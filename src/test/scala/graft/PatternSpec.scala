@@ -100,6 +100,18 @@ class PatternSpec extends AnyFunSuite {
     assert(p.isInstanceOf[MatchDelegation])
   }
 
+  test("byron base58 requires the CBOR envelope and a matching CRC") {
+    val valid = "Ae2tdPwUPEZChsngv7kdy8pPWJrKSaZwYGMbAtVsSCVppWKfuHwxw3R7fd5"
+    assert(Pattern.fromText(valid).exists(_.isInstanceOf[MatchExact]))
+    // flip the last character: decodes to different bytes, CRC no longer holds
+    val corrupted = valid.dropRight(1) + (if (valid.last == '5') '6' else '5')
+    assert(Pattern.fromText(corrupted).isEmpty)
+    // first byte looks CBOR-ish but the envelope is not a Byron address
+    assert(!Address.isValidByron(Array(0x82, 0x00, 0x01, 0x02).map(_.toByte)))
+    // well-formed envelope, wrong checksum
+    assert(!Address.isValidByron(Hex.decode("82d8185821" + "00" * 33 + "1a00000000").get))
+  }
+
   test("invalid patterns are rejected") {
     Seq("", "not-a-pattern", "zz/*", "*/zz", "@abc", "deadbeef.*", "{abc}", "{-1}",
         "1@deadbeef", "*/", "/*").foreach { t =>
