@@ -88,7 +88,9 @@ object FoldInputs {
       case SortDirection.Desc => resolved.orderBy(keys.map(_.desc): _*)
     }
 
-    // F8 — the result projection (resultToJson field set, Pattern.hs:447-522)
+    // F8 — the result projection (resultToJson field set, Pattern.hs:447-522);
+    // datum_type vocabulary is "inline" | "hash" (Pattern.hs:467-471 — the
+    // reference tags reference datums "hash", not "reference")
     val cols = Seq(
       col("tx_id").as("transaction_id"),
       col("output_index"),
@@ -97,7 +99,7 @@ object FoldInputs {
       col("value"),
       col("datum_info.hash").as("datum_hash"),
       when(col("datum_info.flag") === 1, lit("inline"))
-        .when(col("datum_info.flag") === 0, lit("reference")).as("datum_type"),
+        .when(col("datum_info.flag") === 0, lit("hash")).as("datum_type"),
       col("script_hash"),
       struct(col("created_at").as("slot_no"), col("created_header_hash").as("header_hash"))
         .as("created_at"),
@@ -109,34 +111,99 @@ object FoldInputs {
     sorted.select(cols: _*)
   }
 
-  /** F8's JSON encoding — resultToJson (Pattern.hs:447-522): one JSON string
-    * per row with kupo's field set; assets flatten to dotted
-    * "policy.asset" keys and quantities optionally stringify
-    * (QuantityEncoding, /root/reference/src/Kupo/Data/Http/QuantityEncoding.hs:31 —
-    * clients that can't parse big JSON ints opt into strings). Pure
-    * codegen'd expressions — the projection stays inside WholeStageCodegen. */
-  def asJson(result: DataFrame, stringQuantities: Boolean = false): DataFrame = {
+  /** F8's JSON encoding — byte-exact mirror of resultToJson
+    * (/root/reference/src/Kupo/Data/Pattern.hs:447-522) over the result
+    * projection of `apply`. The encoder is reproduced field for field:
+    *  - field order: transaction_index, transaction_id, output_index,
+    *    address, value, datum_hash, [datum], [datum_type], script_hash,
+    *    [script], created_at, spent_at;
+    *  - nullable SCALARS are emitted as explicit JSON nulls
+    *    (`"datum_hash":null`), while datum_type/datum/script pairs are
+    *    ABSENT unless applicable (Pattern.hs:505-522 nullDatum/nullScript:
+    *    absent under AsReference, `:null` under InlineAll);
+    *  - `value.assets` is always an object (possibly {}), keys are
+    *    "policy.asset" or bare "policy" when the asset name is empty
+    *    (Value.hs:83-93), policies DESCENDING and asset names ASCENDING
+    *    within a policy (the reference's foldrWithKey accumulation order,
+    *    Value.hs:76-99);
+    *  - quantities optionally stringify (QuantityEncoding.hs:31).
+    * Built from string-concat expressions (no to_json: per-row varying
+    * field sets and explicit-null pairs are not expressible with it) —
+    * stays inside WholeStageCodegen.
+    * `inlineAll` requires the resolved `datum`/`script` columns
+    * (apply(..., resolveHashes = true)). */
+  def asJson(result: DataFrame, stringQuantities: Boolean = false,
+             inlineAll: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Column
+    def jstr(c: Column): Column = concat(lit("\""), c, lit("\""))
+    def orNull(c: Column, enc: Column => Column): Column =
+      when(c.isNotNull, enc(c)).otherwise(lit("null"))
+    def qty(c: Column): Column =
+      if (stringQuantities) jstr(c.cast("string")) else c.cast("string")
+
     val assets = col("value.assets")
-    val flatEntries = flatten(transform(map_entries(assets), p =>
-      transform(map_entries(p.getField("value")), a =>
-        struct(concat(p.getField("key"), lit("."), a.getField("key")).as("key"),
-          a.getField("value").as("value")))))
-    def qty(c: org.apache.spark.sql.Column) =
-      if (stringQuantities) c.cast("string") else c
-    val value = when(assets.isNotNull && size(map_keys(assets)) > 0,
-      struct(qty(col("value.coins")).as("coins"),
-        map_from_entries(if (stringQuantities)
-          transform(flatEntries, e =>
-            struct(e.getField("key").as("key"), e.getField("value").cast("string").as("value")))
-        else flatEntries).as("assets")))
-      .otherwise(struct(qty(col("value.coins")).as("coins"),
-        lit(null).cast(if (stringQuantities) "map<string,string>" else "map<string,decimal(38,0)>")
-          .as("assets")))
-    result.select(to_json(struct(
-      col("transaction_id"), col("transaction_index"), col("output_index"),
-      col("address"), value.as("value"),
-      col("datum_hash"), col("datum_type"), col("script_hash"),
-      col("created_at"), col("spent_at"))).as("result_json"))
+    val policiesDesc = array_sort(map_entries(assets), (l, r) =>
+      when(l.getField("key") < r.getField("key"), lit(1))
+        .when(l.getField("key") > r.getField("key"), lit(-1)).otherwise(lit(0)))
+    val assetPairs = flatten(transform(policiesDesc, p =>
+      transform(
+        array_sort(map_entries(p.getField("value")), (l, r) =>
+          when(l.getField("key") < r.getField("key"), lit(-1))
+            .when(l.getField("key") > r.getField("key"), lit(1)).otherwise(lit(0))),
+        a => concat(
+          lit("\""), p.getField("key"),
+          when(length(a.getField("key")) > 0, concat(lit("."), a.getField("key")))
+            .otherwise(lit("")),
+          lit("\":"), qty(a.getField("value"))))))
+    val assetsJson = when(assets.isNotNull,
+      concat(lit("{"), concat_ws(",", assetPairs), lit("}"))).otherwise(lit("{}"))
+    val valueJson = concat(
+      lit("{\"coins\":"), qty(col("value.coins")),
+      lit(",\"assets\":"), assetsJson, lit("}"))
+
+    val datumPair =
+      if (inlineAll) concat(lit(",\"datum\":"), orNull(col("datum"), jstr))
+      else lit("")
+    val datumTypePair = when(col("datum_type").isNotNull,
+      concat(lit(",\"datum_type\":"), jstr(col("datum_type")))).otherwise(lit(""))
+    // scriptToJson (Script.hs:109-124): an OBJECT {script, language}; the
+    // stored payload is tag-byte-prefixed (scriptToBytes, Script.hs:126-137)
+    def scriptJson(c: Column): Column = concat(
+      lit("{\"script\":"), jstr(c.substr(lit(3), length(c) - 2)),
+      lit(",\"language\":"), jstr(
+        when(c.startsWith("00"), "native")
+          .when(c.startsWith("01"), "plutus:v1")
+          .when(c.startsWith("02"), "plutus:v2")
+          .when(c.startsWith("03"), "plutus:v3")),
+      lit("}"))
+    val scriptPair =
+      if (inlineAll) concat(lit(",\"script\":"), orNull(col("script"), scriptJson))
+      else lit("")
+
+    val createdJson = concat(
+      lit("{\"slot_no\":"), col("created_at.slot_no").cast("string"),
+      lit(",\"header_hash\":"), jstr(col("created_at.header_hash")), lit("}"))
+    val spentJson = orNull(col("spent_at"), s => concat(
+      lit("{\"slot_no\":"), s.getField("slot_no").cast("string"),
+      lit(",\"header_hash\":"), jstr(s.getField("header_hash")),
+      lit(",\"transaction_id\":"), orNull(s.getField("transaction_id"), jstr),
+      lit(",\"input_index\":"), orNull(s.getField("input_index"), (c: Column) => c.cast("string")),
+      lit(",\"redeemer\":"), orNull(s.getField("redeemer"), jstr),
+      lit("}")))
+
+    result.select(concat(
+      lit("{\"transaction_index\":"), col("transaction_index").cast("string"),
+      lit(",\"transaction_id\":"), jstr(col("transaction_id")),
+      lit(",\"output_index\":"), col("output_index").cast("string"),
+      lit(",\"address\":"), jstr(col("address")),
+      lit(",\"value\":"), valueJson,
+      lit(",\"datum_hash\":"), orNull(col("datum_hash"), jstr),
+      datumPair, datumTypePair,
+      lit(",\"script_hash\":"), orNull(col("script_hash"), jstr),
+      scriptPair,
+      lit(",\"created_at\":"), createdJson,
+      lit(",\"spent_at\":"), spentJson,
+      lit("}")).as("result_json"))
   }
 
   private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame =

@@ -56,6 +56,76 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("F8 golden: asJson byte-matches resultToJson on a hand-derived chain") {
+    // expected strings derived by hand from the reference encoder
+    // (resultToJson Pattern.hs:447-522, valueToJson Value.hs:60-99):
+    // field order, explicit nulls, datum_type vocabulary ("inline"/"hash"),
+    // bare-policy key for empty asset names, policies DESC / names ASC
+    val txA = "aa" * 32; val txB = "bb" * 32
+    val h10 = "10" * 32; val h20 = "20" * 32
+    val addrBase = "01" + "22" * 28 + "01" + "11" * 28
+    val addrEnt = "03" + "61" + "33" * 28
+    val pHi = "ff" * 28; val pLo = "aa" * 28
+    val blocksG = Seq(
+      FixtureChain.Blk(10L, h10, Seq(FixtureChain.Tx(txA, Nil, Seq(
+        FixtureChain.Out(addrBase, 1000L,
+          assets = Map(pHi -> Map("" -> 5L), pLo -> Map("abcd" -> 7L, "0000" -> 9L)),
+          datumFlag = Some(1.toByte), datumHash = Some("dd" * 32), datumBytes = Some("d87980")),
+        FixtureChain.Out(addrEnt, 2L))))),
+      FixtureChain.Blk(20L, h20, Seq(FixtureChain.Tx(txB, Seq((txA, 1)), Seq(
+        FixtureChain.Out(addrBase, 3L,
+          datumFlag = Some(0.toByte), datumHash = Some("ee" * 32),
+          scriptHash = Some("77" * 28))),
+        redeemers = Map(0 -> "4d0101")))))
+    val ix = new GraftIndex(spark, tmpDir("graft-json-golden"))
+    Indexer.ingest(ix, FixtureChain.toDf(spark, blocksG), Set[Pattern](Pattern.MatchAny(true)))
+    val res = FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc))
+    val got = FoldInputs.asJson(res).collect().map(_.getString(0)).toSeq
+    val want = Seq(
+      s"""{"transaction_index":0,"transaction_id":"$txA","output_index":0,"address":"$addrBase",""" +
+        s""""value":{"coins":1000,"assets":{"$pHi":5,"$pLo.0000":9,"$pLo.abcd":7}},""" +
+        s""""datum_hash":"${"dd" * 32}","datum_type":"inline","script_hash":null,""" +
+        s""""created_at":{"slot_no":10,"header_hash":"$h10"},"spent_at":null}""",
+      s"""{"transaction_index":0,"transaction_id":"$txA","output_index":1,"address":"$addrEnt",""" +
+        s""""value":{"coins":2,"assets":{}},"datum_hash":null,"script_hash":null,""" +
+        s""""created_at":{"slot_no":10,"header_hash":"$h10"},""" +
+        s""""spent_at":{"slot_no":20,"header_hash":"$h20","transaction_id":"$txB","input_index":0,"redeemer":"4d0101"}}""",
+      s"""{"transaction_index":0,"transaction_id":"$txB","output_index":0,"address":"$addrBase",""" +
+        s""""value":{"coins":3,"assets":{}},"datum_hash":"${"ee" * 32}","datum_type":"hash",""" +
+        s""""script_hash":"${"77" * 28}","created_at":{"slot_no":20,"header_hash":"$h20"},"spent_at":null}""")
+    assert(got == want)
+    // string quantity mode (QuantityEncoding.hs:31): every quantity quoted
+    val gotStr = FoldInputs.asJson(res, stringQuantities = true)
+      .collect().map(_.getString(0)).toSeq
+    assert(gotStr.head.contains(""""coins":"1000""""))
+    assert(gotStr.head.contains(s""""$pHi":"5""""))
+  }
+
+  test("F8 InlineAll: datum/script pairs present, script is an object") {
+    // hand-built result row in the F8 projection shape (resolve columns set)
+    val df = spark.sql(
+      s"""SELECT 1 AS transaction_index, '${"ab" * 32}' AS transaction_id,
+         |  2 AS output_index, '03' || '61' || '${"cd" * 28}' AS address,
+         |  named_struct('coins', CAST(9 AS DECIMAL(38,0)),
+         |               'assets', CAST(NULL AS MAP<STRING, MAP<STRING, DECIMAL(38,0)>>)) AS value,
+         |  '${"dd" * 32}' AS datum_hash, 'inline' AS datum_type,
+         |  '${"77" * 28}' AS script_hash,
+         |  named_struct('slot_no', CAST(5 AS BIGINT), 'header_hash', '${"05" * 32}') AS created_at,
+         |  CAST(NULL AS STRUCT<slot_no: BIGINT, header_hash: STRING,
+         |       transaction_id: STRING, input_index: INT, redeemer: STRING>) AS spent_at,
+         |  'd87980' AS datum, '0249480100002221200101' AS script
+         |""".stripMargin)
+    val got = FoldInputs.asJson(df, inlineAll = true).collect().map(_.getString(0)).toSeq
+    val want = Seq(
+      s"""{"transaction_index":1,"transaction_id":"${"ab" * 32}","output_index":2,""" +
+        s""""address":"0361${"cd" * 28}","value":{"coins":9,"assets":{}},""" +
+        s""""datum_hash":"${"dd" * 32}","datum":"d87980","datum_type":"inline",""" +
+        s""""script_hash":"${"77" * 28}",""" +
+        s""""script":{"script":"49480100002221200101","language":"plutus:v2"},""" +
+        s""""created_at":{"slot_no":5,"header_hash":"${"05" * 32}"},"spent_at":null}""")
+    assert(got == want)
+  }
+
   test("F8: asJson emits kupo-shaped rows; quantities stringify on demand") {
     val ix = new GraftIndex(spark, tmpDir("graft-json"))
     Indexer.ingest(ix, blocksDf, Set[Pattern](Pattern.MatchAny(true)))
