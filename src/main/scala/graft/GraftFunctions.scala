@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{Blake2bHex, NormalizeAddress}
+import graft.expressions.{Blake2bHex, MetadatumSchema, NativeScriptCbor, NormalizeAddress}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftshim.GraftShim
@@ -21,6 +21,14 @@ object GraftFunctions {
   /** blake2b-256 over a hex payload, hex out (datum/txid hashing). */
   def blake2b256Hex(c: Column): Column =
     GraftShim.column(Blake2bHex(GraftShim.expression(c), 32))
+
+  /** Native-script clause JSON → tag-prefixed Timelock CBOR hex. */
+  def nativeScriptCbor(c: Column): Column =
+    GraftShim.column(NativeScriptCbor(GraftShim.expression(c)))
+
+  /** Wire metadatum ({"cbor"|"json"}) → the reference's schema'd JSON. */
+  def metadatumSchema(c: Column): Column =
+    GraftShim.column(MetadatumSchema(GraftShim.expression(c)))
 
   /** Register the functions on a session without the extensions mechanism. */
   def register(spark: SparkSession): Unit = {

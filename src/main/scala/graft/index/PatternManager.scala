@@ -27,19 +27,40 @@ object PatternManager {
     extends RuntimeException(s"since=$since is beyond the safe zone (floor=$floor); " +
       "pass allowUnsafe=true to force (limit: unsafe_allow_beyond_safe_zone)")
 
+  /** Point-assertion failures for a full `since` point, mirroring the
+    * reference's ErrPointNotFound / ErrPointMismatch
+    * (/root/reference/src/Kupo/App/Http.hs:843-916 via assertPointExists). */
+  final case class PointNotFound(slot: Long)
+    extends RuntimeException(s"no known checkpoint at slot $slot")
+  final case class PointMismatch(slot: Long, expected: String, actual: String)
+    extends RuntimeException(
+      s"checkpoint at slot $slot has header $actual, not $expected")
+
   /** U6 putPatterns: register `newPatterns` and backfill their history from
     * `blocks` (the block source, already normalized to Schemas.blockType)
-    * starting at slot `since`. One manifest bump per table touched; existing
-    * matches are untouched. */
+    * starting at slot `since`. When `sinceHeaderHash` is given, `since` is a
+    * full point and must name a KNOWN checkpoint (the reference validates
+    * PUT /patterns rollback points the same way, Http.hs:843-916). One
+    * manifest bump per table touched; existing matches are untouched. */
   def putPatterns(ix: GraftIndex, blocks: DataFrame, newPatterns: Set[Pattern],
                   since: Long, longestRollback: Long = 36 * 3600,
-                  allowUnsafe: Boolean = false): Unit = {
+                  allowUnsafe: Boolean = false,
+                  sinceHeaderHash: Option[String] = None): Unit = {
     val tip = ix.table("checkpoints").agg(max("slot_no")).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
     val floor = tip - longestRollback
     if (since < floor && !allowUnsafe) throw SafeZoneViolation(since, floor)
+    sinceHeaderHash.foreach { expected =>
+      ix.table("checkpoints").where(col("slot_no") === since)
+        .collect().headOption match {
+        case None => throw PointNotFound(since)
+        case Some(r) if r.getString(1) != expected =>
+          throw PointMismatch(since, expected, r.getString(1))
+        case _ => ()
+      }
+    }
 
     val active = currentPatterns(ix)
     val backfill = newPatterns.diff(active)

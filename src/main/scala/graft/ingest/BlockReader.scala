@@ -33,9 +33,9 @@ import org.apache.spark.sql.types._
   *    reader keeps positional indexing by padding with |outputs| nulls —
   *    MatchBlock drops null outputs.
   *
-  * Native (JSON-clause) scripts are stored unhashed only when witnessed (the
-  * wire gives their hash as the map key); inline native scripts are dropped
-  * — a documented v1 limitation (they need CBOR re-serialization to hash).
+  * Native (JSON-clause) scripts are CBOR re-serialized (Timelock layout,
+  * pinned by the native rows of /root/reference/test/vectors/scripts.csv)
+  * and hashed like the reference (Ogmios.hs:320-365) — witnessed AND inline.
   */
 object BlockReader {
 
@@ -45,7 +45,11 @@ object BlockReader {
 
   private val wireScript = StructType(Seq(
     StructField("language", StringType, nullable = true),
-    StructField("cbor", StringType, nullable = true)))
+    StructField("cbor", StringType, nullable = true),
+    // native scripts ship a clause TREE; declaring the field StringType makes
+    // Spark's JSON parser capture the raw subtree text, which the
+    // native_script_cbor kernel then serializes to Timelock CBOR
+    StructField("json", StringType, nullable = true)))
 
   private val wireOutput = StructType(Seq(
     StructField("address", StringType, nullable = true),
@@ -117,9 +121,18 @@ object BlockReader {
       .when(language === "plutus:v2", "02")
       .when(language === "plutus:v3", "03")
 
+  /** Tag-prefixed script bytes (scriptToBytes layout): plutus = tag ‖ wire
+    * cbor; native = "00" ‖ Timelock CBOR serialized from the clause tree
+    * (Ogmios.hs:320-365 — the reference hashes native scripts too; this
+    * removes the round-1 "inline native scripts are dropped" limitation). */
+  private def scriptBytesCol(s: Column): Column =
+    when(s.getField("language") === "native",
+      graft.GraftFunctions.nativeScriptCbor(s.getField("json")))
+      .otherwise(when(scriptTag(s.getField("language")).isNotNull,
+        concat(scriptTag(s.getField("language")), s.getField("cbor"))))
+
   private def normalizedOutput(out: Column): Column = {
-    val bytes = concat(scriptTag(out.getField("script").getField("language")),
-      out.getField("script").getField("cbor"))
+    val bytes = scriptBytesCol(out.getField("script"))
     struct(
       toKupoAddress(out.getField("address")).as("address"),
       struct(
@@ -132,10 +145,9 @@ object BlockReader {
         .when(out.getField("datum").isNotNull,
           struct(lit(1).cast("byte").as("flag"), blake256Hex(out.getField("datum")).as("hash"),
             out.getField("datum").as("bytes"))).as("datum"),
-      when(out.getField("script").isNotNull && scriptTag(out.getField("script").getField("language")).isNotNull,
+      when(out.getField("script").isNotNull && bytes.isNotNull,
         blake224Hex(bytes)).as("script_hash"),
-      when(out.getField("script").isNotNull && scriptTag(out.getField("script").getField("language")).isNotNull,
-        bytes).as("script_bytes"))
+      when(out.getField("script").isNotNull, bytes).as("script_bytes"))
   }
 
   /** Roll-forward envelopes → Schemas.blockType. Invalid transactions
@@ -171,9 +183,7 @@ object BlockReader {
           t.getField("datums").as("datums"),
           when(t.getField("scripts").isNotNull,
             map_filter(
-              transform_values(t.getField("scripts"), (_, s) =>
-                when(scriptTag(s.getField("language")).isNotNull,
-                  concat(scriptTag(s.getField("language")), s.getField("cbor")))),
+              transform_values(t.getField("scripts"), (_, s) => scriptBytesCol(s)),
               (_, v) => v.isNotNull)).as("scripts"),
           when(t.getField("redeemers").isNotNull,
             map_from_entries(

@@ -23,7 +23,11 @@ object BlockQueries {
 
   /** R11 GET /metadata/{slot}?transaction_id= (Http.hs:754-805): fold the
     * block's transactions, optionally filtered by txid, and emit
-    * (transaction_id, label, payload) per metadata entry. */
+    * (transaction_id, label, payload, schema) per metadata entry — `schema`
+    * is the reference's structured metadata JSON
+    * ({"int"|"string"|"bytes"|"list"|"map"} trees, metadataToJson
+    * /root/reference/src/Kupo/Data/Cardano/Metadata.hs:73-97), rendered by
+    * the metadatum_schema kernel from the raw wire payload. */
   def metadataBySlot(blocks: DataFrame, slot: Long,
                      transactionId: Option[String] = None): DataFrame = {
     val txs = fetchBlock(blocks, slot)
@@ -36,6 +40,7 @@ object BlockQueries {
       .where(col("tx.metadata").isNotNull)
       .select(col("tx.id").as("transaction_id"),
         explode(col("tx.metadata")).as(Seq("label", "payload")))
+      .withColumn("schema", graft.GraftFunctions.metadatumSchema(col("payload")))
       .orderBy(col("transaction_id"), col("label"))
   }
 }

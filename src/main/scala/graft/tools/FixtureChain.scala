@@ -77,7 +77,9 @@ object FixtureChain {
           redeemers = if (spend.nonEmpty && t == 1) Map(0 -> ("4d01" + f"$b%02x")) else Map.empty,
           metadataLabels = if (b % 2 == 0) Seq(674L, 721L) else Nil,
           metadata = if (b % 2 == 0)
-            Map("674" -> s"""{"msg":["block $b"]}""", "721" -> "a11902d1a0")
+            // wire metadatum form (Ogmios.hs:543-551): json tree or cbor hex
+            Map("674" -> s"""{"json":{"msg":["block $b"]}}""",
+                "721" -> """{"cbor":"a11902d1a0"}""")
           else Map.empty)
       }
       Blk(slot, hex32(500000 + b), txs)

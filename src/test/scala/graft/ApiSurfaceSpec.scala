@@ -30,6 +30,13 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(one.count() == 2)
     // slot without metadata (odd block index) → empty
     assert(BlockQueries.metadataBySlot(blocksDf, 20L).count() == 0)
+    // structured output (metadataToJson, Metadata.hs:73-97): the json-form
+    // label renders as a string-keyed map tree, the cbor-form label
+    // (a1 1902d1 a0 = {721: {}}) decodes through the CBOR metadatum path
+    val byLabel = all.map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(byLabel("674") ==
+      """{"map":[{"k":{"string":"msg"},"v":{"list":[{"string":"block 0"}]}}]}""")
+    assert(byLabel("721") == """{"map":[{"k":{"int":721},"v":{"map":[]}}]}""")
   }
 
   test("S9: copyFiltered bootstraps a pattern-restricted index") {

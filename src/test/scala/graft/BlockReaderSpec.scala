@@ -117,6 +117,46 @@ class BlockReaderSpec extends SparkSpec {
     assert(rb.length == 1 && rb.head.getLong(0) == 100L)
   }
 
+  test("native scripts serialize to the reference's Timelock CBOR vectors") {
+    // the two native rows of /root/reference/test/vectors/scripts.csv,
+    // reconstructed as wire clause trees — byte-for-byte CBOR parity
+    val kh1 = "3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f3fe"
+    val kh2 = "3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f333"
+    val sig = (h: String) => s"""{"clause":"signature","from":"$h"}"""
+    val allOf2 = s"""{"clause":"all","from":[${sig(kh1)},${sig(kh2)}]}"""
+    val allOfTimed =
+      s"""{"clause":"all","from":[${sig(kh1)},{"clause":"after","slot":100},{"clause":"before","slot":150}]}"""
+    val got = Seq(allOf2, allOfTimed).toDF("j")
+      .select(graft.GraftFunctions.nativeScriptCbor(col("j"))).collect().map(_.getString(0))
+    assert(got(0) == "008201828200581c" + kh1 + "8200581c" + kh2)
+    assert(got(1) == "008201838200581c" + kh1 + "82041864" + "82051896")
+    // some/atLeast + malformed clause
+    val more = Seq(
+      s"""{"clause":"some","atLeast":1,"from":[${sig(kh1)}]}""",
+      """{"clause":"nonsense"}""").toDF("j")
+      .select(graft.GraftFunctions.nativeScriptCbor(col("j"))).collect()
+    assert(more(0).getString(0) == "0083030181" + "8200581c" + kh1)
+    assert(more(1).isNullAt(0))
+  }
+
+  test("inline native script: hashed and stored through the wire reader") {
+    val kh = "3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f3fe"
+    val txN =
+      s"""{"id":"${"cd" * 32}","spends":"inputs","inputs":[],
+         |"outputs":[{"address":"$bech32Addr","value":{"ada":{"lovelace":1}},
+         |  "script":{"language":"native","json":{"clause":"signature","from":"$kh"}}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val e = BlockReader.parseEnvelope(Seq(fwd(300, "31" * 32, txN)).toDF("raw"))
+    val out = BlockReader.blocks(e)
+      .select(explode(col("txs")).as("tx"))
+      .select(explode(col("tx.outputs")).as("out")).select("out.*").collect().head
+    val expectedBytes = "00" + "8200581c" + kh
+    assert(out.getAs[String]("script_bytes") == expectedBytes)
+    val expectedHash = graft.codec.Hex.encode(graft.codec.Blake2b.hash(28,
+      graft.codec.Hex.decode(expectedBytes).get))
+    assert(out.getAs[String]("script_hash") == expectedHash)
+  }
+
   test("golden vector: the reference's recorded Ogmios response parses") {
     // the actual wire fixture the reference pins its decoders to
     // (/root/reference/test/vectors/golden/1.json, used by OgmiosSpec) — a

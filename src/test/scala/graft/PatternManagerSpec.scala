@@ -50,6 +50,26 @@ class PatternManagerSpec extends SparkSpec {
     assert(PatternManager.currentPatterns(ix).contains(delPattern))
   }
 
+  test("putPatterns validates a full since-point against known checkpoints") {
+    val ix = new GraftIndex(spark, tmpDir("graft-pm-point"))
+    Indexer.ingest(ix, blocksDf, Set[Pattern](Pattern.MatchAny(true)))
+    val cp = ix.table("checkpoints").orderBy(col("slot_no")).head()
+    val (slot, hash) = (cp.getLong(0), cp.getString(1))
+    // exact point: accepted
+    PatternManager.putPatterns(ix, blocksDf, Set(delPattern),
+      since = slot, allowUnsafe = true, sinceHeaderHash = Some(hash))
+    // unknown slot → ErrPointNotFound analogue
+    intercept[PatternManager.PointNotFound] {
+      PatternManager.putPatterns(ix, blocksDf, Set(delPattern),
+        since = slot + 1, allowUnsafe = true, sinceHeaderHash = Some(hash))
+    }
+    // wrong header hash → ErrPointMismatch analogue
+    intercept[PatternManager.PointMismatch] {
+      PatternManager.putPatterns(ix, blocksDf, Set(delPattern),
+        since = slot, allowUnsafe = true, sinceHeaderHash = Some("ff" * 32))
+    }
+  }
+
   test("deleteMatches refuses overlapping patterns, deletes otherwise") {
     val ix = new GraftIndex(spark, tmpDir("graft-pm-del"))
     Indexer.setPatterns(ix, Set(delPattern))
