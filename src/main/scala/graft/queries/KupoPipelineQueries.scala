@@ -343,6 +343,93 @@ object KupoPipelineQueries {
           |WHERE i.datum_hash IS NOT NULL OR i.script_hash IS NOT NULL
           |ORDER BY i.created_at ASC, i.transaction_index ASC, i.output_index ASC""".stripMargin)),
 
+    // R2 countPolicies: distinct policies carried by outputs matching a
+    // pattern — explode map keys, distinct, count.
+    QueryDef("q_kupo_count_policies",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        import s.implicits._
+        Seq(FoldInputs.countPolicies(ix, "*")).toDF("n")
+      },
+      Some(derivationSql +
+        """SELECT count(DISTINCT policy_id) AS n FROM inputs
+          |WHERE policy_id IS NOT NULL""".stripMargin)),
+
+    // P2 MatchAny OnlyShelley: the bootstrap-excluding wildcard (every
+    // derived address is Shelley-tagged, so it must equal the full count —
+    // the predicate path itself is what's under test).
+    QueryDef("q_kupo_count_shelley",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        import s.implicits._
+        Seq(FoldInputs.countInputs(ix, "*/*")).toDF("n")
+      },
+      Some(derivationSql +
+        "SELECT count(*) AS n FROM inputs WHERE address NOT LIKE '00%'")),
+
+    // R4 getBinaryData: point lookup of a datum payload by hash (the
+    // smallest hash, so the lookup key is deterministic at every SF).
+    QueryDef("q_kupo_binary_lookup",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        val h = ix.table("binary_data").agg(min("binary_data_hash")).head().getString(0)
+        ix.table("binary_data").where(col("binary_data_hash") === h)
+      },
+      Some(derivationSql +
+        """, bd AS (SELECT DISTINCT md5('d' || CAST(l_orderkey AS VARCHAR)) AS h
+          |         FROM lineitem WHERE l_orderkey % 22 = 0)
+          |SELECT h AS binary_data_hash, md5(h) AS binary_data FROM bd
+          |ORDER BY h LIMIT 1""".stripMargin)),
+
+    // R5 getScript: same point-lookup shape over the scripts table.
+    QueryDef("q_kupo_script_lookup",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        val h = ix.table("scripts").agg(min("script_hash")).head().getString(0)
+        ix.table("scripts").where(col("script_hash") === h)
+      },
+      Some(derivationSql +
+        """, sc AS (SELECT DISTINCT md5('s' || CAST(l_orderkey AS VARCHAR)) AS h
+          |         FROM lineitem WHERE l_orderkey % 26 = 0)
+          |SELECT h AS script_hash, md5(h) AS script FROM sc
+          |ORDER BY h LIMIT 1""".stripMargin)),
+
+    // R10 GET /checkpoints/{slot}: greatest checkpoint at-or-before a slot
+    // (closest-ancestor lookup, Http.hs:557-581).
+    QueryDef("q_kupo_checkpoint_by_slot",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        import s.implicits._
+        graft.index.PatternManager.getCheckpointBySlot(ix, 2000L)
+          .toSeq.toDF("slot_no", "header_hash")
+      },
+      Some(derivationSql +
+        """, slots AS (SELECT created_at AS s FROM inputs
+          |            UNION SELECT spent_at FROM inputs WHERE spent_at IS NOT NULL)
+          |SELECT max(s) AS slot_no, md5(CAST(max(s) AS VARCHAR)) AS header_hash
+          |FROM slots WHERE s <= 2000""".stripMargin)),
+
+    // S9 copyDatabase: bootstrap a NEW index as a pattern-filtered copy of
+    // the shared one (count → queue → insert in the reference collapses to
+    // one declarative job per table, SQLite.hs:476-576), then scan the copy.
+    QueryDef("q_kupo_copy_database",
+      (s, d) => {
+        val src = buildIndex(s, d)
+        val dst = graft.index.Mutations.copyFiltered(src,
+          java.nio.file.Files.createTempDirectory("graft-copy").toString,
+          Set[graft.model.Pattern](graft.model.Pattern.MatchDelegation(cred7)))
+        dst.table("inputs")
+          .select(col("tx_id").as("transaction_id"), col("output_index"),
+            col("address"), col("value.coins").cast("long").as("coins"),
+            col("created_at"))
+          .orderBy(col("created_at"), col("transaction_id"), col("output_index"),
+            col("address"), col("coins"))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id, output_index, address, coins, created_at
+           |FROM inputs WHERE address LIKE '01$cred7%'
+           |ORDER BY created_at, transaction_id, output_index, address, coins""".stripMargin)),
+
     // R3 foldPolicies: (output_reference, policy) projection under a
     // pattern, answered from the value.assets map — no side-table join.
     QueryDef("q_kupo_fold_policies",
