@@ -84,48 +84,43 @@ object Dedup {
       .distinct()
   }
 
-  /** Set Jaccard on candidate pairs from a precomputed element-set frame
-    * (id, elem): |A∩B| plus set sizes as exact ints; the ratio is downstream
-    * arithmetic. The element frame feeds FOUR branches of the DAG (two size
-    * joins + both sides of the intersection join) — callers should pass a
-    * persisted/cached frame so the corpus explode is computed once, not 4×. */
-  def setJaccardOnPairs(elems: DataFrame, pairs: DataFrame, elemCol: String,
-                        idCol: String = "doc_id",
-                        precomputedSizes: Option[DataFrame] = None): DataFrame = {
-    val sizes = precomputedSizes.getOrElse(
-      elems.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
-    // restrict the element frame to docs that occur in candidate pairs BEFORE
-    // the intersection join: the (id, elem) shuffle then carries only
-    // candidate docs (~|near-dups|), not the whole corpus — post-LSH that is
-    // orders of magnitude smaller, and the candidate doc-id set is broadcast-
-    // sized by construction (LSH keeps candidates ~linear in true dups)
-    val docsInPairs = broadcast(
-      pairs.select(col("doc_a").as(idCol)).union(pairs.select(col("doc_b").as(idCol))).distinct())
-    val relevant = elems.join(docsInPairs, Seq(idCol), "left_semi")
-    val inter = pairs
-      .join(relevant.as("ea"), col(s"ea.$idCol") === col("doc_a"))
-      .join(relevant.as("eb"),
-        col(s"eb.$idCol") === col("doc_b") && col(s"eb.$elemCol") === col(s"ea.$elemCol"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+  /** Per-doc element-set ARRAYS from an (id, elem) frame — the verification
+    * artifact of the Jaccard family: one groupBy collapses the exploded
+    * elements into a set array per doc, and every pairwise intersection
+    * afterwards is a codegen'd `array_intersect`, never a row-exploding
+    * join. Callers cache/persist this. */
+  def elementSets(elems: DataFrame, elemCol: String,
+                  idCol: String = "doc_id"): DataFrame =
+    elems.groupBy(col(idCol)).agg(collect_set(col(elemCol)).as("elems"))
+
+  /** Set Jaccard on candidate pairs from a precomputed element-set-array
+    * frame (`elementSets`): |A∩B| plus set sizes as exact ints; the ratio is
+    * downstream arithmetic. Two equi-joins on the pair ids bring the two set
+    * arrays side by side and `array_intersect` counts in one codegen pass —
+    * the work is O(|pairs| · set-size), with NO (pair × element) intermediate
+    * rows (the round-1 shape exploded to millions of rows for thousands of
+    * pairs). Post-LSH the pair side is ~linear in true near-dups, so both
+    * joins shuffle only candidate-sized data at 100 TB. */
+  def setJaccardOnPairs(sets: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame =
     pairs
-      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
-      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
-      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sets.select(col(idCol).as("doc_a"), col("elems").as("ea")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("elems").as("eb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
-  }
+        size(array_intersect(col("ea"), col("eb"))).cast("long").as("n_common"),
+        size(col("ea")).cast("long").as("size_a"),
+        size(col("eb")).cast("long").as("size_b"))
 
   /** Token-set Jaccard evaluated ONLY on candidate pairs (post-LSH). */
   def jaccardOnCandidates(docs: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    setJaccardOnPairs(docTokens(docs, idCol, textCol), pairs, "token", idCol)
+    setJaccardOnPairs(elementSets(docTokens(docs, idCol, textCol), "token", idCol), pairs, idCol)
 
   /** Character-n-gram Jaccard on candidate pairs (shingle sets instead of
     * token sets — robust to word-boundary edits). */
   def ngramJaccardOnCandidates(docs: DataFrame, pairs: DataFrame, n: Int = 8,
                                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    setJaccardOnPairs(charGrams(docs, n, idCol, textCol), pairs, "gram", idCol)
+    setJaccardOnPairs(elementSets(charGrams(docs, n, idCol, textCol), "gram", idCol), pairs, idCol)
 
   /** SimHash fingerprint (`bits` ≤ 32, md5-nibble hash family): per-bit
     * majority vote over token hashes. Near-dups then differ in few bits —

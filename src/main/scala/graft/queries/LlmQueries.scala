@@ -28,14 +28,15 @@ object LlmQueries {
   private val tokensCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val sigsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val pairsCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val sizesCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  private val setsCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
-  /** Per-doc set sizes for a cached element frame — tiny (one row per doc)
-    * but derived from a million-row explode, so cache it per (dir, kind). */
-  private def sizesOf(kind: String, elems: DataFrame, d: String): DataFrame = synchronized {
-    sizesCache.getOrElseUpdate((d, kind),
-      elems.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).cache())
-  }
+  /** Per-doc element-set arrays (Dedup.elementSets) — the Jaccard
+    * verification artifact, cached per (dir, kind). */
+  private def setsOf(kind: String, elems: DataFrame, elemCol: String, d: String): DataFrame =
+    synchronized {
+      setsCache.getOrElseUpdate((d, kind),
+        graft.llm.Dedup.elementSets(elems, elemCol).cache())
+    }
 
   /** The testdata corpus is ONE small parquet file → one input partition —
     * a single task would run the whole shingle explode. Spread the narrow
@@ -65,8 +66,9 @@ object LlmQueries {
     * signatures, LSH candidate pairs) — the one-time build a deployment runs
     * at ingest, so per-query timings measure the query, not the build. */
   def warm(s: SparkSession, d: String): Unit = {
-    tokensOf(s, d).count()
     pairsOf(s, d).count() // forces grams → sigs → pairs
+    setsOf("gram", gramsOf(s, d), "gram", d).count()
+    setsOf("token", tokensOf(s, d), "token", d).count()
   }
 
   /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
@@ -216,8 +218,8 @@ object LlmQueries {
     // Token-Jaccard on the LSH candidates: |A∩B| plus set sizes (exact ints;
     // the ratio is downstream arithmetic).
     QueryDef("q_jaccard_lsh",
-      (s, d) => Dedup.setJaccardOnPairs(tokensOf(s, d), pairsOf(s, d), "token",
-          precomputedSizes = Some(sizesOf("token", tokensOf(s, d), d)))
+      (s, d) => Dedup.setJaccardOnPairs(
+          setsOf("token", tokensOf(s, d), "token", d), pairsOf(s, d))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
               |$bandsDuckSql,
@@ -463,8 +465,8 @@ object LlmQueries {
     // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
     // token sets — robust to word-boundary edits).
     QueryDef("q_ngram_jaccard",
-      (s, d) => Dedup.setJaccardOnPairs(gramsOf(s, d), pairsOf(s, d), "gram",
-          precomputedSizes = Some(sizesOf("gram", gramsOf(s, d), d)))
+      (s, d) => Dedup.setJaccardOnPairs(
+          setsOf("gram", gramsOf(s, d), "gram", d), pairsOf(s, d))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
               |$bandsDuckSql,
