@@ -144,14 +144,19 @@ object Dedup {
     * Norms are computed ONCE per vector before the pair join (n norms
     * instead of 2·|pairs| recomputations); cos = dot/(nₐ·n_b) is the same
     * expression tree, so scores stay bit-identical to the two-sided form. */
-  def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
-    // the signed+normed frame feeds both sides of the pair join — persist it
-    // so the hyperplane signatures and norms are computed once, not twice
-    // (at scale this frame IS the persisted LSH index artifact)
-    val bucketed = Similarity.hyperplaneBucket(embeddings, planes)
+  /** The persisted LSH index artifact for embedding near-dup: every vector
+    * with its hyperplane bucket and precomputed norm. Callers cache/persist
+    * this (it feeds both sides of the pair join). */
+  def embeddingBuckets(embeddings: DataFrame, planes: DataFrame): DataFrame =
+    Similarity.hyperplaneBucket(embeddings, planes)
       .join(embeddings, "vec_id")
       .withColumn("nrm", Similarity.norm(col("embedding")))
-      .cache()
+
+  def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame =
+    nearDupsFromBuckets(embeddingBuckets(embeddings, planes).cache(), threshold)
+
+  /** Pairwise cosine ONLY within a bucket, from a prebuilt bucket index. */
+  def nearDupsFromBuckets(bucketed: DataFrame, threshold: Double): DataFrame = {
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
