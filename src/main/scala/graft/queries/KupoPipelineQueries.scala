@@ -409,15 +409,22 @@ object KupoPipelineQueries {
           |SELECT max(s) AS slot_no, md5(CAST(max(s) AS VARCHAR)) AS header_hash
           |FROM slots WHERE s <= 2000""".stripMargin)),
 
-    // S9 copyDatabase: bootstrap a NEW index as a pattern-filtered copy of
-    // the shared one (count → queue → insert in the reference collapses to
-    // one declarative job per table, SQLite.hs:476-576), then scan the copy.
+    // S9 copyDatabase + U2 deleteInputs as one engine-path chain: bootstrap
+    // a NEW index as a pattern-filtered copy of the shared one (the
+    // reference's count → queue → insert collapses to one declarative job
+    // per table, SQLite.hs:476-576), delete the policy-carrying rows
+    // (anti-filter rewrite, SQLite.hs:641-643), then scan what remains.
+    // compact() is NOT in the chain: the testdata has duplicate PKs whose
+    // dedup survivor is arbitrary — U7's result-preservation is covered by
+    // the directed IndexSpec test instead.
     QueryDef("q_kupo_copy_database",
       (s, d) => {
         val src = buildIndex(s, d)
         val dst = graft.index.Mutations.copyFiltered(src,
           java.nio.file.Files.createTempDirectory("graft-copy").toString,
           Set[graft.model.Pattern](graft.model.Pattern.MatchDelegation(cred7)))
+        graft.index.Mutations.deleteInputs(dst,
+          Set[graft.model.Pattern](graft.model.Pattern.MatchPolicyId(policy2)))
         dst.table("inputs")
           .select(col("tx_id").as("transaction_id"), col("output_index"),
             col("address"), col("value.coins").cast("long").as("coins"),
@@ -428,6 +435,7 @@ object KupoPipelineQueries {
       Some(derivationSql +
         s"""SELECT transaction_id, output_index, address, coins, created_at
            |FROM inputs WHERE address LIKE '01$cred7%'
+           |  AND (policy_id IS NULL OR policy_id <> '$policy2')
            |ORDER BY created_at, transaction_id, output_index, address, coins""".stripMargin)),
 
     // R3 foldPolicies: (output_reference, policy) projection under a
