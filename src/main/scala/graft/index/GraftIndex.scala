@@ -82,11 +82,16 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     if (statColumn(table).isEmpty) segs else segs.filter(_.minSlot.isDefined)
 
   /** Append one segment (idempotent sinks S7/S8 become plain appends; PK
-    * dedup happens at read/compaction — the "INSERT OR IGNORE" analogue). */
+    * dedup happens at read/compaction — the "INSERT OR IGNORE" analogue).
+    * An EMPTY batch registers nothing — the generic form of the reference's
+    * M9 conditional side-table write (App.hs:530-544): at streaming cadence,
+    * unconditional appends would bloat datum/script tables with thousands
+    * of empty segments. */
   def append(table: String, df: DataFrame): Unit = {
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
-    val segs = liveSegments(table, m.tables.getOrElse(table, Nil) :+ seg)
+    if (seg.isEmpty) return // nothing written → no manifest bump
+    val segs = liveSegments(table, m.tables.getOrElse(table, Nil) ++ seg)
     Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
   }
 
@@ -95,19 +100,21 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
     Manifest.write(root, Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, List(seg)))))
+      m.tables.updated(table, liveSegments(table, seg.toList))))
   }
 
   /** Replace keeping the given existing segments and adding `df` as a new one
     * (used by rollback: untouched segments survive without a rewrite). */
   def replaceWith(table: String, kept: List[Segment], df: Option[DataFrame]): Unit = {
     val m = manifest
-    val segs = kept ++ df.map(writeSegment(table, _, m.version + 1)).toList
+    val segs = kept ++ df.flatMap(writeSegment(table, _, m.version + 1)).toList
     Manifest.write(root, Manifest(m.version + 1,
       m.tables.updated(table, liveSegments(table, segs))))
   }
 
-  private def writeSegment(table: String, df: DataFrame, version: Long): Segment = {
+  /** Write one segment; None when the frame is empty (row count rides the
+    * same write-action Observation as the slot stats — no extra job). */
+  private def writeSegment(table: String, df: DataFrame, version: Long): Option[Segment] = {
     val path = f"$table/seg-$version%06d"
     val out = df.select(schemaOf(table).fieldNames.map(col): _*)
     // inputs segments are clustered by slot bucket and sorted by created_at:
@@ -126,25 +133,24 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     // rollback point even in segments whose created_at stats look untouched
     // (the reference's UPDATE … SET spent_at = NULL WHERE spent_at > s,
     // /root/reference/src/Kupo/App/Database/SQLite.hs:1057-1059)
-    val observed = statColumn(table).map { c =>
-      val obs = org.apache.spark.sql.Observation(f"stats-$table-$version%06d")
-      val aggs = Seq(min(col(c)).as("mn"), max(col(c)).as("mx")) ++
-        (if (table == "inputs") Seq(max(col("spent_at")).as("sp")) else Nil)
-      (obs, clustered.observe(obs, aggs.head, aggs.tail: _*))
-    }
-    observed.map(_._2).getOrElse(clustered)
+    val obs = org.apache.spark.sql.Observation(f"stats-$table-$version%06d")
+    val aggs = Seq(count(lit(1)).as("cnt")) ++
+      statColumn(table).toSeq.flatMap(c => Seq(min(col(c)).as("mn"), max(col(c)).as("mx"))) ++
+      (if (table == "inputs") Seq(max(col("spent_at")).as("sp")) else Nil)
+    clustered.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
-    val row: Option[Map[String, Any]] = observed.map { case (obs, _) => obs.get }
-    val stats = row.flatMap { r =>
-      Option(r("mn").asInstanceOf[java.lang.Long])
-        .map(mn => (mn.toLong, r("mx").asInstanceOf[java.lang.Long].toLong))
+    val row: Map[String, Any] = obs.get
+    if (row("cnt").asInstanceOf[java.lang.Long] == 0L) return None
+    val stats = statColumn(table).flatMap { _ =>
+      Option(row("mn").asInstanceOf[java.lang.Long])
+        .map(mn => (mn.toLong, row("mx").asInstanceOf[java.lang.Long].toLong))
     }
     val spent: SpentStat =
       if (table != "inputs") SpentStat.Unknown
-      else row.flatMap(r => Option(r("sp").asInstanceOf[java.lang.Long]))
+      else Option(row("sp").asInstanceOf[java.lang.Long])
         .map(sp => SpentStat.MaxAt(sp.toLong): SpentStat)
         .getOrElse(SpentStat.NoneSpent)
-    Segment(path, stats.map(_._1), stats.map(_._2), spent)
+    Some(Segment(path, stats.map(_._1), stats.map(_._2), spent))
   }
 
   /** Reconcile an inputs scan with the spends delta (merge-on-read).

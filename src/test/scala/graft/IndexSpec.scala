@@ -270,6 +270,22 @@ class IndexSpec extends SparkSpec {
     assert(ix2.table("inputs").count() == remaining.size)
   }
 
+  test("M9: empty batches register no segments (conditional side-table write)") {
+    val ix2 = new GraftIndex(spark, tmpDir("graft-m9"))
+    ix2.append("binary_data", ix2.emptyOf("binary_data"))
+    assert(ix2.manifest.tables.getOrElse("binary_data", Nil).isEmpty)
+    // a datum-less, script-less block appends nothing to the side tables
+    val blk = FixtureChain.Blk(10L, FixtureChain.hex32(31),
+      Seq(FixtureChain.Tx(FixtureChain.hex32(32), Nil,
+        Seq(FixtureChain.Out(FixtureChain.baseAddr(0, 0), 5L)))))
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, Seq(blk)),
+      Set[Pattern](Pattern.MatchAny(true)))
+    assert(ix2.manifest.tables.getOrElse("binary_data", Nil).isEmpty)
+    assert(ix2.manifest.tables.getOrElse("scripts", Nil).isEmpty)
+    assert(ix2.manifest.tables.getOrElse("spends", Nil).isEmpty)
+    assert(ix2.manifest.tables.getOrElse("inputs", Nil).nonEmpty)
+  }
+
   test("re-ingesting a batch is idempotent after compaction") {
     val ix2 = freshIndex()
     Indexer.ingest(ix2, FixtureChain.toDf(spark, blocks.take(4)), patterns) // duplicate batch
