@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming forms of the event-stream operators the batch layer answers
+  * over the `events` table (q_events_window / q_sessionize): a watermarked
+  * tumbling-window aggregation and a gap-based sessionizer with explicit
+  * keyed state. These are the Structured Streaming counterparts a live
+  * training-data pipeline runs while the batch queries serve backfill —
+  * same semantics, incremental execution.
+  *
+  * Scale shape: both operators shuffle ONCE on their key (window bucket /
+  * user id); the watermark bounds state size, and session state is one
+  * small record per open session per user. No other stage holds state. */
+object EventStreams {
+
+  /** Tumbling 1h windows × event_type with a watermark: late events beyond
+    * `lateness` are dropped and completed windows are emitted/evicted —
+    * unbounded-state-free by construction. Input needs (ts: Timestamp,
+    * event_type, user_id, value). */
+  def hourlyWindows(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+
+  final case class SessionEvent(userId: Long, eventId: Long, tsNanos: Long)
+  final case class SessionState(sessionId: Long, lastTs: Long,
+                                firstEvent: Long, lastEvent: Long, n: Long)
+  final case class SessionOut(userId: Long, sessionId: Long, nEvents: Long,
+                              firstEvent: Long, lastEvent: Long)
+
+  /** Gap-based sessionization as explicit keyed state
+    * (flatMapGroupsWithState): a session closes after `gapNanos` of user
+    * inactivity and is emitted exactly once, on close. State per user = the
+    * one open session. The batch q_sessionize over the same events yields
+    * the same (user, session) rollups for closed sessions. Tail sessions
+    * (no further events ever) stay open here; a live deployment flushes
+    * them with EventTimeTimeout against the stream's watermark — a
+    * processing-time timeout is deliberately NOT used, as it makes the
+    * query self-trigger empty batches forever. */
+  def sessionize(events: Dataset[SessionEvent], gapNanos: Long)
+                (implicit enc1: org.apache.spark.sql.Encoder[SessionState],
+                 enc2: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption
+          // events within a batch arrive unordered: sort by (ts, eventId),
+          // the same total order the batch sessionizer uses
+          batch.toSeq.sortBy(e => (e.tsNanos, e.eventId)).foreach { e =>
+            st match {
+              case Some(s) if e.tsNanos - s.lastTs <= gapNanos =>
+                st = Some(s.copy(lastTs = e.tsNanos, lastEvent = e.eventId, n = s.n + 1))
+              case Some(s) => // gap exceeded: close the old session, open next
+                out += SessionOut(userId, s.sessionId, s.n, s.firstEvent, s.lastEvent)
+                st = Some(SessionState(s.sessionId + 1, e.tsNanos, e.eventId, e.eventId, 1))
+              case None =>
+                st = Some(SessionState(1L, e.tsNanos, e.eventId, e.eventId, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+}

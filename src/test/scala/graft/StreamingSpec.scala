@@ -58,4 +58,63 @@ class StreamingSpec extends SparkSpec {
     StreamingIndexer.runAvailableNow(spark, in, ix, patterns)
     assert(ix.table("inputs").count() == 5)
   }
+
+  test("watermarked hourly windows emit closed windows and drop late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val windows = EventStreams.hourlyWindows(
+      ms.toDF.toDF("ts", "event_type", "user_id", "value"))
+    val q = windows.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      // hour 09: three events, two users
+      ms.addData((ts(9, 5), "view", 1L, 1.0), (ts(9, 20), "view", 2L, 2.0),
+        (ts(9, 40), "buy", 1L, 3.5))
+      q.processAllAvailable()
+      // advancing past 10:30 closes hour 09 (watermark = max ts − 30 min)
+      ms.addData((ts(11, 0), "view", 3L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly")
+        .select(col("window.start"), col("event_type"), col("n_events"), col("value_milli"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSet == Set((ts(9, 0), "view", 2L, 3000L), (ts(9, 0), "buy", 1L, 3500L)))
+      // a straggler inside the watermarked-out hour is dropped, not re-emitted
+      ms.addData((ts(9, 50), "view", 9L, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("hourly").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val gap = 1800L * 1000000000L // 30 min in nanos
+    val ms = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(ms.toDS(), gap)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), user 2: one event
+      ms.addData(SessionEvent(1L, 100L, 0L), SessionEvent(1L, 101L, 600L * 1000000000L),
+        SessionEvent(2L, 200L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // nothing closed yet
+      // user 1 returns after the gap: session 1 closes, session 2 opens
+      ms.addData(SessionEvent(1L, 102L, 3 * 3600L * 1000000000L))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionOut].collect().toSet
+      assert(out == Set(SessionOut(1L, 1L, 2L, 100L, 101L)))
+      // the same close is never re-emitted on later batches
+      ms.addData(SessionEvent(2L, 201L, 3 * 3600L * 1000000000L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 2) // user 1 s1 + user 2 s1
+    } finally q.stop()
+  }
 }
