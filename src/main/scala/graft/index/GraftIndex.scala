@@ -191,6 +191,17 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
 
   def emptyOf(table: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
+
+  /** Register the index as temp views (`<prefix>inputs` is the RECONCILED
+    * fact table; side tables verbatim), pinned to the CURRENT manifest —
+    * a snapshot-isolated SQL surface: `spark.sql("SELECT … FROM g_inputs")`.
+    * Re-register to see later writes. */
+  def createOrReplaceViews(prefix: String = "g_"): Unit = {
+    val m = manifest
+    reconcile(tableAt("inputs", m)).createOrReplaceTempView(s"${prefix}inputs")
+    Seq("checkpoints", "binary_data", "scripts", "patterns", "policies")
+      .foreach(t => tableAt(t, m).createOrReplaceTempView(s"$prefix$t"))
+  }
 }
 
 object GraftIndex {

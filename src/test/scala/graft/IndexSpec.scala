@@ -270,6 +270,15 @@ class IndexSpec extends SparkSpec {
     assert(ix2.table("inputs").count() == remaining.size)
   }
 
+  test("SQL views expose the reconciled index to spark.sql") {
+    ix.createOrReplaceViews("gx_")
+    assert(spark.sql("SELECT count(*) FROM gx_inputs").head().getLong(0) == model.size)
+    val unspent = spark.sql(
+      "SELECT count(*) FROM gx_inputs WHERE spent_at IS NULL").head().getLong(0)
+    assert(unspent == model.count(_.spentAt.isEmpty))
+    assert(spark.sql("SELECT count(*) FROM gx_checkpoints").head().getLong(0) == blocks.size)
+  }
+
   test("M9: empty batches register no segments (conditional side-table write)") {
     val ix2 = new GraftIndex(spark, tmpDir("graft-m9"))
     ix2.append("binary_data", ix2.emptyOf("binary_data"))
