@@ -13,11 +13,22 @@ object Api {
     case object SpentAt extends RangeField
   }
 
-  /** Whole / After / Before / Between over created_at or spent_at. */
+  /** Whole / After / Before / Between over created_at or spent_at. Bounds
+    * given as full POINTS (slot + header hash) are existence-checked against
+    * checkpoints before the query runs (intoSlotRange SlotRange.hs:69-97;
+    * assertion Http.hs:631-643 → ErrPointNotFound / ErrPointMismatch). */
   final case class SlotRange(
       field: RangeField = RangeField.CreatedAt,
       lowerBound: Option[Long] = None,
-      upperBound: Option[Long] = None)
+      upperBound: Option[Long] = None,
+      lowerBoundHash: Option[String] = None,
+      upperBoundHash: Option[String] = None)
+
+  final case class PointNotFound(slot: Long)
+    extends RuntimeException(s"no known checkpoint at slot $slot")
+  final case class PointMismatch(slot: Long, expected: String, actual: String)
+    extends RuntimeException(
+      s"checkpoint at slot $slot has header $actual, not $expected")
 
   sealed trait StatusFlag
   object StatusFlag {

@@ -21,6 +21,20 @@ object FoldInputs {
       .getOrElse(throw new IllegalArgumentException(s"invalid pattern: ${q.patternText}"))
     require(!pattern.isIndexOnly, "metadata-tag patterns are index-time only")
 
+    // F2 point assertion — bounds given as full points must name KNOWN
+    // checkpoints (Http.hs:631-643); one pushed-down point lookup per bound
+    Seq(q.range.lowerBound zip q.range.lowerBoundHash,
+        q.range.upperBound zip q.range.upperBoundHash).flatten
+      .foreach { case (slot, expected) =>
+        ix.table("checkpoints").where(col("slot_no") === slot)
+          .collect().headOption match {
+          case None => throw Api.PointNotFound(slot)
+          case Some(r) if r.getString(1) != expected =>
+            throw Api.PointMismatch(slot, expected, r.getString(1))
+          case _ => ()
+        }
+      }
+
     // F1/F2 — segment-pruned scan + pattern predicate + slot-range predicate
     val (lo, hi) = (q.range.lowerBound, q.range.upperBound)
     val base = q.range.field match {

@@ -105,6 +105,24 @@ class IndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foldInputs: point-form range bounds are asserted against checkpoints") {
+    val b = blocks.head // slot 10
+    // exact point accepted
+    assert(FoldInputs(ix, MatchesQuery("*/*",
+      range = SlotRange(RangeField.CreatedAt, Some(b.slot), None,
+        lowerBoundHash = Some(b.headerHash)))).count() > 0)
+    intercept[Api.PointNotFound] {
+      FoldInputs(ix, MatchesQuery("*/*",
+        range = SlotRange(RangeField.CreatedAt, Some(b.slot + 1), None,
+          lowerBoundHash = Some(b.headerHash))))
+    }
+    intercept[Api.PointMismatch] {
+      FoldInputs(ix, MatchesQuery("*/*",
+        range = SlotRange(RangeField.CreatedAt, None, Some(b.slot),
+          upperBoundHash = Some("ff" * 32))))
+    }
+  }
+
   test("foldInputs: delegation pattern narrows results") {
     val delCred = FixtureChain.baseAddr(0, 0).substring(2, 58)
     val res = FoldInputs(ix, MatchesQuery(s"*/$delCred"))
