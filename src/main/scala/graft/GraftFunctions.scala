@@ -41,6 +41,12 @@ object GraftFunctions {
     GraftShim.registerFunction(spark, "blake2b256_hex",
       new ExpressionInfo(classOf[Blake2bHex].getName, "blake2b256_hex"),
       es => Blake2bHex(es.head, 32))
+    GraftShim.registerFunction(spark, "native_script_cbor",
+      new ExpressionInfo(classOf[NativeScriptCbor].getName, "native_script_cbor"),
+      es => NativeScriptCbor(es.head))
+    GraftShim.registerFunction(spark, "metadatum_schema",
+      new ExpressionInfo(classOf[MetadatumSchema].getName, "metadatum_schema"),
+      es => MetadatumSchema(es.head))
   }
 }
 
@@ -57,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("blake2b256_hex"),
       new ExpressionInfo(classOf[Blake2bHex].getName, "blake2b256_hex"),
       es => Blake2bHex(es.head, 32)))
+    ext.injectFunction((FunctionIdentifier("native_script_cbor"),
+      new ExpressionInfo(classOf[NativeScriptCbor].getName, "native_script_cbor"),
+      es => NativeScriptCbor(es.head)))
+    ext.injectFunction((FunctionIdentifier("metadatum_schema"),
+      new ExpressionInfo(classOf[MetadatumSchema].getName, "metadatum_schema"),
+      es => MetadatumSchema(es.head)))
   }
 }

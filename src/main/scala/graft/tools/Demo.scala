@@ -91,6 +91,22 @@ object Demo {
     println("== llm top-1 neighbor of v0: " + graft.llm.Similarity
       .bruteForceTopK(vecs, 0L, 1).select("vec_id").as[Long].head())
 
+    // F8: the byte-exact result-JSON encoding (resultToJson mirror)
+    val oneJson = FoldInputs.asJson(
+      FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc)).limit(1))
+      .head().getString(0)
+    println("== result json (first row): " + oneJson.take(120) + "…")
+
+    // SQL surface: snapshot views + kernel functions
+    graft.GraftFunctions.register(spark)
+    ix.createOrReplaceViews("g_")
+    println("== sql view count(g_inputs): " +
+      spark.sql("SELECT count(*) FROM g_inputs").head().getLong(0))
+    println("== sql native_script_cbor: " + spark.sql(
+      """SELECT native_script_cbor('{"clause":"before","slot":150}')""").head().getString(0))
+    println("== sql metadatum_schema: " + spark.sql(
+      """SELECT metadatum_schema('{"json":{"msg":["hi"]}}')""").head().getString(0))
+
     spark.stop()
   }
 }

@@ -56,4 +56,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT blake2b256_hex('d87980')").head().getString(0)
       == Hex.encode(Blake2b.hash256(Hex.decode("d87980").get)))
   }
+
+  test("SQL surface: native_script_cbor / metadatum_schema") {
+    GraftFunctions.register(spark)
+    val kh = "3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f3fe"
+    assert(spark.sql(
+      s"""SELECT native_script_cbor('{"clause":"signature","from":"$kh"}')""")
+      .head().getString(0) == "008200581c" + kh)
+    assert(spark.sql(
+      """SELECT metadatum_schema('{"json":{"msg":[42]}}')""").head().getString(0)
+      == """{"map":[{"k":{"string":"msg"},"v":{"list":[{"int":42}]}}]}""")
+    assert(spark.sql("""SELECT metadatum_schema('{"cbor":"a11902d1a0"}')""")
+      .head().getString(0) == """{"map":[{"k":{"int":721},"v":{"map":[]}}]}""")
+    // malformed inputs are nulls, not failures (decoder semantics)
+    assert(spark.sql("""SELECT native_script_cbor('{"clause":"nope"}')""").head().isNullAt(0))
+    assert(spark.sql("""SELECT metadatum_schema('{"cbor":"zz"}')""").head().isNullAt(0))
+  }
 }
