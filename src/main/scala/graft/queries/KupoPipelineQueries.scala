@@ -45,7 +45,34 @@ object KupoPipelineQueries {
 
   private def txIdOf(c: Column): Column = concat(md5(c.cast("string")), md5(c.cast("string")))
 
+  /** Byron/bootstrap rows derived from `orders` (2% sample, slots offset to
+    * 10M+ so every slot-ranged query stays unaffected): tag-00 addresses with
+    * no assets/datums/spends. They make the Shelley-only wildcard (P2)
+    * genuinely differ from `*` — without them the OnlyShelley oracle would be
+    * vacuously equal to the full count. */
+  private def derivedBootstrapInputs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").where(col("o_orderkey") % 50 === 0).select(
+      concat(md5(concat(lit("b"), col("o_orderkey").cast("string"))),
+             md5(concat(lit("b"), col("o_orderkey").cast("string")))).as("tx_id"),
+      lit(0).as("output_index"),
+      (col("o_orderkey") % 7).cast("int").as("transaction_index"),
+      concat(lit("00"), md5(col("o_orderkey").cast("string"))).as("address"),
+      lit(null).cast("string").as("payment_credential"),
+      struct(
+        col("o_custkey").cast(DecimalType(38, 0)).as("coins"),
+        lit(null).cast(Schemas.valueType.fields(1).dataType).as("assets")).as("value"),
+      lit(null).cast(Schemas.datumInfoType).as("datum_info"),
+      lit(null).cast("string").as("script_hash"),
+      (col("o_orderkey") + 10000000L).as("created_at"),
+      lit(null).cast("long").as("spent_at"),
+      lit(null).cast(Schemas.spentByType).as("spent_by"),
+      lit(null).cast("string").as("spent_with"),
+      ((col("o_orderkey") + 10000000L) / Schemas.BucketSize).cast("long").as("created_bucket"))
+
   private def derivedInputs(s: SparkSession, dir: String): DataFrame =
+    derivedShelleyInputs(s, dir).unionByName(derivedBootstrapInputs(s, dir))
+
+  private def derivedShelleyInputs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem").select(
       txIdOf(col("l_orderkey")).as("tx_id"),
       col("l_linenumber").as("output_index"),
@@ -147,7 +174,15 @@ object KupoPipelineQueries {
       |         CASE WHEN l_returnflag = 'R' THEN CAST(l_linenumber % 3 AS INT) END AS spend_input_index,
       |         CASE WHEN l_returnflag = 'R' AND l_orderkey % 3 = 0
       |              THEN 'rdmr' || CAST(l_orderkey % 97 AS VARCHAR) END AS redeemer
-      |  FROM lineitem)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT md5('b' || CAST(o_orderkey AS VARCHAR)) || md5('b' || CAST(o_orderkey AS VARCHAR)),
+      |         0, CAST(o_orderkey % 7 AS INT),
+      |         '00' || md5(CAST(o_orderkey AS VARCHAR)),
+      |         CAST(o_custkey AS BIGINT),
+      |         NULL, NULL, NULL, NULL,
+      |         o_orderkey + 10000000, NULL, NULL, NULL, NULL
+      |  FROM orders WHERE o_orderkey % 50 = 0)
       |""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
