@@ -178,6 +178,31 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
   /** inputs reconciled with the spends delta — the effective fact table. */
   def inputsWithSpends: DataFrame = reconcile(table("inputs"))
 
+  /** Segment-pruned scan for spent_at-ranged queries: when the spends delta
+    * is empty (steady state after compact()), every effective spent_at is
+    * baked into the segments, so segments whose manifest spent stat proves
+    * max(spent_at) < lo (or no spends at all) cannot contribute — a
+    * ?spent_after query then opens only recently-spent segments. With a
+    * non-empty delta a mark may target ANY segment, so fall back to the full
+    * reconciled scan (pruning would be unsound). */
+  def inputsForSpentRange(lo: Option[Long]): DataFrame = {
+    val m = manifest
+    val deltaEmpty = m.tables.getOrElse("spends", Nil).isEmpty
+    if (!deltaEmpty || lo.isEmpty) return inputsWithSpends
+    val segs = m.tables.getOrElse("inputs", Nil).filter { s =>
+      s.spent match {
+        case SpentStat.NoneSpent => false
+        case SpentStat.MaxAt(mx) => mx >= lo.get
+        case SpentStat.Unknown   => true // pre-upgrade manifest: can't prune
+      }
+    }
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaOf("inputs"))
+    else
+      spark.read.schema(schemaOf("inputs")).parquet(segs.map(s => s"$root/${s.path}"): _*)
+  }
+
   /** Materialize the spends delta into inputs and dedup PKs (S7 OR IGNORE). */
   def compact(): Unit = {
     val merged = inputsWithSpends

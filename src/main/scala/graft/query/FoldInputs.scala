@@ -45,7 +45,9 @@ object FoldInputs {
           else ix.inputsWithSpends
         scan.where(rangePredicate(col("created_at"), lo, hi))
       case RangeField.SpentAt =>
-        ix.inputsWithSpends
+        // post-compaction, the per-segment spent stats prune segments whose
+        // spends all predate the lower bound
+        ix.inputsForSpentRange(lo)
           .where(col("spent_at").isNotNull && rangePredicate(col("spent_at"), lo, hi))
     }
     val matched = base.where(pattern.toPredicate)

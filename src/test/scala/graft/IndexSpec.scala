@@ -105,6 +105,20 @@ class IndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foldInputs: spent_at range answers identically from pruned segments after compact") {
+    val ix2 = freshIndex()
+    ix2.compact() // empty delta → segment pruning by spent stats kicks in
+    val res = FoldInputs(ix2, MatchesQuery("*/*",
+      range = SlotRange(RangeField.SpentAt, Some(40L), None)))
+    val got = res.select("transaction_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = model.filter(_.spentAt.exists(_ >= 40)).map(r => (r.txId, r.outIx)).toSet
+    assert(got == want)
+    // a bound beyond every spend prunes every segment
+    assert(FoldInputs(ix2, MatchesQuery("*/*",
+      range = SlotRange(RangeField.SpentAt, Some(100000L), None))).count() == 0)
+  }
+
   test("foldInputs: point-form range bounds are asserted against checkpoints") {
     val b = blocks.head // slot 10
     // exact point accepted
