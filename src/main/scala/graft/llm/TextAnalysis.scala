@@ -85,4 +85,30 @@ object TextAnalysis {
     array_min(transform(
       sequence(lit(1), greatest(length(textCol) - (window - 1), lit(1))),
       i => md5(textCol.substr(i, lit(window)))))
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme
+    * used for plagiarism/near-dup detection): hash every positional k-gram,
+    * slide a w-hash window, keep each window's MINIMUM, emit the distinct
+    * minima per doc. Guarantees a shared fingerprint for any match of
+    * length ≥ w + k − 1. One explode + one partition-local window pass +
+    * one distinct — hashes are 8-hex-char strings so the windowed min is
+    * plain lexicographic and reproducible in any engine. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positional = docs.select(
+        col(idCol),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1)))).as("i"),
+        col(textCol))
+      .select(col(idCol), col("i"),
+        substring(md5(col(textCol).substr(col("i"), lit(k))), 1, 8).as("h"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val part = Window.partitionBy(col(idCol))
+    positional
+      .withColumn("fp", min(col("h")).over(frame))
+      .withColumn("n", count(lit(1)).over(part))
+      .where(col("i") <= col("n") - (w - 1)) // full windows only
+      .select(col(idCol), col("fp")).distinct()
+  }
 }

@@ -211,6 +211,29 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints: positional k-gram rolling hashes, sliding
+    // window minima, distinct per doc — guarantees a shared fingerprint for
+    // any common substring of length ≥ w+k−1. The windowed min is over
+    // 8-hex-char strings, so both engines agree lexicographically.
+    QueryDef("q_winnow_fingerprint",
+      (s, d) => TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .orderBy(col("doc_id")),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
+             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+             |        FROM documents)),
+             |win AS (
+             |  SELECT doc_id,
+             |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |         i, count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM pos),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3)
+             |SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+             |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: hash of the sorted distinct token set (order- and
     // repetition-invariant content signature).
     QueryDef("q_fingerprint",

@@ -93,6 +93,25 @@ class LlmSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("winnowing: documents sharing a long substring share a fingerprint") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "AAAA " + common + " BBBB"),
+      (2L, "XXXXXXXXXX " + common + " YY"),
+      (3L, "zzzz completely unrelated content qqqq wwww eeee rrrr tttt")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs, k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: any common substring of length ≥ w+k−1 yields a shared min
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // deterministic across evaluations
+    val again = TextAnalysis.winnowingFingerprints(docs, k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == fps.toSeq.flatMap { case (d, s) => s.map(d -> _) }.toSet)
+  }
+
   test("text analysis: lang id, token counts, quality, fingerprint") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(docs).as("lang"),
         TextAnalysis.tokenCount(col("text")).as("nt"),
