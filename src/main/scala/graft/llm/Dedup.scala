@@ -165,6 +165,26 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** SimHash candidate retrieval: band the 16-bit fingerprint into its high
+    * and low bytes; docs agreeing on EITHER band are candidates (a pair
+    * within Hamming distance d < 16/2 must agree on at least one band —
+    * the pigeonhole guarantee), verified with bit_count(xor) ≤ maxHamming.
+    * Same ~linear candidate shape as MinHash-LSH: band equi-joins, then a
+    * codegen'd popcount per candidate — never O(n²). */
+  def simhashPairs(sims: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val banded = sims.select(col(idCol), col("simhash"),
+      (col("simhash") / 256).cast("long").as("hi"),
+      (col("simhash") % 256).cast("long").as("lo"))
+    def onBand(b: String) = banded.as("a").join(banded.as("b"),
+        col(s"a.$b") === col(s"b.$b") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+    onBand("hi").unionByName(onBand("lo")).distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** md5 carved into `n` independent 8-hex-char hash values. */
   def carvedHashes(c: Column, n: Int): Seq[Column] =
     (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))

@@ -64,6 +64,28 @@ object LlmQueries {
 
   private val bucketsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val ivfCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Per-doc 16-bit SimHash signatures — cached artifact shared by the
+    * signature dump and the banded pair-retrieval query. */
+  private def simhashOf(s: SparkSession, d: String): DataFrame = synchronized {
+    simhashCache.getOrElseUpdate(d,
+      graft.llm.Dedup.simhash(spreadDocs(s, d), bits = 16).cache())
+  }
+
+  /** The per-doc simhash derivation as a DuckDB CTE (mirrors Dedup.simhash). */
+  private val simhashDuckSql =
+    """sims AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, b,
+      |           sum(CASE WHEN substr(h, b, 1) >= '8' THEN 1 ELSE -1 END) AS s
+      |    FROM (SELECT doc_id, md5(token) AS h
+      |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+      |         unnest(range(1, 17)) AS bs(b)
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id)""".stripMargin
 
   private def spreadEmbeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings").select("vec_id", "embedding")
@@ -101,6 +123,7 @@ object LlmQueries {
     setsOf("token", tokensOf(s, d), "token", d).count()
     bucketsOf(s, d).count()
     ivfOf(s, d).count()
+    simhashOf(s, d).count()
   }
 
   /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
@@ -295,32 +318,32 @@ object LlmQueries {
               |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
 
     // SimHash (16-bit, md5-nibble hash family): per-bit majority vote over
-    // token hashes → compact near-dup fingerprint.
+    // token hashes → compact near-dup fingerprint. The signature frame is a
+    // cached artifact shared with the pair-retrieval query below.
     QueryDef("q_simhash",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        // md5 is computed once per token BEFORE the 16-way bit explode —
-        // the bit rows carry one hex char each, not a fresh digest
-        s.sql("""SELECT doc_id,
-                |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-                |FROM (
-                |  SELECT doc_id, b,
-                |         sum(CASE WHEN substr(h, b, 1) >= '8' THEN 1 ELSE -1 END) AS s
-                |  FROM (SELECT doc_id, md5(token) AS h
-                |        FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents))
-                |  LATERAL VIEW explode(sequence(1, 16)) t AS b
-                |  GROUP BY doc_id, b)
-                |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-      },
-      Some("""SELECT doc_id,
-             |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-             |FROM (
-             |  SELECT doc_id, b,
-             |         sum(CASE WHEN substr(md5(token), b, 1) >= '8' THEN 1 ELSE -1 END) AS s
-             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-             |       unnest(range(1, 17)) AS bs(b)
-             |  GROUP BY doc_id, b)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      (s, d) => simhashOf(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH $simhashDuckSql
+              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
+
+    // SimHash candidate pairs: high/low-byte banding (pigeonhole: hamming < 8
+    // implies agreement on one band) + popcount-verified Hamming distance.
+    QueryDef("q_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(simhashOf(s, d), maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $simhashDuckSql,
+              |banded AS (
+              |  SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sims),
+              |cand AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         a.simhash AS sim_a, b.simhash AS sim_b
+              |  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
+              |  UNION
+              |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+              |  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Brute-force cosine top-k (the ANN baseline): ordered sequential double
     // fold — bit-identical to DuckDB's list_cosine_similarity on DOUBLE[].
