@@ -302,6 +302,21 @@ class IndexSpec extends SparkSpec {
     assert(ix2.table("inputs").count() == remaining.size)
   }
 
+  test("P11: metadata-tag pattern indexes only outputs of tagged transactions") {
+    val ix2 = new GraftIndex(spark, tmpDir("graft-p11"))
+    val p = Set[Pattern](Pattern.MatchMetadataTag(674L))
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, blocks), p)
+    val got = ix2.table("inputs").select("tx_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = runModel(blocks, p).map(r => (r.txId, r.outIx)).toSet
+    assert(got == want && got.nonEmpty)
+    // the tag is index-time only: querying with it must be refused (like the
+    // reference's patternToSql error, Database.hs:711,762-763)
+    intercept[IllegalArgumentException] {
+      FoldInputs(ix2, MatchesQuery("{674}"))
+    }
+  }
+
   test("SQL views expose the reconciled index to spark.sql") {
     ix.createOrReplaceViews("gx_")
     assert(spark.sql("SELECT count(*) FROM gx_inputs").head().getLong(0) == model.size)
