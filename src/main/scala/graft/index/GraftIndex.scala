@@ -203,7 +203,9 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
       spark.read.schema(schemaOf("inputs")).parquet(segs.map(s => s"$root/${s.path}"): _*)
   }
 
-  /** Materialize the spends delta into inputs and dedup PKs (S7 OR IGNORE). */
+  /** Materialize the spends delta into inputs and dedup PKs (S7 OR IGNORE).
+    * FULL rewrite — the only operation that dedups primary keys globally;
+    * run it at coarse cadence. The frequent merge is `compactSpends()`. */
   def compact(): Unit = {
     val merged = inputsWithSpends
       .dropDuplicates("tx_id", "output_index")
@@ -212,6 +214,40 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     replace("inputs", merged)
     replace("spends", emptyOf("spends"))
     merged.unpersist()
+  }
+
+  /** PARTIAL compaction: fold the spends delta into ONLY the segments that
+    * can contain the marked rows. One scan finds the created_at slots the
+    * marks actually target (the delta is broadcast-small, so this is a
+    * map-only semi-join); segments whose [min,max] slot range contains none
+    * of those slots keep their files untouched. At 100 TB this bounds write
+    * amplification by the marked segments instead of rewriting the table —
+    * the delta-merge analogue of rollback's manifest surgery. Does NOT
+    * dedup primary keys across segments (compact() does, at coarser
+    * cadence). */
+  def compactSpends(): Unit = {
+    val m = manifest
+    if (m.tables.getOrElse("spends", Nil).isEmpty) return
+    val delta = broadcast(table("spends").select("tx_id", "output_index").distinct())
+    val markedSlots = table("inputs")
+      .join(delta, Seq("tx_id", "output_index"), "left_semi")
+      .select("created_at").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (touched, untouched) = m.tables.getOrElse("inputs", Nil).partition { sg =>
+      (sg.minSlot, sg.maxSlot) match {
+        case (Some(mn), Some(mx)) => markedSlots.exists(s => s >= mn && s <= mx)
+        case _                    => true // no stats: rewrite conservatively
+      }
+    }
+    if (touched.nonEmpty) {
+      val df = reconcile(spark.read.schema(schemaOf("inputs"))
+        .parquet(touched.map(sg => s"$root/${sg.path}"): _*))
+        .cache()
+      df.count() // materialize before the manifest swap affects reads
+      replaceWith("inputs", untouched, Some(df))
+      df.unpersist()
+    }
+    replace("spends", emptyOf("spends"))
   }
 
   def emptyOf(table: String): DataFrame =

@@ -214,6 +214,40 @@ class IndexSpec extends SparkSpec {
     assert(FoldInputs.getBinaryData(ix, someHash.get).nonEmpty)
   }
 
+  test("compactSpends() folds the delta into only the touched segments") {
+    val ix2 = new GraftIndex(spark, tmpDir("graft-partial-compact"))
+    val p = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+    // batch 1: blocks at slots 10/20, nothing spent
+    val txA = FixtureChain.hex32(555001); val txB = FixtureChain.hex32(555002)
+    val b10 = FixtureChain.Blk(10L, FixtureChain.hex32(666001),
+      Seq(FixtureChain.Tx(txA, Nil, Seq(FixtureChain.Out(FixtureChain.baseAddr(0, 0), 1L)))))
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, Seq(b10)), p)
+    val seg10 = ix2.manifest.tables("inputs").map(_.path).toSet
+    // batch 2: block at slot 500 creates R and spends it in the same block
+    val txC = FixtureChain.hex32(555003)
+    val b500 = FixtureChain.Blk(500L, FixtureChain.hex32(666002), Seq(
+      FixtureChain.Tx(txB, Nil, Seq(FixtureChain.Out(FixtureChain.baseAddr(1, 0), 2L))),
+      FixtureChain.Tx(txC, Seq((txB, 0)),
+        Seq(FixtureChain.Out(FixtureChain.baseAddr(2, 1), 3L)))))
+    Indexer.ingest(ix2, FixtureChain.toDf(spark, Seq(b500)), p)
+    val before = ix2.inputsWithSpends
+      .select("tx_id", "output_index", "spent_at").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    ix2.compactSpends()
+    assert(ix2.table("spends").count() == 0)
+    // results identical, mark baked in
+    val after = ix2.inputsWithSpends
+      .select("tx_id", "output_index", "spent_at").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(after == before)
+    assert(after.contains((txB, 0, Some(500L))))
+    // the slot-10 segment's files were NOT rewritten (marks target slot 500)
+    val segsAfter = ix2.manifest.tables("inputs").map(_.path).toSet
+    assert(seg10.subsetOf(segsAfter))
+  }
+
   test("compact() preserves query results") {
     val ix2 = freshIndex()
     val before = FoldInputs(ix2, MatchesQuery("*/*"))

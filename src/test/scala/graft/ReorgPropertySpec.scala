@@ -125,7 +125,7 @@ class ReorgPropertySpec extends SparkSpec {
             Mutations.pruneInputs(ix, k)
             model.prune(k)
           case 9 =>
-            ix.compact()
+            if (rnd.nextBoolean()) ix.compact() else ix.compactSpends()
         }
         if (step % 3 == 2) { // compare state every few mutations
           assert(engineState(ix) == model.state, s"divergence at step $step (seed=$seed)")
