@@ -185,6 +185,37 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution — the dedup DECISION step: connected
+    * components over the candidate-pair graph, each doc labeled with the
+    * smallest doc id in its component (the canonical survivor). Iterative
+    * min-label propagation: per round one join (edges × labels) + one
+    * min-aggregate, looping until a round changes nothing. Rounds are
+    * bounded by the component diameter — near-dup components are tiny, so
+    * this converges in a handful of rounds at any corpus size, and each
+    * round shuffles only (doc, label) pairs, never payloads. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    // eager localCheckpoint per round: iterative plans COMPOUND (round N's
+    // lineage embeds round N-1's twice) — without truncation the driver
+    // drowns in plan analysis long before the executors do any work
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("doc"))
+        .select(edges("src").as("doc"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc")
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** md5 carved into `n` independent 8-hex-char hash values. */
   def carvedHashes(c: Column, n: Int): Seq[Column] =
     (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))

@@ -65,6 +65,15 @@ object LlmQueries {
   private val bucketsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val ivfCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val clustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Connected-component cluster assignment over the LSH pairs — the
+    * persisted dedup-decision artifact (a deployment materializes it once
+    * per corpus snapshot; the iterative build is the ingest-side job). */
+  private def clustersOf(s: SparkSession, d: String): DataFrame = synchronized {
+    clustersCache.getOrElseUpdate(d,
+      graft.llm.Dedup.duplicateClusters(pairsOf(s, d)).cache())
+  }
 
   /** Per-doc 16-bit SimHash signatures — cached artifact shared by the
     * signature dump and the banded pair-retrieval query. */
@@ -124,6 +133,7 @@ object LlmQueries {
     bucketsOf(s, d).count()
     ivfOf(s, d).count()
     simhashOf(s, d).count()
+    clustersOf(s, d).count()
   }
 
   /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
@@ -528,6 +538,24 @@ object LlmQueries {
              |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
              |WHERE a.vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Duplicate-cluster resolution: connected components over the LSH
+    // candidate-pair graph; each doc gets its component's min doc id as the
+    // canonical survivor. Spark side = iterative min-label propagation;
+    // oracle = recursive CTE over the same edges.
+    QueryDef("q_dedup_clusters",
+      (s, d) => clustersOf(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $sigsWideDuckSql,
+              |$bandsDuckSql,
+              |edges AS (
+              |  SELECT doc_a AS s, doc_b AS d FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc(doc, lbl) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d)
+              |SELECT doc AS doc_id, min(lbl) AS cluster_id
+              |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin)),
 
     // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
     // token sets — robust to word-boundary edits).

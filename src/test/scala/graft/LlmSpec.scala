@@ -93,6 +93,14 @@ class LlmSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter forces multiple propagation rounds) + pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
   test("winnowing: documents sharing a long substring share a fingerprint") {
     import spark.implicits._
     val common = "the quick brown fox jumps over the lazy dog again and again"
