@@ -253,6 +253,27 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
   def emptyOf(table: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
 
+  /** Adopt another index's segments for `table` verbatim: file-level copy of
+    * the segment directories plus manifest registration with the SAME stats
+    * — no Spark job, no decode/re-encode. The bulk-bootstrap path for tables
+    * copied unfiltered (copyDatabase's checkpoints): at scale this is a
+    * distributed-FS copy of immutable files, not a recompute. */
+  def adoptSegments(table: String, src: GraftIndex): Unit = {
+    val srcSegs = src.manifest.tables.getOrElse(table, Nil)
+    srcSegs.foreach { sg =>
+      val from = Paths.get(src.root, sg.path)
+      val to = Paths.get(root, sg.path)
+      Files.createDirectories(to.getParent)
+      Files.walk(from).forEach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val m = manifest
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, srcSegs)))
+  }
+
   /** Register the index as temp views (`<prefix>inputs` is the RECONCILED
     * fact table; side tables verbatim), pinned to the CURRENT manifest —
     * a snapshot-isolated SQL surface: `spark.sql("SELECT … FROM g_inputs")`.

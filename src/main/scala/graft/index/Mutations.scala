@@ -80,7 +80,9 @@ object Mutations {
       .where(col("script_hash").isNotNull).select("script_hash")
     dst.replace("scripts",
       src.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"))
-    dst.replace("checkpoints", src.table("checkpoints"))
+    // checkpoints copy unfiltered: adopt the immutable segment files
+    // verbatim (file-level copy + manifest registration, no Spark job)
+    dst.adoptSegments("checkpoints", src)
     val spark = src.spark
     import spark.implicits._
     dst.replace("patterns", patterns.map(_.toText).toSeq.toDF("pattern"))
