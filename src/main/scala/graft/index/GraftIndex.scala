@@ -264,11 +264,12 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
       val from = Paths.get(src.root, sg.path)
       val to = Paths.get(root, sg.path)
       Files.createDirectories(to.getParent)
-      Files.walk(from).forEach { p =>
+      val walk = Files.walk(from)
+      try walk.forEach { p =>
         val dest = to.resolve(from.relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(dest)
         else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally walk.close()
     }
     val m = manifest
     Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, srcSegs)))
