@@ -16,6 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * perf-only custom-Expression candidate). Semantics are byte-identical to
   * the graft.codec/graft.model functions they wrap. */
 object Kernels {
+  /** Shared Jackson mapper — thread-safe for readTree/writeValueAsString;
+    * per-row construction would dominate the kernels' cost at ingest scale. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Wire address text (bech32 / base58 Byron / raw hex) → kupo hex form,
     * null when unparseable — the decodeAddress semantics
     * (/root/reference/src/Kupo/Data/Ogmios.hs:349-358). */
@@ -57,7 +61,6 @@ object Kernels {
   def nativeScriptCbor(json: UTF8String): UTF8String = {
     if (json == null) return null
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(json.toString)
       val out = new java.io.ByteArrayOutputStream()
       def head(major: Int, v: Long): Unit = {
@@ -106,7 +109,6 @@ object Kernels {
     import com.fasterxml.jackson.databind.JsonNode
     if (wire == null) return null
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       def jstr(s: String): String = mapper.writeValueAsString(s)
 
       // metadatum tree rendered straight to the schema'd JSON text
@@ -139,28 +141,32 @@ object Kernels {
         else if (n.isTextual) MS(n.asText())
         else sys.error("unexpected bool/null in metadatum")
 
-      // the "cbor" form: CBOR metadatum (uint/nint/bytes/text/array/map)
+      // the "cbor" form: CBOR metadatum (uint/nint/bytes/text/array/map).
+      // Integer ARGUMENTS are unsigned up to 64 bits (Cardano metadata
+      // permits full-range uint64), so values decode as unsigned BigInt;
+      // lengths must additionally fit an Int.
       def fromCbor(b: Array[Byte]): M = {
         var pos = 0
         def take(n: Int): Array[Byte] = { val r = b.slice(pos, pos + n); require(r.length == n); pos += n; r }
-        def arg(info: Int): Long = info match {
-          case i if i < 24 => i.toLong
-          case 24 => take(1).head & 0xffL
-          case 25 => take(2).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
-          case 26 => take(4).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
-          case 27 => take(8).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
+        def arg(info: Int): BigInt = info match {
+          case i if i < 24 => BigInt(i)
+          case 24 => BigInt(1, take(1))
+          case 25 => BigInt(1, take(2))
+          case 26 => BigInt(1, take(4))
+          case 27 => BigInt(1, take(8))
           case _  => sys.error("indefinite/invalid length")
         }
+        def len(info: Int): Int = { val n = arg(info); require(n.isValidInt); n.toInt }
         def item(): M = {
           val h = take(1).head & 0xff
           val (major, info) = (h >>> 5, h & 0x1f)
           major match {
-            case 0 => MI(BigInt(arg(info)))
-            case 1 => MI(BigInt(-1) - BigInt(arg(info)))
-            case 2 => MB(Hex.encode(take(arg(info).toInt)))
-            case 3 => MS(new String(take(arg(info).toInt), java.nio.charset.StandardCharsets.UTF_8))
-            case 4 => ML((0L until arg(info)).map(_ => item()))
-            case 5 => MM((0L until arg(info)).map(_ => (item(), item())))
+            case 0 => MI(arg(info))
+            case 1 => MI(BigInt(-1) - arg(info))
+            case 2 => MB(Hex.encode(take(len(info))))
+            case 3 => MS(new String(take(len(info)), java.nio.charset.StandardCharsets.UTF_8))
+            case 4 => ML((0 until len(info)).map(_ => item()))
+            case 5 => MM((0 until len(info)).map(_ => (item(), item())))
             case _ => sys.error(s"unsupported major type $major in metadatum")
           }
         }

@@ -259,10 +259,16 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     * copied unfiltered (copyDatabase's checkpoints): at scale this is a
     * distributed-FS copy of immutable files, not a recompute. */
   def adoptSegments(table: String, src: GraftIndex): Unit = {
+    val m = manifest
     val srcSegs = src.manifest.tables.getOrElse(table, Nil)
-    srcSegs.foreach { sg =>
+    // adopted segments get DST-namespaced paths: registering the source's
+    // own seg-NNNNNN names verbatim would collide with this index's
+    // version-numbered writes once its counter catches up, silently
+    // clobbering the adopted files
+    val adopted = srcSegs.zipWithIndex.map { case (sg, i) =>
+      val path = f"$table/adopt-${m.version + 1}%06d-$i%03d"
       val from = Paths.get(src.root, sg.path)
-      val to = Paths.get(root, sg.path)
+      val to = Paths.get(root, path)
       Files.createDirectories(to.getParent)
       val walk = Files.walk(from)
       try walk.forEach { p =>
@@ -270,9 +276,9 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
         if (Files.isDirectory(p)) Files.createDirectories(dest)
         else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
       } finally walk.close()
+      sg.copy(path = path)
     }
-    val m = manifest
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, srcSegs)))
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, adopted)))
   }
 
   /** Register the index as temp views (`<prefix>inputs` is the RECONCILED

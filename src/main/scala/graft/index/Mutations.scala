@@ -21,9 +21,18 @@ object Mutations {
     ix.append("spends", spends)
 
   /** U2 deleteInputs (SQLite.hs:641-643,846-855): delete rows matching a
-    * pattern — anti-filter rewrite. */
-  def deleteInputs(ix: GraftIndex, patterns: Set[Pattern]): Unit =
-    ix.replace("inputs", ix.table("inputs").where(!Pattern.anyOf(patterns)))
+    * pattern — anti-filter rewrite. Returns rows deleted (count observed on
+    * the rewrite itself, no extra scans). */
+  def deleteInputs(ix: GraftIndex, patterns: Set[Pattern]): Long = {
+    val obsAll = org.apache.spark.sql.Observation()
+    val obsKept = org.apache.spark.sql.Observation()
+    val keep = ix.table("inputs")
+      .observe(obsAll, count(lit(1)).as("n"))
+      .where(!Pattern.anyOf(patterns))
+      .observe(obsKept, count(lit(1)).as("n"))
+    ix.replace("inputs", keep)
+    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
+  }
 
   /** U3 pruneInputs (SQLite.hs:654-657,876-883): GC spent rows older than
     * maxSlot − longestRollback. One declarative job — the reference's

@@ -85,17 +85,7 @@ object PatternManager {
   def deleteMatches(ix: GraftIndex, p: Pattern): Either[String, Long] = {
     val active = currentPatterns(ix)
     if (p.overlaps(active)) Left("still-active pattern: matches are covered by the active set")
-    else {
-      // deleted count observed on the rewrite — no extra counting scans
-      val obsAll = org.apache.spark.sql.Observation()
-      val obsKept = org.apache.spark.sql.Observation()
-      val keep = ix.table("inputs")
-        .observe(obsAll, count(lit(1)).as("n"))
-        .where(!Pattern.anyOf(Set(p)))
-        .observe(obsKept, count(lit(1)).as("n"))
-      ix.replace("inputs", keep)
-      Right(obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long])
-    }
+    else Right(Mutations.deleteInputs(ix, Set(p)))
   }
 
   /** DELETE /patterns/{pattern}: retire patterns from the active set (their

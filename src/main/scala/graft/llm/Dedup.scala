@@ -152,8 +152,12 @@ object Dedup {
       .join(embeddings, "vec_id")
       .withColumn("nrm", Similarity.norm(col("embedding")))
 
+  /** Convenience one-shot form; the bucket frame is built inline and read
+    * twice by the pair join (prefer building `embeddingBuckets` once,
+    * persisting it, and calling `nearDupsFromBuckets` — caching here would
+    * pin memory with no handle to unpersist). */
   def embeddingNearDups(embeddings: DataFrame, planes: DataFrame, threshold: Double): DataFrame =
-    nearDupsFromBuckets(embeddingBuckets(embeddings, planes).cache(), threshold)
+    nearDupsFromBuckets(embeddingBuckets(embeddings, planes), threshold)
 
   /** Pairwise cosine ONLY within a bucket, from a prebuilt bucket index. */
   def nearDupsFromBuckets(bucketed: DataFrame, threshold: Double): DataFrame = {
@@ -165,22 +169,23 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
   }
 
-  /** SimHash candidate retrieval: band the 16-bit fingerprint into its high
-    * and low bytes; docs agreeing on EITHER band are candidates (a pair
-    * within Hamming distance d < 16/2 must agree on at least one band —
-    * the pigeonhole guarantee), verified with bit_count(xor) ≤ maxHamming.
-    * Same ~linear candidate shape as MinHash-LSH: band equi-joins, then a
-    * codegen'd popcount per candidate — never O(n²). */
-  def simhashPairs(sims: DataFrame, maxHamming: Int,
+  /** SimHash candidate retrieval: band the 16-bit fingerprint into its four
+    * nibbles; docs agreeing on ANY band are candidates. Pigeonhole
+    * guarantee: a pair within Hamming distance 3 flips bits in at most 3 of
+    * the 4 bands, so at least one band matches exactly — retrieval is
+    * LOSSLESS for maxHamming ≤ 3. Band equi-joins, then a codegen'd
+    * popcount verifies bit_count(xor) ≤ maxHamming — never O(n²). */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id"): DataFrame = {
-    val banded = sims.select(col(idCol), col("simhash"),
-      (col("simhash") / 256).cast("long").as("hi"),
-      (col("simhash") % 256).cast("long").as("lo"))
+    require(maxHamming <= 3, "4-band retrieval is lossless only for hamming ≤ 3")
+    val banded = sims.select(Seq(col(idCol), col("simhash")) ++
+      (0 until 4).map(i =>
+        shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xf)).as(s"b$i")): _*)
     def onBand(b: String) = banded.as("a").join(banded.as("b"),
         col(s"a.$b") === col(s"b.$b") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-    onBand("hi").unionByName(onBand("lo")).distinct()
+    (0 until 4).map(i => onBand(s"b$i")).reduce(_ unionByName _).distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
   }

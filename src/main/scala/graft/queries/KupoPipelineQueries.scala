@@ -390,9 +390,9 @@ object KupoPipelineQueries {
         """SELECT count(DISTINCT policy_id) AS n FROM inputs
           |WHERE policy_id IS NOT NULL""".stripMargin)),
 
-    // P2 MatchAny OnlyShelley: the bootstrap-excluding wildcard (every
-    // derived address is Shelley-tagged, so it must equal the full count —
-    // the predicate path itself is what's under test).
+    // P2 MatchAny OnlyShelley: the bootstrap-excluding wildcard — the
+    // derived index contains Byron-tagged rows (derivedBootstrapInputs), so
+    // this count observably differs from the `*` total.
     QueryDef("q_kupo_count_shelley",
       (s, d) => {
         val ix = buildIndex(s, d)

@@ -335,22 +335,29 @@ object LlmQueries {
       Some(s"""WITH $simhashDuckSql
               |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
 
-    // SimHash candidate pairs: high/low-byte banding (pigeonhole: hamming < 8
-    // implies agreement on one band) + popcount-verified Hamming distance.
+    // SimHash candidate pairs: four 4-bit bands (pigeonhole: hamming ≤ 3
+    // leaves at least one band untouched — LOSSLESS retrieval at this
+    // threshold) + popcount-verified Hamming distance.
     QueryDef("q_simhash_pairs",
       (s, d) => Dedup.simhashPairs(simhashOf(s, d), maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $simhashDuckSql,
               |banded AS (
-              |  SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sims),
+              |  SELECT doc_id, simhash,
+              |         (simhash // 1) % 16 AS b0, (simhash // 16) % 16 AS b1,
+              |         (simhash // 256) % 16 AS b2, (simhash // 4096) % 16 AS b3
+              |  FROM sims),
               |cand AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |         a.simhash AS sim_a, b.simhash AS sim_b
-              |  FROM banded a JOIN banded b ON a.hi = b.hi AND a.doc_id < b.doc_id
-              |  UNION
-              |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-              |  FROM banded a JOIN banded b ON a.lo = b.lo AND a.doc_id < b.doc_id)
+              |  FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+              |  FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+              |  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+              |  FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
               |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
               |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),

@@ -283,6 +283,7 @@ object FoldInputs {
       .distinct
     cp.where(col("slot_no").isInCollection(slots))
       .select(col("slot_no"), col("header_hash"))
+      .dropDuplicates("slot_no") // re-ingested batches can duplicate rows
       .orderBy(col("slot_no").desc)
   }
 

@@ -93,6 +93,18 @@ class LlmSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash pairs: 4-band retrieval is lossless for hamming <= 3") {
+    import spark.implicits._
+    // 0x0101 vs 0x0000 differ in two DIFFERENT nibbles (b0 and b2) —
+    // a 2-band high/low-byte scheme would miss this pair entirely
+    val sims = Seq((1L, 0x0101L), (2L, 0x0000L), (3L, 0xffffL))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sims, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L)))
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(sims, maxHamming = 4) }
+  }
+
   test("duplicate clusters: min-label propagation finds connected components") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter forces multiple propagation rounds) + pair 7-8
