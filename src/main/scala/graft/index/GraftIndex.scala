@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   * segments are rewritten. At 100 TB this is the difference between touching
   * a few partitions and rewriting the table.
   */
-final class GraftIndex(val spark: SparkSession, val root: String) {
+final class GraftIndex(val spark: SparkSession, val root: String,
+                       val vacuumGraceMs: Long = GraftIndex.DefaultVacuumGraceMs) {
   import GraftIndex._
 
   Files.createDirectories(Paths.get(root))
@@ -214,7 +215,79 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
     replace("inputs", merged)
     replace("spends", emptyOf("spends"))
     merged.unpersist()
+    vacuum(vacuumGraceMs)
   }
+
+  /** The VACUUM half of U7 (reference: post-copy VACUUM
+    * /root/reference/src/Kupo/App/Database/SQLite.hs:476-576, `PRAGMA
+    * optimize` :598-602). Mutations write new segments and bump
+    * `manifest.json`; nothing before this ever DELETED a dereferenced
+    * segment directory, so a streaming deployment (manifest bump per
+    * micro-batch, periodic compaction) grew the disk without bound.
+    *
+    * Deletes segment directories under `root/<table>/` that the CURRENT
+    * manifest does not reference, two-phased through
+    * `.vacuum-pending.json`: an unreferenced dir is first RECORDED with a
+    * first-seen timestamp and only deleted once it has stayed unreferenced
+    * for `graceMs` — a reader pinned to an older manifest gets at least the
+    * grace window to finish (the analogue of WAL readers draining before a
+    * checkpoint truncation; snapshot reads here are per-query, so minutes of
+    * grace dwarf any query). Wired into `compact()`, `compactSpends()` and
+    * the streaming drain; call directly for an immediate sweep.
+    * Returns the number of directories deleted. */
+  def vacuum(graceMs: Long): Int = {
+    val live = manifest.tables.valuesIterator.flatten.map(_.path).toSet
+    val now = System.currentTimeMillis()
+    val rootP = Paths.get(root)
+    def subdirs(p: java.nio.file.Path): List[java.nio.file.Path] =
+      if (!Files.isDirectory(p)) Nil
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).toList finally s.close()
+      }
+    val candidates = for {
+      tableDir <- subdirs(rootP)
+      name = tableDir.getFileName.toString
+      // only table payload dirs: skip the stream checkpoint + dotfiles
+      if !name.startsWith("_") && !name.startsWith(".")
+      seg <- subdirs(tableDir)
+    } yield s"$name/${seg.getFileName.toString}"
+    val pending = readVacuumPending()
+    val unreferenced = candidates.filterNot(live).map(p => p -> pending.getOrElse(p, now)).toMap
+    val (ripe, waiting) = unreferenced.partition { case (_, firstSeen) => now - firstSeen >= graceMs }
+    ripe.keysIterator.foreach { rel =>
+      val dir = rootP.resolve(rel)
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    writeVacuumPending(waiting)
+    ripe.size
+  }
+
+  private def vacuumPendingPath = Paths.get(root, ".vacuum-pending.json")
+
+  private def readVacuumPending(): Map[String, Long] =
+    if (!Files.exists(vacuumPendingPath)) Map.empty
+    else {
+      val json = new String(Files.readAllBytes(vacuumPendingPath), StandardCharsets.UTF_8)
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(json)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+
+  private def writeVacuumPending(m: Map[String, Long]): Unit =
+    if (m.isEmpty) { Files.deleteIfExists(vacuumPendingPath); () }
+    else {
+      val json = m.toSeq.sorted.map { case (p, t) => s""""$p":$t""" }.mkString("{", ",", "}")
+      val tmp = Paths.get(root, ".vacuum-pending.tmp")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, vacuumPendingPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
 
   /** PARTIAL compaction: fold the spends delta into ONLY the segments that
     * can contain the marked rows. One scan finds the created_at slots the
@@ -228,14 +301,10 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
   def compactSpends(): Unit = {
     val m = manifest
     if (m.tables.getOrElse("spends", Nil).isEmpty) return
-    val delta = broadcast(table("spends").select("tx_id", "output_index").distinct())
-    val markedSlots = table("inputs")
-      .join(delta, Seq("tx_id", "output_index"), "left_semi")
-      .select("created_at").distinct()
-      .collect().map(_.getLong(0)).toSet
+    val ranges = markedBucketRanges()
     val (touched, untouched) = m.tables.getOrElse("inputs", Nil).partition { sg =>
       (sg.minSlot, sg.maxSlot) match {
-        case (Some(mn), Some(mx)) => markedSlots.exists(s => s >= mn && s <= mx)
+        case (Some(mn), Some(mx)) => intersectsAny(ranges, mn, mx)
         case _                    => true // no stats: rewrite conservatively
       }
     }
@@ -248,6 +317,45 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
       df.unpersist()
     }
     replace("spends", emptyOf("spends"))
+    vacuum(vacuumGraceMs)
+  }
+
+  /** Merged, sorted [min,max] created_at ranges (one per touched
+    * created_bucket) of the rows the spends delta marks. This is the
+    * driver-side footprint of `compactSpends`: O(distinct created_bucket) —
+    * bounded by chain length / BucketSize — NOT O(marked rows). Collecting
+    * the raw slot set (round 2) put millions of longs on the driver heap and
+    * made the per-segment check O(|slots|); a bucket is BucketSize slots, so
+    * the range check loses almost no pruning precision (a segment is a
+    * bucket-clustered run anyway) while the collect stays a few KB. */
+  private[graft] def markedBucketRanges(): Array[(Long, Long)] = {
+    val delta = broadcast(table("spends").select("tx_id", "output_index").distinct())
+    val perBucket = table("inputs")
+      .join(delta, Seq("tx_id", "output_index"), "left_semi")
+      .groupBy("created_bucket")
+      .agg(min("created_at").as("mn"), max("created_at").as("mx"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    perBucket.foreach { case (mn, mx) =>
+      if (merged.nonEmpty && mn <= merged.last._2) {
+        val (lmn, lmx) = merged.last
+        merged(merged.size - 1) = (lmn, math.max(lmx, mx))
+      } else merged += ((mn, mx))
+    }
+    merged.toArray
+  }
+
+  /** Does [mn,mx] intersect any of the merged, sorted `ranges`? Binary search
+    * for the first range ending at or after mn — O(log buckets) per segment. */
+  private def intersectsAny(ranges: Array[(Long, Long)], mn: Long, mx: Long): Boolean = {
+    var lo = 0; var hi = ranges.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ranges(mid)._2 < mn) lo = mid + 1 else hi = mid
+    }
+    lo < ranges.length && ranges(lo)._1 <= mx
   }
 
   def emptyOf(table: String): DataFrame =
@@ -294,6 +402,11 @@ final class GraftIndex(val spark: SparkSession, val root: String) {
 }
 
 object GraftIndex {
+  /** Default reader-drain grace before a dereferenced segment dir is
+    * deleted (see `vacuum`). Snapshot reads pin a manifest per QUERY, not
+    * per session, so ten minutes is orders of magnitude beyond any query. */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
   /** Per-segment max(spent_at) stat — `Unknown` (pre-upgrade manifests: must
     * be rewritten conservatively on rollback), `NoneSpent` (no spent rows),
     * or `MaxAt` (rollback to s can skip the segment iff max ≤ s). */

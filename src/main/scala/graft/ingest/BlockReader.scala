@@ -107,13 +107,15 @@ object BlockReader {
   private def blake256Hex(c: Column): Column = graft.GraftFunctions.blake2b256Hex(c)
   private def blake224Hex(c: Column): Column = graft.GraftFunctions.blake2b224Hex(c)
 
-  /** Parse raw JSON lines (one column `raw`) into the typed envelope. */
-  def parseEnvelope(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("raw"), ogmiosSchema).as("env"))
+  /** Parse raw JSON lines (one column `raw`) into the typed envelope;
+    * `keep` columns (e.g. a chain-sequence number) ride along. */
+  def parseEnvelope(raw: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    raw.select(keep.map(col) :+ from_json(col("raw"), ogmiosSchema).as("env"): _*)
       .where(col("env.method") === "nextBlock")
-      .select(col("env.result.direction").as("direction"),
+      .select(keep.map(col) ++ Seq(
+        col("env.result.direction").as("direction"),
         col("env.result.block").as("block"),
-        col("env.result.point").as("point"))
+        col("env.result.point").as("point")): _*)
 
   /** language tag byte of a plutus script (Ogmios.hs:325-330). */
   private def scriptTag(language: Column): Column =

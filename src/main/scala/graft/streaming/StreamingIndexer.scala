@@ -3,7 +3,8 @@ package graft.streaming
 import graft.index.{GraftIndex, Mutations}
 import graft.ingest.{BlockReader, Indexer}
 import graft.model.Pattern
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** S6 — the Mailbox consumer loop as Structured Streaming.
@@ -18,12 +19,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Here the queue is a file stream of Ogmios-shaped JSONL (BlockReader's
   * wire format) and the drain is `foreachBatch`: one micro-batch = one
   * atomic manifest bump, mirroring the reference's one-transaction-per-drain
-  * crash consistency (App.hs:512-577). Rollbacks found in a batch are
-  * applied FIRST (net effect of several = the earliest point), then the
-  * batch's forward blocks are ingested as post-rollback replays — the same
-  * ordering the Mailbox enforces by blocking. Feeders must therefore not
-  * write a forward that PRECEDES a rollback into the same file (the file is
-  * the batch boundary, like the reference's queue drain).
+  * crash consistency (App.hs:512-577). A batch is applied with the NET
+  * EFFECT of its envelopes in chain order — (file name asc, line order) —
+  * so a file containing forward → rollback → forward produces exactly the
+  * reference state: the pre-batch index rolls back once to the minimum
+  * target, and an in-batch forward survives iff NO LATER rollback in the
+  * batch undercuts its slot (suffix-minimum of rollback targets). This is
+  * the same fixpoint the Mailbox reaches by blocking, computed without
+  * serializing the batch: erased forwards are filtered out distributively,
+  * only the (rare, tiny) rollback envelopes are collected.
   *
   * Exactly-once: the file source checkpoint records which files are
   * consumed; `Indexer.ingest` appends are idempotent (PK dedup at
@@ -31,16 +35,69 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rows harmlessly — the INSERT OR IGNORE analogue at the stream level. */
 object StreamingIndexer {
 
-  /** Process one drained micro-batch: rollback barrier first, then ingest. */
+  /** Process one drained micro-batch with chain-order (net-effect) semantics. */
   def processBatch(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern]): Unit = {
     val env = BlockReader.parseEnvelope(raw).cache()
     try {
       val rollbackPoints = BlockReader.rollbacks(env).collect()
-      if (rollbackPoints.nonEmpty) {
-        val target = rollbackPoints.map(_.getLong(0)).min
-        Mutations.rollbackTo(ix, target)
+      if (rollbackPoints.isEmpty) {
+        // forwards only: order within the batch is immaterial (appends)
+        val blocks = BlockReader.blocks(env)
+        if (!blocks.isEmpty) Indexer.ingest(ix, blocks, patterns)
+      } else {
+        processOrdered(ix, raw, patterns,
+          fallbackTarget = rollbackPoints.map(_.getLong(0)).min)
       }
+    } finally env.unpersist()
+    // the drain loop is the long-running writer: sweep dereferenced segment
+    // dirs (one directory listing per batch) or the disk grows forever
+    ix.vacuum(ix.vacuumGraceMs)
+    ()
+  }
+
+  /** Rollbacks present: re-read the batch's files with an explicit chain
+    * sequence and apply the net effect. `sc.textFile(paths…)` generates
+    * splits per path in the order given with ascending offsets, and
+    * `zipWithIndex` numbers rows partition-major in that split order, so
+    * `seq` is exactly (file name asc, line order) — the feeder's chain
+    * order. Costs one extra scan of the batch, paid only on reorg batches. */
+  private def processOrdered(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern],
+                             fallbackTarget: Long): Unit = {
+    val spark = raw.sparkSession
+    val files = raw.select(input_file_name().as("f")).where(col("f") =!= "")
+      .distinct().collect().map(_.getString(0)).sorted
+    if (files.isEmpty) {
+      // non-file feed (e.g. a memory source): no intra-batch order exists to
+      // recover — apply the rollback barrier first, then all forwards, which
+      // is correct when the feeder never emits a forward before a rollback
+      // in one batch (the pre-round-4 contract)
+      Mutations.rollbackTo(ix, fallbackTarget)
+      val env = BlockReader.parseEnvelope(raw)
       val blocks = BlockReader.blocks(env)
+      if (!blocks.isEmpty) Indexer.ingest(ix, blocks, patterns)
+      return
+    }
+    import spark.implicits._
+    val ordered = spark.sparkContext.textFile(files.mkString(","))
+      .zipWithIndex().map { case (line, i) => (i, line) }
+      .toDF("seq", "raw")
+    val env = BlockReader.parseEnvelope(ordered, keep = Seq("seq")).cache()
+    try {
+      val rbs = env.where(col("direction") === "backward")
+        .select(col("seq"), coalesce(col("point.slot"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // suffix minima of rollback targets in chain order: suffixMin(i) is the
+      // deepest rollback at-or-after rollback i
+      val suffixMin = rbs.map(_._2).scanRight(Long.MaxValue)(math.min).init
+      // the pre-batch index sees every rollback → cut once to the global min
+      Mutations.rollbackTo(ix, suffixMin.head)
+      // an in-batch forward at `seq` survives iff the next rollback after it
+      // (if any) has suffix-min target >= its slot
+      val slotCol = coalesce(col("block.slot"), col("block.height"))
+      val survives = rbs.zip(suffixMin).foldRight(lit(true): Column) {
+        case (((rseq, _), m), later) => when(col("seq") < rseq, slotCol <= m).otherwise(later)
+      }
+      val blocks = BlockReader.blocks(env.where(col("direction") === "forward").where(survives))
       if (!blocks.isEmpty) Indexer.ingest(ix, blocks, patterns)
     } finally env.unpersist()
   }

@@ -59,6 +59,36 @@ class StreamingSpec extends SparkSpec {
     assert(ix.table("inputs").count() == 5)
   }
 
+  test("forward→rollback→forward in one batch applies in chain order (net effect)") {
+    val in = tmpDir("graft-stream-reorg-in")
+    val ix = new GraftIndex(spark, tmpDir("graft-stream-reorg-ix"))
+    val patterns = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+    writeFile(in, "000.jsonl", Seq(fwd(10, 2), fwd(20, 1)))
+    StreamingIndexer.runAvailableNow(spark, in, ix, patterns)
+
+    // forwards PRECEDING a rollback in the same batch must be erased, and
+    // order must hold across files (name order) and within a file (line
+    // order), including TWO rollback-delimited runs in one file:
+    //   fwd 25 → rb 20 → replay 21,21,30       (25 erased)
+    //   fwd 40 → fwd 50 → rb 45 → fwd 46 → rb 42 → fwd 43
+    //   (50 erased by rb 45; 46 erased by the later rb 42; 40 and 43 live)
+    writeFile(in, "001.jsonl", Seq(fwd(25, 1)))
+    writeFile(in, "002.jsonl", Seq(rollback(20), fwd(21, 2), fwd(30, 1)))
+    writeFile(in, "003.jsonl", Seq(
+      fwd(40, 1), fwd(50, 1), rollback(45), fwd(46, 1), rollback(42), fwd(43, 1)))
+    StreamingIndexer.runAvailableNow(spark, in, ix, patterns)
+
+    val slots = ix.table("inputs").select("created_at")
+      .collect().map(_.getLong(0)).sorted
+    assert(slots.sameElements(Array(10L, 10L, 20L, 21L, 21L, 30L, 40L, 43L)),
+      s"got ${slots.mkString(",")}")
+    // erased forwards leave no checkpoints either
+    val cps = ix.table("checkpoints").select("slot_no")
+      .collect().map(_.getLong(0)).toSet
+    assert(!cps.exists(Set(25L, 46L, 50L)), s"erased checkpoints leaked: $cps")
+    assert(ix.table("checkpoints").agg(max("slot_no")).head().getLong(0) == 43L)
+  }
+
   test("watermarked hourly windows emit closed windows and drop late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
