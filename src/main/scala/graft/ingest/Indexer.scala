@@ -14,8 +14,6 @@ object Indexer {
 
   def ingest(ix: GraftIndex, blocks: DataFrame, patterns: Set[Pattern]): Unit = {
     val m = MatchBlock(blocks, patterns)
-    // cache the produced rows: they feed inputs, policies, and the spends
-    // semi-join in the same batch
     ix.append("checkpoints", m.checkpoints)
     ix.append("inputs", m.produced)
     ix.append("policies", m.policies)

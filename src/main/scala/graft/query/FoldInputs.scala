@@ -76,11 +76,19 @@ object FoldInputs {
     val cp = ix.table("checkpoints")
     val createdCp = cp.select(
       col("slot_no").as("created_at"), col("header_hash").as("created_header_hash"))
-    val spentCp = cp.select(
-      col("slot_no").as("spent_at"), col("header_hash").as("spent_header_hash"))
-    val withPoints = filtered
-      .join(createdCp, Seq("created_at"), "inner")
-      .join(spentCp, Seq("spent_at"), "left_outer")
+    val withCreated = filtered.join(createdCp, Seq("created_at"), "inner")
+    val withPoints = q.status match {
+      case StatusFlag.OnlyUnspent =>
+        // spent_at is null on every surviving row, so the spent-checkpoint
+        // join is provably empty — skip it rather than leave a dead join
+        // (Catalyst reduced it to an empty scan anyway, but the plan noise
+        // obscured the real joins)
+        withCreated.withColumn("spent_header_hash", lit(null).cast("string"))
+      case _ =>
+        val spentCp = cp.select(
+          col("slot_no").as("spent_at"), col("header_hash").as("spent_header_hash"))
+        withCreated.join(spentCp, Seq("spent_at"), "left_outer")
+    }
 
     // F5 — optional ?resolve_hashes. binary_data/scripts carry payloads
     // (13.6M datums, multi-GB mainnet — BASELINE.md): these joins must
@@ -97,7 +105,10 @@ object FoldInputs {
         .join(ix.table("scripts"), Seq("script_hash"), "left_outer")
         .withColumnRenamed("script", "script_resolved")
 
-    // F6 — total order (the triple extends the PK: ties impossible)
+    // F6 — the sort triple identifies an output uniquely (block position +
+    // output position), so the order is total up to exact-duplicate rows
+    // from idempotent re-appends, which compaction dedups and which compare
+    // equal anyway
     val keys = Seq(col("created_at"), col("transaction_index"), col("output_index"))
     val sorted = q.order match {
       case SortDirection.Asc  => resolved.orderBy(keys.map(_.asc): _*)
@@ -190,7 +201,11 @@ object FoldInputs {
         when(c.startsWith("00"), "native")
           .when(c.startsWith("01"), "plutus:v1")
           .when(c.startsWith("02"), "plutus:v2")
-          .when(c.startsWith("03"), "plutus:v3")),
+          .when(c.startsWith("03"), "plutus:v3")
+          // a tag byte outside 00-03 is data corruption; without a fallback
+          // the null would propagate through concat and silently erase the
+          // whole row's JSON
+          .otherwise("unknown")),
       lit("}"))
     val scriptPair =
       if (inlineAll) concat(lit(",\"script\":"), orNull(col("script"), scriptJson))
