@@ -165,6 +165,12 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def reconcile(in: DataFrame): DataFrame = {
     if (manifest.tables.getOrElse("spends", Nil).isEmpty) return in
     val sp = broadcast(table("spends")
+      // the delta is broadcast-bounded, so dedup it in ONE partition: a
+      // single-partition child satisfies the aggregation's distribution and
+      // Catalyst inserts no Exchange — reconciled queries run shuffle-FREE
+      // end to end instead of paying a (tiny but stage-creating) delta
+      // shuffle per query
+      .coalesce(1)
       .dropDuplicates("tx_id", "output_index") // idempotent re-marking
       .withColumnsRenamed(Map(
         "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")))
