@@ -107,6 +107,12 @@ object Demo {
     println("== sql metadatum_schema: " + spark.sql(
       """SELECT metadatum_schema('{"json":{"msg":["hi"]}}')""").head().getString(0))
 
+    // R12/R13: health document + ETag caching discipline
+    val health = graft.query.Health.snapshot(ix, graft.query.Health.ConnectionStatus.Connected)
+    println("== health: " + graft.query.Health.asJson(health))
+    println("== etag match -> 304: " +
+      graft.query.Health.cacheOr(health, graft.query.Health.etag(health))("body").isEmpty)
+
     spark.stop()
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.index.GraftIndex
+import graft.ingest.Indexer
+import graft.model.Pattern
+import graft.query.{FoldInputs, Health}
+import graft.tools.FixtureChain
+
+/** R12 health/metrics payloads + R13 ETag caching discipline. */
+class HealthSpec extends SparkSpec {
+
+  test("health snapshot on an empty index: nulls, no etag, never cached") {
+    val ix = new GraftIndex(spark, tmpDir("graft-health-empty"))
+    val h = Health.snapshot(ix)
+    assert(h.mostRecentCheckpoint.isEmpty && Health.etag(h).isEmpty)
+    assert(Health.asJson(h) ==
+      s"""{"connection_status":"disconnected","most_recent_checkpoint":null,""" +
+        s""""most_recent_node_tip":null,"seconds_since_last_block":null,""" +
+        s""""network_synchronization":null,"configuration":{"indexes":null},""" +
+        s""""version":"${Health.Version}"}""")
+    // no etag → if-none-match can never match → always fresh
+    assert(Health.cacheOr(h, Some("anything"))(42).contains((None, 42)))
+  }
+
+  test("health + metrics reflect the index tip; etag is the tip header hash") {
+    val ix = new GraftIndex(spark, tmpDir("graft-health"))
+    Indexer.ingest(ix, FixtureChain.toDf(spark, FixtureChain.chain(6)),
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val (tipSlot, tipHash) = FoldInputs.maxCheckpoint(ix).get
+    val h = Health.snapshot(ix, Health.ConnectionStatus.Connected,
+      nodeTip = Some(tipSlot), lastBlockAtMs = Some(1000L), nowMs = 31000L)
+    assert(h.mostRecentCheckpoint.contains((tipSlot, tipHash)))
+    assert(h.secondsSinceLastBlock.contains(30L))
+    assert(Health.etag(h).contains(tipHash))
+    assert(Health.asJson(h).contains(s""""most_recent_checkpoint":$tipSlot"""))
+    assert(Health.prometheus(h) ==
+      s"kupo_connection_status 1\nkupo_most_recent_checkpoint $tipSlot\n" +
+        s"kupo_most_recent_node_tip $tipSlot\nkupo_seconds_since_last_block 30\n")
+  }
+
+  test("cacheOr: matching if-none-match short-circuits (304), stale recomputes") {
+    val ix = new GraftIndex(spark, tmpDir("graft-health-etag"))
+    Indexer.ingest(ix, FixtureChain.toDf(spark, FixtureChain.chain(3)),
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val h = Health.snapshot(ix)
+    val tag = Health.etag(h).get
+    var computed = 0
+    // matching tag: 304, body never computed
+    assert(Health.cacheOr(h, Some(tag)) { computed += 1; "body" }.isEmpty)
+    assert(computed == 0)
+    // stale tag: fresh body + current etag for the response
+    assert(Health.cacheOr(h, Some("stale")) { computed += 1; "body" }
+      .contains((Some(tag), "body")))
+    assert(computed == 1)
+    // indexing another block rotates the etag → previously-matching tag is stale
+    Indexer.ingest(ix, FixtureChain.toDf(spark,
+      Seq(FixtureChain.Blk(900L, FixtureChain.hex32(424242), Seq(
+        FixtureChain.Tx(FixtureChain.hex32(424243), Nil,
+          Seq(FixtureChain.Out(FixtureChain.baseAddr(0, 0), 1L))))))),
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val h2 = Health.snapshot(ix)
+    assert(Health.etag(h2).isDefined && Health.etag(h2) != Some(tag))
+    assert(Health.cacheOr(h2, Some(tag))("fresh").isDefined)
+  }
+}
