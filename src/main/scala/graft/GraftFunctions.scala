@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{Blake2bHex, MetadatumSchema, NativeScriptCbor, NormalizeAddress}
+import graft.expressions.{Blake2bHex, HydraToOgmios, MetadatumSchema, NativeScriptCbor, NormalizeAddress}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftshim.GraftShim
@@ -30,6 +30,10 @@ object GraftFunctions {
   def metadatumSchema(c: Column): Column =
     GraftShim.column(MetadatumSchema(GraftShim.expression(c)))
 
+  /** Hydra server-output line → Ogmios nextBlock line (S3 bridge). */
+  def hydraToOgmios(c: Column): Column =
+    GraftShim.column(HydraToOgmios(GraftShim.expression(c)))
+
   /** Register the functions on a session without the extensions mechanism. */
   def register(spark: SparkSession): Unit = {
     GraftShim.registerFunction(spark, "kupo_address",
@@ -47,6 +51,9 @@ object GraftFunctions {
     GraftShim.registerFunction(spark, "metadatum_schema",
       new ExpressionInfo(classOf[MetadatumSchema].getName, "metadatum_schema"),
       es => MetadatumSchema(es.head))
+    GraftShim.registerFunction(spark, "hydra_to_ogmios",
+      new ExpressionInfo(classOf[HydraToOgmios].getName, "hydra_to_ogmios"),
+      es => HydraToOgmios(es.head))
   }
 }
 
@@ -69,5 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("metadatum_schema"),
       new ExpressionInfo(classOf[MetadatumSchema].getName, "metadatum_schema"),
       es => MetadatumSchema(es.head)))
+    ext.injectFunction((FunctionIdentifier("hydra_to_ogmios"),
+      new ExpressionInfo(classOf[HydraToOgmios].getName, "hydra_to_ogmios"),
+      es => HydraToOgmios(es.head)))
   }
 }

@@ -181,6 +181,14 @@ object Kernels {
       UTF8String.fromString(m.render)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  /** One Hydra server-output line → one Ogmios nextBlock line (S3 bridge,
+    * graft.ingest.HydraReader); null for non-block-bearing messages. */
+  def hydraToOgmios(line: UTF8String): UTF8String = {
+    if (line == null) return null
+    val out = graft.ingest.HydraReader.messageToOgmios(line.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
 }
 
 /** Both expressions are string→string, null-intolerant on input, and may
@@ -245,4 +253,17 @@ case class Blake2bHex(child: Expression, outLen: Int) extends KernelExpression {
   override protected def withNewChildInternal(newChild: Expression): Blake2bHex =
     copy(child = newChild)
   override def prettyName: String = s"blake2b${outLen * 8}_hex"
+}
+
+/** hydra_to_ogmios(serverOutputLine) — S3: one Hydra server-output message
+  * rendered as an Ogmios nextBlock line (null when the message carries no
+  * block), so the Hydra producer reuses the whole Ogmios ingest pipeline. */
+case class HydraToOgmios(child: Expression) extends KernelExpression {
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hydraToOgmios(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.Kernels.hydraToOgmios($c)"
+  override protected def withNewChildInternal(newChild: Expression): HydraToOgmios =
+    copy(child = newChild)
+  override def prettyName: String = "hydra_to_ogmios"
 }

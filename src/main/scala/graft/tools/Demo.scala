@@ -107,6 +107,12 @@ object Demo {
     println("== sql metadatum_schema: " + spark.sql(
       """SELECT metadatum_schema('{"json":{"msg":["hi"]}}')""").head().getString(0))
 
+    // S3: a Hydra snapshot line rides the same ingest pipeline
+    val hydraLine = graft.ingest.HydraReader.messageToOgmios(
+      """{"tag":"HeadIsOpen","headId":"00","utxo":{""" +
+        s""""${"ab" * 32}#0":{"address":"${"61" + "cd" * 28}","value":{"lovelace":1234}}}}""")
+    println("== hydra HeadIsOpen -> ogmios: " + hydraLine.take(100) + "…")
+
     // R12/R13: health document + ETag caching discipline
     val health = graft.query.Health.snapshot(ix, graft.query.Health.ConnectionStatus.Connected)
     println("== health: " + graft.query.Health.asJson(health))

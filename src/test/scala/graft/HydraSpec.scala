@@ -1,0 +1,193 @@
+package graft
+
+import graft.codec.{Blake2b, Cbor, Hex}
+import graft.index.GraftIndex
+import graft.ingest.{BlockReader, HydraReader, Indexer, TxCbor}
+import graft.model.Pattern
+import graft.query.{Api, FoldInputs}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** S3 Hydra producer: CBOR reader, Conway tx decoding (TxCbor), message →
+  * Ogmios-line bridge, end-to-end ingest. Vectors are hand-built from the
+  * published CDDL with a minimal test-side CBOR writer; native-script bytes
+  * are pinned to /root/reference/test/vectors/scripts.csv rows. */
+class HydraSpec extends SparkSpec {
+
+  // ---- tiny CBOR writer (test-side only) ----
+  private def head(major: Int, v: Long): Array[Byte] = {
+    val mt = major << 5
+    if (v < 24) Array((mt | v.toInt).toByte)
+    else if (v < 256) Array((mt | 24).toByte, v.toByte)
+    else if (v < 65536) Array((mt | 25).toByte, (v >> 8).toByte, v.toByte)
+    else Array((mt | 26).toByte, (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  }
+  private def cInt(v: Long): Array[Byte] = head(0, v)
+  private def cBytes(b: Array[Byte]): Array[Byte] = head(2, b.length.toLong) ++ b
+  private def cBytesHex(h: String): Array[Byte] = cBytes(Hex.decode(h).get)
+  private def cArr(items: Array[Byte]*): Array[Byte] =
+    head(4, items.length.toLong) ++ items.flatten
+  private def cMap(entries: (Array[Byte], Array[Byte])*): Array[Byte] =
+    head(5, entries.length.toLong) ++ entries.flatMap { case (k, v) => k ++ v }
+  private def cTag(tag: Long, inner: Array[Byte]): Array[Byte] = head(6, tag) ++ inner
+  private val cTrue = Array(0xf5.toByte)
+  private val cNull = Array(0xf6.toByte)
+
+  // ---- fixture material ----
+  private val txIdSpent = "aa" * 32
+  // on-chain address bytes (what the ledger CBOR carries) and the kupo hex
+  // forms the index stores after normalization (Address.fromOnChainBytes)
+  private val addr1Wire = "01" + "22" * 28 + "33" * 28 // base: hdr ‖ payment ‖ delegation
+  private val addr1Kupo = "01" + "33" * 28 + "01" + "22" * 28
+  private val addr2Wire = "61" + "44" * 28 // enterprise: hdr ‖ payment
+  private val addr2Kupo = "03" + "61" + "44" * 28
+  private val policy = "cc" * 28
+  private val datumBytes = "d87980" // unit constructor plutus data
+  private val datumHash = Hex.encode(Blake2b.hash256(Hex.decode(datumBytes).get))
+  // plutus v2 script: inner flat bytes (arbitrary but fixed)
+  private val v2Flat = "4e4d01000033222220051200120011"
+  private val v2Hash = Hex.encode(Blake2b.hash224(Hex.decode("02" + v2Flat).get))
+  // native script CBOR from scripts.csv row 2 (sans the 00 tag)
+  private val nativeCbor =
+    "8201838200581c3c07030e36bfffe67e2e2ec09e5293d384637cd2f004356ef320f3fe8204186482051896"
+  private val nativeHash = Hex.encode(Blake2b.hash224(Hex.decode("00" + nativeCbor).get))
+
+  /** A Conway tx: spends (txIdSpent,0); out0 = babbage-map output with
+    * assets + inline datum + v2 reference script; out1 = legacy array output
+    * with a datum hash; witnesses carry the datum preimage, a spend
+    * redeemer (map form), the v2 script (tag-258 set) and a native script. */
+  private def buildTx(): (String, String) = { // (cborHex, expected txId)
+    val input = cArr(cBytesHex(txIdSpent), cInt(0))
+    val out0 = cMap(
+      cInt(0) -> cBytesHex(addr1Wire),
+      cInt(1) -> cArr(cInt(5000), cMap(
+        cBytesHex(policy) -> cMap(cBytesHex("abcd") -> cInt(7)))),
+      cInt(2) -> cArr(cInt(1), cTag(24, cBytesHex(datumBytes))),
+      cInt(3) -> cTag(24, cBytes(cArr(cInt(2), cBytesHex(v2Flat)))))
+    val out1 = cArr(cBytesHex(addr2Wire), cInt(42), cBytesHex("ee" * 32))
+    val body = cMap(
+      cInt(0) -> cTag(258, cArr(input)),
+      cInt(1) -> cArr(out0, out1))
+    val wits = cMap(
+      cInt(1) -> cArr(Hex.decode(nativeCbor).get), // native script item
+      cInt(4) -> cTag(258, cArr(Hex.decode(datumBytes).get)),
+      cInt(5) -> cMap( // Conway map-form redeemers
+        cArr(cInt(0), cInt(0)) -> cArr(Hex.decode(datumBytes).get, cArr(cInt(1), cInt(2)))),
+      cInt(6) -> cTag(258, cArr(cBytesHex(v2Flat))))
+    val tx = cArr(body, wits, cTrue, cNull)
+    val expectedId = Hex.encode(Blake2b.hash256(body))
+    (Hex.encode(tx), expectedId)
+  }
+
+  test("CBOR reader: spans, indefinite lengths, tags, negatives") {
+    import Cbor._
+    // {1: 2, "a": h'FF'} with span checks
+    val bytes = Hex.decode("a201026161" + "41ff").get
+    val m = Cbor.decode(bytes).asInstanceOf[CMap]
+    assert(m.entries.size == 2)
+    assert(m.entries(0)._1 == CInt(1, 1, 2))
+    assert(m.entries(1)._2.asInstanceOf[CBytes].bytes.sameElements(Array(0xff.toByte)))
+    // indefinite bytes 5f 42 0102 43 030405 ff → 0102030405
+    val ind = Cbor.decode(Hex.decode("5f42010243030405ff").get).asInstanceOf[CBytes]
+    assert(Hex.encode(ind.bytes) == "0102030405")
+    // indefinite array [_ 1, 2] and negative int -500
+    val arr = Cbor.decode(Hex.decode("9f0102ff").get).asInstanceOf[CArr]
+    assert(arr.items.map(_.asInstanceOf[CInt].value) == Vector(BigInt(1), BigInt(2)))
+    assert(Cbor.decode(Hex.decode("3901f3").get).asInstanceOf[CInt].value == BigInt(-500))
+    // tag 258 set
+    val set = Cbor.decode(Hex.decode("d9010281 01".replace(" ", "")).get).asInstanceOf[CTag]
+    assert(set.tag == 258)
+    // slice returns the exact wire bytes of a nested item
+    val nested = Cbor.decode(Hex.decode("8118ff").get).asInstanceOf[CArr]
+    assert(Hex.encode(Cbor.slice(Hex.decode("8118ff").get, nested.items(0))) == "18ff")
+  }
+
+  test("TxCbor: Conway tx decodes to the Ogmios wire shape, hashes pinned") {
+    val (cborHex, expectedId) = buildTx()
+    val tx = TxCbor.decodeTx(cborHex).get
+    assert(tx.idHex == expectedId)
+    val j = tx.json
+    assert(j.contains(s""""id":"$expectedId""""))
+    assert(j.contains(s""""inputs":[{"transaction":{"id":"$txIdSpent"},"index":0}]"""))
+    assert(j.contains(s""""address":"$addr1Wire""""))
+    assert(j.contains(s""""value":{"ada":{"lovelace":5000},"$policy":{"abcd":7}}"""))
+    assert(j.contains(s""""datum":"$datumBytes"""")) // inline
+    assert(j.contains(s""""datumHash":"${"ee" * 32}"""")) // legacy output
+    assert(j.contains(s""""script":{"language":"plutus:v2","cbor":"$v2Flat"}""")) // ref script
+    assert(j.contains(s""""$datumHash":"$datumBytes"""")) // witness datum map
+    assert(j.contains(s""""redeemer":"$datumBytes"""")) // spend redeemer
+    assert(j.contains(""""language":"native"""")) // witnessed native script
+    // undecodable input → None, not an exception
+    assert(TxCbor.decodeTx("deadbeef").isEmpty)
+  }
+
+  test("native-script CBOR → clause JSON → CBOR round-trips byte-exactly") {
+    import spark.implicits._
+    val (cborHex, _) = buildTx()
+    val tx = TxCbor.decodeTx(cborHex).get
+    // extract the native clause JSON from the emitted scripts map
+    val start = tx.json.indexOf(s""""$nativeHash":""")
+    assert(start >= 0, s"native hash $nativeHash missing in ${tx.json}")
+    val obj = tx.json.substring(start)
+    val jsonStart = obj.indexOf(""""json":""") + 7
+    var depth = 0; var i = jsonStart
+    do {
+      if (obj(i) == '{') depth += 1 else if (obj(i) == '}') depth -= 1
+      i += 1
+    } while (depth > 0)
+    val clauseJson = obj.substring(jsonStart, i)
+    val reencoded = Seq(clauseJson).toDF("j")
+      .select(graft.GraftFunctions.nativeScriptCbor(col("j"))).head().getString(0)
+    assert(reencoded == "00" + nativeCbor) // so the recomputed hash matches too
+  }
+
+  test("Hydra messages → Ogmios lines → full ingest; header hash per mkHydraBlock") {
+    val (cborHex, txId) = buildTx()
+    val snapshot =
+      s"""{"tag":"SnapshotConfirmed","headId":"00","snapshot":{"number":7,""" +
+        s""""confirmed":[{"type":"Tx ConwayEra","cborHex":"$cborHex"}]}}"""
+    // genesis head-open with a SPARSE output index (#2): positions must pad
+    val genesisTxId = "bb" * 32
+    val headOpen =
+      s"""{"tag":"HeadIsOpen","headId":"00","utxo":{"$genesisTxId#2":""" +
+        s"""{"address":"$addr2Wire","value":{"lovelace":999,"$policy":{"beef":3}}}}}"""
+    val txValid = s"""{"tag":"TxValid","transactionId":"${"dd" * 32}"}"""
+
+    // bridge layer: TxValid drops; block ids follow mkHydraBlock
+    assert(HydraReader.messageToOgmios(txValid) == null)
+    val snapLine = HydraReader.messageToOgmios(snapshot)
+    assert(snapLine.contains(s""""slot":7"""))
+    assert(snapLine.contains(s""""id":"${Hex.encode(Blake2b.hash256(Hex.decode(txId).get))}""""))
+    val genesisLine = HydraReader.messageToOgmios(headOpen)
+    assert(genesisLine.contains(s""""slot":0"""))
+
+    // end to end: write all three lines, ingest through the Ogmios pipeline
+    val dir = tmpDir("graft-hydra-in")
+    Files.write(Paths.get(dir, "000.jsonl"),
+      Seq(headOpen, txValid, snapshot).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val blocks = HydraReader.readJsonl(spark, dir)
+    val ix = new GraftIndex(spark, tmpDir("graft-hydra-ix"))
+    Indexer.ingest(ix, blocks, Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+
+    val rows = FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc))
+      .select(col("transaction_id"), col("output_index"), col("address"),
+        col("created_at.slot_no").as("slot"), col("datum_hash"), col("script_hash"))
+      .collect()
+    // genesis utxo at PRESERVED index 2, slot 0
+    assert(rows.exists(r => r.getString(0) == genesisTxId && r.getInt(1) == 2 &&
+      r.getString(2) == addr2Kupo && r.getLong(3) == 0L))
+    // snapshot tx outputs at slot 7 with inline-datum hash + ref-script hash
+    assert(rows.exists(r => r.getString(0) == txId && r.getInt(1) == 0 &&
+      r.getString(2) == addr1Kupo && r.getLong(3) == 7L &&
+      r.getString(4) == datumHash && r.getString(5) == v2Hash))
+    assert(rows.exists(r => r.getString(0) == txId && r.getInt(1) == 1 &&
+      r.getString(2) == addr2Kupo && r.getString(4) == ("ee" * 32)))
+    // witnessed scripts landed in the side table with ledger hashes
+    val scripts = ix.table("scripts").select("script_hash").collect().map(_.getString(0)).toSet
+    assert(scripts.contains(nativeHash) && scripts.contains(v2Hash))
+    // witness datum resolvable by its blake2b-256 hash
+    assert(FoldInputs.getBinaryData(ix, datumHash).contains(datumBytes))
+  }
+}
