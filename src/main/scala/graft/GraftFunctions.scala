@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{Blake2bHex, HydraToOgmios, MetadatumSchema, NativeScriptCbor, NormalizeAddress}
+import graft.expressions.{Blake2bHex, BlockCborToOgmios, HydraToOgmios, MetadatumSchema, NativeScriptCbor, NormalizeAddress}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftshim.GraftShim
@@ -34,6 +34,10 @@ object GraftFunctions {
   def hydraToOgmios(c: Column): Column =
     GraftShim.column(HydraToOgmios(GraftShim.expression(c)))
 
+  /** Ledger block CBOR hex → Ogmios nextBlock line (S1 data plane). */
+  def blockCborToOgmios(c: Column): Column =
+    GraftShim.column(BlockCborToOgmios(GraftShim.expression(c)))
+
   /** Register the functions on a session without the extensions mechanism. */
   def register(spark: SparkSession): Unit = {
     GraftShim.registerFunction(spark, "kupo_address",
@@ -54,6 +58,9 @@ object GraftFunctions {
     GraftShim.registerFunction(spark, "hydra_to_ogmios",
       new ExpressionInfo(classOf[HydraToOgmios].getName, "hydra_to_ogmios"),
       es => HydraToOgmios(es.head))
+    GraftShim.registerFunction(spark, "block_cbor_to_ogmios",
+      new ExpressionInfo(classOf[BlockCborToOgmios].getName, "block_cbor_to_ogmios"),
+      es => BlockCborToOgmios(es.head))
   }
 }
 
@@ -79,5 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hydra_to_ogmios"),
       new ExpressionInfo(classOf[HydraToOgmios].getName, "hydra_to_ogmios"),
       es => HydraToOgmios(es.head)))
+    ext.injectFunction((FunctionIdentifier("block_cbor_to_ogmios"),
+      new ExpressionInfo(classOf[BlockCborToOgmios].getName, "block_cbor_to_ogmios"),
+      es => BlockCborToOgmios(es.head)))
   }
 }

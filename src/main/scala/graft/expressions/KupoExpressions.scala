@@ -189,6 +189,14 @@ object Kernels {
     val out = graft.ingest.HydraReader.messageToOgmios(line.toString)
     if (out == null) null else UTF8String.fromString(out)
   }
+
+  /** One ledger block CBOR hex line → one Ogmios nextBlock line (S1 data
+    * plane, graft.ingest.BlockCbor); null on unrecognizable bytes. */
+  def blockCborToOgmios(line: UTF8String): UTF8String = {
+    if (line == null) return null
+    val out = graft.ingest.BlockCbor.blockToOgmios(line.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
 }
 
 /** Both expressions are string→string, null-intolerant on input, and may
@@ -266,4 +274,17 @@ case class HydraToOgmios(child: Expression) extends KernelExpression {
   override protected def withNewChildInternal(newChild: Expression): HydraToOgmios =
     copy(child = newChild)
   override def prettyName: String = "hydra_to_ogmios"
+}
+
+/** block_cbor_to_ogmios(blockHex) — S1 data plane: a whole ledger block
+  * CBOR rendered as an Ogmios nextBlock line (null on unrecognizable
+  * bytes), so pre-exported node blocks reuse the Ogmios ingest pipeline. */
+case class BlockCborToOgmios(child: Expression) extends KernelExpression {
+  override def nullSafeEval(input: Any): Any =
+    Kernels.blockCborToOgmios(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.Kernels.blockCborToOgmios($c)"
+  override protected def withNewChildInternal(newChild: Expression): BlockCborToOgmios =
+    copy(child = newChild)
+  override def prettyName: String = "block_cbor_to_ogmios"
 }

@@ -38,6 +38,16 @@ object TxCbor {
         case Some(CSimple(20, _, _)) => false // false ⇒ phase-2 invalid
         case _                       => true
       }
+      Some(decodeTxParts(bytes, body, wits, isValid, metadata = None))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Assemble a tx from already-located parts — the shared core of the
+    * standalone-tx path above and the whole-block path (`BlockCbor`), where
+    * bodies and witness sets live in separate top-level block arrays.
+    * `metadata` is the pre-rendered Ogmios metadata object, if any. */
+  private[ingest] def decodeTxParts(bytes: Array[Byte], body: CMap, wits: CMap,
+                                    isValid: Boolean, metadata: Option[String]): DecodedTx = {
+    {
       val idHex = Hex.encode(Blake2b.hash256(Cbor.slice(bytes, body)))
 
       val inputs = mapGet(body, 0).map(setItems).getOrElse(Vector.empty).map(inputJson)
@@ -72,8 +82,10 @@ object TxCbor {
       if (scripts.nonEmpty)
         fields += s""""scripts":{${scripts.map { case (h, s) => s""""$h":$s""" }.mkString(",")}}"""
       if (redeemers.nonEmpty) fields += s""""redeemers":[${redeemers.mkString(",")}]"""
-      Some(DecodedTx(idHex, fields.result().mkString("{", ",", "}")))
-    } catch { case scala.util.control.NonFatal(_) => None }
+      metadata.foreach(m => fields += s""""metadata":$m""")
+      DecodedTx(idHex, fields.result().mkString("{", ",", "}"))
+    }
+  }
 
   // ---- pieces ----
 

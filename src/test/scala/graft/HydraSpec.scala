@@ -58,7 +58,7 @@ class HydraSpec extends SparkSpec {
     * assets + inline datum + v2 reference script; out1 = legacy array output
     * with a datum hash; witnesses carry the datum preimage, a spend
     * redeemer (map form), the v2 script (tag-258 set) and a native script. */
-  private def buildTx(): (String, String) = { // (cborHex, expected txId)
+  private def buildBody(): Array[Byte] = {
     val input = cArr(cBytesHex(txIdSpent), cInt(0))
     val out0 = cMap(
       cInt(0) -> cBytesHex(addr1Wire),
@@ -67,18 +67,22 @@ class HydraSpec extends SparkSpec {
       cInt(2) -> cArr(cInt(1), cTag(24, cBytesHex(datumBytes))),
       cInt(3) -> cTag(24, cBytes(cArr(cInt(2), cBytesHex(v2Flat)))))
     val out1 = cArr(cBytesHex(addr2Wire), cInt(42), cBytesHex("ee" * 32))
-    val body = cMap(
+    cMap(
       cInt(0) -> cTag(258, cArr(input)),
       cInt(1) -> cArr(out0, out1))
-    val wits = cMap(
-      cInt(1) -> cArr(Hex.decode(nativeCbor).get), // native script item
-      cInt(4) -> cTag(258, cArr(Hex.decode(datumBytes).get)),
-      cInt(5) -> cMap( // Conway map-form redeemers
-        cArr(cInt(0), cInt(0)) -> cArr(Hex.decode(datumBytes).get, cArr(cInt(1), cInt(2)))),
-      cInt(6) -> cTag(258, cArr(cBytesHex(v2Flat))))
-    val tx = cArr(body, wits, cTrue, cNull)
-    val expectedId = Hex.encode(Blake2b.hash256(body))
-    (Hex.encode(tx), expectedId)
+  }
+
+  private def buildWits(): Array[Byte] = cMap(
+    cInt(1) -> cArr(Hex.decode(nativeCbor).get), // native script item
+    cInt(4) -> cTag(258, cArr(Hex.decode(datumBytes).get)),
+    cInt(5) -> cMap( // Conway map-form redeemers
+      cArr(cInt(0), cInt(0)) -> cArr(Hex.decode(datumBytes).get, cArr(cInt(1), cInt(2)))),
+    cInt(6) -> cTag(258, cArr(cBytesHex(v2Flat))))
+
+  private def buildTx(): (String, String) = { // (cborHex, expected txId)
+    val body = buildBody()
+    val tx = cArr(body, buildWits(), cTrue, cNull)
+    (Hex.encode(tx), Hex.encode(Blake2b.hash256(body)))
   }
 
   test("CBOR reader: spans, indefinite lengths, tags, negatives") {
@@ -189,5 +193,59 @@ class HydraSpec extends SparkSpec {
     assert(scripts.contains(nativeHash) && scripts.contains(v2Hash))
     // witness datum resolvable by its blake2b-256 hash
     assert(FoldInputs.getBinaryData(ix, datumHash).contains(datumBytes))
+  }
+
+  test("S1 data plane: whole block CBOR → Ogmios line → ingest, metadata included") {
+    import graft.ingest.BlockCbor
+    import graft.query.BlockQueries
+    // tx0 = the full Conway tx above (valid); tx1 = phase-2 INVALID tx whose
+    // collateral return must become its only produced output
+    val body0 = buildBody(); val wits0 = buildWits()
+    val collInput = cArr(cBytesHex("99" * 32), cInt(1))
+    val body1 = cMap(
+      cInt(0) -> cTag(258, cArr()), // no regular inputs
+      cInt(1) -> cArr(cArr(cBytesHex(addr2Wire), cInt(50))), // ignored on invalid
+      cInt(13) -> cTag(258, cArr(collInput)),
+      cInt(16) -> cArr(cBytesHex(addr1Wire), cInt(44)))
+    val wits1 = cMap()
+    // aux data for tx0: tag 259 {0: {674: "hi"}} ("hi" = CBOR 626869)
+    val metadatum = Hex.decode("626869").get
+    val aux0 = cTag(259, cMap(cInt(0) -> cMap(cInt(674) -> metadatum)))
+    val headerBody = cArr(cInt(5), cInt(77), cBytesHex("00" * 32))
+    val header = cArr(headerBody, cBytesHex("77" * 8))
+    val block = cArr(header, cArr(body0, body1), cArr(wits0, wits1),
+      cMap(cInt(0) -> aux0), cArr(cInt(1)))
+    val wrapped = cArr(cInt(6), block) // node-to-client era wrapper
+    val headerHash = Hex.encode(Blake2b.hash256(header))
+    val tx0Id = Hex.encode(Blake2b.hash256(body0))
+    val tx1Id = Hex.encode(Blake2b.hash256(body1))
+
+    val line = BlockCbor.blockToOgmios(Hex.encode(wrapped))
+    assert(line != null && line.contains(""""slot":77""") &&
+      line.contains(s""""id":"$headerHash"""") && line.contains(""""spends":"collaterals""""))
+
+    val dir = tmpDir("graft-blockcbor-in")
+    Files.write(Paths.get(dir, "000.txt"),
+      Hex.encode(wrapped).getBytes(StandardCharsets.UTF_8))
+    val blocks = BlockCbor.readCborBlocks(spark, dir)
+    val ix = new GraftIndex(spark, tmpDir("graft-blockcbor-ix"))
+    Indexer.ingest(ix, blocks, Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+
+    val rows = FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc))
+      .select(col("transaction_id"), col("output_index"), col("address"),
+        col("created_at.slot_no").as("slot"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    // tx0's two outputs, at slot 77 under the block's header hash
+    assert(rows.contains((tx0Id, 0, addr1Kupo, 77L)))
+    assert(rows.contains((tx0Id, 1, addr2Kupo, 77L)))
+    // tx1 is invalid: the declared output is NOT produced; the collateral
+    // return appears at index |outputs| = 1
+    assert(!rows.exists(r => r._1 == tx1Id && r._2 == 0))
+    assert(rows.contains((tx1Id, 1, addr1Kupo, 77L)))
+    // R11: the aux metadata flows through to metadata-by-slot with the
+    // schema'd rendering of the CBOR metadatum
+    val md = BlockQueries.metadataBySlot(blocks, 77L).collect()
+    assert(md.length == 1 && md(0).getString(1) == "674")
+    assert(md(0).getString(3) == """{"string":"hi"}""")
   }
 }
