@@ -248,4 +248,24 @@ class HydraSpec extends SparkSpec {
     assert(md.length == 1 && md(0).getString(1) == "674")
     assert(md(0).getString(3) == """{"string":"hi"}""")
   }
+
+  test("CBOR reader and tx decoder never crash or hang on arbitrary bytes") {
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // decode either succeeds or throws a controlled exception; decodeTx
+      // always returns an Option
+      try { Cbor.decode(b); () } catch { case scala.util.control.NonFatal(_) => () }
+      assert(TxCbor.decodeTx(Hex.encode(b)).isEmpty ||
+        TxCbor.decodeTx(Hex.encode(b)).isDefined) // total, no throw
+      assert(graft.ingest.BlockCbor.blockToOgmios(Hex.encode(b)) == null ||
+        true)
+    }
+    // truncations of a VALID tx must degrade to None, never throw
+    val (cborHex, _) = buildTx()
+    (1 until cborHex.length / 2).by(7).foreach { cut =>
+      assert(TxCbor.decodeTx(cborHex.take(cut * 2)).isEmpty)
+    }
+  }
 }
