@@ -96,6 +96,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Train the IVF coarse quantizer: spherical k-means via Lloyd
+    * iterations, entirely as DataFrame ops. Initialization is
+    * DETERMINISTIC — the k lowest vec_ids seed the centroids (callers
+    * wanting k-means++-style spread can pre-shuffle ids by a hash).
+    * Per iteration:
+    *   assign: broadcast centroid argmax (`assignCells`) — embeddings
+    *     never shuffle, only (vec_id, cell, sim) triples move;
+    *   update: posexplode components → groupBy (cell, pos) avg → re-zip
+    *     in position order. The component shuffle carries (cell, pos, v)
+    *     doubles with map-side partial aggregation — O(n·dim) adds,
+    *     O(k·dim) rows out, independent of vector payload layout.
+    * Each round materializes via localCheckpoint: iterative lineage
+    * otherwise compounds the plan until the driver chokes (same discipline
+    * as Dedup's label propagation). Empty cells keep their previous
+    * centroid (standard Lloyd degeneracy handling). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = embeddings
+      .orderBy(col("vec_id")).limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+          .cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(embeddings, centroids)
+      val updated = assigned
+        .select(col("cell").as("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m").cast("float")).as("centroid"))
+      // empty cells vanish from `updated`: keep their previous centroid
+      centroids = centroids.select(col("centroid_id"), col("centroid").as("prev"))
+        .join(updated, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"), coalesce(col("centroid"), col("prev")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by

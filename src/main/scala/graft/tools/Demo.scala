@@ -90,6 +90,9 @@ object Demo {
       .toDF("vec_id", "embedding")
     println("== llm top-1 neighbor of v0: " + graft.llm.Similarity
       .bruteForceTopK(vecs, 0L, 1).select("vec_id").as[Long].head())
+    println("== llm kmeans cells: " + graft.llm.Similarity
+      .assignCells(vecs, graft.llm.Similarity.kmeansCentroids(vecs, k = 2, iters = 2))
+      .select("cell").as[Long].collect().sorted.mkString(","))
 
     // F8: the byte-exact result-JSON encoding (resultToJson mirror)
     val oneJson = FoldInputs.asJson(

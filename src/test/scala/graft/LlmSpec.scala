@@ -169,4 +169,45 @@ class LlmSpec extends SparkSpec {
     assert(rs(0).getInt(4) == 400 && rs(0).getInt(5) == 300)
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
   }
+
+  test("kmeans-trained IVF: pure clusters, stable assignment, nprobe=1 recall") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    // three well-separated direction clusters in 4-d, 8 vectors each,
+    // with small deterministic jitter
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      val jit = 0.01f * ((i / 3) % 5)
+      val v = base(c).clone()
+      v((c + 1) % 4) += jit
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(emb, k = 3, iters = 3)
+    assert(centroids.count() == 3)
+    val assigned = Similarity.assignCells(emb, centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // purity: cluster-mates share a cell, different clusters differ
+    (0 until 24).foreach { i =>
+      assert(assigned(i.toLong) == assigned((i % 3).toLong), s"vec $i strayed")
+    }
+    assert(Set(assigned(0L), assigned(1L), assigned(2L)).size == 3)
+    // one more Lloyd round changes nothing (converged fixture)
+    val again = Similarity.assignCells(emb,
+      Similarity.kmeansCentroids(emb, k = 3, iters = 4))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == assigned)
+    // nprobe=1 IVF returns exactly the brute-force top-k for an in-cluster
+    // query (the other clusters are orthogonal - recall 1.0 here)
+    val withCells = Similarity.assignCells(emb, centroids)
+    val ivf = Similarity.ivfTopK(withCells, centroids, queryVecId = 0L, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf == brute)
+  }
 }
