@@ -96,6 +96,39 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
   }
 
+  /** Commit several table changes in ONE atomic manifest bump — the true
+    * analogue of the reference's one-SQLite-transaction-per-drain
+    * (App.hs:512-577: insertCheckpoints → insertInputs → insertPolicies →
+    * markInputs → insertBinaryData/insertScripts all inside one
+    * transaction). Segment writes are independent Spark jobs, so they run
+    * CONCURRENTLY from a thread pool — at micro-batch cadence the
+    * scheduler overlaps six small writes instead of serializing six
+    * job-floor latencies — and the manifest swaps once, so a crash leaves
+    * either the whole batch or none of it (previously each table bumped
+    * its own manifest, exposing partial batches). Empty frames register
+    * nothing (M9). A no-op change set does not bump the version. */
+  def commitAll(appends: Map[String, DataFrame] = Map.empty,
+                replaces: Map[String, DataFrame] = Map.empty): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val m = manifest
+    val v = m.version + 1
+    val work =
+      appends.toSeq.map { case (t, df) => Future((t, true, writeSegment(t, df, v))) } ++
+        replaces.toSeq.map { case (t, df) => Future((t, false, writeSegment(t, df, v))) }
+    val results = Await.result(Future.sequence(work), Duration.Inf)
+    val anyChange = results.exists { case (_, isAppend, seg) => seg.isDefined || !isAppend }
+    if (!anyChange) return
+    val tables = results.foldLeft(m.tables) { case (acc, (t, isAppend, seg)) =>
+      val segs =
+        if (isAppend) acc.getOrElse(t, Nil) ++ seg.toList
+        else seg.toList
+      acc.updated(t, liveSegments(t, segs))
+    }
+    Manifest.write(root, Manifest(v, tables))
+  }
+
   /** Replace the full contents of a table with `df` (mutation rewrites). */
   def replace(table: String, df: DataFrame): Unit = {
     val m = manifest

@@ -77,24 +77,29 @@ object Mutations {
     val dst = new GraftIndex(src.spark, dstRoot)
     val kept = src.inputsWithSpends.where(Pattern.anyOf(patterns))
     dst.replace("inputs", kept)
+    // the three side-table prunes semi-join against the WRITTEN inputs copy
+    // (read-back beats recomputing the filtered reconcile three times) and
+    // are independent of each other → one concurrent atomic commit instead
+    // of four serialized job-floor latencies
     val keptRefs = dst.table("inputs").select("tx_id", "output_index")
-    dst.replace("policies",
-      src.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"))
     val keptDatums = dst.table("inputs")
       .where(col("datum_info").isNotNull)
       .select(col("datum_info.hash").as("binary_data_hash"))
-    dst.replace("binary_data",
-      src.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"))
     val keptScripts = dst.table("inputs")
       .where(col("script_hash").isNotNull).select("script_hash")
-    dst.replace("scripts",
-      src.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"))
+    val spark = src.spark
+    import spark.implicits._
+    dst.commitAll(replaces = Map(
+      "policies" ->
+        src.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"),
+      "binary_data" ->
+        src.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"),
+      "scripts" ->
+        src.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"),
+      "patterns" -> patterns.map(_.toText).toSeq.toDF("pattern")))
     // checkpoints copy unfiltered: adopt the immutable segment files
     // verbatim (file-level copy + manifest registration, no Spark job)
     dst.adoptSegments("checkpoints", src)
-    val spark = src.spark
-    import spark.implicits._
-    dst.replace("patterns", patterns.map(_.toText).toSeq.toDF("pattern"))
     dst
   }
 

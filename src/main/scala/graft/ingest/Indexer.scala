@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.index.{GraftIndex, Mutations}
+import graft.index.GraftIndex
 import graft.model.Pattern
 import org.apache.spark.sql.DataFrame
 
@@ -14,12 +14,17 @@ object Indexer {
 
   def ingest(ix: GraftIndex, blocks: DataFrame, patterns: Set[Pattern]): Unit = {
     val m = MatchBlock(blocks, patterns)
-    ix.append("checkpoints", m.checkpoints)
-    ix.append("inputs", m.produced)
-    ix.append("policies", m.policies)
-    ix.append("binary_data", m.datums)
-    ix.append("scripts", m.scripts)
-    Mutations.markInputs(ix, m.spends)
+    // ONE atomic manifest bump for the whole batch (the reference's
+    // one-transaction-per-drain); the six segment writes are independent
+    // jobs and run concurrently — at streaming cadence this collapses six
+    // sequential job-floor latencies into roughly one
+    ix.commitAll(appends = Map(
+      "checkpoints" -> m.checkpoints,
+      "inputs" -> m.produced,
+      "policies" -> m.policies,
+      "binary_data" -> m.datums,
+      "scripts" -> m.scripts,
+      "spends" -> m.spends))
   }
 
   def setPatterns(ix: GraftIndex, patterns: Set[Pattern]): Unit = {
