@@ -108,23 +108,30 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * its own manifest, exposing partial batches). Empty frames register
     * nothing (M9). A no-op change set does not bump the version. */
   def commitAll(appends: Map[String, DataFrame] = Map.empty,
-                replaces: Map[String, DataFrame] = Map.empty): Unit = {
+                replaces: Map[String, DataFrame] = Map.empty,
+                replaceKeeping: Map[String, (List[Segment], Option[DataFrame])] = Map.empty)
+      : Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val m = manifest
     val v = m.version + 1
+    // (table, base segments to keep, whether a missing write keeps the base)
     val work =
-      appends.toSeq.map { case (t, df) => Future((t, true, writeSegment(t, df, v))) } ++
-        replaces.toSeq.map { case (t, df) => Future((t, false, writeSegment(t, df, v))) }
+      appends.toSeq.map { case (t, df) =>
+        Future((t, m.tables.getOrElse(t, Nil), true, writeSegment(t, df, v)))
+      } ++
+        replaces.toSeq.map { case (t, df) =>
+          Future((t, List.empty[Segment], false, writeSegment(t, df, v)))
+        } ++
+        replaceKeeping.toSeq.map { case (t, (kept, df)) =>
+          Future((t, kept, false, df.flatMap(writeSegment(t, _, v))))
+        }
     val results = Await.result(Future.sequence(work), Duration.Inf)
-    val anyChange = results.exists { case (_, isAppend, seg) => seg.isDefined || !isAppend }
+    val anyChange = results.exists { case (_, _, isAppend, seg) => seg.isDefined || !isAppend }
     if (!anyChange) return
-    val tables = results.foldLeft(m.tables) { case (acc, (t, isAppend, seg)) =>
-      val segs =
-        if (isAppend) acc.getOrElse(t, Nil) ++ seg.toList
-        else seg.toList
-      acc.updated(t, liveSegments(t, segs))
+    val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
+      acc.updated(t, liveSegments(t, base ++ seg.toList))
     }
     Manifest.write(root, Manifest(v, tables))
   }

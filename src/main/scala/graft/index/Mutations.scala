@@ -112,18 +112,26 @@ object Mutations {
     * manifest spent stat) are kept untouched; everything else is rewritten.
     * Returns the new max checkpoint slot, if any. */
   def rollbackTo(ix: GraftIndex, s: Long): Option[Long] = {
-    rollbackInputs(ix, s)
-    rollbackTable(ix, "spends", s, col("spent_at") <= s)
-    rollbackTable(ix, "checkpoints", s, col("slot_no") <= s)
+    // ONE atomic manifest swap for all three tables: a crash mid-rollback
+    // can no longer expose inputs cut but checkpoints stale (the state the
+    // Resume negotiation recovers from); the straddling-segment rewrites
+    // are independent jobs and run concurrently inside commitAll
+    val changes = Seq(
+      inputsChange(ix, s),
+      tableChange(ix, "spends", s, col("spent_at") <= s),
+      tableChange(ix, "checkpoints", s, col("slot_no") <= s)).flatten.toMap
+    if (changes.nonEmpty) ix.commitAll(replaceKeeping = changes)
     val row = ix.table("checkpoints").agg(max("slot_no")).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
+
+  private type Change = (String, (List[GraftIndex.Segment], Option[org.apache.spark.sql.DataFrame]))
 
   /** inputs-table rollback: drop rows created after s AND null out spend
     * provenance recorded after s. A segment escapes the rewrite only when
     * BOTH its created_at and its spent_at stats prove it untouched —
     * `SpentStat.Unknown` (pre-upgrade manifest) rewrites conservatively. */
-  private def rollbackInputs(ix: GraftIndex, s: Long): Unit = {
+  private def inputsChange(ix: GraftIndex, s: Long): Option[Change] = {
     import GraftIndex.SpentStat
     val segs = ix.manifest.tables.getOrElse("inputs", Nil)
     val (dropped, candidates) = segs.partition(_.minSlot.exists(_ > s))
@@ -145,26 +153,25 @@ object Mutations {
         .withColumn("spent_by", when(keepSpend, col("spent_by")))
         .withColumn("spent_with", when(keepSpend, col("spent_with")))
         .withColumn("spent_at", when(keepSpend, col("spent_at")))
-      ix.replaceWith("inputs", untouched, Some(df))
+      Some("inputs" -> (untouched, Some(df)))
     } else if (dropped.nonEmpty) {
-      ix.replaceWith("inputs", untouched, None)
-    }
+      Some("inputs" -> (untouched, None))
+    } else None
   }
 
-  private def rollbackTable(ix: GraftIndex, table: String, s: Long,
-                            keep: org.apache.spark.sql.Column): Unit = {
+  private def tableChange(ix: GraftIndex, table: String, s: Long,
+                          keep: org.apache.spark.sql.Column): Option[Change] = {
     val segs = ix.manifest.tables.getOrElse(table, Nil)
     val (dropped, candidates) = segs.partition(_.minSlot.exists(_ > s))
     val (untouched, straddling) = candidates.partition(_.maxSlot.exists(_ <= s))
-    val _ = dropped
     if (straddling.nonEmpty) {
       val df = ix.spark.read
         .schema(ix.table(table).schema)
         .parquet(straddling.map(sg => s"${ix.root}/${sg.path}"): _*)
         .where(keep)
-      ix.replaceWith(table, untouched, Some(df))
+      Some(table -> (untouched, Some(df)))
     } else if (dropped.nonEmpty) {
-      ix.replaceWith(table, untouched, None)
-    }
+      Some(table -> (untouched, None))
+    } else None
   }
 }
