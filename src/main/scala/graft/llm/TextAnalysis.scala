@@ -17,6 +17,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "les"),
     "es" -> Seq("el", "y", "los"))
 
+  /** TF-IDF-style term statistics, INTEGER-ONLY so distributed execution is
+    * bit-deterministic: per (doc, term) frequency, corpus document
+    * frequency, and the per-doc top-`k` terms ranked by (tf desc, df asc,
+    * term asc) — rare-but-frequent terms first, the integer core of TF-IDF
+    * feature extraction without the order-sensitive float log.
+    * Scale shape: one explode, two map-side-combined aggregations (doc×term
+    * and term), an equi-join on term (vocabulary-sized — Zipf keeps it far
+    * smaller than the token stream), and a per-doc window. */
+  def topTerms(docs: DataFrame, k: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** n-gram(token) heuristic language-ID with a fixed tie-break chain
     * (en > de > fr > es). Deterministic by construction. */
   def langId(docs: DataFrame, textCol: String = "text"): Column = {

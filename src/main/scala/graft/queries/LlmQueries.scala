@@ -244,6 +244,27 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF term statistics, integer-only (the order-sensitive float log
+    // is left to the consumer): per-doc top-3 terms by (tf desc, df asc,
+    // term asc). Exact ints hash-match across engines; the rank triple is
+    // a total order so row_number is deterministic.
+    QueryDef("q_tfidf_terms",
+      (s, d) => TextAnalysis.topTerms(spreadDocs(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rnk")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+             |ranked AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)::BIGINT AS rnk
+             |  FROM tf JOIN df USING (term))
+             |SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
     // Winnowing fingerprints: positional k-gram rolling hashes, sliding
     // window minima, distinct per doc — guarantees a shared fingerprint for
     // any common substring of length ≥ w+k−1. The windowed min is over
