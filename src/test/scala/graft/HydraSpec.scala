@@ -2,7 +2,7 @@ package graft
 
 import graft.codec.{Blake2b, Cbor, Hex}
 import graft.index.GraftIndex
-import graft.ingest.{BlockReader, HydraReader, Indexer, TxCbor}
+import graft.ingest.{HydraReader, Indexer, TxCbor}
 import graft.model.Pattern
 import graft.query.{Api, FoldInputs}
 import org.apache.spark.sql.functions._
@@ -267,5 +267,25 @@ class HydraSpec extends SparkSpec {
     (1 until cborHex.length / 2).by(7).foreach { cut =>
       assert(TxCbor.decodeTx(cborHex.take(cut * 2)).isEmpty)
     }
+  }
+
+  test("Hydra streaming drain: file stream -> index, checkpoint resumes") {
+    val (cborHex, txId) = buildTx()
+    val in = tmpDir("graft-hydra-stream-in")
+    val ix = new GraftIndex(spark, tmpDir("graft-hydra-stream-ix"))
+    val patterns = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+    Files.write(Paths.get(in, "000.jsonl"),
+      (s"""{"tag":"SnapshotConfirmed","headId":"00","snapshot":{"number":3,""" +
+        s""""confirmed":[{"cborHex":"$cborHex"}]}}""").getBytes(StandardCharsets.UTF_8))
+    val q1 = HydraReader.start(spark, in, ix, patterns)
+    q1.awaitTermination()
+    assert(ix.table("inputs").where(col("tx_id") === txId).count() == 2)
+    assert(ix.table("checkpoints").agg(max("slot_no")).head().getLong(0) == 3L)
+    // restart: consumed file is not reprocessed; a TxValid-only file adds nothing
+    Files.write(Paths.get(in, "001.jsonl"),
+      s"""{"tag":"TxValid","transactionId":"${"dd" * 32}"}""".getBytes(StandardCharsets.UTF_8))
+    val q2 = HydraReader.start(spark, in, ix, patterns)
+    q2.awaitTermination()
+    assert(ix.table("inputs").count() == 2)
   }
 }
