@@ -55,20 +55,28 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (max cosine, centroid id as
     * tie-break). `centroids` must be broadcast-sized (IVF coarse quantizer:
-    * hundreds to ~64k cells). Output: input columns + `cell`. */
+    * hundreds to ~64k cells). Output: input columns + `cell`.
+    *
+    * MAP-ONLY: the whole centroid set is collapsed into ONE broadcast row
+    * holding `array<struct<centroid_id, ce>>`, crossed into the scan, and the
+    * argmax is a per-row `array_max` over a `transform` of that array —
+    * `max(struct(sim, -id))` picks the highest similarity with lowest-id
+    * tie-break. The embedding payload NEVER moves: no hash shuffle anywhere
+    * in the plan (the only exchange is the O(k)-row SinglePartition collect
+    * that builds the broadcast row on the centroid side). At 100 TB each
+    * k-means iteration / IVF build reads the vectors in place. Per-pair
+    * `cosine` is the same expression tree as before, so assignments (and
+    * their float ties) are bit-identical to the former join+groupBy plan. */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("centroid_id"), col("centroid").as("ce")))
-    val scored = embeddings.select(col("vec_id"), col("embedding")).join(cents)
-      .select(col("vec_id"), col("centroid_id"), cosine(col("embedding"), col("ce")).as("cell_sim"))
-    // argmax via max_by on the (sim, -id) pair — deterministic tie-break.
-    // Group on vec_id ONLY and re-join the cell id: the shuffle carries
-    // (vec_id, centroid_id, sim) rows, never the embedding payload —
-    // at 100 TB the vectors stay where they are and only 12-byte score
-    // triples move
-    val cells = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("cell_sim"), -col("centroid_id"))).as("cell"))
-    embeddings.join(cells, "vec_id")
+    val centRow = broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centroid").as("ce"))).as("cents")))
+    embeddings.crossJoin(centRow)
+      .withColumn("cell",
+        -array_max(transform(col("cents"), c =>
+          struct(cosine(col("embedding"), c.getField("ce")).as("s"),
+                 (-c.getField("centroid_id")).as("nid"))))
+          .getField("nid"))
+      .drop("cents")
   }
 
   /** IVF search: probe only the `nprobe` cells nearest to the query vector,
@@ -101,8 +109,8 @@ object Similarity {
     * DETERMINISTIC — the k lowest vec_ids seed the centroids (callers
     * wanting k-means++-style spread can pre-shuffle ids by a hash).
     * Per iteration:
-    *   assign: broadcast centroid argmax (`assignCells`) — embeddings
-    *     never shuffle, only (vec_id, cell, sim) triples move;
+    *   assign: per-row argmax over the broadcast centroid array
+    *     (`assignCells`) — map-only, nothing moves;
     *   update: posexplode components → groupBy (cell, pos) avg → re-zip
     *     in position order. The component shuffle carries (cell, pos, v)
     *     doubles with map-side partial aggregation — O(n·dim) adds,
@@ -110,7 +118,14 @@ object Similarity {
     * Each round materializes via localCheckpoint: iterative lineage
     * otherwise compounds the plan until the driver chokes (same discipline
     * as Dedup's label propagation). Empty cells keep their previous
-    * centroid (standard Lloyd degeneracy handling). */
+    * centroid (standard Lloyd degeneracy handling).
+    *
+    * DETERMINISM CAVEAT: the `avg` update is a distributed double partial
+    * aggregation, so centroid values depend on partition summation order —
+    * unlike the repo's hash-gated paths (integer TF-IDF, ordered-fold
+    * cosine). Do NOT put trained centroids behind a cross-engine
+    * hash-compare gate; assignments derived from FIXED centroids (the
+    * oracle-gated queries) stay bit-deterministic. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = embeddings
       .orderBy(col("vec_id")).limit(k)
@@ -142,15 +157,19 @@ object Similarity {
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by
-    * construction (callers derive planes from fixed rows or seeds). */
+    * construction (callers derive planes from fixed rows or seeds).
+    *
+    * MAP-ONLY (same shape as [[assignCells]]): the plane set becomes ONE
+    * broadcast row holding the plane array sorted by plane_id, and the bit
+    * string is a per-row fold — no n×planes explode, no groupBy, the
+    * embedding payload never shuffles. */
   def hyperplaneBucket(embeddings: DataFrame, planes: DataFrame): DataFrame = {
-    val ps = broadcast(planes.select(col("plane_id"), col("plane")))
-    embeddings.join(ps)
-      .select(col("vec_id"), col("plane_id"),
-        when(dot(col("embedding"), col("plane")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
-      .groupBy(col("vec_id"))
-      // deterministic order: sort (plane_id, bit) pairs, then strip ids
-      .agg(concat_ws("", transform(array_sort(collect_list(struct(col("plane_id"), col("bit")))),
-        p => p.getField("bit"))).as("bucket"))
+    val planeRow = broadcast(planes
+      .agg(array_sort(collect_list(struct(col("plane_id"), col("plane").as("pl")))).as("ps")))
+    embeddings.crossJoin(planeRow)
+      .select(col("vec_id"),
+        concat_ws("", transform(col("ps"), p =>
+          when(dot(col("embedding"), p.getField("pl")) >= 0, lit("1")).otherwise(lit("0"))))
+          .as("bucket"))
   }
 }
