@@ -183,7 +183,8 @@ object Kernels {
   }
 
   /** One Hydra server-output line → one Ogmios nextBlock line (S3 bridge,
-    * graft.ingest.HydraReader); null for non-block-bearing messages. */
+    * graft.ingest.HydraReader); "" for recognized non-block messages, null
+    * for MALFORMED ones (the strict reader raises on null). */
   def hydraToOgmios(line: UTF8String): UTF8String = {
     if (line == null) return null
     val out = graft.ingest.HydraReader.messageToOgmios(line.toString)

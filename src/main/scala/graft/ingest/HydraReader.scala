@@ -33,12 +33,18 @@ object HydraReader {
 
   private val mapper = new ObjectMapper()
 
-  /** One Hydra server-output line → one Ogmios nextBlock line; null for
-    * non-block-bearing or malformed messages. */
-  def messageToOgmios(line: String): String =
+  /** One Hydra server-output line → one Ogmios nextBlock line. Two distinct
+    * non-block results, so callers can tell "benign" from "broken":
+    *  - `""` — a recognized Hydra envelope carrying no block (TxValid etc.);
+    *  - `null` — MALFORMED input: unparseable JSON, no tag, or a
+    *    block-bearing message whose payload fails to decode. The reference
+    *    fails loudly on these ([[toOgmiosLines]] raises in strict mode);
+    *    silently skipping one would leave an undetectable gap in the chain. */
+  def messageToOgmios(line: String): String = {
+    val root = try mapper.readTree(line) catch { case NonFatal(_) => return null }
+    val tag = Option(root).flatMap(r => Option(r.get("tag"))).map(_.asText()).orNull
+    if (tag == null) return null
     try {
-      val root = mapper.readTree(line)
-      val tag = Option(root.get("tag")).map(_.asText()).orNull
       tag match {
         case "SnapshotConfirmed" =>
           val snap = root.get("snapshot")
@@ -70,9 +76,10 @@ object HydraReader {
             }
             ogmiosBlock(0L, txs.map(_._1), txs.map(_._2))
           }
-        case _ => null
+        case _ => "" // recognized envelope, no block to ingest
       }
     } catch { case NonFatal(_) => null }
+  }
 
   /** mkHydraBlock (Hydra.hs:100-120): header hash = blake2b-256 of the
     * concatenated tx id bytes, slot = height = snapshot number. */
@@ -116,10 +123,23 @@ object HydraReader {
   }
 
   /** Declarative bridge: raw Hydra lines → raw Ogmios lines (codegen'd
-    * kernel; non-block messages drop out). */
-  def toOgmiosLines(raw: DataFrame): DataFrame =
-    raw.select(graft.GraftFunctions.hydraToOgmios(col("raw")).as("raw"))
-      .where(col("raw").isNotNull)
+    * kernel; recognized non-block messages drop out). In strict mode
+    * (default) a MALFORMED line fails the job at that exact row via
+    * `raise_error`, carrying a prefix of the offending line — a decoder bug
+    * or new message shape can never silently gap the chain (the reference
+    * fails loudly on undecodable input too). `strict = false` restores
+    * drop-malformed for exploratory reads. */
+  def toOgmiosLines(raw: DataFrame, strict: Boolean = true): DataFrame = {
+    val decoded = graft.GraftFunctions.hydraToOgmios(col("raw"))
+    val guarded =
+      if (strict)
+        when(decoded.isNull, raise_error(
+          concat(lit("undecodable Hydra line: "), substring(col("raw"), 1, 96))))
+          .otherwise(decoded)
+      else decoded
+    raw.select(guarded.as("raw"))
+      .where(col("raw").isNotNull && length(col("raw")) > 0)
+  }
 
   /** Batch entry: Hydra JSONL file(s) → normalized blocks. */
   def readJsonl(spark: SparkSession, path: String): DataFrame = {

@@ -159,8 +159,11 @@ class HydraSpec extends SparkSpec {
         s"""{"address":"$addr2Wire","value":{"lovelace":999,"$policy":{"beef":3}}}}}"""
     val txValid = s"""{"tag":"TxValid","transactionId":"${"dd" * 32}"}"""
 
-    // bridge layer: TxValid drops; block ids follow mkHydraBlock
-    assert(HydraReader.messageToOgmios(txValid) == null)
+    // bridge layer: TxValid is a recognized non-block message ("" = benign
+    // drop; null is reserved for malformed lines); block ids follow
+    // mkHydraBlock
+    assert(HydraReader.messageToOgmios(txValid) == "")
+    assert(HydraReader.messageToOgmios("not json at all") == null)
     val snapLine = HydraReader.messageToOgmios(snapshot)
     assert(snapLine.contains(s""""slot":7"""))
     assert(snapLine.contains(s""""id":"${Hex.encode(Blake2b.hash256(Hex.decode(txId).get))}""""))
@@ -247,6 +250,101 @@ class HydraSpec extends SparkSpec {
     val md = BlockQueries.metadataBySlot(blocks, 77L).collect()
     assert(md.length == 1 && md(0).getString(1) == "674")
     assert(md(0).getString(3) == """{"string":"hi"}""")
+  }
+
+  test("Byron blocks: main + EBB decode, bootstrap outputs index under *") {
+    import graft.ingest.BlockCbor
+    import graft.query.BlockQueries
+    // bootstrap address envelope [ #6.24(payload), crc32(payload) ]
+    val payload = Hex.decode("5a" * 30).get
+    val crc = { val c = new java.util.zip.CRC32(); c.update(payload); c.getValue }
+    val byronAddr = cArr(cTag(24, cBytes(payload)), cInt(crc))
+    val addrKupo = "00" + Hex.encode(byronAddr) // fromOnChainBytes: tag 0 ‖ CBOR
+    assert(graft.model.Address.isValidByron(byronAddr))
+    // tx = [[txin], [txout], attributes]; txin = [0, #6.24([txid, ix])]
+    val txin = cArr(cInt(0), cTag(24, cBytes(cArr(cBytesHex("aa" * 32), cInt(3)))))
+    val tx = cArr(cArr(txin), cArr(cArr(byronAddr, cInt(123456))), cMap())
+    val txId = Hex.encode(Blake2b.hash256(tx))
+    val txaux = cArr(tx, cArr())
+    val mainBody = cArr(cArr(txaux), cArr(), cArr(), cArr()) // ssc/dlg/upd ignored
+    // header = [magic, prev, proof, consensus, extra];
+    // consensus = [[epoch, slot], pubkey, [difficulty], sig]
+    val consensus = cArr(cArr(cInt(2), cInt(135)), cBytesHex("cc" * 32),
+      cArr(cInt(42)), cBytesHex("dd" * 8))
+    val header = cArr(cInt(764824073), cBytesHex("00" * 32), cBytesHex("bb" * 32),
+      consensus, cArr())
+    val mainBlock = cArr(cInt(1), cArr(header, mainBody, cArr()))
+    // ledger hashes the VARIANT-WRAPPED header
+    val mainHash = Hex.encode(Blake2b.hash256(cArr(cInt(1), header)))
+    val wrapped = cArr(cInt(0), cTag(24, cBytes(mainBlock))) // node-to-client wrap
+    // EBB: ebbhead = [magic, prev, proof, [epoch, difficulty], extra]; bare line
+    val ebbHeader = cArr(cInt(764824073), cBytesHex("ee" * 32), cBytesHex("ff" * 32),
+      cArr(cInt(3), cArr(cInt(43))), cArr())
+    val ebb = cArr(cInt(0), cArr(ebbHeader, cArr(), cArr()))
+    val ebbHash = Hex.encode(Blake2b.hash256(cArr(cInt(0), ebbHeader)))
+
+    val mainLine = BlockCbor.blockToOgmios(Hex.encode(wrapped))
+    assert(mainLine != null, "main block must decode")
+    assert(mainLine.contains(s""""slot":${2 * 21600 + 135}""") &&
+      mainLine.contains(""""height":42""") &&
+      mainLine.contains(s""""id":"$mainHash"""") &&
+      mainLine.contains(s""""id":"$txId""""))
+    val ebbLine = BlockCbor.blockToOgmios(Hex.encode(ebb))
+    assert(ebbLine != null, "EBB must decode")
+    assert(ebbLine.contains(s""""slot":${3 * 21600}""") &&
+      ebbLine.contains(s""""id":"$ebbHash"""") &&
+      ebbLine.contains(""""transactions":[]"""))
+
+    val dir = tmpDir("graft-byron-in")
+    Files.write(Paths.get(dir, "000.txt"),
+      (Hex.encode(wrapped) + "\n" + Hex.encode(ebb)).getBytes(StandardCharsets.UTF_8))
+    val blocks = BlockCbor.readCborBlocks(spark, dir)
+    assert(blocks.count() == 2) // the EBB is a real (empty) block/point
+    val ix = new GraftIndex(spark, tmpDir("graft-byron-ix"))
+    Indexer.ingest(ix, blocks, Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val rows = FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc))
+      .select(col("transaction_id"), col("output_index"), col("address"),
+        col("created_at.slot_no").as("slot"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSet == Set((txId, 0, addrKupo, (2L * 21600 + 135))))
+    // OnlyShelley (P2) must NOT see the bootstrap output
+    val shelleyIx = new GraftIndex(spark, tmpDir("graft-byron-ix2"))
+    Indexer.ingest(shelleyIx, blocks, Set[Pattern](Pattern.MatchAny(includingBootstrap = false)))
+    assert(FoldInputs(shelleyIx, Api.MatchesQuery("*", order = Api.SortDirection.Asc)).count() == 0)
+    // Byron txs carry no metadata
+    assert(BlockQueries.metadataBySlot(blocks, 2L * 21600 + 135).isEmpty)
+  }
+
+  test("strict ingest fails loudly on an undecodable line; lenient opts out") {
+    import graft.ingest.BlockCbor
+    // one corrupt line sandwiched between two good Byron blocks
+    val ebbHeader = cArr(cInt(764824073), cBytesHex("ee" * 32), cBytesHex("ff" * 32),
+      cArr(cInt(3), cArr(cInt(43))), cArr())
+    val good = Hex.encode(cArr(cInt(0), cArr(ebbHeader, cArr(), cArr())))
+    val dir = tmpDir("graft-strict-in")
+    Files.write(Paths.get(dir, "000.txt"),
+      Seq(good, "deadbeef", good).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val err = intercept[Exception] {
+      BlockCbor.readCborBlocks(spark, dir).count()
+    }
+    // the raise carries the offending hex so the gap is diagnosable
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m => m.contains("undecodable block CBOR") || m.contains("deadbeef")))
+    // lenient mode restores drop-malformed
+    assert(BlockCbor.readCborBlocks(spark, dir, strict = false).count() == 2)
+
+    // same contract on the Hydra side: malformed JSON raises, TxValid doesn't
+    val hdir = tmpDir("graft-strict-hydra")
+    Files.write(Paths.get(hdir, "000.jsonl"),
+      Seq("""{"tag":"TxValid","transactionId":"00"}""", "{broken json")
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val raw = spark.read.text(hdir).withColumnRenamed("value", "raw")
+    val herr = intercept[Exception] {
+      graft.ingest.HydraReader.toOgmiosLines(raw).count()
+    }
+    assert(messages(herr).exists(_.contains("undecodable Hydra line")))
+    assert(graft.ingest.HydraReader.toOgmiosLines(raw, strict = false).count() == 0)
   }
 
   test("CBOR reader and tx decoder never crash or hang on arbitrary bytes") {
