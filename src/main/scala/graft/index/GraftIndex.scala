@@ -111,21 +111,24 @@ final class GraftIndex(val spark: SparkSession, val root: String,
                 replaces: Map[String, DataFrame] = Map.empty,
                 replaceKeeping: Map[String, (List[Segment], Option[DataFrame])] = Map.empty)
       : Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{blocking, Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val m = manifest
     val v = m.version + 1
+    // writeSegment blocks its thread on a synchronous Spark action — mark it
+    // `blocking` so the shared global pool grows past its CPU-count cap
+    // instead of starving other users of the pool for the commit's duration
     // (table, base segments to keep, whether a missing write keeps the base)
     val work =
       appends.toSeq.map { case (t, df) =>
-        Future((t, m.tables.getOrElse(t, Nil), true, writeSegment(t, df, v)))
+        Future((t, m.tables.getOrElse(t, Nil), true, blocking(writeSegment(t, df, v))))
       } ++
         replaces.toSeq.map { case (t, df) =>
-          Future((t, List.empty[Segment], false, writeSegment(t, df, v)))
+          Future((t, List.empty[Segment], false, blocking(writeSegment(t, df, v))))
         } ++
         replaceKeeping.toSeq.map { case (t, (kept, df)) =>
-          Future((t, kept, false, df.flatMap(writeSegment(t, _, v))))
+          Future((t, kept, false, blocking(df.flatMap(writeSegment(t, _, v)))))
         }
     val results = Await.result(Future.sequence(work), Duration.Inf)
     val anyChange = results.exists { case (_, _, isAppend, seg) => seg.isDefined || !isAppend }

@@ -5,7 +5,7 @@ import graft.codec.{Blake2b, Hex}
 import graft.index.GraftIndex
 import graft.model.Pattern
 import graft.streaming.StreamingIndexer
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -129,16 +129,21 @@ object HydraReader {
     * or new message shape can never silently gap the chain (the reference
     * fails loudly on undecodable input too). `strict = false` restores
     * drop-malformed for exploratory reads. */
-  def toOgmiosLines(raw: DataFrame, strict: Boolean = true): DataFrame = {
-    val decoded = graft.GraftFunctions.hydraToOgmios(col("raw"))
-    val guarded =
-      if (strict)
-        when(decoded.isNull, raise_error(
-          concat(lit("undecodable Hydra line: "), substring(col("raw"), 1, 96))))
-          .otherwise(decoded)
-      else decoded
-    raw.select(guarded.as("raw"))
+  def toOgmiosLines(raw: DataFrame, strict: Boolean = true): DataFrame =
+    raw.select(ogmiosCol(strict)(col("raw")).as("raw"))
       .where(col("raw").isNotNull && length(col("raw")) > 0)
+
+  /** The per-LINE bridge as a column transform — the form
+    * `StreamingIndexer.processBatch(rewrite = …)` threads through its
+    * ordered re-read (a pre-transformed frame would re-read the original
+    * non-Ogmios lines on a reorg batch). */
+  def ogmiosCol(strict: Boolean)(raw: Column): Column = {
+    val decoded = graft.GraftFunctions.hydraToOgmios(raw)
+    if (strict)
+      when(decoded.isNull, raise_error(
+        concat(lit("undecodable Hydra line: "), substring(raw, 1, 96))))
+        .otherwise(decoded)
+    else decoded
   }
 
   /** Batch entry: Hydra JSONL file(s) → normalized blocks. */
@@ -158,7 +163,8 @@ object HydraReader {
       .withColumnRenamed("value", "raw")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        StreamingIndexer.processBatch(ix, toOgmiosLines(batch), patterns)
+        StreamingIndexer.processBatch(ix, batch, patterns,
+          rewrite = ogmiosCol(strict = true))
       }
       .option("checkpointLocation", s"${ix.root}/_stream_checkpoint")
       .trigger(trigger)

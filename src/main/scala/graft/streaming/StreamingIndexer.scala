@@ -35,9 +35,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rows harmlessly — the INSERT OR IGNORE analogue at the stream level. */
 object StreamingIndexer {
 
-  /** Process one drained micro-batch with chain-order (net-effect) semantics. */
-  def processBatch(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern]): Unit = {
-    val env = BlockReader.parseEnvelope(raw).cache()
+  /** Process one drained micro-batch with chain-order (net-effect) semantics.
+    *
+    * `rewrite` is a per-LINE transform applied to the `raw` column before
+    * envelope parsing (identity for Ogmios-native feeds; the Hydra producer
+    * passes its line bridge). Threading it here — instead of the caller
+    * pre-transforming the frame — matters for the ordered path: on a reorg
+    * batch the files are re-read to recover chain order, and the rewrite
+    * must re-apply to THOSE lines too, or the re-read would parse the
+    * untransformed originals and silently drop the batch's forwards.
+    *
+    * Feeds that are not file-backed can carry an explicit `seq` column
+    * (monotone per-envelope chain order within the batch); it is used
+    * directly and nothing is re-read. */
+  def processBatch(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern],
+                   rewrite: Column => Column = identity): Unit = {
+    val env = BlockReader.parseEnvelope(rewritten(raw, rewrite)).cache()
     try {
       val rollbackPoints = BlockReader.rollbacks(env).collect()
       if (rollbackPoints.isEmpty) {
@@ -45,7 +58,7 @@ object StreamingIndexer {
         val blocks = BlockReader.blocks(env)
         if (!blocks.isEmpty) Indexer.ingest(ix, blocks, patterns)
       } else {
-        processOrdered(ix, raw, patterns,
+        processOrdered(ix, raw, patterns, rewrite,
           fallbackTarget = rollbackPoints.map(_.getLong(0)).min)
       }
     } finally env.unpersist()
@@ -55,37 +68,61 @@ object StreamingIndexer {
     ()
   }
 
-  /** Rollbacks present: re-read the batch's files with an explicit chain
-    * sequence and apply the net effect. `sc.textFile(paths…)` generates
-    * splits per path in the order given with ascending offsets, and
-    * `zipWithIndex` numbers rows partition-major in that split order, so
-    * `seq` is exactly (file name asc, line order) — the feeder's chain
-    * order. Costs one extra scan of the batch, paid only on reorg batches. */
+  /** Apply the line rewrite to the `raw` column (keeping every other column,
+    * e.g. `seq`) and drop the rewrite's "no block here" sentinels. */
+  private def rewritten(df: DataFrame, rewrite: Column => Column): DataFrame = {
+    val others = df.columns.filter(_ != "raw").map(col(_)).toSeq
+    df.select(rewrite(col("raw")).as("raw") +: others: _*)
+      .where(col("raw").isNotNull && length(col("raw")) > 0)
+  }
+
+  /** Rollbacks present: recover an explicit chain sequence and apply the net
+    * effect. A feeder-supplied `seq` column wins; otherwise the batch's
+    * files are re-read as an order-preserving union of per-file RDDs (one
+    * `textFile` per path — comma or glob metacharacters in a path are never
+    * re-interpreted) and `zipWithIndex` numbers rows partition-major in that
+    * order, so `seq` is exactly (file name asc, line order) — the feeder's
+    * chain order. Costs one extra scan of the batch, paid only on reorg
+    * batches. */
   private def processOrdered(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern],
-                             fallbackTarget: Long): Unit = {
+                             rewrite: Column => Column, fallbackTarget: Long): Unit = {
     val spark = raw.sparkSession
-    val files = raw.select(input_file_name().as("f")).where(col("f") =!= "")
-      .distinct().collect().map(_.getString(0)).sorted
-    if (files.isEmpty) {
-      // non-file feed (e.g. a memory source): no intra-batch order exists to
-      // recover — apply the rollback barrier first, then all forwards, which
-      // is correct when the feeder never emits a forward before a rollback
-      // in one batch (the pre-round-4 contract)
+
+    /** No per-envelope order is recoverable: rollback barrier first, then
+      * all forwards — correct when the feeder never emits a forward before
+      * a rollback within one batch (single-envelope batches trivially so). */
+    def barrierFirst(): Unit = {
       Mutations.rollbackTo(ix, fallbackTarget)
-      val env = BlockReader.parseEnvelope(raw)
+      val env = BlockReader.parseEnvelope(rewritten(raw, rewrite))
       val blocks = BlockReader.blocks(env)
       if (!blocks.isEmpty) Indexer.ingest(ix, blocks, patterns)
-      return
     }
-    import spark.implicits._
-    val ordered = spark.sparkContext.textFile(files.mkString(","))
-      .zipWithIndex().map { case (line, i) => (i, line) }
-      .toDF("seq", "raw")
-    val env = BlockReader.parseEnvelope(ordered, keep = Seq("seq")).cache()
+
+    val ordered: DataFrame =
+      if (raw.columns.contains("seq")) raw
+      else {
+        val files = raw.select(input_file_name().as("f")).where(col("f") =!= "")
+          .distinct().collect().map(_.getString(0)).sorted
+        if (files.isEmpty) { barrierFirst(); return } // e.g. a memory source
+        import spark.implicits._
+        spark.sparkContext.union(files.toIndexedSeq.map(spark.sparkContext.textFile(_)))
+          .zipWithIndex().map { case (line, i) => (i, line) }
+          .toDF("seq", "raw")
+      }
+    val env = BlockReader.parseEnvelope(rewritten(ordered, rewrite), keep = Seq("seq"))
+      .cache()
     try {
       val rbs = env.where(col("direction") === "backward")
         .select(col("seq"), coalesce(col("point.slot"), lit(-1L)))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      if (rbs.isEmpty) {
+        // defense in depth: the first pass saw a rollback but the ordered
+        // re-read did not (a transformed file feed whose caller forgot to
+        // thread `rewrite`, or a feeder rewriting files in place). Degrade
+        // to barrier-first on the first-pass frame rather than throwing on
+        // suffixMin.head and losing the batch's forwards.
+        barrierFirst(); return
+      }
       // suffix minima of rollback targets in chain order: suffixMin(i) is the
       // deepest rollback at-or-after rollback i
       val suffixMin = rbs.map(_._2).scanRight(Long.MaxValue)(math.min).init

@@ -104,6 +104,31 @@ class StreamingNetEffectPropertySpec extends SparkSpec {
     (rows, cps)
   }
 
+  test("memory-stream feed with an explicit seq column matches sequential (seed 31)") {
+    // non-file feeds can't be re-read for chain order — the contract is an
+    // explicit per-envelope `seq` column, which processOrdered uses directly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val envelopes = genEnvelopes(31, 30)
+
+    val seqIx = new GraftIndex(spark, tmpDir("graft-neteff-memseq"))
+    envelopes.foreach { line =>
+      StreamingIndexer.processBatch(seqIx, Seq(line).toDF("raw"), patterns)
+    }
+
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(envelopes.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    val memIx = new GraftIndex(spark, tmpDir("graft-neteff-memix"))
+    val q = ms.toDF.toDF("seq", "raw").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingIndexer.processBatch(memIx, batch, patterns)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(state(memIx) == state(seqIx), "memory-stream batch diverged")
+  }
+
   for (seed <- Seq(11, 23, 47)) test(s"net-effect batch == sequential application (seed $seed)") {
     val envelopes = genEnvelopes(seed, 30)
 
