@@ -19,39 +19,80 @@ object Health {
     case object Disconnected extends ConnectionStatus("disconnected", 0)
   }
 
+  /** Era genesis parameters (Configuration.hs:258-262): the network magic
+    * picks the Byron/Shelley boundary, the system start anchors slot 0 in
+    * wall-clock time. Supplied by the operator (a node-side input). */
+  final case class NetworkParameters(networkMagic: Long, systemStartSec: Long)
+
   final case class Snapshot(
     connectionStatus: ConnectionStatus,
     mostRecentCheckpoint: Option[(Long, String)], // (slot, header hash)
     mostRecentNodeTip: Option[Long],
     secondsSinceLastBlock: Option[Long],
+    networkSynchronization: Option[String], // fixed-5-decimal number wire text
     version: String)
 
   /** Read the health snapshot off the index (one LIMIT-1 checkpoint scan).
     * `nodeTip`/`lastBlockAtMs` come from the producer loop, which is where
-    * the reference's TVar gets its writes too (Health.hs:58-72). */
+    * the reference's TVar gets its writes too (Health.hs:58-72);
+    * `params` enables the `network_synchronization` gauge. */
   def snapshot(ix: GraftIndex,
                status: ConnectionStatus = ConnectionStatus.Disconnected,
                nodeTip: Option[Long] = None,
                lastBlockAtMs: Option[Long] = None,
-               nowMs: Long = System.currentTimeMillis()): Snapshot =
+               nowMs: Long = System.currentTimeMillis(),
+               params: Option[NetworkParameters] = None): Snapshot = {
+    val checkpoint = FoldInputs.maxCheckpoint(ix)
     Snapshot(
       connectionStatus = status,
-      mostRecentCheckpoint = FoldInputs.maxCheckpoint(ix),
+      mostRecentCheckpoint = checkpoint,
       mostRecentNodeTip = nodeTip,
       secondsSinceLastBlock = lastBlockAtMs.map(t => math.max(0L, (nowMs - t) / 1000L)),
+      networkSynchronization = for (p <- params; c <- checkpoint)
+        yield networkSynchronization(nowMs / 1000L, p, c._1),
       version = Version)
+  }
+
+  /** mkNetworkSynchronization (Health.hs:198-248): how far the indexed tip
+    * is from wall-clock now, as a ratio in [0, 1]. Byron slots lasted 20 s;
+    * Shelley slots are 1 s and start at a magic-dependent boundary. Within
+    * a 120 s tolerance of now the value clamps to exactly 1. Rendered like
+    * the reference's fixed-format encoder: ALWAYS five decimals, never
+    * scientific notation ("1.00000", "0.00140"). */
+  def networkSynchronization(nowSec: Long, params: NetworkParameters, tipSlot: Long): String = {
+    val byronSlotLength = 20L
+    val firstShelleySlot = params.networkMagic match {
+      case 764824073L => 4492800L // mainnet
+      case 1L         => 86400L   // preprod
+      case _          => 0L       // preview and friends: shelley from slot 0
+    }
+    val byronDuration = byronSlotLength * firstShelleySlot
+    // seconds elapsed until now: byron seconds + shelley seconds (1 slot = 1 s)
+    val den = byronDuration + (nowSec - (params.systemStartSec + byronDuration))
+    // seconds covered by the indexed tip
+    val num =
+      if (tipSlot <= firstShelleySlot) tipSlot * byronSlotLength
+      else byronDuration + (tipSlot - firstShelleySlot)
+    val tolerance = 120L
+    val p = 100000L
+    if (math.abs(num - den) <= tolerance || den <= 0) "1.00000"
+    else {
+      val frac = math.min(p, num * p / den)
+      s"${frac / p}.${"%05d".format(frac % p)}"
+    }
+  }
 
   /** GET /health body — field order and null conventions of the reference
     * encoder (Health.hs:108-140). `network_synchronization` needs the era
-    * genesis parameters (a node-side input), so it is null here, exactly as
-    * the reference renders it when network parameters are absent. */
+    * genesis parameters; without them it renders null, exactly like the
+    * reference with absent network parameters. */
   def asJson(h: Snapshot): String = {
     def orNull(v: Option[Long]) = v.map(_.toString).getOrElse("null")
     s"""{"connection_status":"${h.connectionStatus.json}",""" +
       s""""most_recent_checkpoint":${orNull(h.mostRecentCheckpoint.map(_._1))},""" +
       s""""most_recent_node_tip":${orNull(h.mostRecentNodeTip)},""" +
       s""""seconds_since_last_block":${orNull(h.secondsSinceLastBlock)},""" +
-      s""""network_synchronization":null,""" +
+      s""""network_synchronization":${h.networkSynchronization.getOrElse("null")},""" +
       s""""configuration":{"indexes":null},""" +
       s""""version":"${h.version}"}"""
   }
@@ -63,7 +104,8 @@ object Health {
       Some(s"kupo_connection_status ${h.connectionStatus.gauge}"),
       h.mostRecentCheckpoint.map(c => s"kupo_most_recent_checkpoint ${c._1}"),
       h.mostRecentNodeTip.map(t => s"kupo_most_recent_node_tip $t"),
-      h.secondsSinceLastBlock.map(s => s"kupo_seconds_since_last_block $s")
+      h.secondsSinceLastBlock.map(s => s"kupo_seconds_since_last_block $s"),
+      h.networkSynchronization.map(s => s"kupo_network_synchronization $s")
     ).flatten
     lines.mkString("", "\n", "\n")
   }

@@ -38,6 +38,41 @@ class HealthSpec extends SparkSpec {
         s"kupo_most_recent_node_tip $tipSlot\nkupo_seconds_since_last_block 30\n")
   }
 
+  test("network_synchronization: era math, tolerance clamp, fixed 5-decimal wire form") {
+    import Health.{networkSynchronization => sync, NetworkParameters}
+    // preview-style network (magic 2): shelley from slot 0, 1 slot = 1 s
+    val preview = NetworkParameters(networkMagic = 2L, systemStartSec = 1000L)
+    assert(sync(nowSec = 101000L, preview, tipSlot = 50000L) == "0.50000")
+    // Health.hs doctest: 1.4e-3 renders 0.00140, never scientific notation
+    assert(sync(nowSec = 101000L, preview, tipSlot = 140L) == "0.00140")
+    // within 120 s of now clamps to exactly 1 (the reference's tolerance)
+    assert(sync(nowSec = 101000L, preview, tipSlot = 99900L) == "1.00000")
+    // mainnet magic: byron slots last 20 s until slot 4492800
+    val mainnet = NetworkParameters(networkMagic = 764824073L, systemStartSec = 0L)
+    // byron-era tip: 1000 slots * 20 s = 20000 s of 89857000 elapsed → 0.00022
+    assert(sync(nowSec = 89857000L, mainnet, tipSlot = 1000L) == "0.00022")
+    // shelley-era tip: byronDuration + (tip − boundary) seconds
+    assert(sync(nowSec = 2 * 89856000L, mainnet, tipSlot = 4492800L + 44928000L) ==
+      "0.75000") // (89856000+44928000)/179712000
+    // ratio clamps at 1 even if the tip runs ahead of the wall clock
+    assert(sync(nowSec = 10000L, preview, tipSlot = 50000L) == "1.00000")
+
+    // end to end: params present → gauge in JSON + prometheus; absent → null
+    val ix = new GraftIndex(spark, tmpDir("graft-health-sync"))
+    Indexer.ingest(ix, FixtureChain.toDf(spark, FixtureChain.chain(4)),
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val tipSlot = FoldInputs.maxCheckpoint(ix).get._1
+    val now = 1000L + 2 * tipSlot // tip halfway through a shelley-only history
+    val h = Health.snapshot(ix, nowMs = now * 1000L,
+      params = Some(NetworkParameters(2L, systemStartSec = 1000L)))
+    val expected = sync(now, NetworkParameters(2L, 1000L), tipSlot)
+    assert(h.networkSynchronization.contains(expected))
+    assert(Health.asJson(h).contains(s""""network_synchronization":$expected,"""))
+    assert(Health.prometheus(h).contains(s"kupo_network_synchronization $expected\n"))
+    // absent params renders null, like the reference without genesis files
+    assert(Health.asJson(Health.snapshot(ix)).contains(""""network_synchronization":null"""))
+  }
+
   test("cacheOr: matching if-none-match short-circuits (304), stale recomputes") {
     val ix = new GraftIndex(spark, tmpDir("graft-health-etag"))
     Indexer.ingest(ix, FixtureChain.toDf(spark, FixtureChain.chain(3)),
