@@ -26,9 +26,11 @@ class PatternSpec extends AnyFunSuite {
 
   private val cred0 = "adec17c2784d97ed403c011ab73aa32bdf74ee10ce44258bf72c256b"
   private val cred1 = "c37b1b5dc0669f1d3c61a6fddb2e8fde96be87b881c60bce8e8d542f"
+  private val cred2 = "337b62cfff6403a06a3acbc34f8c46003c69fe79a3628cefa9c47251"
   private val tx0 = "edb10ce4425897ed403c011ab73aa32bdf74ebf72c256bc37b121adec17c2784"
   private val tx1 = "97ed403c011ab73aa32bdf74ee10ce44258bf72c256bc37b121adec17c2784db"
   private val pol0 = "3c011ab73aa32bdf74ebf72c256bc37b121adeedb10ce4425897ed40"
+  private val pol1 = "2bdf74ee10ce44258bf72c256bc37b121adec197ed403c011ab73aa3"
 
   test("kupo address re-serialization puts the delegation part first") {
     assert(addrs(0) == "03" + "61" + cred0)
@@ -39,33 +41,42 @@ class PatternSpec extends AnyFunSuite {
     assert(addrs(4) == "00" + onChain(4))
   }
 
-  // the fixture matrix: (pattern text, expected Pattern, indices of matching addrs)
+  // The fixture matrix: (pattern text, expected Pattern, indices of matching
+  // addrs) — a 1:1 sweep of the reference's `patterns` table
+  // (Fixture.hs:41-148, 18 rows in source order; rows whose expected matches
+  // are constraint-GENERATED outputs rather than fixture addresses — output
+  // refs, tx ids, policies — carry an empty address set here and get their
+  // match semantics from IndexSpec/ApiSurfaceSpec instead).
   private val matrix: Seq[(String, Pattern, Set[Int])] = Seq(
-    ("*", MatchAny(true), Set(0, 1, 2, 3, 4)),
-    ("*/*", MatchAny(false), Set(0, 1, 2, 3)),
+    ("*", MatchAny(true), Set(0, 1, 2, 3, 4)),                          // row 1
+    ("*/*", MatchAny(false), Set(0, 1, 2, 3)),                          // row 2
     ("addr1vxk7c97z0pxe0m2q8sq34de65v4a7a8wzr8ygfvt7ukz26c8636cs",
-      MatchExact(addrs(0)), Set(0)),
+      MatchExact(addrs(0)), Set(0)),                                    // row 3
     ("61adec17c2784d97ed403c011ab73aa32bdf74ee10ce44258bf72c256b",
-      MatchExact(addrs(0)), Set(0)),
+      MatchExact(addrs(0)), Set(0)),                                    // row 4
     ("Ae2tdPwUPEZChsngv7kdy8pPWJrKSaZwYGMbAtVsSCVppWKfuHwxw3R7fd5",
-      MatchExact(addrs(4)), Set(4)),
+      MatchExact(addrs(4)), Set(4)),                                    // row 5
     ("379bd7fd5493ebb21e199526b1a1b389ddb85cd70fccd4ca169bfdc4f59042ec/*",
-      MatchPayment(cred0), Set(0, 2)),
+      MatchPayment(cred0), Set(0, 2)),                                  // row 6
     ("addr_vk1x7da0l25j04my8sej5ntrgdn38wmshxhplxdfjskn07ufavsgtkqn5hljl/*",
-      MatchPayment(cred0), Set(0, 2)),
-    (s"$cred0/*", MatchPayment(cred0), Set(0, 2)),
+      MatchPayment(cred0), Set(0, 2)),                                  // row 7
+    (s"$cred0/*", MatchPayment(cred0), Set(0, 2)),                      // row 8
     ("*/379bd7fd5493ebb21e199526b1a1b389ddb85cd70fccd4ca169bfdc4f59042ec",
-      MatchDelegation(cred0), Set(3)),
+      MatchDelegation(cred0), Set(3)),                                  // row 9
     ("*/stake_vkh14hkp0sncfkt76spuqydtww4r900hfmsseezztzlh9sjkkjx6d7q",
-      MatchDelegation(cred0), Set(3)),
+      MatchDelegation(cred0), Set(3)),                                  // row 10
     ("addr_vkh14hkp0sncfkt76spuqydtww4r900hfmsseezztzlh9sjkkvjxtmr/" +
       "script1cda3khwqv60360rp5m7akt50m6ttapacs8rqhn5w342z7r35m37",
-      MatchPaymentAndDelegation(cred0, cred1), Set(2)),
+      MatchPaymentAndDelegation(cred0, cred1), Set(2)),                 // row 11
+    ("stake1uyehkck0lajq8gr28t9uxnuvgcqrc6070x3k9r8048z8y5gh6ffgw",
+      MatchDelegation(cred2), Set.empty),                               // row 12
     ("script1cda3khwqv60360rp5m7akt50m6ttapacs8rqhn5w342z7r35m37/*",
-      MatchPayment(cred1), Set(1)),
-    (s"14@$tx0", MatchOutputReference(tx0, 14), Set.empty),
-    (s"*@$tx1", MatchTransactionId(tx1), Set.empty),
-    (s"$pol0.*", MatchPolicyId(pol0), Set.empty)
+      MatchPayment(cred1), Set(1)),                                     // row 13
+    (s"14@$tx0", MatchOutputReference(tx0, 14), Set.empty),             // row 14
+    (s"42@$tx0", MatchOutputReference(tx0, 42), Set.empty),             // row 15
+    (s"*@$tx1", MatchTransactionId(tx1), Set.empty),                    // row 16
+    (s"$pol0.*", MatchPolicyId(pol0), Set.empty),                       // row 17
+    (s"$pol1.*", MatchPolicyId(pol1), Set.empty)                        // row 18
   )
 
   test("pattern matrix: text parses to the expected pattern") {
