@@ -147,13 +147,14 @@ object StreamingIndexer {
     * (App.hs:526-544). */
   def start(spark: SparkSession, inputDir: String, ix: GraftIndex,
             patterns: Set[Pattern],
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            rewrite: Column => Column = identity): StreamingQuery = {
     spark.readStream
       .text(inputDir)
       .withColumnRenamed("value", "raw")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(ix, batch, patterns)
+        processBatch(ix, batch, patterns, rewrite)
       }
       .option("checkpointLocation", s"${ix.root}/_stream_checkpoint")
       .trigger(trigger)
@@ -162,8 +163,9 @@ object StreamingIndexer {
 
   /** Drain everything currently pending and wait for completion. */
   def runAvailableNow(spark: SparkSession, inputDir: String, ix: GraftIndex,
-                      patterns: Set[Pattern]): Unit = {
-    val q = start(spark, inputDir, ix, patterns)
+                      patterns: Set[Pattern],
+                      rewrite: Column => Column = identity): Unit = {
+    val q = start(spark, inputDir, ix, patterns, rewrite = rewrite)
     q.awaitTermination()
   }
 }
