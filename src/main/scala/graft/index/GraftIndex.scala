@@ -100,37 +100,40 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * analogue of the reference's one-SQLite-transaction-per-drain
     * (App.hs:512-577: insertCheckpoints → insertInputs → insertPolicies →
     * markInputs → insertBinaryData/insertScripts all inside one
-    * transaction). Segment writes are independent Spark jobs, so they run
-    * CONCURRENTLY from a thread pool — at micro-batch cadence the
-    * scheduler overlaps six small writes instead of serializing six
-    * job-floor latencies — and the manifest swaps once, so a crash leaves
-    * either the whole batch or none of it (previously each table bumped
-    * its own manifest, exposing partial batches). Empty frames register
-    * nothing (M9). A no-op change set does not bump the version. */
+    * transaction). The manifest swaps once, so a crash leaves either the
+    * whole batch or none of it (previously each table bumped its own
+    * manifest, exposing partial batches). Empty frames register nothing
+    * (M9). A no-op change set does not bump the version.
+    *
+    * The segment writes run SEQUENTIALLY, deliberately. A previous revision
+    * ran them concurrently from a thread pool to overlap six job-floor
+    * latencies, but the six frames of one batch share subtrees of a single
+    * expression tree (MatchBlock derives them all from one parse), and
+    * driver-side optimization is not safe to run concurrently over plans
+    * sharing STATEFUL expression instances — `ConvertToLocalRelation`
+    * evaluates projections eagerly during optimization, and a shared
+    * `from_json` parser evaluated from six optimizer threads at once
+    * produced garbled rows (zeroed fields, lost/duplicated outputs;
+    * reproduced reliably by IngestStressSpec, clean when serialized). Five
+    * saved job floors are not worth a correctness race; the big segment
+    * write dominates wall-clock at scale anyway. */
   def commitAll(appends: Map[String, DataFrame] = Map.empty,
                 replaces: Map[String, DataFrame] = Map.empty,
                 replaceKeeping: Map[String, (List[Segment], Option[DataFrame])] = Map.empty)
       : Unit = {
-    import scala.concurrent.{blocking, Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val m = manifest
     val v = m.version + 1
-    // writeSegment blocks its thread on a synchronous Spark action — mark it
-    // `blocking` so the shared global pool grows past its CPU-count cap
-    // instead of starving other users of the pool for the commit's duration
     // (table, base segments to keep, whether a missing write keeps the base)
-    val work =
+    val results =
       appends.toSeq.map { case (t, df) =>
-        Future((t, m.tables.getOrElse(t, Nil), true, blocking(writeSegment(t, df, v))))
+        (t, m.tables.getOrElse(t, Nil), true, writeSegment(t, df, v))
       } ++
         replaces.toSeq.map { case (t, df) =>
-          Future((t, List.empty[Segment], false, blocking(writeSegment(t, df, v))))
+          (t, List.empty[Segment], false, writeSegment(t, df, v))
         } ++
         replaceKeeping.toSeq.map { case (t, (kept, df)) =>
-          Future((t, kept, false, blocking(df.flatMap(writeSegment(t, _, v)))))
+          (t, kept, false, df.flatMap(writeSegment(t, _, v)))
         }
-    val results = Await.result(Future.sequence(work), Duration.Inf)
     val anyChange = results.exists { case (_, _, isAppend, seg) => seg.isDefined || !isAppend }
     if (!anyChange) return
     val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>

@@ -15,9 +15,9 @@ object Indexer {
   def ingest(ix: GraftIndex, blocks: DataFrame, patterns: Set[Pattern]): Unit = {
     val m = MatchBlock(blocks, patterns)
     // ONE atomic manifest bump for the whole batch (the reference's
-    // one-transaction-per-drain); the six segment writes are independent
-    // jobs and run concurrently — at streaming cadence this collapses six
-    // sequential job-floor latencies into roughly one
+    // one-transaction-per-drain); the six segment writes run sequentially —
+    // see commitAll's note on why concurrent writes over plans sharing one
+    // expression tree are unsafe
     ix.commitAll(appends = Map(
       "checkpoints" -> m.checkpoints,
       "inputs" -> m.produced,

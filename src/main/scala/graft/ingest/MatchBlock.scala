@@ -41,10 +41,12 @@ object MatchBlock {
       posexplode(col("tx.outputs")).as(Seq("output_index", "out")))
 
     // M3+M4: disjunctive pattern filter, then project to the inputs row shape.
-    // Null outputs are positional padding from invalid-transaction
-    // normalization (BlockReader: collateral return at index |outputs|).
+    // Address-null outputs are positional padding from invalid-transaction
+    // normalization (BlockReader: collateral return at index |outputs|,
+    // phantom positions padded with an all-null-fields struct — real
+    // outputs always carry an address).
     val produced = outputs
-      .where(col("out").isNotNull)
+      .where(col("out").isNotNull && col("out.address").isNotNull)
       .withColumn("address", col("out.address"))
       .withColumn("value", col("out.value"))
       .where(Pattern.anyOf(patterns))
