@@ -63,6 +63,16 @@ object Bench {
     // likewise ingest-time index builds shared by the whole query family
     graft.queries.LlmQueries.warm(spark, sfDir)
 
+    // One untimed pass over EVERY query in the same sorted order as the
+    // timed section: pins shared-artifact materialization to a FIXED
+    // sequence regardless of which queries exist (round 4's q_f6/
+    // q_fingerprint wobble correlated with a new query shifting first-touch
+    // order), and JITs each query's generated code before its clock starts.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+    }
+
     // host calibration before the timed section (and again after: load can
     // arrive mid-run). spin() once untimed to JIT the loop itself.
     spin()

@@ -221,6 +221,32 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Benchmark decontamination — flag training documents that share content
+    * with a held-out evaluation set (the standard n-gram-overlap
+    * decontamination pass run before training). Inputs are two (id, gram)
+    * shingle frames (from [[charGrams]] — reuse the corpus's persisted
+    * shingle artifact); output is one row per corpus doc with its distinct
+    * shingle total and how many of them appear ANYWHERE in the benchmark —
+    * exact integers, the contamination ratio/threshold is downstream
+    * arithmetic.
+    *
+    * Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    * benchmark's distinct-gram set broadcasts and the corpus side is ONE
+    * pass — a broadcast left-semi probe feeding a map-side-combined count,
+    * plus the same-keyed total count; the corpus shingles never shuffle on
+    * the gram. (If the benchmark ever outgrew broadcast, drop the hint and
+    * the same plan runs as a shuffled semi-join.) */
+  def benchmarkOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val bench = broadcast(benchGrams.select(col("gram")).distinct())
+    val hits = corpusGrams.join(bench, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** md5 carved into `n` independent 8-hex-char hash values. */
   def carvedHashes(c: Column, n: Int): Seq[Column] =
     (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))

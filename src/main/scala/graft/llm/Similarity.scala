@@ -154,6 +154,89 @@ object Similarity {
     centroids
   }
 
+  /** Squared L2 distance as an ordered sequential double fold (same
+    * bit-determinism discipline as [[dot]]/[[cosine]]): d² = Σ (aᵢ−bᵢ)²
+    * accumulated left-to-right. Squares are ≥ +0.0, so the fold's 0.0 seed
+    * never flips a sign bit and the result is reproducible in any engine
+    * that folds sequentially. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Product-quantization codebook from fixed corpus vectors: the embedding
+    * splits into `m` contiguous `subDim`-wide subvectors and each subspace
+    * gets one codeword per (vec_id → code_id) entry — the deterministic
+    * analogue of per-subspace k-means (swap in trained codewords the same
+    * way [[kmeansCentroids]] feeds [[assignCells]]). Output:
+    * (sub, code_id, cw) — m × |codewords| rows, always broadcast-sized. */
+  def pqCodebook(embeddings: DataFrame, codewords: Seq[(Long, Int)],
+                 m: Int, subDim: Int): DataFrame = {
+    val codeOf = codewords.tail.foldLeft(
+        when(col("vec_id") === codewords.head._1, codewords.head._2)) {
+      case (acc, (vid, cid)) => acc.when(col("vec_id") === vid, cid)
+    }
+    embeddings.where(col("vec_id").isin(codewords.map(_._1): _*))
+      .select(codeOf.as("code_id"), col("embedding"))
+      .select(col("code_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("sub"), col("code_id"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("cw"))
+  }
+
+  /** PQ encode — the compression step of IVF-PQ-style ANN: every vector
+    * becomes `m` small integer codes (nearest codeword per subspace by
+    * squared L2, lowest code_id on ties). This is what makes 100 TB of
+    * vectors searchable from RAM: dim·4 bytes collapse to m codes and the
+    * payload never needs re-reading at query time.
+    *
+    * MAP-ONLY (the [[assignCells]] shape): the whole codebook collapses into
+    * ONE broadcast row of `array<struct<sub, code_id, cw>>` and each argmin
+    * is a per-row `array_max` over the filtered subspace — the embedding
+    * payload never shuffles. Output: (vec_id, c0..c{m-1}). */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame,
+               m: Int, subDim: Int): DataFrame = {
+    val cbRow = broadcast(codebook
+      .agg(collect_list(struct(col("sub"), col("code_id"), col("cw"))).as("cbs")))
+    val codeCols = (0 until m).map { s =>
+      val subVec = slice(col("embedding"), lit(s * subDim + 1), lit(subDim))
+      // argmin(d², code_id) = −max(−d², −code_id): highest −d² is the
+      // smallest distance, and on exact float ties the largest −code_id is
+      // the smallest code id
+      (-array_max(transform(filter(col("cbs"), c => c.getField("sub") === s),
+        c => struct((-l2sq(subVec, c.getField("cw"))).as("nd"),
+                    (-c.getField("code_id")).as("nid"))))
+        .getField("nid")).cast("int").as(s"c$s")
+    }
+    embeddings.crossJoin(cbRow).select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the query stays un-quantized; its
+    * squared L2 to every codeword is computed ONCE into an m×|codewords|
+    * distance table (one broadcast row), and each candidate's approximate
+    * distance is m table lookups summed in fixed subspace order — no
+    * per-pair vector arithmetic at all, the scan reads only the integer
+    * codes. TakeOrderedAndProject reduces the top-k; ties break on vec_id. */
+  def pqAdcTopK(encoded: DataFrame, codebook: DataFrame, query: DataFrame,
+                queryVecId: Long, k: Int, m: Int, subDim: Int): DataFrame = {
+    val tblRow = broadcast(
+      codebook.crossJoin(query.select(col("embedding").as("qe")))
+        .select(col("sub"), col("code_id"),
+          l2sq(slice(col("qe"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
+        .agg(collect_list(struct(col("sub"), col("code_id"), col("d"))).as("tbl")))
+    val adc = (0 until m).map { s =>
+      element_at(filter(col("tbl"),
+        t => t.getField("sub") === s && t.getField("code_id") === col(s"c$s")), 1)
+        .getField("d")
+    }.reduce(_ + _) // fixed s = 0..m-1 left-assoc sum: bit-reproducible
+    encoded.where(col("vec_id") =!= queryVecId)
+      .crossJoin(tblRow)
+      .select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) :+ adc.as("adc"): _*)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by

@@ -97,6 +97,35 @@ object TextAnalysis {
     (uniqRatio + stopHit + lenOk) / 3.0
   }
 
+  /** Within-document repetition statistics (the Gopher-style repetition
+    * filters): per doc, the word-bigram total, distinct count, and the
+    * highest single-bigram frequency — the integer cores of the
+    * "fraction of duplicate n-grams" and "fraction in the top n-gram"
+    * quality rules (ratios are downstream arithmetic, keeping the compare
+    * surface integral). Shape: one positional explode, then two
+    * map-side-combined aggregations on (doc, bigram) → doc — the same keys,
+    * so the second agg reuses the first's partitioning (one shuffle total).
+    * Docs with fewer than two tokens have no bigrams and drop out. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = docs
+      // guard BEFORE the explode: sequence(1, 0) counts DOWN in Spark, so a
+      // one-token doc would fabricate i=0 and element_at would throw
+      .where(size(toks) >= 2)
+      .select(col(idCol), toks.as("t"),
+        explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(col(idCol),
+        concat(element_at(col("t"), col("i")), lit(" "),
+               element_at(col("t"), col("i") + 1)).as("bigram"))
+    bigrams
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_uniq_bigrams"),
+        max(col("c")).as("top_count"))
+  }
+
   /** Order/repetition-invariant content signature: hash of the sorted
     * distinct token set. */
   def fingerprint(textCol: Column): Column =

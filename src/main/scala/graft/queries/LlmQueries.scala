@@ -122,16 +122,35 @@ object LlmQueries {
     })
   }
 
+  /** PQ parameters shared by the codebook, the encode artifact, and the ADC
+    * query: 4 subspaces × 16 dims over the 64-dim embeddings, codewords from
+    * 4 fixed corpus vectors (vec_id 10/20/30/40 → code 1..4). */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private def pqCodebookOf(s: SparkSession, d: String): DataFrame =
+    Similarity.pqCodebook(spreadEmbeddings(s, d),
+      Seq(10L -> 1, 20L -> 2, 30L -> 3, 40L -> 4), PqM, PqSubDim)
+
+  private val pqCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** PQ-encoded corpus (vec_id + m integer codes) — the persisted compressed
+    * ANN artifact; at scale this is the ONLY thing the ADC query scans. */
+  private def pqOf(s: SparkSession, d: String): DataFrame = synchronized {
+    pqCache.getOrElseUpdate(d,
+      Similarity.pqEncode(spreadEmbeddings(s, d), pqCodebookOf(s, d), PqM, PqSubDim).cache())
+  }
+
   /** Materialize the shared index artifacts (shingle/token sets, MinHash
     * signatures, LSH candidate pairs, element-set arrays, embedding buckets,
-    * IVF cells) — the one-time build a deployment runs at ingest, so
-    * per-query timings measure the query, not the build. */
+    * IVF cells, PQ codes) — the one-time build a deployment runs at ingest,
+    * so per-query timings measure the query, not the build. */
   def warm(s: SparkSession, d: String): Unit = {
     pairsOf(s, d).count() // forces grams → sigs → pairs
     setsOf("gram", gramsOf(s, d), "gram", d).count()
     setsOf("token", tokensOf(s, d), "token", d).count()
     bucketsOf(s, d).count()
     ivfOf(s, d).count()
+    pqOf(s, d).count()
     simhashOf(s, d).count()
     clustersOf(s, d).count()
   }
@@ -584,6 +603,97 @@ object LlmQueries {
               |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d)
               |SELECT doc AS doc_id, min(lbl) AS cluster_id
               |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin)),
+
+    // Product-quantization ANN: vectors compress to 4 integer codes (nearest
+    // codeword per 16-dim subspace); the query's distance to every codeword
+    // is tabled once and candidates are scored by 4 table lookups — the scan
+    // reads ONLY the code columns, never the embedding payload. Encode and
+    // table-build are map-only broadcast shapes (LlmSpec asserts no
+    // hash exchange); squared-L2 is the ordered fold, so codes AND float ADC
+    // scores hash-match DuckDB exactly.
+    QueryDef("q_ann_pq",
+      (s, d) => Similarity.pqAdcTopK(
+        pqOf(s, d), pqCodebookOf(s, d),
+        spreadEmbeddings(s, d).where(col("vec_id") === 7L),
+        queryVecId = 7L, k = 10, m = PqM, subDim = PqSubDim),
+      Some("""WITH cw AS (
+             |  SELECT s AS sub, CAST(vec_id // 10 AS INT) AS code_id,
+             |         embedding[s*16+1 : s*16+16] AS cwv
+             |  FROM embeddings, unnest([0,1,2,3]) AS su(s)
+             |  WHERE vec_id IN (10, 20, 30, 40)),
+             |dist AS (
+             |  SELECT e.vec_id, c.sub, c.code_id,
+             |    list_reduce(list_transform(list_zip(e.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q) AS d
+             |  FROM embeddings e CROSS JOIN cw c),
+             |codes AS (
+             |  SELECT vec_id, sub, code_id FROM dist
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
+             |enc AS (
+             |  SELECT vec_id,
+             |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
+             |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
+             |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
+             |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
+             |  FROM codes GROUP BY vec_id),
+             |qd AS (
+             |  SELECT c.sub, c.code_id,
+             |    list_reduce(list_transform(list_zip(q.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q) AS d
+             |  FROM cw c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q)
+             |SELECT e.vec_id, e.c0, e.c1, e.c2, e.c3,
+             |       ((q0.d + q1.d) + q2.d) + q3.d AS adc
+             |FROM enc e
+             |JOIN qd q0 ON q0.sub = 0 AND q0.code_id = e.c0
+             |JOIN qd q1 ON q1.sub = 1 AND q1.code_id = e.c1
+             |JOIN qd q2 ON q2.sub = 2 AND q2.code_id = e.c2
+             |JOIN qd q3 ON q3.sub = 3 AND q3.code_id = e.c3
+             |WHERE e.vec_id <> 7
+             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
+    // Benchmark decontamination: docs with doc_id % 25 = 0 stand in for the
+    // held-out eval set; every other doc reports how many of its distinct
+    // 8-gram shingles appear anywhere in that set. The benchmark gram set
+    // broadcasts (eval sets are tiny next to a training corpus), so the
+    // corpus side is one pass with zero gram-keyed shuffles.
+    QueryDef("q_decontam",
+      (s, d) => {
+        val grams = gramsOf(s, d)
+        Dedup.benchmarkOverlap(
+            grams.where(col("doc_id") % 25 =!= 0),
+            grams.where(col("doc_id") % 25 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
+             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+             |        FROM documents)),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+             |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 25 <> 0)
+             |SELECT c.doc_id, count(*) AS n_grams,
+             |       CAST(count(b.gram) AS BIGINT) AS n_contaminated
+             |FROM c LEFT JOIN b USING (gram)
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Within-doc repetition (Gopher-style quality rules): word-bigram total,
+    // distinct count, and top single-bigram frequency per doc — the integer
+    // cores of the duplicate-n-gram-fraction filters.
+    QueryDef("q_repetition",
+      (s, d) => TextAnalysis.repetitionStats(spreadDocs(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+             |  FROM t, unnest(range(1, len(tk))) AS r(i)
+             |  WHERE len(tk) >= 2),
+             |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |       count(*) AS n_uniq_bigrams, CAST(max(c) AS BIGINT) AS top_count
+             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
     // token sets — robust to word-boundary edits).

@@ -190,6 +190,70 @@ class LlmSpec extends SparkSpec {
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
   }
 
+  test("product quantization: nearest-codeword codes, ADC ranking, map-only encode") {
+    import spark.implicits._
+    // 4-d vectors, m=2 subspaces × 2 dims; codewords from vec 10 (code 1)
+    // and vec 20 (code 2)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)), // query — identical to codeword 1
+      (1L, Array(0.9f, 0.1f, 1f, 0f)), // near codeword 1 in both subspaces
+      (2L, Array(0f, 1f, 0f, 1f)), // matches codeword 2
+      (3L, Array(0.9f, 0.1f, 0f, 1f)), // mixed: sub0→1, sub1→2
+      (10L, Array(1f, 0f, 1f, 0f)),
+      (20L, Array(0f, 1f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, Seq(10L -> 1, 20L -> 2), m = 2, subDim = 2)
+    assert(cb.count() == 4) // 2 subspaces × 2 codewords
+    val enc = Similarity.pqEncode(emb, cb, m = 2, subDim = 2)
+    val codes = enc.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(codes(1L) == ((1, 1)) && codes(2L) == ((2, 2)) && codes(3L) == ((1, 2)))
+    assert(codes(10L) == ((1, 1)) && codes(20L) == ((2, 2)))
+    // the encode plan must never hash-shuffle the embedding payload (same
+    // discipline as assignCells/hyperplaneBucket)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // ADC: query == codeword 1, so codes (1,1) score exactly 0.0; the
+    // (1,1)-coded vectors tie and break on vec_id; the mixed code ranks
+    // between full-match and full-mismatch
+    val top = Similarity.pqAdcTopK(enc, cb, emb.where(col("vec_id") === 0L),
+        queryVecId = 0L, k = 4, m = 2, subDim = 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 10L, 3L, 2L))
+    assert(top(0).getDouble(3) == 0.0 && top(1).getDouble(3) == 0.0)
+    assert(top(2).getDouble(3) > 0.0 && top(3).getDouble(3) > top(2).getDouble(3))
+  }
+
+  test("repetition stats: bigram totals, distinct count, top frequency") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a"), // bigrams: "a b","b a","a b","b a" → 4 total, 2 uniq, top 2
+      (2L, "x y z"), // 2 total, 2 uniq, top 1
+      (3L, "solo") // no bigrams: drops out (and must not throw on explode)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((4L, 2L, 2L)))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 2L, 1L)))
+  }
+
+  test("benchmark decontamination: overlapping shingles counted, clean docs zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and more words here"), // shares 8-grams
+      (2L, "qqqq wwww eeee rrrr completely disjoint text")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = Dedup.benchmarkOverlap(Dedup.charGrams(corpus), Dedup.charGrams(bench))
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    // doc 1 contains the benchmark's full text minus edges: every benchmark
+    // 8-gram appears in it
+    val benchGramCount = Dedup.charGrams(bench).count()
+    assert(r(0).getLong(2) == benchGramCount)
+    assert(r(0).getLong(1) > r(0).getLong(2)) // plus its own extra grams
+    assert(r(1).getLong(2) == 0L && r(1).getLong(1) > 0L)
+  }
+
   test("kmeans-trained IVF: pure clusters, stable assignment, nprobe=1 recall") {
     import graft.llm.Similarity
     import spark.implicits._
