@@ -238,13 +238,14 @@ object Dedup {
     * the same plan runs as a shuffled semi-join.) */
   def benchmarkOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
-    val bench = broadcast(benchGrams.select(col("gram")).distinct())
-    val hits = corpusGrams.join(bench, Seq("gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
-    corpusGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+    val bench = broadcast(benchGrams.select(col("gram")).distinct()
+      .withColumn("hit", lit(1)))
+    // ONE pass: broadcast-probe marks each corpus gram, a single map-side-
+    // combined aggregation counts totals and hits together (count(col)
+    // skips nulls, so unmatched grams don't count as contaminated)
+    corpusGrams.join(bench, Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
   /** md5 carved into `n` independent 8-hex-char hash values. */

@@ -120,13 +120,21 @@ object Similarity {
     * as Dedup's label propagation). Empty cells keep their previous
     * centroid (standard Lloyd degeneracy handling).
     *
-    * DETERMINISM CAVEAT: the `avg` update is a distributed double partial
-    * aggregation, so centroid values depend on partition summation order —
-    * unlike the repo's hash-gated paths (integer TF-IDF, ordered-fold
-    * cosine). Do NOT put trained centroids behind a cross-engine
-    * hash-compare gate; assignments derived from FIXED centroids (the
-    * oracle-gated queries) stay bit-deterministic. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    * DETERMINISM: by default the `avg` update is a distributed double
+    * partial aggregation, so centroid values depend on partition summation
+    * order — unlike the repo's hash-gated paths (integer TF-IDF,
+    * ordered-fold cosine). Do NOT put default-mode centroids behind a
+    * cross-engine hash-compare gate; assignments derived from FIXED
+    * centroids (the oracle-gated queries) stay bit-deterministic either
+    * way. `deterministic = true` switches the update to a sorted sequential
+    * fold — `collect_list` per (cell, component), `array_sort`, then an
+    * ordered `aggregate` — which is bit-reproducible across runs, partition
+    * layouts, and engines, at the cost of materializing each component's
+    * value list in the aggregation (fine for broadcast-sized k·dim groups;
+    * the list length is the cell population, so prefer the default for
+    * billion-vector cells and gate on assignments instead). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                      deterministic: Boolean = false): DataFrame = {
     var centroids = embeddings
       .orderBy(col("vec_id")).limit(k)
       .select(row_number().over(
@@ -136,11 +144,18 @@ object Similarity {
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
       val assigned = assignCells(embeddings, centroids)
+      // the mean of each (cell, component): order-free distributed avg, or a
+      // sorted sequential fold when bit-reproducibility is required
+      val mean: Column =
+        if (deterministic)
+          aggregate(array_sort(collect_list(col("v").cast("double"))),
+            lit(0.0), (acc, v) => acc + v) / count(lit(1))
+        else avg(col("v").cast("double"))
       val updated = assigned
         .select(col("cell").as("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(mean.as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

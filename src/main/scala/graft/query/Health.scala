@@ -24,13 +24,25 @@ object Health {
     * wall-clock time. Supplied by the operator (a node-side input). */
   final case class NetworkParameters(networkMagic: Long, systemStartSec: Long)
 
+  /** DeferIndexesInstallation (Configuration.hs:211-219): whether secondary
+    * query indexes are installed now or deferred until after the initial
+    * sync. The OpenAPI Health schema requires one of these two strings when
+    * the configuration is known; the reference renders null only when the
+    * health document is built without a configuration (Health.hs:130-136). */
+  sealed abstract class IndexesPolicy(val json: String, val gauge: Int)
+  object IndexesPolicy {
+    case object Installed extends IndexesPolicy("installed", 1)
+    case object Deferred extends IndexesPolicy("deferred", 0)
+  }
+
   final case class Snapshot(
     connectionStatus: ConnectionStatus,
     mostRecentCheckpoint: Option[(Long, String)], // (slot, header hash)
     mostRecentNodeTip: Option[Long],
     secondsSinceLastBlock: Option[Long],
     networkSynchronization: Option[String], // fixed-5-decimal number wire text
-    version: String)
+    version: String,
+    indexes: Option[IndexesPolicy] = None)
 
   /** Read the health snapshot off the index (one LIMIT-1 checkpoint scan).
     * `nodeTip`/`lastBlockAtMs` come from the producer loop, which is where
@@ -41,7 +53,8 @@ object Health {
                nodeTip: Option[Long] = None,
                lastBlockAtMs: Option[Long] = None,
                nowMs: Long = System.currentTimeMillis(),
-               params: Option[NetworkParameters] = None): Snapshot = {
+               params: Option[NetworkParameters] = None,
+               indexes: Option[IndexesPolicy] = Some(IndexesPolicy.Installed)): Snapshot = {
     val checkpoint = FoldInputs.maxCheckpoint(ix)
     Snapshot(
       connectionStatus = status,
@@ -50,7 +63,10 @@ object Health {
       secondsSinceLastBlock = lastBlockAtMs.map(t => math.max(0L, (nowMs - t) / 1000L)),
       networkSynchronization = for (p <- params; c <- checkpoint)
         yield networkSynchronization(nowMs / 1000L, p, c._1),
-      version = Version)
+      version = Version,
+      // the Parquet/manifest index has no deferred-installation mode: its
+      // "secondary indexes" (manifest min/max stats) always exist
+      indexes = indexes)
   }
 
   /** mkNetworkSynchronization (Health.hs:198-248): how far the indexed tip
@@ -93,7 +109,7 @@ object Health {
       s""""most_recent_node_tip":${orNull(h.mostRecentNodeTip)},""" +
       s""""seconds_since_last_block":${orNull(h.secondsSinceLastBlock)},""" +
       s""""network_synchronization":${h.networkSynchronization.getOrElse("null")},""" +
-      s""""configuration":{"indexes":null},""" +
+      s""""configuration":{"indexes":${h.indexes.map("\"" + _.json + "\"").getOrElse("null")}},""" +
       s""""version":"${h.version}"}"""
   }
 
@@ -105,7 +121,8 @@ object Health {
       h.mostRecentCheckpoint.map(c => s"kupo_most_recent_checkpoint ${c._1}"),
       h.mostRecentNodeTip.map(t => s"kupo_most_recent_node_tip $t"),
       h.secondsSinceLastBlock.map(s => s"kupo_seconds_since_last_block $s"),
-      h.networkSynchronization.map(s => s"kupo_network_synchronization $s")
+      h.networkSynchronization.map(s => s"kupo_network_synchronization $s"),
+      h.indexes.map(i => s"kupo_configuration_indexes ${i.gauge}")
     ).flatten
     lines.mkString("", "\n", "\n")
   }

@@ -16,8 +16,12 @@ class HealthSpec extends SparkSpec {
     assert(Health.asJson(h) ==
       s"""{"connection_status":"disconnected","most_recent_checkpoint":null,""" +
         s""""most_recent_node_tip":null,"seconds_since_last_block":null,""" +
-        s""""network_synchronization":null,"configuration":{"indexes":null},""" +
+        s""""network_synchronization":null,"configuration":{"indexes":"installed"},""" +
         s""""version":"${Health.Version}"}""")
+    // the reference renders null only when built WITHOUT a configuration
+    // (Health.hs:130-136) — the un-configured snapshot mirrors that
+    assert(Health.asJson(h.copy(indexes = None))
+      .contains(""""configuration":{"indexes":null}"""))
     // no etag → if-none-match can never match → always fresh
     assert(Health.cacheOr(h, Some("anything"))(42).contains((None, 42)))
   }
@@ -35,7 +39,8 @@ class HealthSpec extends SparkSpec {
     assert(Health.asJson(h).contains(s""""most_recent_checkpoint":$tipSlot"""))
     assert(Health.prometheus(h) ==
       s"kupo_connection_status 1\nkupo_most_recent_checkpoint $tipSlot\n" +
-        s"kupo_most_recent_node_tip $tipSlot\nkupo_seconds_since_last_block 30\n")
+        s"kupo_most_recent_node_tip $tipSlot\nkupo_seconds_since_last_block 30\n" +
+        s"kupo_configuration_indexes 1\n")
   }
 
   test("network_synchronization: era math, tolerance clamp, fixed 5-decimal wire form") {

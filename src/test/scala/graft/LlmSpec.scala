@@ -293,5 +293,17 @@ class LlmSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 5)
       .select("vec_id").as[Long].collect().toSet
     assert(ivf == brute)
+    // the deterministic (sorted-fold) update: bit-identical centroids across
+    // independent trainings, and the same cluster structure as avg mode
+    def train() = Similarity.kmeansCentroids(emb, k = 3, iters = 2, deterministic = true)
+      .orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toVector))
+    val first = train()
+    assert(first.sameElements(train())) // exact float equality, run to run
+    val detAssigned = Similarity.assignCells(emb,
+      Similarity.kmeansCentroids(emb, k = 3, iters = 3, deterministic = true))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(detAssigned == assigned)
   }
 }
