@@ -178,14 +178,20 @@ object Dedup {
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-band retrieval is lossless only for hamming ≤ 3")
-    val banded = sims.select(Seq(col(idCol), col("simhash")) ++
-      (0 until 4).map(i =>
-        shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xf)).as(s"b$i")): _*)
-    def onBand(b: String) = banded.as("a").join(banded.as("b"),
-        col(s"a.$b") === col(s"b.$b") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // ONE equi-join on the exploded (band, nibble) key — identical result to
+    // four per-band self-joins unioned (a pair matching on any band appears;
+    // distinct dedups multi-band agreement), but the plan has a single join
+    // + one distinct instead of 4 joins + union (4× fewer join operators;
+    // the exploded row count equals what the 4 separate joins scanned)
+    val banded = sims.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xf)).as("bits"))): _*)).as("bd"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bd") === col("b.bd") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-    (0 until 4).map(i => onBand(s"b$i")).reduce(_ unionByName _).distinct()
+      .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
   }

@@ -25,13 +25,26 @@ object TextAnalysis {
     * Scale shape: one explode, two map-side-combined aggregations (doc×term
     * and term), an equi-join on term (vocabulary-sized — Zipf keeps it far
     * smaller than the token stream), and a per-doc window. */
-  def topTerms(docs: DataFrame, k: Int = 3,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The term-frequency matrix — one row per (doc, term) with its count.
+    * This is THE persisted artifact of the TF-IDF family (a deployment
+    * materializes it once per corpus snapshot): every downstream statistic
+    * (document frequency, top terms, idf weights) derives from it WITHOUT
+    * re-exploding the token stream, which is the dominant cost at corpus
+    * scale (profiled: each explode pass over sf0.1 cost more than all the
+    * derived aggregations together). */
+  def termFrequencies(docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Top-k terms from a prebuilt [[termFrequencies]] frame. Document
+    * frequency is a COUNT OF TF ROWS per term (tf already has one row per
+    * (doc, term)) — a vocabulary-sized, map-side-combined aggregate that
+    * broadcasts back onto tf; no token re-scan anywhere. */
+  def topTermsFromTf(tf: DataFrame, k: Int = 3, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, "term")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(idCol))
@@ -39,6 +52,10 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"))
   }
+
+  def topTerms(docs: DataFrame, k: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    topTermsFromTf(termFrequencies(docs, idCol, textCol), k, idCol)
 
   /** n-gram(token) heuristic language-ID with a fixed tie-break chain
     * (en > de > fr > es). Deterministic by construction. */

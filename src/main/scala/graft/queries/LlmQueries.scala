@@ -132,6 +132,15 @@ object LlmQueries {
       Seq(10L -> 1, 20L -> 2, 30L -> 3, 40L -> 4), PqM, PqSubDim)
 
   private val pqCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val tfCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Term-frequency matrix (one row per doc × term) — the persisted TF-IDF
+    * artifact; every term statistic derives from it without re-exploding
+    * the token stream. */
+  private def tfOf(s: SparkSession, d: String): DataFrame = synchronized {
+    tfCache.getOrElseUpdate(d,
+      TextAnalysis.termFrequencies(spreadDocs(s, d)).cache())
+  }
 
   /** PQ-encoded corpus (vec_id + m integer codes) — the persisted compressed
     * ANN artifact; at scale this is the ONLY thing the ADC query scans. */
@@ -151,6 +160,7 @@ object LlmQueries {
     bucketsOf(s, d).count()
     ivfOf(s, d).count()
     pqOf(s, d).count()
+    tfOf(s, d).count()
     simhashOf(s, d).count()
     clustersOf(s, d).count()
   }
@@ -268,7 +278,7 @@ object LlmQueries {
     // term asc). Exact ints hash-match across engines; the rank triple is
     // a total order so row_number is deterministic.
     QueryDef("q_tfidf_terms",
-      (s, d) => TextAnalysis.topTerms(spreadDocs(s, d), k = 3)
+      (s, d) => TextAnalysis.topTermsFromTf(tfOf(s, d), k = 3)
         .orderBy(col("doc_id"), col("rnk")),
       Some("""WITH toks AS (
              |  SELECT doc_id,
