@@ -689,6 +689,28 @@ object LlmQueries {
              |FROM c LEFT JOIN b USING (gram)
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Training-mix curation: deterministic stratified sampling — each source
+    // class keeps a fixed fraction (25/50/75/100% by source number mod 4),
+    // membership decided by a salted per-doc hash bucket compared as a hex
+    // string (engine-portable, no base conversion). Pure map + one
+    // map-side-combined aggregate; a doc's fate never depends on other docs.
+    QueryDef("q_mix_sample",
+      (s, d) => {
+        val thr = {
+          val cls = substring(col("source"), 4, 10).cast("int") % 4
+          when(cls === 0, "40").when(cls === 1, "80")
+            .when(cls === 2, "c0").otherwise("zz") // "zz" > any hex: keep all
+        }
+        graft.llm.Sampling.mixReport(table(s, d, "documents"), "source", thr)
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) <
+             |    (CASE CAST(substr(source, 4) AS INT) % 4
+             |       WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0'
+             |       ELSE 'zz' END) THEN 1 END) AS n_sampled
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Within-doc repetition (Gopher-style quality rules): word-bigram total,
     // distinct count, and top single-bigram frequency per doc — the integer
     // cores of the duplicate-n-gram-fraction filters.

@@ -236,6 +236,25 @@ class LlmSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 2L, 1L)))
   }
 
+  test("stratified sampling: deterministic, stratum-scoped, rate-proportional") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    val docs = (0 until 512).map(i => (i.toLong, s"s${i % 2}")).toDF("doc_id", "source")
+    val thr = when(col("source") === "s0", "80").otherwise("zz")
+    val report = Sampling.mixReport(docs, "source", thr).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(report.map(t => (t._1, t._2)).toSeq == Seq(("s0", 256L), ("s1", 256L)))
+    val (s0kept, s1kept) = (report(0)._3, report(1)._3)
+    assert(s1kept == 256L) // "zz" threshold keeps everything
+    assert(s0kept > 256 * 0.3 && s0kept < 256 * 0.7, s"50% stratum kept $s0kept")
+    // the sample IS the reported population (same predicate), and re-running
+    // reproduces it exactly (salted hash, no RNG state)
+    val sampled = Sampling.stratifiedSample(docs, thr).select("doc_id").as[Long].collect()
+    assert(sampled.length == s0kept + s1kept)
+    val again = Sampling.stratifiedSample(docs, thr).select("doc_id").as[Long].collect()
+    assert(sampled.sorted.sameElements(again.sorted))
+  }
+
   test("benchmark decontamination: overlapping shingles counted, clean docs zero") {
     import spark.implicits._
     val corpus = Seq(
