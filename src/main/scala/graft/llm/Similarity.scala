@@ -53,27 +53,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** Assign every vector to its nearest centroid (max cosine, centroid id as
-    * tie-break). `centroids` must be broadcast-sized (IVF coarse quantizer:
-    * hundreds to ~64k cells). Output: input columns + `cell`.
+  /** Assign every vector to its nearest centroid (max cosine — or min
+    * squared L2 with `metric = "l2"` — centroid id as tie-break).
+    * `centroids` must be broadcast-sized (IVF coarse quantizer: hundreds to
+    * ~64k cells). Output: input columns + `cell`.
     *
     * MAP-ONLY: the whole centroid set is collapsed into ONE broadcast row
     * holding `array<struct<centroid_id, ce>>`, crossed into the scan, and the
     * argmax is a per-row `array_max` over a `transform` of that array —
-    * `max(struct(sim, -id))` picks the highest similarity with lowest-id
+    * `max(struct(score, -id))` picks the best score with lowest-id
     * tie-break. The embedding payload NEVER moves: no hash shuffle anywhere
     * in the plan (the only exchange is the O(k)-row SinglePartition collect
     * that builds the broadcast row on the centroid side). At 100 TB each
     * k-means iteration / IVF build reads the vectors in place. Per-pair
     * `cosine` is the same expression tree as before, so assignments (and
     * their float ties) are bit-identical to the former join+groupBy plan. */
-  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(embeddings: DataFrame, centroids: DataFrame,
+                  metric: String = "cosine"): DataFrame = {
     val centRow = broadcast(centroids
       .agg(collect_list(struct(col("centroid_id"), col("centroid").as("ce"))).as("cents")))
+    def score(ce: Column): Column = metric match {
+      case "cosine" => cosine(col("embedding"), ce)
+      case "l2"     => -l2sq(col("embedding"), ce) // argmax(-d²) = argmin d²
+      case other    => throw new IllegalArgumentException(s"unknown metric $other")
+    }
     embeddings.crossJoin(centRow)
       .withColumn("cell",
         -array_max(transform(col("cents"), c =>
-          struct(cosine(col("embedding"), c.getField("ce")).as("s"),
+          struct(score(c.getField("ce")).as("s"),
                  (-c.getField("centroid_id")).as("nid"))))
           .getField("nid"))
       .drop("cents")
@@ -134,7 +141,8 @@ object Similarity {
     * the list length is the cell population, so prefer the default for
     * billion-vector cells and gate on assignments instead). */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
-                      deterministic: Boolean = false): DataFrame = {
+                      deterministic: Boolean = false,
+                      metric: String = "cosine"): DataFrame = {
     var centroids = embeddings
       .orderBy(col("vec_id")).limit(k)
       .select(row_number().over(
@@ -143,7 +151,7 @@ object Similarity {
         col("embedding").as("centroid"))
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(embeddings, centroids)
+      val assigned = assignCells(embeddings, centroids, metric)
       // the mean of each (cell, component): order-free distributed avg, or a
       // sorted sequential fold when bit-reproducibility is required
       val mean: Column =
@@ -199,6 +207,27 @@ object Similarity {
       .select(col("sub"), col("code_id"),
         slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("cw"))
   }
+
+  /** TRAIN PQ codebooks: per-subspace k-means over the sliced subvectors —
+    * [[kmeansCentroids]] with the L2 metric (PQ quantizes by squared
+    * Euclidean distance, so training must assign the same way; a
+    * cosine-trained codebook would systematically mis-center the cells
+    * [[pqEncode]] later carves by L2). `m` sequential k-means runs, each
+    * over an (id, subvector) projection — the heavy per-iteration work is
+    * still the map-only assignment, so the payload never shuffles. Output
+    * matches [[pqCodebook]]: (sub, code_id, cw). Same determinism caveats
+    * as [[kmeansCentroids]]. */
+  def pqTrainCodebook(embeddings: DataFrame, m: Int, subDim: Int,
+                      ks: Int, iters: Int,
+                      deterministic: Boolean = false): DataFrame =
+    (0 until m).map { s =>
+      kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), lit(s * subDim + 1), lit(subDim)).as("embedding")),
+        ks, iters, deterministic, metric = "l2")
+        .select(lit(s).as("sub"), col("centroid_id").cast("int").as("code_id"),
+          col("centroid").as("cw"))
+    }.reduce(_ unionByName _)
 
   /** PQ encode — the compression step of IVF-PQ-style ANN: every vector
     * becomes `m` small integer codes (nearest codeword per subspace by

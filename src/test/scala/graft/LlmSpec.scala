@@ -223,6 +223,39 @@ class LlmSpec extends SparkSpec {
     assert(top(2).getDouble(3) > 0.0 && top(3).getDouble(3) > top(2).getDouble(3))
   }
 
+  test("trained PQ: per-subspace L2 k-means codebook separates clusters") {
+    import spark.implicits._
+    // two clusters per subspace, membership chosen so the deterministic
+    // seeds (vec 0 and vec 1, the lowest ids) land in DIFFERENT clusters in
+    // BOTH subspaces: sub0 cluster = i%2, sub1 cluster = (i%2) xor (i/2)%2
+    def a(i: Int) = i % 2
+    def c(i: Int) = (i % 2) ^ ((i / 2) % 2)
+    val emb = (0 until 16).map { i =>
+      val av = if (a(i) == 0) Array(1f, 0f) else Array(0f, 1f)
+      val bv = if (c(i) == 0) Array(1f, 0f) else Array(0f, 1f)
+      val jit = 0.02f * (i / 4)
+      (i.toLong, Array(av(0) + jit, av(1), bv(0), bv(1) + jit))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebook(emb, m = 2, subDim = 2, ks = 2, iters = 3)
+    assert(cb.count() == 4) // 2 subspaces × 2 trained codewords
+    val codes = Similarity.pqEncode(emb, cb, m = 2, subDim = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // codes must reproduce the planted sub-cluster structure, independently
+    // per subspace
+    (0 until 16).foreach { i =>
+      assert((codes(i.toLong)._1 == codes(0L)._1) == (a(i) == 0), s"sub0 of vec $i")
+      assert((codes(i.toLong)._2 == codes(0L)._2) == (c(i) == 0), s"sub1 of vec $i")
+    }
+    // ADC with the trained codebook: the query's own quadrant (same codes
+    // as vec 0) ranks strictly before any cross-quadrant doc
+    val enc = Similarity.pqEncode(emb, cb, m = 2, subDim = 2)
+    val top = Similarity.pqAdcTopK(enc, cb, emb.where(col("vec_id") === 0L),
+        queryVecId = 0L, k = 15, m = 2, subDim = 2).collect()
+    val sameQuadrant = (1 until 16).filter(i => a(i) == 0 && c(i) == 0)
+    assert(top.take(sameQuadrant.size).map(_.getLong(0)).toSet ==
+      sameQuadrant.map(_.toLong).toSet)
+  }
+
   test("repetition stats: bigram totals, distinct count, top frequency") {
     import spark.implicits._
     val d = Seq(
