@@ -88,27 +88,49 @@ object Similarity {
 
   /** IVF search: probe only the `nprobe` cells nearest to the query vector,
     * then brute-force within the probed subset. With the index table
-    * partitioned by `cell`, the scan touches ~nprobe/|cells| of the data. */
+    * partitioned by `cell`, the scan touches ~nprobe/|cells| of the data.
+    * `metric` must match how `assigned` was built ([[assignCells]]):
+    * cosine ranks descending similarity (`cos_sim`), l2 ranks ascending
+    * squared distance (`l2_dist`). */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame,
-              queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
-    // query norm hoisted into the broadcast row (see bruteForceTopK)
-    val q = broadcast(
-      assigned.where(col("vec_id") === queryVecId)
-        .select(col("embedding").as("qe"), norm(col("embedding")).as("qn")))
-    val probedCells = broadcast(
-      centroids.crossJoin(q)
-        .select(col("centroid_id"),
-          (dot(col("centroid"), col("qe")) / (norm(col("centroid")) * col("qn"))).as("sim"))
-        .orderBy(col("sim").desc, col("centroid_id"))
-        .limit(nprobe)
-        .select(col("centroid_id").as("cell")))
-    assigned.where(col("vec_id") =!= queryVecId)
-      .join(probedCells, Seq("cell"), "left_semi") // partition-prunable at scale
-      .crossJoin(q)
-      .select(col("vec_id"), col("cell"),
-        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+              queryVecId: Long, k: Int, nprobe: Int,
+              metric: String = "cosine"): DataFrame = metric match {
+    case "cosine" =>
+      // query norm hoisted into the broadcast row (see bruteForceTopK)
+      val q = broadcast(
+        assigned.where(col("vec_id") === queryVecId)
+          .select(col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+      val probedCells = broadcast(
+        centroids.crossJoin(q)
+          .select(col("centroid_id"),
+            (dot(col("centroid"), col("qe")) / (norm(col("centroid")) * col("qn"))).as("sim"))
+          .orderBy(col("sim").desc, col("centroid_id"))
+          .limit(nprobe)
+          .select(col("centroid_id").as("cell")))
+      assigned.where(col("vec_id") =!= queryVecId)
+        .join(probedCells, Seq("cell"), "left_semi") // partition-prunable at scale
+        .crossJoin(q)
+        .select(col("vec_id"), col("cell"),
+          (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    case "l2" =>
+      val q = broadcast(
+        assigned.where(col("vec_id") === queryVecId)
+          .select(col("embedding").as("qe")))
+      val probedCells = broadcast(
+        centroids.crossJoin(q)
+          .select(col("centroid_id"), l2sq(col("centroid"), col("qe")).as("dist"))
+          .orderBy(col("dist"), col("centroid_id"))
+          .limit(nprobe)
+          .select(col("centroid_id").as("cell")))
+      assigned.where(col("vec_id") =!= queryVecId)
+        .join(probedCells, Seq("cell"), "left_semi")
+        .crossJoin(q)
+        .select(col("vec_id"), col("cell"), l2sq(col("embedding"), col("qe")).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(k)
+    case other => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
   /** Train the IVF coarse quantizer: spherical k-means via Lloyd

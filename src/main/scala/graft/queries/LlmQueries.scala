@@ -149,6 +149,20 @@ object LlmQueries {
       Similarity.pqEncode(spreadEmbeddings(s, d), pqCodebookOf(s, d), PqM, PqSubDim).cache())
   }
 
+  private val ivfL2Cache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** L2-metric IVF cell assignment (same 4 fixed centroids) — the Euclidean
+    * twin of [[ivfOf]]; both are map-only and a deployment persists either
+    * partitioned by cell. */
+  private def ivfL2Of(s: SparkSession, d: String): DataFrame = synchronized {
+    ivfL2Cache.getOrElseUpdate(d, {
+      val emb = spreadEmbeddings(s, d)
+      val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.assignCells(emb, centroids, metric = "l2").cache()
+    })
+  }
+
   /** Materialize the shared index artifacts (shingle/token sets, MinHash
     * signatures, LSH candidate pairs, element-set arrays, embedding buckets,
     * IVF cells, PQ codes) — the one-time build a deployment runs at ingest,
@@ -159,6 +173,7 @@ object LlmQueries {
     setsOf("token", tokensOf(s, d), "token", d).count()
     bucketsOf(s, d).count()
     ivfOf(s, d).count()
+    ivfL2Of(s, d).count()
     pqOf(s, d).count()
     tfOf(s, d).count()
     simhashOf(s, d).count()
@@ -595,6 +610,44 @@ object LlmQueries {
              |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
              |WHERE a.vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Euclidean IVF ANN — the L2 twin of q_ann_ivf (PQ-style pipelines
+    // quantize by squared L2, so the coarse stage should rank the same
+    // way): assignment by min squared distance, probe the 2 nearest cells,
+    // exact L2 within. The ordered-fold distance hash-matches DuckDB.
+    QueryDef("q_ann_ivf_l2",
+      (s, d) => {
+        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
+        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        Similarity.ivfTopK(ivfL2Of(s, d), centroids,
+          queryVecId = 3L, k = 10, nprobe = 2, metric = "l2")
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q)""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.centroid_id,
+           |    ${l2("e.embedding", "c.ce")} AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+           |probed AS (
+           |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
+           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2)
+           |SELECT a.vec_id, a.cell, ${l2("a.embedding", "q.qe")} AS l2_dist
+           |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
+           |WHERE a.vec_id <> 3
+           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
+      }),
 
     // Duplicate-cluster resolution: connected components over the LSH
     // candidate-pair graph; each doc gets its component's min doc id as the

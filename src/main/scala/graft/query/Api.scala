@@ -60,4 +60,22 @@ object Api {
       resolveHashes: Boolean = false,
       order: SortDirection = SortDirection.Desc,
       filter: FilterMatchesBy = FilterMatchesBy())
+
+  /** 400-style error body for the library's typed failures — the shape an
+    * HTTP layer serializes (`{"hint": …}`, BadRequest in the OpenAPI
+    * document; reference encoder /root/reference/src/Kupo/Data/Http/Error.hs:
+    * 33-43). The hint is the failure's message with JSON string escaping. */
+  def errorJson(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    val escaped = msg.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case '\n'           => "\\n"
+      case '\r'           => "\\r"
+      case '\t'           => "\\t"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }
+    s"""{"hint":"$escaped"}"""
+  }
 }

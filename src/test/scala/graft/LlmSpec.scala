@@ -82,6 +82,25 @@ class LlmSpec extends SparkSpec {
     assert(top.contains(1L) && !top.contains(2L)) // cell 1 not probed
   }
 
+  test("L2 IVF: euclidean assignment and probe rank by distance") {
+    import spark.implicits._
+    val centroids = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(vecs, centroids, metric = "l2")
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // d²(v0,c1)=0, d²(v1,c1)=0.02 → cell 1; v2/v3 mirror to cell 2;
+    // v4=(−1,0,0): d²=4 vs 2 → cell 2
+    assert(cells(0L) == 1L && cells(1L) == 1L && cells(2L) == 2L &&
+      cells(3L) == 2L && cells(4L) == 2L)
+    val top = Similarity.ivfTopK(assigned, centroids, queryVecId = 0L,
+      k = 2, nprobe = 1, metric = "l2")
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(top.head.getDouble(2) > 0.0) // l2_dist column, ascending
+  }
+
   test("cell and bucket assignment are map-only: no hash shuffle in the plan") {
     val centroids = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

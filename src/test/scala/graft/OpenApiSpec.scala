@@ -253,6 +253,19 @@ class OpenApiSpec extends SparkSpec {
     }
   }
 
+  test("typed-failure bodies validate against the OpenAPI BadRequest schema") {
+    import graft.query.Api
+    val failures: Seq[Throwable] = Seq(
+      intercept[IllegalArgumentException](
+        graft.model.Pattern.fromText("zz/not-a-pattern")
+          .getOrElse(throw new IllegalArgumentException(
+            "invalid pattern: zz/not-a-pattern"))),
+      Api.PointNotFound(42L),
+      Api.PointMismatch(42L, "ab" * 32, "cd" * 32),
+      new RuntimeException("line\nwith \"quotes\" and\ttabs"))
+    failures.foreach { e => assertValid(Api.errorJson(e), "BadRequest") }
+  }
+
   test("pattern wire texts validate against the OpenAPI Pattern schema") {
     Seq("*", "*/*", s"${"ab" * 28}/*", s"*/${"cd" * 28}",
       "addr1vy3qpx09uscywhpp0ekg9zwmq2yj5vp08husfq6qyh2mpps865j6t")
