@@ -80,6 +80,30 @@ object LlmScaleRehearsal {
       "SortMergeJoin".r.findAllIn(decontamPlan).length +
         "ShuffledHashJoin".r.findAllIn(decontamPlan).length
 
+    // ---- (e) ADC recall vs exact L2 — approximation QUALITY, measured ----
+    // 4 codewords × 4 subspaces is a deliberately tiny codebook; the gate
+    // pins that even this coarse quantizer keeps a useful fraction of the
+    // true neighbors (and that the machinery is wired right — a code/table
+    // mismatch would crater recall to ~random, 10/499 ≈ 0.02)
+    val qRow = broadcast(emb.where(col("vec_id") === 7L)
+      .select(col("embedding").as("qe")))
+    val exactTop = emb.where(col("vec_id") =!= 7L).crossJoin(qRow)
+      .select(col("vec_id"), Similarity.l2sq(col("embedding"), col("qe")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adcTop = adc.collect().map(_.getLong(0)).toSet
+    val recall = exactTop.intersect(adcTop).size / 10.0
+    // trained codebook (16 codewords per subspace, per-subspace L2 k-means):
+    // training must beat the 4-codeword fixed quantizer on its own corpus
+    val trainedCb = Similarity.pqTrainCodebook(emb, m = 4, subDim = 16,
+      ks = 16, iters = 3)
+    val trainedEnc = Similarity.pqEncode(emb, trainedCb, m = 4, subDim = 16).cache()
+    trainedEnc.count()
+    val trainedTop = Similarity.pqAdcTopK(trainedEnc, trainedCb,
+      emb.where(col("vec_id") === 7L), queryVecId = 7L, k = 10, m = 4, subDim = 16)
+      .collect().map(_.getLong(0)).toSet
+    val trainedRecall = exactTop.intersect(trainedTop).size / 10.0
+
     // ---- (d) LSH pairs grow linearly in salted corpus replicas ----
     // salting every token keeps each replica's shingle space disjoint, so a
     // sub-quadratic candidate generator must ~double pairs when the corpus
@@ -99,6 +123,7 @@ object LlmScaleRehearsal {
         s""""pq_encode_hash_exchanges":$encodeEx,"adc_scans_payload":$adcReadsPayload,""" +
         s""""adc_candidate_scan":"${candidateScan.replace("\"", "")}",""" +
         s""""decontam_broadcast":$decontamBroadcast,"decontam_shuffle_joins":$decontamShuffleJoins,""" +
+        s""""adc_recall_at_10":$recall,"adc_recall_at_10_trained":$trainedRecall,""" +
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0,
@@ -108,6 +133,9 @@ object LlmScaleRehearsal {
       s"decontam must broadcast-probe, not shuffle-join: $decontamShuffleJoins")
     require(pairs2 <= 3 * pairs1 && pairs2 >= pairs1,
       s"LSH pair growth not linear: $pairs1 -> $pairs2")
+    require(recall >= 0.2, s"ADC recall@10 degenerate: $recall (random ≈ 0.02)")
+    require(trainedRecall >= recall,
+      s"trained codebook must not lose to the fixed one: $trainedRecall < $recall")
     spark.stop()
   }
 }
