@@ -38,4 +38,24 @@ object Sampling {
     docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"),
         count(when(hashBucket(col(idCol), salt) < threshold, 1)).as("n_sampled"))
+
+  /** Sequence packing, concatenate-and-chunk style (the GPT-pretraining
+    * layout): within each stream (source shard), documents concatenate in a
+    * fixed deterministic order and the token stream is cut every `capacity`
+    * tokens; each doc reports its start offset in the stream and the chunk
+    * (`bin`) it starts in. One running-sum window per stream — the shuffle
+    * partitions by stream, then all work is partition-local, the standard
+    * 100 TB shape (streams are the parallel unit, like sessionization's
+    * users). Exact integers throughout. */
+  def packSequences(docs: DataFrame, capacity: Int,
+                    streamCol: String = "source",
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), col(streamCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", (col("start_offset") / capacity).cast("long"))
+  }
 }

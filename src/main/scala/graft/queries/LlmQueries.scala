@@ -764,6 +764,29 @@ object LlmQueries {
              |       ELSE 'zz' END) THEN 1 END) AS n_sampled
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Sequence packing (concatenate-and-chunk, the GPT pretraining layout):
+    // per source stream, docs concatenate in doc_id order and the token
+    // stream cuts every 512 tokens; each doc reports its start offset and
+    // chunk. One window per stream — partition-local after a single
+    // stream-keyed shuffle.
+    QueryDef("q_pack_sequences",
+      (s, d) => graft.llm.Sampling.packSequences(
+          table(s, d, "documents"), capacity = 512)
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+             |         AS BIGINT) AS start_offset
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, start_offset,
+             |       start_offset // 512 AS bin
+             |FROM o ORDER BY source, doc_id""".stripMargin)),
+
     // Within-doc repetition (Gopher-style quality rules): word-bigram total,
     // distinct count, and top single-bigram frequency per doc — the integer
     // cores of the duplicate-n-gram-fraction filters.

@@ -307,6 +307,20 @@ class LlmSpec extends SparkSpec {
     assert(sampled.sorted.sameElements(again.sorted))
   }
 
+  test("sequence packing: per-stream running offsets and chunk boundaries") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", ("w " * 3).trim), // 3 tokens → offset 0, bin 0
+      (2L, "a", ("w " * 4).trim), // offset 3, bin 0
+      (3L, "a", ("w " * 2).trim), // offset 7, bin 1 (capacity 5)
+      (4L, "b", ("w " * 9).trim) // separate stream: offset 0, bin 0
+    ).toDF("doc_id", "source", "text")
+    val r = Sampling.packSequences(d, capacity = 5).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L), (3L, 2L, 7L, 1L), (4L, 9L, 0L, 0L)))
+  }
+
   test("benchmark decontamination: overlapping shingles counted, clean docs zero") {
     import spark.implicits._
     val corpus = Seq(
