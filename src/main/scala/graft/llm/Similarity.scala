@@ -251,6 +251,20 @@ object Similarity {
           col("centroid").as("cw"))
     }.reduce(_ unionByName _)
 
+  /** The per-subspace nearest-codeword columns shared by [[pqEncode]] and
+    * [[ivfPqEncode]]: expects the broadcast codebook row (`cbs`) to be in
+    * scope; argmin(d², code_id) = −max(−d², −code_id) — highest −d² is the
+    * smallest distance, and on exact float ties the largest −code_id is the
+    * smallest code id. */
+  private def pqCodeColumns(vec: Column, m: Int, subDim: Int): Seq[Column] =
+    (0 until m).map { s =>
+      val subVec = slice(vec, lit(s * subDim + 1), lit(subDim))
+      (-array_max(transform(filter(col("cbs"), c => c.getField("sub") === s),
+        c => struct((-l2sq(subVec, c.getField("cw"))).as("nd"),
+                    (-c.getField("code_id")).as("nid"))))
+        .getField("nid")).cast("int").as(s"c$s")
+    }
+
   /** PQ encode — the compression step of IVF-PQ-style ANN: every vector
     * becomes `m` small integer codes (nearest codeword per subspace by
     * squared L2, lowest code_id on ties). This is what makes 100 TB of
@@ -265,17 +279,88 @@ object Similarity {
                m: Int, subDim: Int): DataFrame = {
     val cbRow = broadcast(codebook
       .agg(collect_list(struct(col("sub"), col("code_id"), col("cw"))).as("cbs")))
-    val codeCols = (0 until m).map { s =>
-      val subVec = slice(col("embedding"), lit(s * subDim + 1), lit(subDim))
-      // argmin(d², code_id) = −max(−d², −code_id): highest −d² is the
-      // smallest distance, and on exact float ties the largest −code_id is
-      // the smallest code id
-      (-array_max(transform(filter(col("cbs"), c => c.getField("sub") === s),
-        c => struct((-l2sq(subVec, c.getField("cw"))).as("nd"),
-                    (-c.getField("code_id")).as("nid"))))
-        .getField("nid")).cast("int").as(s"c$s")
-    }
-    embeddings.crossJoin(cbRow).select(col("vec_id") +: codeCols: _*)
+    embeddings.crossJoin(cbRow)
+      .select(col("vec_id") +: pqCodeColumns(col("embedding"), m, subDim): _*)
+  }
+
+  /** Residual of every assigned vector against its cell centroid —
+    * rᵢ = xᵢ − c(cell(xᵢ)), the quantity IVF-PQ compresses (residuals
+    * cluster much tighter than raw vectors, so the same code budget buys
+    * far more precision; Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011, §IV).
+    *
+    * MAP-ONLY: the centroid set collapses into ONE broadcast row and the
+    * subtraction is a per-row `zip_with` against the matching entry — the
+    * payload never shuffles. Elementwise float→double subtraction is exact,
+    * so residuals are bit-reproducible in any engine.
+    * Output: (vec_id, cell, residual: array<double>). */
+  def residuals(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val centRow = broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centroid").as("ce"))).as("cents")))
+    assigned.crossJoin(centRow)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"),
+          element_at(filter(col("cents"),
+            c => c.getField("centroid_id") === col("cell")), 1).getField("ce"),
+          (x, y) => x.cast("double") - y.cast("double")).as("residual"))
+  }
+
+  /** IVF-PQ encode: PQ codes over the RESIDUAL (vector − assigned centroid)
+    * instead of the raw vector, keeping the coarse `cell` alongside the
+    * codes — the persisted index a deployment partitions by cell. Both the
+    * residual and the code argmins are per-row broadcast shapes, so the
+    * whole encode is MAP-ONLY. Output: (vec_id, cell, c0..c{m-1}). */
+  def ivfPqEncode(assigned: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                  m: Int, subDim: Int): DataFrame = {
+    val cbRow = broadcast(codebook
+      .agg(collect_list(struct(col("sub"), col("code_id"), col("cw"))).as("cbs")))
+    residuals(assigned, centroids).crossJoin(cbRow)
+      .select(col("vec_id") +: col("cell") +: pqCodeColumns(col("residual"), m, subDim): _*)
+  }
+
+  /** IVF-PQ ADC top-k — the composed 100 TB ANN query: probe the `nprobe`
+    * cells nearest the query (squared L2 to the coarse centroids), build a
+    * PER-CELL asymmetric-distance table from the query's residual against
+    * that cell's centroid (nprobe × m × |codewords| rows, one broadcast
+    * row), and score candidates in probed cells by m table lookups — the
+    * candidate scan reads ONLY (vec_id, cell, c0..c{m-1}), never the
+    * vector payload. With the encoded index partitioned by cell the
+    * left-semi probe prunes to ~nprobe/|cells| of the files. Fixed
+    * s = 0..m-1 left-assoc lookup sum keeps ADC scores bit-reproducible;
+    * ties break on vec_id. */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                query: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
+                m: Int, subDim: Int): DataFrame = {
+    val q = broadcast(query.select(col("embedding").as("qe")))
+    val probed = broadcast(
+      centroids.crossJoin(q)
+        .select(col("centroid_id").as("cell"), col("centroid"),
+          l2sq(col("centroid"), col("qe")).as("dist"))
+        .orderBy(col("dist"), col("cell"))
+        .limit(nprobe))
+    // per-cell query residual, then its distance to every codeword: the
+    // whole table is one broadcast row of (cell, sub, code_id, d)
+    val qres = probed.crossJoin(q)
+      .select(col("cell"),
+        zip_with(col("qe"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    val tblRow = broadcast(
+      codebook.crossJoin(qres)
+        .select(col("cell"), col("sub"), col("code_id"),
+          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
+        .agg(collect_list(struct(col("cell"), col("sub"), col("code_id"), col("d"))).as("tbl")))
+    val adc = (0 until m).map { s =>
+      element_at(filter(col("tbl"), t =>
+        t.getField("cell") === col("cell") && t.getField("sub") === s &&
+          t.getField("code_id") === col(s"c$s")), 1)
+        .getField("d")
+    }.reduce(_ + _)
+    encoded.where(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed.select(col("cell"))), Seq("cell"), "left_semi")
+      .crossJoin(tblRow)
+      .select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"c$s")) :+ adc.as("adc"): _*)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: the query stays un-quantized; its

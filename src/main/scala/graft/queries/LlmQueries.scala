@@ -151,16 +151,42 @@ object LlmQueries {
 
   private val ivfL2Cache = scala.collection.mutable.Map.empty[String, DataFrame]
 
+  /** The fixed coarse-quantizer centroid set shared by the IVF variants
+    * (4 corpus vectors). */
+  private def centroidsOf(s: SparkSession, d: String): DataFrame =
+    spreadEmbeddings(s, d).where(col("vec_id").isin(10L, 20L, 30L, 40L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
   /** L2-metric IVF cell assignment (same 4 fixed centroids) — the Euclidean
     * twin of [[ivfOf]]; both are map-only and a deployment persists either
     * partitioned by cell. */
   private def ivfL2Of(s: SparkSession, d: String): DataFrame = synchronized {
     ivfL2Cache.getOrElseUpdate(d, {
-      val emb = spreadEmbeddings(s, d)
-      val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      Similarity.assignCells(emb, centroids, metric = "l2").cache()
+      Similarity.assignCells(spreadEmbeddings(s, d), centroidsOf(s, d),
+        metric = "l2").cache()
     })
+  }
+
+  /** Fixed RESIDUAL codebook for the composed IVF-PQ index: 8 codewords per
+    * subspace, carved from the residuals of corpus vectors 1..8 (the
+    * deterministic stand-in for per-subspace residual k-means —
+    * [[Similarity.pqTrainCodebook]] over the residual frame is the trained
+    * path, exercised and recall-gated in LlmScaleRehearsal). */
+  private def ivfPqCodebookOf(s: SparkSession, d: String): DataFrame =
+    Similarity.pqCodebook(
+      Similarity.residuals(ivfL2Of(s, d), centroidsOf(s, d))
+        .select(col("vec_id"), col("residual").as("embedding")),
+      (1L to 8L).map(i => i -> i.toInt), PqM, PqSubDim)
+
+  private val ivfPqCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** IVF-PQ-encoded corpus (vec_id, cell, m integer codes) — the persisted
+    * composed-index artifact; at scale it is partitioned by cell and the ADC
+    * query scans only the probed cells' code columns. */
+  private def ivfPqOf(s: SparkSession, d: String): DataFrame = synchronized {
+    ivfPqCache.getOrElseUpdate(d,
+      Similarity.ivfPqEncode(ivfL2Of(s, d), centroidsOf(s, d),
+        ivfPqCodebookOf(s, d), PqM, PqSubDim).cache())
   }
 
   /** Materialize the shared index artifacts (shingle/token sets, MinHash
@@ -175,6 +201,7 @@ object LlmQueries {
     ivfOf(s, d).count()
     ivfL2Of(s, d).count()
     pqOf(s, d).count()
+    ivfPqOf(s, d).count()
     tfOf(s, d).count()
     simhashOf(s, d).count()
     clustersOf(s, d).count()
@@ -717,6 +744,82 @@ object LlmQueries {
              |JOIN qd q3 ON q3.sub = 3 AND q3.code_id = e.c3
              |WHERE e.vec_id <> 7
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
+    // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
+    // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
+    // centroid) with 8 codewords per 16-dim subspace, then ADC within the
+    // 2 probed cells using a per-cell distance table built from the
+    // query's residual. Assignment, residual, and encode are all map-only
+    // broadcast shapes; the candidate scan reads only (vec_id, cell,
+    // c0..c3). Residual subtraction and the ordered-fold squared-L2 are
+    // exact float/double ops, so codes AND ADC scores hash-match DuckDB.
+    QueryDef("q_ann_ivfpq",
+      (s, d) => Similarity.ivfPqTopK(
+        ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
+        spreadEmbeddings(s, d).where(col("vec_id") === 9L),
+        queryVecId = 9L, k = 10, nprobe = 2, m = PqM, subDim = PqSubDim),
+      Some {
+        def l2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q)""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.centroid_id,
+           |    ${l2("e.embedding", "c.ce")} AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
+           |res AS (
+           |  SELECT a.vec_id, a.cell,
+           |    list_transform(list_zip(a.embedding, c.ce),
+           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS r
+           |  FROM assigned a JOIN cents c ON a.cell = c.centroid_id),
+           |cw AS (
+           |  SELECT s AS sub, CAST(vec_id AS INT) AS code_id, r[s*16+1 : s*16+16] AS cwv
+           |  FROM res, unnest([0,1,2,3]) AS su(s)
+           |  WHERE vec_id BETWEEN 1 AND 8),
+           |dists AS (
+           |  SELECT r.vec_id, r.cell, c.sub, c.code_id,
+           |    ${l2("r.r[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
+           |  FROM res r CROSS JOIN cw c),
+           |codes AS (
+           |  SELECT vec_id, cell, sub, code_id FROM dists
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
+           |enc AS (
+           |  SELECT vec_id, cell,
+           |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
+           |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
+           |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
+           |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
+           |  FROM codes GROUP BY vec_id, cell),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 9),
+           |probed AS (
+           |  SELECT c.centroid_id AS cell, c.ce FROM cents c CROSS JOIN q
+           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2),
+           |qres AS (
+           |  SELECT p.cell,
+           |    list_transform(list_zip(q.qe, p.ce),
+           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
+           |  FROM probed p CROSS JOIN q),
+           |qd AS (
+           |  SELECT r.cell, c.sub, c.code_id,
+           |    ${l2("r.qr[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
+           |  FROM cw c CROSS JOIN qres r)
+           |SELECT e.vec_id, e.cell, e.c0, e.c1, e.c2, e.c3,
+           |       ((q0.d + q1.d) + q2.d) + q3.d AS adc
+           |FROM enc e
+           |JOIN qd q0 ON q0.cell = e.cell AND q0.sub = 0 AND q0.code_id = e.c0
+           |JOIN qd q1 ON q1.cell = e.cell AND q1.sub = 1 AND q1.code_id = e.c1
+           |JOIN qd q2 ON q2.cell = e.cell AND q2.sub = 2 AND q2.code_id = e.c2
+           |JOIN qd q3 ON q3.cell = e.cell AND q3.sub = 3 AND q3.code_id = e.c3
+           |WHERE e.vec_id <> 9
+           |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+      }),
 
     // Benchmark decontamination: docs with doc_id % 25 = 0 stand in for the
     // held-out eval set; every other doc reports how many of its distinct

@@ -19,10 +19,31 @@ object Health {
     case object Disconnected extends ConnectionStatus("disconnected", 0)
   }
 
-  /** Era genesis parameters (Configuration.hs:258-262): the network magic
-    * picks the Byron/Shelley boundary, the system start anchors slot 0 in
-    * wall-clock time. Supplied by the operator (a node-side input). */
-  final case class NetworkParameters(networkMagic: Long, systemStartSec: Long)
+  /** Era genesis parameters (Configuration.hs:258-262, Health.hs:198-248):
+    * the system start anchors slot 0 in wall-clock time, and the
+    * Byron→Shelley boundary arrives as EXPLICIT fields — the reference
+    * derives `firstShelleySlot`/`byronSlotLengthSec` from the operator's
+    * Byron genesis file, so a custom testnet carries its own values instead
+    * of a magic-number lookup. [[NetworkParameters.fromMagic]] keeps the
+    * well-known-network convenience. */
+  final case class NetworkParameters(
+      networkMagic: Long,
+      systemStartSec: Long,
+      firstShelleySlot: Long,
+      byronSlotLengthSec: Long = 20L)
+
+  object NetworkParameters {
+    /** Well-known networks by magic (the boundaries the reference's shipped
+      * genesis configs produce): mainnet → 4492800, preprod → 86400,
+      * anything else (preview and friends) → Shelley from slot 0. */
+    def fromMagic(networkMagic: Long, systemStartSec: Long): NetworkParameters =
+      NetworkParameters(networkMagic, systemStartSec,
+        firstShelleySlot = networkMagic match {
+          case 764824073L => 4492800L // mainnet
+          case 1L         => 86400L   // preprod
+          case _          => 0L       // preview and friends
+        })
+  }
 
   /** DeferIndexesInstallation (Configuration.hs:211-219): whether secondary
     * query indexes are installed now or deferred until after the initial
@@ -70,18 +91,15 @@ object Health {
   }
 
   /** mkNetworkSynchronization (Health.hs:198-248): how far the indexed tip
-    * is from wall-clock now, as a ratio in [0, 1]. Byron slots lasted 20 s;
-    * Shelley slots are 1 s and start at a magic-dependent boundary. Within
-    * a 120 s tolerance of now the value clamps to exactly 1. Rendered like
-    * the reference's fixed-format encoder: ALWAYS five decimals, never
-    * scientific notation ("1.00000", "0.00140"). */
+    * is from wall-clock now, as a ratio in [0, 1]. Byron slots lasted
+    * `byronSlotLengthSec` (20 s on every real network); Shelley slots are
+    * 1 s and start at `params.firstShelleySlot`. Within a 120 s tolerance
+    * of now the value clamps to exactly 1. Rendered like the reference's
+    * fixed-format encoder: ALWAYS five decimals, never scientific notation
+    * ("1.00000", "0.00140"). */
   def networkSynchronization(nowSec: Long, params: NetworkParameters, tipSlot: Long): String = {
-    val byronSlotLength = 20L
-    val firstShelleySlot = params.networkMagic match {
-      case 764824073L => 4492800L // mainnet
-      case 1L         => 86400L   // preprod
-      case _          => 0L       // preview and friends: shelley from slot 0
-    }
+    val byronSlotLength = params.byronSlotLengthSec
+    val firstShelleySlot = params.firstShelleySlot
     val byronDuration = byronSlotLength * firstShelleySlot
     // seconds elapsed until now: byron seconds + shelley seconds (1 slot = 1 s)
     val den = byronDuration + (nowSec - (params.systemStartSec + byronDuration))

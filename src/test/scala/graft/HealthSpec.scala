@@ -46,14 +46,14 @@ class HealthSpec extends SparkSpec {
   test("network_synchronization: era math, tolerance clamp, fixed 5-decimal wire form") {
     import Health.{networkSynchronization => sync, NetworkParameters}
     // preview-style network (magic 2): shelley from slot 0, 1 slot = 1 s
-    val preview = NetworkParameters(networkMagic = 2L, systemStartSec = 1000L)
+    val preview = NetworkParameters.fromMagic(networkMagic = 2L, systemStartSec = 1000L)
     assert(sync(nowSec = 101000L, preview, tipSlot = 50000L) == "0.50000")
     // Health.hs doctest: 1.4e-3 renders 0.00140, never scientific notation
     assert(sync(nowSec = 101000L, preview, tipSlot = 140L) == "0.00140")
     // within 120 s of now clamps to exactly 1 (the reference's tolerance)
     assert(sync(nowSec = 101000L, preview, tipSlot = 99900L) == "1.00000")
     // mainnet magic: byron slots last 20 s until slot 4492800
-    val mainnet = NetworkParameters(networkMagic = 764824073L, systemStartSec = 0L)
+    val mainnet = NetworkParameters.fromMagic(networkMagic = 764824073L, systemStartSec = 0L)
     // byron-era tip: 1000 slots * 20 s = 20000 s of 89857000 elapsed → 0.00022
     assert(sync(nowSec = 89857000L, mainnet, tipSlot = 1000L) == "0.00022")
     // shelley-era tip: byronDuration + (tip − boundary) seconds
@@ -61,6 +61,18 @@ class HealthSpec extends SparkSpec {
       "0.75000") // (89856000+44928000)/179712000
     // ratio clamps at 1 even if the tip runs ahead of the wall clock
     assert(sync(nowSec = 10000L, preview, tipSlot = 50000L) == "1.00000")
+    // CUSTOM network: genesis-derived boundary + slot length that match no
+    // magic-map entry (boundary 1000, byron slots 8 s) — the gauge must use
+    // the explicit fields, not a hardcoded era table
+    val custom = NetworkParameters(networkMagic = 42L, systemStartSec = 0L,
+      firstShelleySlot = 1000L, byronSlotLengthSec = 8L)
+    // byron-era tip: 500 slots * 8 s = 4000 of 16000 elapsed
+    assert(sync(nowSec = 16000L, custom, tipSlot = 500L) == "0.25000")
+    // shelley-era tip: 8000 byron seconds + (5000 − 1000) shelley seconds
+    assert(sync(nowSec = 16000L, custom, tipSlot = 5000L) == "0.75000")
+    // the same tip under the magic map (boundary 0) would read differently
+    assert(sync(nowSec = 16000L,
+      NetworkParameters.fromMagic(42L, 0L), tipSlot = 500L) != "0.25000")
 
     // end to end: params present → gauge in JSON + prometheus; absent → null
     val ix = new GraftIndex(spark, tmpDir("graft-health-sync"))
@@ -69,8 +81,8 @@ class HealthSpec extends SparkSpec {
     val tipSlot = FoldInputs.maxCheckpoint(ix).get._1
     val now = 1000L + 2 * tipSlot // tip halfway through a shelley-only history
     val h = Health.snapshot(ix, nowMs = now * 1000L,
-      params = Some(NetworkParameters(2L, systemStartSec = 1000L)))
-    val expected = sync(now, NetworkParameters(2L, 1000L), tipSlot)
+      params = Some(NetworkParameters.fromMagic(2L, systemStartSec = 1000L)))
+    val expected = sync(now, NetworkParameters.fromMagic(2L, 1000L), tipSlot)
     assert(h.networkSynchronization.contains(expected))
     assert(Health.asJson(h).contains(s""""network_synchronization":$expected,"""))
     assert(Health.prometheus(h).contains(s"kupo_network_synchronization $expected\n"))

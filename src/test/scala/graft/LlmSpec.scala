@@ -275,6 +275,58 @@ class LlmSpec extends SparkSpec {
       sameQuadrant.map(_.toLong).toSet)
   }
 
+  test("IVF-PQ: residual encode keeps cell, per-cell ADC tables, probe prunes cells") {
+    import spark.implicits._
+    // two well-separated cells; residuals live on a ±0.1 cross around each
+    // centroid, so a 2-codeword residual codebook reconstructs them exactly
+    val emb = Seq(
+      (0L, Array(2.1f, 0.1f, 0f, 0f)),
+      (1L, Array(2.1f, -0.1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 2.1f, 0.1f)),
+      (3L, Array(0f, 0f, 2.1f, -0.1f)),
+      (9L, Array(2.1f, 0.1f, 0f, 0f)) // query — same residual as vec 0
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 2f, 0f))
+    ).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(emb, centroids, metric = "l2")
+    // residuals subtract the OWN cell's centroid, exactly
+    val res = Similarity.residuals(assigned, centroids).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).map(x => math.rint(x * 10) / 10)).toMap
+    assert(res(0L) == Seq(0.1, 0.1, 0.0, 0.0))
+    assert(res(2L) == Seq(0.0, 0.0, 0.1, 0.1))
+    // fixed residual codebook carved from vec 0 / vec 1 residuals
+    val cb = Similarity.pqCodebook(
+      Similarity.residuals(assigned, centroids)
+        .select(col("vec_id"), col("residual").as("embedding")),
+      Seq(0L -> 1, 1L -> 2), m = 2, subDim = 2)
+    val enc = Similarity.ivfPqEncode(assigned, centroids, cb, m = 2, subDim = 2)
+    // the composed encode must stay map-only (assign → residual → code)
+    assert(!enc.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    val rows = enc.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(rows(0L) == ((1L, 1, 1)) && rows(1L) == ((1L, 2, 1)))
+    assert(rows(2L)._1 == 2L && rows(9L) == ((1L, 1, 1)))
+    val cached = enc.cache(); cached.count()
+    // nprobe=1 probes only the query's cell: cell-2 vectors never scanned;
+    // the query's own residual matches codeword 1 exactly → ADC 0
+    val top1 = Similarity.ivfPqTopK(cached, centroids, cb,
+      emb.where(col("vec_id") === 9L), queryVecId = 9L, k = 4, nprobe = 1,
+      m = 2, subDim = 2).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(top1(0).getDouble(4) == 0.0 && top1(1).getDouble(4) > 0.0)
+    // nprobe=2 widens to cell 2, scored off THAT cell's own distance table
+    // (query residual re-anchored to centroid 2 → large but finite ADC)
+    val top2 = Similarity.ivfPqTopK(cached, centroids, cb,
+      emb.where(col("vec_id") === 9L), queryVecId = 9L, k = 4, nprobe = 2,
+      m = 2, subDim = 2).collect()
+    assert(top2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(top2(2).getDouble(4) > top2(1).getDouble(4))
+    cached.unpersist()
+  }
+
   test("repetition stats: bigram totals, distinct count, top frequency") {
     import spark.implicits._
     val d = Seq(

@@ -49,7 +49,7 @@ class NodeSpec extends SparkSpec {
         chainA.filter(_.slot > p.slot).map(fwdJson).mkString("\n")
           .getBytes(StandardCharsets.UTF_8)),
       nodeTip = Some(120L), lastBlockAtMs = Some(0L), nowMs = 120L * 1000L,
-      params = Some(Health.NetworkParameters(networkMagic = 2L, systemStartSec = 0L)))
+      params = Some(Health.NetworkParameters.fromMagic(networkMagic = 2L, systemStartSec = 0L)))
     assert(i1 == origin)
     assert(h1.connectionStatus == Health.ConnectionStatus.Connected)
     assert(h1.mostRecentCheckpoint.map(_._1).contains(120L))

@@ -229,7 +229,7 @@ class OpenApiSpec extends SparkSpec {
       Set[graft.model.Pattern](graft.model.Pattern.MatchAny(includingBootstrap = true)))
     val h = Health.snapshot(ix, Health.ConnectionStatus.Connected,
       nodeTip = Some(120L), lastBlockAtMs = Some(0L), nowMs = 5000L,
-      params = Some(Health.NetworkParameters(42L, 0L)))
+      params = Some(Health.NetworkParameters.fromMagic(42L, 0L)))
     assertValid(Health.asJson(h), "Health")
     assert(Health.asJson(h).contains(""""indexes":"installed""""))
     // the deferred policy is the other enum member; the ABSENT-config null
