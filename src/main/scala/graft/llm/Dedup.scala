@@ -208,20 +208,27 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // eager localCheckpoint per round: iterative plans COMPOUND (round N's
+    // localCheckpoint per round: iterative plans COMPOUND (round N's
     // lineage embeds round N-1's twice) — without truncation the driver
     // drowns in plan analysis long before the executors do any work
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc")).localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // the previous label rides along as `prev` through the SAME
+      // min-aggregate that builds the round (labels rows carry their own
+      // lbl, propagated rows carry null, min ignores nulls — every doc has
+      // exactly one labels row), so the change check is a JOIN-FREE filter
+      // count over the just-checkpointed partitions instead of the former
+      // per-round broadcast join + shuffle (LlmSpec pins the no-join plan)
       val prop = edges.join(labels, edges("dst") === labels("doc"))
-        .select(edges("src").as("doc"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("doc").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc")
-        .where(col("lbl") =!= col("prev")).count()
-      labels = next
+        .select(edges("src").as("doc"), col("lbl"),
+          lit(null).cast("long").as("prev"))
+      val next = labels.withColumn("prev", col("lbl")).unionByName(prop)
+        .groupBy("doc").agg(min("lbl").as("lbl"), min("prev").as("prev"))
+        .localCheckpoint(true)
+      changed = next.where(col("lbl") =!= col("prev")).count()
+      labels = next.select("doc", "lbl")
     }
     edges.unpersist()
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
@@ -230,18 +237,25 @@ object Dedup {
   /** Benchmark decontamination — flag training documents that share content
     * with a held-out evaluation set (the standard n-gram-overlap
     * decontamination pass run before training). Inputs are two (id, gram)
-    * shingle frames (from [[charGrams]] — reuse the corpus's persisted
-    * shingle artifact); output is one row per corpus doc with its distinct
+    * shingle frames; output is one row per corpus doc with its distinct
     * shingle total and how many of them appear ANYWHERE in the benchmark —
     * exact integers, the contamination ratio/threshold is downstream
     * arithmetic.
     *
+    * PRECONDITION: `corpusGrams` must be (id, gram)-distinct — [[charGrams]]
+    * (the corpus's persisted shingle artifact) already is. The function does
+    * NOT re-dedup: doing so would shuffle the full corpus gram stream,
+    * defeating the one-pass shape below; a non-distinct input double-counts
+    * both `n_grams` and `n_contaminated` by the duplicate factor.
+    * `benchGrams` needs no such care (it is `distinct`ed here — it's tiny).
+    *
     * Scale shape: eval sets are tiny next to a 100 TB corpus, so the
     * benchmark's distinct-gram set broadcasts and the corpus side is ONE
-    * pass — a broadcast left-semi probe feeding a map-side-combined count,
-    * plus the same-keyed total count; the corpus shingles never shuffle on
-    * the gram. (If the benchmark ever outgrew broadcast, drop the hint and
-    * the same plan runs as a shuffled semi-join.) */
+    * pass — a broadcast LEFT OUTER probe whose null/non-null `hit` feeds a
+    * map-side-combined conditional count alongside the total count in the
+    * same aggregation; the corpus shingles never shuffle on the gram. (If
+    * the benchmark ever outgrew broadcast, drop the hint and the same plan
+    * runs as a shuffled join.) */
   def benchmarkOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
     val bench = broadcast(benchGrams.select(col("gram")).distinct()

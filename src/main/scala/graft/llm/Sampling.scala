@@ -40,22 +40,49 @@ object Sampling {
         count(when(hashBucket(col(idCol), salt) < threshold, 1)).as("n_sampled"))
 
   /** Sequence packing, concatenate-and-chunk style (the GPT-pretraining
-    * layout): within each stream (source shard), documents concatenate in a
-    * fixed deterministic order and the token stream is cut every `capacity`
-    * tokens; each doc reports its start offset in the stream and the chunk
-    * (`bin`) it starts in. One running-sum window per stream — the shuffle
-    * partitions by stream, then all work is partition-local, the standard
-    * 100 TB shape (streams are the parallel unit, like sessionization's
-    * users). Exact integers throughout. */
+    * layout): within each stream (source shard), documents concatenate in
+    * `idCol` order and the token stream is cut every `capacity` tokens;
+    * each doc reports its start offset in the stream and the chunk (`bin`)
+    * it starts in. Tokens are non-empty whitespace splits — consecutive
+    * spaces and empty documents count ZERO tokens, consistent with
+    * [[TextAnalysis]]'s tokenizers. Exact integers throughout.
+    *
+    * Scale shape — HIERARCHICAL prefix sum, so one giant stream never
+    * serializes onto one partition: docs land in range-contiguous
+    * sub-streams (`floor(id / subStreamWidth)`), each sub-stream computes
+    * its local running sum in parallel, and the per-sub totals (a tiny
+    * streams × subs frame) take one window pass to become exclusive base
+    * offsets that broadcast-stitch back — offsets are bit-identical to the
+    * single-window form for ANY width. The payload shuffles ONCE, keyed by
+    * (stream, sub); parallelism within a stream is tokens/subStreamWidth.
+    * Default width keeps one sub-stream per stream (the sessionization
+    * shape); pretraining corpora with few, huge sources pick a width that
+    * splits them (SCALE.md §packing). */
   def packSequences(docs: DataFrame, capacity: Int,
                     streamCol: String = "source",
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    subStreamWidth: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+    val withSub = docs.select(col(idCol), col(streamCol),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"),
+        // integer DIV keeps sub-stream ranges exact for 64-bit ids (a
+        // double-rounded division would misplace ids above 2^53)
+        expr(s"CAST(`$idCol` DIV $subStreamWidth AS BIGINT)").as("_sub"))
+    val wLocal = Window.partitionBy(col(streamCol), col("_sub")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), col(streamCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val local = withSub.withColumn("_local_end", sum(col("n_tokens")).over(wLocal))
+    // exclusive per-stream prefix over the per-sub totals: rows = streams ×
+    // subs (broadcast-sized by construction — width is picked so a stream
+    // has at most thousands of subs)
+    val wSub = Window.partitionBy(col(streamCol)).orderBy(col("_sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = local.groupBy(col(streamCol), col("_sub"))
+      .agg(sum(col("n_tokens")).as("_sub_total"))
+      .withColumn("_base", sum(col("_sub_total")).over(wSub) - col("_sub_total"))
+      .select(col(streamCol), col("_sub"), col("_base"))
+    local.join(broadcast(bases), Seq(streamCol, "_sub"))
+      .withColumn("start_offset", col("_base") + col("_local_end") - col("n_tokens"))
       .withColumn("bin", (col("start_offset") / capacity).cast("long"))
+      .select(col(idCol), col(streamCol), col("n_tokens"), col("start_offset"), col("bin"))
   }
 }

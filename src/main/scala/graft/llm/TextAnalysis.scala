@@ -120,8 +120,13 @@ object TextAnalysis {
     * "fraction of duplicate n-grams" and "fraction in the top n-gram"
     * quality rules (ratios are downstream arithmetic, keeping the compare
     * surface integral). Shape: one positional explode, then two
-    * map-side-combined aggregations on (doc, bigram) → doc — the same keys,
-    * so the second agg reuses the first's partitioning (one shuffle total).
+    * map-side-combined aggregations, (doc, bigram) → doc. That is TWO
+    * exchanges — (doc, bigram) partitioning does not satisfy the doc-only
+    * clustering of the second groupBy — but the second moves only the
+    * already-aggregated (doc, bigram, c) rows. The alternative (repartition
+    * by doc up front so both aggs share one exchange) would shuffle the RAW
+    * exploded bigrams with no map-side combine: strictly more bytes on
+    * repetitive corpora, which is exactly what this operator hunts.
     * Docs with fewer than two tokens have no bigrams and drop out. */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {

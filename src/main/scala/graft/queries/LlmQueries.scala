@@ -853,7 +853,10 @@ object LlmQueries {
     QueryDef("q_mix_sample",
       (s, d) => {
         val thr = {
-          val cls = substring(col("source"), 4, 10).cast("int") % 4
+          // try_cast on the FULL numeric suffix: malformed sources fall to
+          // the keep-all branch identically in both engines (ADVICE r5 —
+          // a plain cast diverges: Spark ANSI throws, DuckDB errors)
+          val cls = expr("try_cast(substr(source, 4) AS INT)") % 4
           when(cls === 0, "40").when(cls === 1, "80")
             .when(cls === 2, "c0").otherwise("zz") // "zz" > any hex: keep all
         }
@@ -862,7 +865,7 @@ object LlmQueries {
       },
       Some("""SELECT source, count(*) AS n_docs,
              |  count(CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) <
-             |    (CASE CAST(substr(source, 4) AS INT) % 4
+             |    (CASE TRY_CAST(substr(source, 4) AS INT) % 4
              |       WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0'
              |       ELSE 'zz' END) THEN 1 END) AS n_sampled
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
@@ -870,15 +873,19 @@ object LlmQueries {
     // Sequence packing (concatenate-and-chunk, the GPT pretraining layout):
     // per source stream, docs concatenate in doc_id order and the token
     // stream cuts every 512 tokens; each doc reports its start offset and
-    // chunk. One window per stream — partition-local after a single
-    // stream-keyed shuffle.
+    // chunk. Hierarchical prefix sum: sub-streams of 64 ids run their
+    // windows in parallel and tiny per-sub totals stitch the exact offsets
+    // back — one giant stream never serializes onto one partition. Tokens
+    // are NON-EMPTY splits (empty/multi-space text counts zero), mirrored
+    // by the oracle's list_filter.
     QueryDef("q_pack_sequences",
       (s, d) => graft.llm.Sampling.packSequences(
-          table(s, d, "documents"), capacity = 512)
+          table(s, d, "documents"), capacity = 512, subStreamWidth = 64L)
         .orderBy(col("source"), col("doc_id")),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
-             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+             |              AS BIGINT) AS n_tokens
              |  FROM documents),
              |o AS (
              |  SELECT doc_id, source, n_tokens,

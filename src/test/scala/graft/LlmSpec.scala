@@ -148,8 +148,36 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     // chain 1-2-3-4 (diameter forces multiple propagation rounds) + pair 7-8
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
-    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSet
+    // the change check must be JOIN-FREE: `prev` rides through the round's
+    // own min-aggregate, so the former per-round broadcast join + shuffle
+    // in the changed-count is gone — pin it via the executed plans the
+    // listener reports for every `count at Dedup` execution
+    val countPlans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlanInfo]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if s.description.startsWith("count at Dedup") =>
+          countPlans.add(s.sparkPlanInfo)
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toSet
+      finally {
+        // listener events are async: wait for the bus to drain
+        var last = -1
+        while (countPlans.size() != last) { last = countPlans.size(); Thread.sleep(200) }
+        spark.sparkContext.removeSparkListener(listener)
+      }
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+    def hasJoin(p: org.apache.spark.sql.execution.SparkPlanInfo): Boolean =
+      p.nodeName.contains("Join") || p.children.exists(hasJoin)
+    // path 1-2-3-4 converges in 4 rounds (3 propagation hops + no-change)
+    assert(countPlans.size() == 4, s"expected 4 rounds, saw ${countPlans.size()}")
+    countPlans.forEach(p => assert(!hasJoin(p), s"change-count plan joins: $p"))
   }
 
   test("winnowing: documents sharing a long substring share a fingerprint") {
@@ -371,6 +399,34 @@ class LlmSpec extends SparkSpec {
     val r = Sampling.packSequences(d, capacity = 5).orderBy("doc_id").collect()
       .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
     assert(r.toSeq == Seq((1L, 3L, 0L, 0L), (2L, 4L, 3L, 0L), (3L, 2L, 7L, 1L), (4L, 9L, 0L, 0L)))
+    // empty / multi-space docs count ZERO tokens (ADVICE r5: split("")
+    // yields [""] — the filtered count must not fabricate offsets)
+    val e = Sampling.packSequences(Seq(
+        (1L, "a", ""), (2L, "a", "x  y"), (3L, "a", " ")
+      ).toDF("doc_id", "source", "text"), capacity = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(2), x.getLong(3)))
+    assert(e.toSeq == Seq((0L, 0L), (2L, 0L), (0L, 2L)))
+  }
+
+  test("sequence packing: one dominant stream splits across sub-streams, offsets exact") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    // ONE stream, 100 docs, doc_id gaps included — the pretraining shape
+    // where stream-keyed windows would serialize the whole corpus onto one
+    // partition
+    val docs = (0 until 100).map(i =>
+      (i.toLong * 3, "mono", ("w " * (1 + i % 7)).trim)).toDF("doc_id", "source", "text")
+    val wide = Sampling.packSequences(docs, capacity = 16) // single window
+    val split = Sampling.packSequences(docs, capacity = 16, subStreamWidth = 30L)
+    // offsets are BIT-IDENTICAL to the single-window form for any width
+    assert(split.orderBy("doc_id").collect().toSeq ==
+      wide.orderBy("doc_id").collect().toSeq)
+    // and the heavy window really partitions by (stream, sub): 10 ranges of
+    // 30 ids → the payload exchange keys on _sub, not on the stream alone
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("_sub"), plan)
+    assert("hashpartitioning\\(source[^)]*_sub".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("benchmark decontamination: overlapping shingles counted, clean docs zero") {

@@ -3,6 +3,7 @@ package graft
 import graft.index.{GraftIndex, Mutations}
 import graft.ingest.Indexer
 import graft.model.Pattern
+import graft.query.{Api, FoldInputs}
 import graft.tools.FixtureChain.{Blk, Out, Tx, baseAddr, hex32, toDf}
 
 /** Model-based reorg testing — the rebuild of the reference's state-machine
@@ -129,6 +130,26 @@ class ReorgPropertySpec extends SparkSpec {
         }
         if (step % 3 == 2) { // compare state every few mutations
           assert(engineState(ix) == model.state, s"divergence at step $step (seed=$seed)")
+          // API-during-churn (the reference's AppSpec interleaves READS with
+          // the mutation stream, not only a final compare): foldInputs in
+          // both status flavors, a random created_at-range fold, and the
+          // count endpoint must all agree with the model MID-SEQUENCE
+          def folded(q: Api.MatchesQuery): Set[(String, Int)] =
+            FoldInputs(ix, q).select("transaction_id", "output_index")
+              .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+          def modelSet(p: MRow => Boolean): Set[(String, Int)] =
+            model.rows.filter(p).map(r => (r.txId, r.outputIndex)).toSet
+          assert(folded(Api.MatchesQuery("*", status = Api.StatusFlag.OnlyUnspent))
+            == modelSet(_.spentAt.isEmpty), s"unspent fold at step $step (seed=$seed)")
+          assert(folded(Api.MatchesQuery("*", status = Api.StatusFlag.OnlySpent))
+            == modelSet(_.spentAt.isDefined), s"spent fold at step $step (seed=$seed)")
+          val (lo, hi) = { val a = rnd.nextLong(gen.slot + 1); (a, a + rnd.nextLong(10) + 1) }
+          assert(folded(Api.MatchesQuery("*",
+              range = Api.SlotRange(lowerBound = Some(lo), upperBound = Some(hi))))
+            == modelSet(r => r.createdAt >= lo && r.createdAt <= hi),
+            s"range [$lo,$hi] fold at step $step (seed=$seed)")
+          assert(FoldInputs.countInputs(ix, "*") == model.rows.size.toLong,
+            s"countInputs at step $step (seed=$seed)")
           checksRun += 1
         }
       }
