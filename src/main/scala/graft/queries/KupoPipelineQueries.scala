@@ -106,6 +106,31 @@ object KupoPipelineQueries {
 
   private val cache = scala.collection.mutable.Map.empty[String, GraftIndex]
 
+  private val copyDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Temp dir for a copyDatabase bootstrap, deleting the PREVIOUS
+    * invocations' copies first: the bench runs this query 4× per pass
+    * (warm + best-of-3), and letting whole index copies accumulate in /tmp
+    * is both a disk leak and a source of run-to-run drift (round-5 bench
+    * watch item on q_kupo_copy_database). The just-returned dir stays live
+    * until the NEXT invocation, which is after its result was consumed. */
+  private def freshCopyDir(): String = {
+    var old = copyDirs.poll()
+    while (old != null) {
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      old = copyDirs.poll()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    copyDirs.add(dir)
+    dir
+  }
+
   /** Build (once per sfDir per JVM) a real GraftIndex from the derivation —
     * the index is immutable here, so the kupo queries share it the way a
     * deployment shares one index across many reads. */
@@ -455,8 +480,7 @@ object KupoPipelineQueries {
     QueryDef("q_kupo_copy_database",
       (s, d) => {
         val src = buildIndex(s, d)
-        val dst = graft.index.Mutations.copyFiltered(src,
-          java.nio.file.Files.createTempDirectory("graft-copy").toString,
+        val dst = graft.index.Mutations.copyFiltered(src, freshCopyDir(),
           Set[graft.model.Pattern](graft.model.Pattern.MatchDelegation(cred7)))
         graft.index.Mutations.deleteInputs(dst,
           Set[graft.model.Pattern](graft.model.Pattern.MatchPolicyId(policy2)))
