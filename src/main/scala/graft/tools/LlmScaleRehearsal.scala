@@ -160,6 +160,29 @@ object LlmScaleRehearsal {
     val ivfPqTop = ivfPqQuery.collect().map(_.getLong(0)).toSet
     val ivfPqRecall = exactTop.intersect(ivfPqTop).size / 10.0
 
+    // ---- (g) the PERSISTED composed index prunes files by cell: written
+    // partitioned by cell (the deployment layout), a static nprobe-cell
+    // probe must open only the probed partitions' files. The probe list is
+    // a driver-side O(|cells|) computation, so the predicate is static and
+    // partition pruning happens at planning; the in-query left-semi shape
+    // gets the same effect at runtime via dynamic partition pruning.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    ivfPqEnc.write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+    val onDisk = spark.read.parquet(idxDir)
+    // count files the executed scan ACTUALLY opened (`inputFiles` lists the
+    // relation pre-filter, so it cannot see partition pruning)
+    def filesRead(df: DataFrame): Long = {
+      df.collect() // collect() runs THIS Dataset's queryExecution, so the
+                   // scan node's metrics populate (a write action plans a
+                   // separate execution whose metrics df can't see)
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val idxFilesFull = filesRead(onDisk)
+    val idxFilesProbed =
+      filesRead(onDisk.where(col("cell").isin(probedCells.toSeq: _*)))
+
     // ---- (d) LSH pairs grow linearly in salted corpus replicas ----
     // salting every token keeps each replica's shingle space disjoint, so a
     // sub-quadratic candidate generator must ~double pairs when the corpus
@@ -184,6 +207,7 @@ object LlmScaleRehearsal {
         s""""decontam_broadcast":$decontamBroadcast,"decontam_shuffle_joins":$decontamShuffleJoins,""" +
         s""""adc_recall_at_10":$recall,"adc_recall_at_10_trained":$trainedRecall,""" +
         s""""ivfpq_m":$pqM,"ivfpq_recall_at_10":$ivfPqRecall,"ivf_nprobe_ceiling":$ivfCeiling,""" +
+        s""""ivfpq_index_files_full":$idxFilesFull,"ivfpq_index_files_probed":$idxFilesProbed,""" +
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
@@ -211,6 +235,10 @@ object LlmScaleRehearsal {
     // n=2000 with m=8 — gates one step under)
     require(ivfPqRecall >= ivfPqFloor,
       s"IVF-PQ trained recall@10 below floor: $ivfPqRecall < $ivfPqFloor (ceiling $ivfCeiling, m=$pqM)")
+    // nprobe of the 4 cells probed → the scan must open strictly fewer
+    // files than the full index (exactly the probed partitions')
+    require(idxFilesProbed < idxFilesFull && idxFilesProbed > 0,
+      s"cell-partitioned probe must prune files: $idxFilesProbed vs $idxFilesFull")
     spark.stop()
   }
 }

@@ -2,7 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway single-query dump for local oracle iteration (not shipped). */
+/** Single-query dump for local oracle iteration: writes one
+  * `SparkEntry.queries` result as parquet plus its declared oracle SQL, so
+  * a new query can be DuckDB-compared in seconds instead of re-running the
+  * full `check_oracle.py` sweep. Usage:
+  * `sbt "runMain graft.tools.Scratch q_name [sfDir] [outDir]"`. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
