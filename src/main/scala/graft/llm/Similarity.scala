@@ -388,6 +388,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN — batch similarity search: EVERY query row gets its
+    * `k` nearest candidates by cosine, in ONE pass over the candidate set.
+    * This is the retrieval-pipeline shape (dedup probes, eval-set nearest
+    * neighbors, hard-negative mining): queries are broadcast-sized next to
+    * a 100 TB corpus, so the whole query set collapses into ONE broadcast
+    * row; each streamed candidate computes its norm ONCE, explodes into
+    * (query, score) pairs in the same codegen span, and only the
+    * (query_id, vec_id, score) triples — never the embedding payload —
+    * shuffle into the per-query top-k window. Wall-clock is one corpus
+    * scan regardless of |queries|, vs |queries| scans of repeated
+    * [[bruteForceTopK]] calls. Ties break on candidate vec_id; a candidate
+    * row whose vec_id equals the query's is excluded (self-match). */
+  def knnJoin(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val qRow = broadcast(queries
+      .agg(array_sort(collect_list(struct(col("vec_id").as("qid"),
+        col("embedding").as("qe"), norm(col("embedding")).as("qn")))).as("qs")))
+    val scored = candidates.crossJoin(qRow)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("cn"), explode(col("qs")).as("q"))
+      .where(col("q.qid") =!= col("vec_id"))
+      .select(col("q.qid").as("query_id"), col("vec_id"),
+        (dot(col("embedding"), col("q.qe")) / (col("cn") * col("q.qn"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by

@@ -745,6 +745,26 @@ object LlmQueries {
              |WHERE e.vec_id <> 7
              |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
 
+    // Exact k-NN JOIN — batch similarity search: the 5 lowest vec_ids each
+    // retrieve their top-3 cosine neighbors from the whole corpus in ONE
+    // candidate-side pass (queries broadcast; only (query, id, score)
+    // triples shuffle into the per-query top-k window).
+    QueryDef("q_knn_join",
+      (s, d) => {
+        val emb = spreadEmbeddings(s, d)
+        Similarity.knnJoin(emb.where(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id,
+             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
+             |  CAST(row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |             c.vec_id) AS INT) AS "rank"
+             |FROM embeddings q CROSS JOIN embeddings c
+             |WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+             |QUALIFY "rank" <= 3
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
     // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
     // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
     // centroid) with 8 codewords per 16-dim subspace, then ADC within the

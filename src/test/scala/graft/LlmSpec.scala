@@ -69,6 +69,30 @@ class LlmSpec extends SparkSpec {
     assert(top.head == 1L)
   }
 
+  test("k-NN join: every query gets its top-k in one pass, triples-only shuffle") {
+    import spark.implicits._
+    val top = Similarity.knnJoin(vecs.where(col("vec_id").isin(0L, 2L)), vecs, k = 2)
+    val rows = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // query 0 = (1,0,0): nearest 1 (0.9,0.1,0), then the orthogonal 2/3
+    // tie → lowest vec_id 2; query 2 = (0,1,0): nearest 3, then 1
+    assert(rows == Set((0L, 1L, 1), (0L, 2L, 2), (2L, 3L, 1), (2L, 1L, 2)))
+    // exactly ONE hash exchange (the per-query top-k window) in the final
+    // AQE plan (the plan string echoes the initial plan too — slice it
+    // off), it moves only (query_id, vec_id, cos_sim) triples — never the
+    // payload — and Spark's rank pushdown caps it at k rows per query per
+    // input partition (partial WindowGroupLimit BELOW the exchange)
+    val plan = top.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).toList
+    assert(exchanges.length == 1, plan)
+    assert(exchanges.head.contains("query_id") && !exchanges.head.contains("embedding"),
+      exchanges.head)
+    assert("WindowGroupLimit[^\\n]*Partial".r.findFirstIn(plan).exists(_ => true) &&
+      "WindowGroupLimit[^\\n]*Partial".r.findFirstMatchIn(plan).get.start >
+        plan.indexOf("Exchange hashpartitioning"), plan)
+  }
+
   test("IVF probes only the query cell and finds the neighbor") {
     val centroids = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
