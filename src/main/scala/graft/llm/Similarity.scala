@@ -388,6 +388,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF-PQ ADC k-NN JOIN — the composed index serving MANY queries
+    * in one pass (the production retrieval shape: a broadcast-sized probe
+    * set against a 100 TB code index). Per query: its `nprobe` nearest
+    * cells, a per-(query, cell) ADC table from the re-anchored residual —
+    * all of it driver-free broadcast arithmetic, q × nprobe × m × ks rows
+    * in ONE broadcast — then candidates in probed cells fan out to the
+    * queries probing their cell, score by m table lookups, and reduce
+    * through a per-query top-k window whose exchange carries only
+    * (query_id, vec_id, adc) triples. The candidate side reads ONLY
+    * (vec_id, cell, codes); with the index partitioned by cell the probe
+    * prunes to the union of probed cells. Ties break on candidate vec_id;
+    * self-matches (vec_id == query_id) are excluded. */
+  def ivfPqKnnJoin(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                   queries: DataFrame, k: Int, nprobe: Int,
+                   m: Int, subDim: Int): DataFrame = {
+    val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // per-query probed cells: rank centroids by L2 within each query
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("cell"))
+    val probed = centroids.crossJoin(broadcast(qs))
+      .select(col("centroid_id").as("cell"), col("centroid"),
+        col("qid"), col("qe"),
+        l2sq(col("centroid"), col("qe")).as("d"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .where(col("rnk") <= nprobe)
+      .select(col("qid"), col("cell"),
+        zip_with(col("qe"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    // one broadcast row of per-(query, cell) distance tables
+    val tblRow = broadcast(
+      codebook.crossJoin(probed)
+        .select(col("qid"), col("cell"), col("sub"), col("code_id"),
+          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
+        .agg(collect_list(struct(col("qid"), col("cell"), col("sub"),
+          col("code_id"), col("d"))).as("tbl")))
+    // candidates fan out to the queries probing their cell (broadcast join
+    // on cell — partition-prunable), then m lookups per (candidate, query)
+    val probePairs = broadcast(probed.select(col("qid"), col("cell")))
+    val adc = (0 until m).map { s =>
+      element_at(filter(col("tbl"), t =>
+        t.getField("qid") === col("qid") && t.getField("cell") === col("cell") &&
+          t.getField("sub") === s && t.getField("code_id") === col(s"c$s")), 1)
+        .getField("d")
+    }.reduce(_ + _)
+    val scored = encoded
+      .join(probePairs, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .crossJoin(tblRow)
+      .select(col("qid").as("query_id"), col("vec_id"), adc.as("adc"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+  }
+
   /** Exact k-NN JOIN — batch similarity search: EVERY query row gets its
     * `k` nearest candidates by cosine, in ONE pass over the candidate set.
     * This is the retrieval-pipeline shape (dedup probes, eval-set nearest

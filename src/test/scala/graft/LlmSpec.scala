@@ -376,6 +376,24 @@ class LlmSpec extends SparkSpec {
       m = 2, subDim = 2).collect()
     assert(top2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(top2(2).getDouble(4) > top2(1).getDouble(4))
+    // BATCH shape: two queries in different cells answered in one pass,
+    // each probing only its own cell (nprobe=1) and scored off its own
+    // per-(query, cell) table
+    val batch = Similarity.ivfPqKnnJoin(cached, centroids, cb,
+      emb.where(col("vec_id").isin(9L, 2L)), k = 2, nprobe = 1,
+      m = 2, subDim = 2)
+    val brows = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(brows == Set((9L, 0L, 1), (9L, 1L, 2), (2L, 3L, 1)))
+    // the per-query top-k exchange moves (query_id, vec_id, adc) triples,
+    // never a vector payload
+    val bplan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bexchanges = "Exchange hashpartitioning[^\\n]*query_id[^\\n]*".r
+      .findAllIn(bplan).toList
+    assert(bexchanges.nonEmpty, bplan)
+    bexchanges.foreach(e =>
+      assert(!e.contains("embedding") && !e.contains("residual"), e))
     cached.unpersist()
   }
 
