@@ -148,6 +148,33 @@ object TextAnalysis {
         max(col("c")).as("top_count"))
   }
 
+  /** Per-stratum EXACT token-length quantiles — the length-distribution
+    * report behind context-window and mix design (how much of source X
+    * fits in 512/2k/8k tokens). Quantiles are picked by RANK arithmetic
+    * (value at row ceil(q·n) of the sorted lengths) instead of an
+    * interpolating percentile: exact integers, identical in any engine,
+    * no cross-engine float-interpolation drift, and — unlike Spark's
+    * `percentile`, which materializes each group's values — one window
+    * pass plus a map-side-combined aggregate. Tokens are non-empty
+    * whitespace splits. Shape: one shuffle keyed by the stratum (the
+    * sessionization/packing discipline: strata are the parallel unit). */
+  def lengthQuantiles(docs: DataFrame, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      stratumCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(stratumCol),
+      size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("n_tokens"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    val picks = qs.map(q =>
+      max(when(col("rn") === ceil(col("n") * q), col("n_tokens")))
+        .as(s"p${(q * 100).round}"))
+    ranked.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), picks: _*)
+  }
+
   /** Order/repetition-invariant content signature: hash of the sorted
     * distinct token set. */
   def fingerprint(textCol: Column): Column =

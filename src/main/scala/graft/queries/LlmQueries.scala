@@ -997,6 +997,28 @@ object LlmQueries {
              |       start_offset // 512 AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
+    // Per-source exact token-length quantiles (rank-picked, no float
+    // interpolation): the length-distribution report behind context-window
+    // and training-mix design.
+    QueryDef("q_length_quantiles",
+      (s, d) => TextAnalysis.lengthQuantiles(table(s, d, "documents"))
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             |              AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, n_tokens,
+             |         row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS n
+             |  FROM t)
+             |SELECT source, count(*) AS n_docs,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
+             |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_tokens END) AS p99
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // Within-doc repetition (Gopher-style quality rules): word-bigram total,
     // distinct count, and top single-bigram frequency per doc — the integer
     // cores of the duplicate-n-gram-fraction filters.

@@ -397,6 +397,19 @@ class LlmSpec extends SparkSpec {
     cached.unpersist()
   }
 
+  test("length quantiles: rank-picked exact values per stratum, empty text = 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s", "a"), (2L, "s", "a b"), (3L, "s", "a b c"),
+      (4L, "s", "a b c d"), (5L, "s", "a b c d e"),
+      (6L, "t", "") // zero tokens
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.lengthQuantiles(d).orderBy("source").collect()
+    // n=5: p50 = value at ceil(2.5)=3rd → 3; p90 at ceil(4.5)=5th → 5
+    assert(r(0).toSeq == Seq("s", 5L, 3L, 5L, 5L))
+    assert(r(1).toSeq == Seq("t", 1L, 0L, 0L, 0L))
+  }
+
   test("repetition stats: bigram totals, distinct count, top frequency") {
     import spark.implicits._
     val d = Seq(
