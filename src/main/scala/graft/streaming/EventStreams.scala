@@ -28,6 +28,24 @@ object EventStreams {
         approx_count_distinct(col("user_id")).as("n_users_approx"),
         sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
 
+  /** Streaming exact dedup AT INGEST — the live counterpart of
+    * `Dedup.exact`/`survivors`: a document whose content hash was already
+    * seen within the `horizon` is dropped before it ever lands in the
+    * corpus. State is ONE small (hash, ts) record per distinct document
+    * seen inside the watermark horizon, evicted automatically — the
+    * bounded-state contract every at-ingest dedup runs on (a re-occurrence
+    * AFTER eviction passes; the batch dedup operators remain the exact
+    * end-of-corpus pass). Input needs (ts: Timestamp, text) plus any
+    * payload columns, which ride through untouched.
+    *
+    * Scale shape: one shuffle keyed by the 16-byte content hash (never the
+    * text payload as key), then per-partition state lookups — the same
+    * key discipline as the batch hash-dedup. */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionEvent(userId: Long, eventId: Long, tsNanos: Long)
   final case class SessionState(sessionId: Long, lastTs: Long,
                                 firstEvent: Long, lastEvent: Long, n: Long)

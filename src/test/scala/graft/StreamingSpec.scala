@@ -119,6 +119,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: duplicates dropped within horizon, state evicted after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = EventStreams.dedupStream(
+      ms.toDF.toDF("ts", "doc_id", "text"), horizon = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      // in-batch duplicate (docs 1/2 identical) + distinct doc 3
+      ms.addData((ts(9, 0), 1L, "same text"), (ts(9, 10), 2L, "same text"),
+        (ts(9, 20), 3L, "other text"))
+      q.processAllAvailable()
+      def ids = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+      // cross-batch duplicate inside the horizon is still dropped
+      ms.addData((ts(9, 30), 4L, "same text"))
+      q.processAllAvailable()
+      assert(ids == Set(1L, 3L))
+      // advance event time far past the horizon: state for old hashes is
+      // evicted, so a much-later re-occurrence passes (the documented
+      // bounded-state contract)
+      ms.addData((ts(14, 0), 5L, "unrelated"))
+      q.processAllAvailable()
+      ms.addData((ts(14, 30), 6L, "same text"))
+      q.processAllAvailable()
+      assert(ids == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap, exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
