@@ -82,7 +82,9 @@ object Sampling {
       .select(col(streamCol), col("_sub"), col("_base"))
     local.join(broadcast(bases), Seq(streamCol, "_sub"))
       .withColumn("start_offset", col("_base") + col("_local_end") - col("n_tokens"))
-      .withColumn("bin", (col("start_offset") / capacity).cast("long"))
+      // integer DIV: a 100 TB token stream overflows double-exact range
+      // (2^53), so float division could misbin the tail
+      .withColumn("bin", expr(s"CAST(start_offset DIV $capacity AS BIGINT)"))
       .select(col(idCol), col(streamCol), col("n_tokens"), col("start_offset"), col("bin"))
   }
 }
