@@ -315,6 +315,50 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Classifier EVALUATION: the language-ID confusion matrix against the
+    // corpus's ground-truth lang column — per (true, predicted) counts,
+    // the quality report a pipeline publishes before trusting a filter.
+    // (zh has no marker set, so it lands wherever the argmax ties fall —
+    // visible in the matrix, which is the point of publishing it.)
+    QueryDef("q_lang_confusion",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        docs.select(col("lang"), TextAnalysis.langId(docs).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("lang_pred"))
+      },
+      Some("""SELECT lang,
+             |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+             |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+             |       WHEN s_fr >= s_es THEN 'fr'
+             |       ELSE 'es' END AS lang_pred,
+             |  count(*) AS n
+             |FROM (SELECT lang,
+             |        len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
+             |        len(list_filter(string_split(text,' '), x -> x IN ('der','und','das'))) AS s_de,
+             |        len(list_filter(string_split(text,' '), x -> x IN ('le','et','les'))) AS s_fr,
+             |        len(list_filter(string_split(text,' '), x -> x IN ('el','y','los'))) AS s_es
+             |      FROM documents)
+             |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)),
+
+    // Semi-structured extraction: typed fields pulled out of the events
+    // table's JSON props column and aggregated — the standard
+    // schema-on-read step every log/telemetry pipeline runs. One pushed
+    // projection + a map-side-combined aggregate; exact integers.
+    QueryDef("q_json_props",
+      (s, d) => table(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // TF-IDF term statistics, integer-only (the order-sensitive float log
     // is left to the consumer): per-doc top-3 terms by (tf desc, df asc,
     // term asc). Exact ints hash-match across engines; the rank triple is
