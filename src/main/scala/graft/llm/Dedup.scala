@@ -234,6 +234,24 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Survivor selection per duplicate cluster — the production dedup
+    * DECISION: within each [[duplicateClusters]] component, keep the row
+    * ranked first by the caller's ordering (quality score desc, length
+    * desc, source priority, …; min-id is the degenerate case). One join of
+    * the (doc, cluster) map against the doc metadata plus one per-cluster
+    * window — both keyed by ids/clusters, the payload text never moves.
+    * Output: the surviving docs' rows plus their `cluster_id`. */
+  def resolveSurvivors(clusters: DataFrame, docs: DataFrame,
+                       ordering: Seq[org.apache.spark.sql.Column],
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(ordering: _*)
+    clusters.join(docs, Seq(idCol))
+      .withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") === 1)
+      .drop("_rnk")
+  }
+
   /** Benchmark decontamination — flag training documents that share content
     * with a held-out evaluation set (the standard n-gram-overlap
     * decontamination pass run before training). Inputs are two (id, gram)

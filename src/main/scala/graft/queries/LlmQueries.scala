@@ -738,6 +738,33 @@ object LlmQueries {
               |SELECT doc AS doc_id, min(lbl) AS cluster_id
               |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin)),
 
+    // Survivor selection over the duplicate clusters: the longest doc
+    // (n_chars desc, doc_id asc tie) survives each component — the
+    // quality-ranked dedup decision production pipelines make (min-id,
+    // q_dedup_clusters' label, is the degenerate case).
+    QueryDef("q_dedup_survivors",
+      (s, d) => Dedup.resolveSurvivors(
+          clustersOf(s, d), table(s, d, "documents").select("doc_id", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("cluster_id"), col("doc_id"), col("n_chars"))
+        .orderBy(col("cluster_id")),
+      Some(s"""WITH RECURSIVE $sigsWideDuckSql,
+              |$bandsDuckSql,
+              |edges AS (
+              |  SELECT doc_a AS s, doc_b AS d FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc(doc, lbl) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d),
+              |clusters AS (
+              |  SELECT doc AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc)
+              |SELECT c.cluster_id, c.doc_id, d.n_chars
+              |FROM clusters c JOIN documents d USING (doc_id)
+              |QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+              |  ORDER BY d.n_chars DESC, c.doc_id) = 1
+              |ORDER BY cluster_id""".stripMargin)),
+
     // Product-quantization ANN: vectors compress to 4 integer codes (nearest
     // codeword per 16-dim subspace); the query's distance to every codeword
     // is tabled once and candidates are scored by 4 table lookups — the scan

@@ -197,6 +197,16 @@ class LlmSpec extends SparkSpec {
         spark.sparkContext.removeSparkListener(listener)
       }
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+    // quality-ranked survivor selection on top of the clusters: highest
+    // score wins its component, doc_id breaks ties
+    val meta = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (7L, 2L), (8L, 2L))
+      .toDF("doc_id", "score")
+    val survivors = Dedup.resolveSurvivors(
+        Dedup.duplicateClusters(pairs), meta,
+        Seq(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col("doc_id")))
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(survivors == Set((1L, 2L), (7L, 7L))) // 2 beats 3 on tie; 7 beats 8
     def hasJoin(p: org.apache.spark.sql.execution.SparkPlanInfo): Boolean =
       p.nodeName.contains("Join") || p.children.exists(hasJoin)
     // path 1-2-3-4 converges in 4 rounds (3 propagation hops + no-change)
