@@ -474,6 +474,28 @@ class LlmSpec extends SparkSpec {
     assert(e.toSeq == Seq((0L, 0L), (2L, 0L), (0L, 2L)))
   }
 
+  test("sequence packing: hierarchical == single-window for random ids and widths") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      // distinct ids with gaps, NEGATIVE ids included (truncating DIV must
+      // still yield non-decreasing, range-contiguous sub-streams), random
+      // token counts including zero
+      val docs = (0 until 60).map { i =>
+        (i.toLong * 997 - 20000 + rnd.nextInt(900),
+          s"s${rnd.nextInt(2)}", ("w " * rnd.nextInt(5)).trim)
+      }.toDF("doc_id", "source", "text")
+      val wide = Sampling.packSequences(docs, capacity = 7)
+        .orderBy("source", "doc_id").collect().toSeq
+      for (width <- Seq(1L, 13L, 1000L, 50000L)) {
+        val split = Sampling.packSequences(docs, capacity = 7, subStreamWidth = width)
+          .orderBy("source", "doc_id").collect().toSeq
+        assert(split == wide, s"trial $trial width $width diverged")
+      }
+    }
+  }
+
   test("sequence packing: one dominant stream splits across sub-streams, offsets exact") {
     import graft.llm.Sampling
     import spark.implicits._
