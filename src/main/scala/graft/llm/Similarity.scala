@@ -416,9 +416,11 @@ object Similarity {
       .select(col("qid"), col("cell"),
         zip_with(col("qe"), col("centroid"),
           (x, y) => x.cast("double") - y.cast("double")).as("qr"))
-    // one broadcast row of per-(query, cell) distance tables
+    // one broadcast row of per-(query, cell) distance tables; the q×nprobe
+    // probe frame is broadcast-hinted so the keyless cross resolves to a
+    // BroadcastNestedLoopJoin instead of a partition-paired cartesian
     val tblRow = broadcast(
-      codebook.crossJoin(probed)
+      codebook.crossJoin(broadcast(probed))
         .select(col("qid"), col("cell"), col("sub"), col("code_id"),
           l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
         .agg(collect_list(struct(col("qid"), col("cell"), col("sub"),

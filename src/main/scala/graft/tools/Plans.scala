@@ -34,6 +34,14 @@ object Plans {
     println("==== policy pattern (map-key membership pushdown shape) ====")
     FoldInputs(ix, Api.MatchesQuery(s"${"0" * 55 + "2"}.*")).explain("formatted")
 
+    // the LLM-operator flagships: broadcast-only ANN shapes, the k-NN join
+    // triples shuffle, and the hierarchical packing prefix sum
+    Seq("q_knn_join", "q_ann_ivfpq", "q_ann_ivfpq_batch",
+        "q_pack_sequences", "q_length_quantiles").foreach { name =>
+      println(s"==== $name ====")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+
     spark.stop()
   }
 }
