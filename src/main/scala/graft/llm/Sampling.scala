@@ -63,21 +63,40 @@ object Sampling {
                     idCol: String = "doc_id", textCol: String = "text",
                     subStreamWidth: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withSub = docs.select(col(idCol), col(streamCol),
+    // the explicit null-key filter matches the stitch join's semantics
+    // (null stream/id rows can never join) and — critically — keeps BOTH
+    // join branches' scan subtrees canonically IDENTICAL: without it the
+    // join's inferred isnotnull constraints push into the window branch
+    // but not through the aggregate branch, the subtrees diverge, and AQE
+    // cannot reuse the shuffle stage — i.e. the corpus would be scanned
+    // and tokenized twice
+    val withSub = docs
+      .where(col(idCol).isNotNull && col(streamCol).isNotNull)
+      .select(col(idCol), col(streamCol),
         size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"),
         // integer DIV keeps sub-stream ranges exact for 64-bit ids (a
         // double-rounded division would misplace ids above 2^53)
         expr(s"CAST(`$idCol` DIV $subStreamWidth AS BIGINT)").as("_sub"))
+      // the _sub null-check mirrors the constraint the stitch join infers
+      // on the window branch only — stating it here keeps it in the SHARED
+      // subtree (see the canonical-equality note above)
+      .where(col("_sub").isNotNull)
     val wLocal = Window.partitionBy(col(streamCol), col("_sub")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withSub.withColumn("_local_end", sum(col("n_tokens")).over(wLocal))
     // exclusive per-stream prefix over the per-sub totals: rows = streams ×
     // subs (broadcast-sized by construction — width is picked so a stream
-    // has at most thousands of subs)
+    // has at most thousands of subs). The total is read off the window
+    // output (max running sum == sub total, n_tokens >= 0) rather than
+    // re-aggregated from n_tokens: aggregating the pre-window column lets
+    // column pruning drop the window from this branch, splitting it into a
+    // SECOND corpus scan + tokenize pass — keeping the branch on
+    // _local_end makes both sides of the stitch join share one exchange
+    // (ReusedExchange), so the corpus is scanned and tokenized ONCE
     val wSub = Window.partitionBy(col(streamCol)).orderBy(col("_sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bases = local.groupBy(col(streamCol), col("_sub"))
-      .agg(sum(col("n_tokens")).as("_sub_total"))
+      .agg(max(col("_local_end")).as("_sub_total"))
       .withColumn("_base", sum(col("_sub_total")).over(wSub) - col("_sub_total"))
       .select(col(streamCol), col("_sub"), col("_base"))
     local.join(broadcast(bases), Seq(streamCol, "_sub"))

@@ -514,6 +514,14 @@ class LlmSpec extends SparkSpec {
     val plan = split.queryExecution.executedPlan.toString
     assert(plan.contains("_sub"), plan)
     assert("hashpartitioning\\(source[^)]*_sub".r.findFirstIn(plan).isDefined, plan)
+    // the stitch join's two branches must SHARE the tokenize+shuffle stage
+    // (canonically identical subtrees → AQE stage reuse): exactly one scan
+    // of the corpus in the EXECUTED final plan, not one per branch (reuse
+    // happens at runtime — collect first)
+    split.collect()
+    val finalPlan = split.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("LocalTableScan".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
   test("benchmark decontamination: overlapping shingles counted, clean docs zero") {
