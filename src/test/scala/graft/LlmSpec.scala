@@ -93,6 +93,18 @@ class LlmSpec extends SparkSpec {
         plan.indexOf("Exchange hashpartitioning"), plan)
   }
 
+  test("batch operators agree with their single-query counterparts") {
+    import spark.implicits._
+    // knnJoin row-for-row equals bruteForceTopK for every query
+    for (q <- Seq(0L, 2L, 4L)) {
+      val brute = Similarity.bruteForceTopK(vecs, q, k = 2)
+        .select("vec_id").as[Long].collect().toSeq
+      val joined = Similarity.knnJoin(vecs.where(col("vec_id") === q), vecs, k = 2)
+        .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+      assert(joined == brute, s"query $q")
+    }
+  }
+
   test("IVF probes only the query cell and finds the neighbor") {
     val centroids = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -395,6 +407,11 @@ class LlmSpec extends SparkSpec {
     val brows = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(brows == Set((9L, 0L, 1), (9L, 1L, 2), (2L, 3L, 1)))
+    // a one-query batch equals the single-query variant, ADC scores included
+    val batchQ9 = Similarity.ivfPqKnnJoin(cached, centroids, cb,
+      emb.where(col("vec_id") === 9L), k = 4, nprobe = 1, m = 2, subDim = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchQ9 == top1.map(r => (r.getLong(0), r.getDouble(4))).toSeq)
     // the per-query top-k exchange moves (query_id, vec_id, adc) triples,
     // never a vector payload
     val bplan = batch.queryExecution.executedPlan.toString
