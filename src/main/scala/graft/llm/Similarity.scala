@@ -388,6 +388,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage IVF-PQ: ADC SHORTLIST of `c` candidates from the code index,
+    * then EXACT re-rank of only those `c` rows against the raw vectors —
+    * the standard production refinement (Jégou et al. §V-A). ADC scores
+    * drift across probed cells (each cell re-anchors the query residual,
+    * mixing per-cell error floors — measured in LlmScaleRehearsal), and
+    * the re-rank removes exactly that drift: the final top-k is exact
+    * within the shortlist. The shortlist ids are collected (bounded by
+    * `c`, a LIMIT-style driver fetch like the repo's point lookups) and
+    * pushed as an `isin` filter, so the payload scan row-group-prunes to
+    * ~c vectors — at 100 TB the full-vector read cost is c·dim·4 bytes,
+    * not a corpus scan. */
+  def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                      embeddings: DataFrame, queryVecId: Long, k: Int, c: Int,
+                      nprobe: Int, m: Int, subDim: Int): DataFrame = {
+    val query = embeddings.where(col("vec_id") === queryVecId)
+    val shortlist = ivfPqTopK(encoded, centroids, codebook, query,
+      queryVecId, c, nprobe, m, subDim)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val q = broadcast(query.select(col("embedding").as("qe")))
+    embeddings.where(col("vec_id").isin(shortlist: _*))
+      .crossJoin(q)
+      .select(col("vec_id"), l2sq(col("embedding"), col("qe")).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch IVF-PQ ADC k-NN JOIN — the composed index serving MANY queries
     * in one pass (the production retrieval shape: a broadcast-sized probe
     * set against a 100 TB code index). Per query: its `nprobe` nearest

@@ -407,6 +407,13 @@ class LlmSpec extends SparkSpec {
     val brows = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(brows == Set((9L, 0L, 1), (9L, 1L, 2), (2L, 3L, 1)))
+    // two-stage refinement: ADC shortlist + exact re-rank — the final
+    // ordering and distances are exact L2 within the shortlist
+    val rr = Similarity.ivfPqTopKRerank(cached, centroids, cb, emb,
+      queryVecId = 9L, k = 4, c = 4, nprobe = 2, m = 2, subDim = 2).collect()
+    assert(rr.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rr(0).getDouble(1) == 0.0)
+    assert(math.abs(rr(2).getDouble(1) - 8.84) < 1e-5) // exact, not the 8.0 ADC
     // a one-query batch equals the single-query variant, ADC scores included
     val batchQ9 = Similarity.ivfPqKnnJoin(cached, centroids, cb,
       emb.where(col("vec_id") === 9L), k = 4, nprobe = 1, m = 2, subDim = 2)
