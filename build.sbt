@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 codegen-heavy queries + their warm passes generate enough JIT'd
+  // classes to fill the default 240 MB code cache; a full cache silently
+  // flushes/deoptimizes hot methods mid-bench — one suspect class of
+  // nondeterministic per-query slowdowns. Headroom removes it.
+  "-XX:ReservedCodeCacheSize=512m",
 )

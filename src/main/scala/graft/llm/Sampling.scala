@@ -47,6 +47,13 @@ object Sampling {
     * spaces and empty documents count ZERO tokens, consistent with
     * [[TextAnalysis]]'s tokenizers. Exact integers throughout.
     *
+    * NULL KEYS ARE DROPPED: a row with a null `idCol` or `streamCol` is
+    * excluded from the packed output (it has no position in any stream —
+    * there is no order for a null id and no stream for a null shard key).
+    * Callers packing a corpus that may carry null keys must repair or
+    * filter them explicitly first; docs silently disappearing from a
+    * packing is worse than an upfront decision (ADVICE r6).
+    *
     * Scale shape — HIERARCHICAL prefix sum, so one giant stream never
     * serializes onto one partition: docs land in range-contiguous
     * sub-streams (`floor(id / subStreamWidth)`), each sub-stream computes

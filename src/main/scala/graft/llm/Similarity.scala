@@ -318,14 +318,47 @@ object Similarity {
       .select(col("vec_id") +: col("cell") +: pqCodeColumns(col("residual"), m, subDim): _*)
   }
 
+  /** The ADC distance tables as ONE broadcast row holding a DENSE double
+    * array: entries sorted by the composite key (`keyCols` ++ (sub, code)),
+    * projected down to just `d`, plus the two scalars (`ks` codewords per
+    * subspace, `cmin` lowest code id) that turn a candidate's codes into
+    * array ordinals. Lookups become pure-arithmetic `element_at` — O(1) per
+    * subspace instead of the former O(|table|) `filter` scan, which at
+    * production parameters (ks=256, m=16, nprobe=32) was ~2M struct
+    * compares per candidate. REQUIRES contiguous code ids
+    * (cmin..cmin+ks-1) — true of both [[pqCodebook]] (caller-supplied
+    * dense ids) and [[pqTrainCodebook]] (row_number'd 1..ks). */
+  private def denseAdcTable(entries: DataFrame, keyCols: Seq[String]): DataFrame =
+    entries.agg(
+      transform(
+        array_sort(collect_list(struct(
+          (keyCols ++ Seq("sub", "code_id")).map(col) :+ col("d"): _*))),
+        t => t.getField("d")).as("tbl"),
+      countDistinct(col("code_id")).cast("int").as("ks"),
+      min(col("code_id")).cast("int").as("cmin"))
+
+  /** Sum of the m per-subspace ADC lookups against a [[denseAdcTable]]:
+    * `blockRank0` is the candidate's 0-based rank within the table's sorted
+    * leading key (0 for the single-block PQ table) — each lookup is one
+    * arithmetic `element_at`. Fixed s = 0..m-1 left-assoc sum keeps scores
+    * bit-identical to the former filter-scan lookups. */
+  private def adcSum(blockRank0: Column, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(col("tbl"),
+        ((blockRank0 * m + s) * col("ks") + col(s"c$s") - col("cmin") + 1).cast("int"))
+    }.reduce(_ + _)
+
   /** IVF-PQ ADC top-k — the composed 100 TB ANN query: probe the `nprobe`
     * cells nearest the query (squared L2 to the coarse centroids), build a
     * PER-CELL asymmetric-distance table from the query's residual against
-    * that cell's centroid (nprobe × m × |codewords| rows, one broadcast
-    * row), and score candidates in probed cells by m table lookups — the
-    * candidate scan reads ONLY (vec_id, cell, c0..c{m-1}), never the
-    * vector payload. With the encoded index partitioned by cell the
-    * left-semi probe prunes to ~nprobe/|cells| of the files. Fixed
+    * that cell's centroid (nprobe × m × |codewords| entries, one broadcast
+    * dense-array row), and score candidates in probed cells by m O(1)
+    * arithmetic lookups — the candidate scan reads ONLY
+    * (vec_id, cell, c0..c{m-1}), never the vector payload. The probed-cell
+    * set joins in as a broadcast dimension carrying each cell's rank in the
+    * table (each candidate matches at most one probed cell, so the inner
+    * broadcast join keeps exactly the left-semi rows and stays
+    * partition-prunable: ~nprobe/|cells| of the files at scale). Fixed
     * s = 0..m-1 left-assoc lookup sum keeps ADC scores bit-reproducible;
     * ties break on vec_id. */
   def ivfPqTopK(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
@@ -339,26 +372,27 @@ object Similarity {
         .orderBy(col("dist"), col("cell"))
         .limit(nprobe))
     // per-cell query residual, then its distance to every codeword: the
-    // whole table is one broadcast row of (cell, sub, code_id, d)
+    // whole table is one broadcast dense-array row keyed by (cell, sub, code)
     val qres = probed.crossJoin(q)
       .select(col("cell"),
         zip_with(col("qe"), col("centroid"),
           (x, y) => x.cast("double") - y.cast("double")).as("qr"))
-    val tblRow = broadcast(
+    val tblRow = broadcast(denseAdcTable(
       codebook.crossJoin(qres)
         .select(col("cell"), col("sub"), col("code_id"),
-          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
-        .agg(collect_list(struct(col("cell"), col("sub"), col("code_id"), col("d"))).as("tbl")))
-    val adc = (0 until m).map { s =>
-      element_at(filter(col("tbl"), t =>
-        t.getField("cell") === col("cell") && t.getField("sub") === s &&
-          t.getField("code_id") === col(s"c$s")), 1)
-        .getField("d")
-    }.reduce(_ + _)
+          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
+      keyCols = Seq("cell")))
+    // nprobe-row broadcast dimension: each probed cell's 0-based rank in the
+    // dense table's cell-sorted order
+    val probedRanked = broadcast(probed
+      .select(col("cell"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cell"))) - 1).as("cell_rank0")))
     encoded.where(col("vec_id") =!= queryVecId)
-      .join(broadcast(probed.select(col("cell"))), Seq("cell"), "left_semi")
+      .join(probedRanked, Seq("cell"))
       .crossJoin(tblRow)
-      .select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"c$s")) :+ adc.as("adc"): _*)
+      .select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"c$s"))
+        :+ adcSum(col("cell_rank0"), m).as("adc"): _*)
       .orderBy(col("adc"), col("vec_id"))
       .limit(k)
   }
@@ -371,19 +405,15 @@ object Similarity {
     * codes. TakeOrderedAndProject reduces the top-k; ties break on vec_id. */
   def pqAdcTopK(encoded: DataFrame, codebook: DataFrame, query: DataFrame,
                 queryVecId: Long, k: Int, m: Int, subDim: Int): DataFrame = {
-    val tblRow = broadcast(
+    val tblRow = broadcast(denseAdcTable(
       codebook.crossJoin(query.select(col("embedding").as("qe")))
         .select(col("sub"), col("code_id"),
-          l2sq(slice(col("qe"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
-        .agg(collect_list(struct(col("sub"), col("code_id"), col("d"))).as("tbl")))
-    val adc = (0 until m).map { s =>
-      element_at(filter(col("tbl"),
-        t => t.getField("sub") === s && t.getField("code_id") === col(s"c$s")), 1)
-        .getField("d")
-    }.reduce(_ + _) // fixed s = 0..m-1 left-assoc sum: bit-reproducible
+          l2sq(slice(col("qe"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
+      keyCols = Seq.empty))
     encoded.where(col("vec_id") =!= queryVecId)
       .crossJoin(tblRow)
-      .select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) :+ adc.as("adc"): _*)
+      .select(col("vec_id") +: (0 until m).map(s => col(s"c$s"))
+        :+ adcSum(lit(0), m).as("adc"): _*)
       .orderBy(col("adc"), col("vec_id"))
       .limit(k)
   }
@@ -394,24 +424,51 @@ object Similarity {
     * drift across probed cells (each cell re-anchors the query residual,
     * mixing per-cell error floors — measured in LlmScaleRehearsal), and
     * the re-rank removes exactly that drift: the final top-k is exact
-    * within the shortlist. The shortlist ids are collected (bounded by
-    * `c`, a LIMIT-style driver fetch like the repo's point lookups) and
-    * pushed as an `isin` filter, so the payload scan row-group-prunes to
-    * ~c vectors — at 100 TB the full-vector read cost is c·dim·4 bytes,
-    * not a corpus scan. */
+    * within the shortlist. DRIVER-FREE: the c-row shortlist frame joins
+    * back as a broadcast left-semi (one job, no collect on the hot path);
+    * with the payload table partitioned/bucketed alongside the index the
+    * semi join's read stays bounded by the probed cells, and a serving
+    * layer that wants row-group pruning can still materialize the ids —
+    * the operator itself never does. */
   def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
                       embeddings: DataFrame, queryVecId: Long, k: Int, c: Int,
                       nprobe: Int, m: Int, subDim: Int): DataFrame = {
     val query = embeddings.where(col("vec_id") === queryVecId)
     val shortlist = ivfPqTopK(encoded, centroids, codebook, query,
-      queryVecId, c, nprobe, m, subDim)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+      queryVecId, c, nprobe, m, subDim).select("vec_id")
     val q = broadcast(query.select(col("embedding").as("qe")))
-    embeddings.where(col("vec_id").isin(shortlist: _*))
+    embeddings.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
       .crossJoin(q)
       .select(col("vec_id"), l2sq(col("embedding"), col("qe")).as("l2_dist"))
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch two-stage IVF-PQ: every query's ADC shortlist of `c` candidates
+    * ([[ivfPqKnnJoin]]) exact-re-ranked in ONE corpus-side pass — the
+    * batch counterpart of [[ivfPqTopKRerank]] and the full production
+    * retrieval shape. The |queries|·c shortlist is broadcast-sized (the
+    * queries are); each streamed payload row fans out only to the queries
+    * that shortlisted it, the query vectors join in as a second broadcast
+    * dimension, and the per-query top-k window's exchange carries only
+    * (query_id, vec_id, l2_dist) triples — the payload never shuffles and
+    * no job touches the driver. Final distances and order are exact L2
+    * within each query's shortlist; ties break on candidate vec_id. */
+  def ivfPqKnnJoinRerank(encoded: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame, queries: DataFrame,
+                         embeddings: DataFrame, k: Int, c: Int, nprobe: Int,
+                         m: Int, subDim: Int): DataFrame = {
+    val shortlist = ivfPqKnnJoin(encoded, centroids, codebook, queries,
+      c, nprobe, m, subDim).select(col("query_id"), col("vec_id"))
+    val qs = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = embeddings.join(broadcast(shortlist), Seq("vec_id"))
+      .join(qs, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2sq(col("embedding"), col("qe")).as("l2_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("l2_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Batch IVF-PQ ADC k-NN JOIN — the composed index serving MANY queries
@@ -442,29 +499,29 @@ object Similarity {
       .select(col("qid"), col("cell"),
         zip_with(col("qe"), col("centroid"),
           (x, y) => x.cast("double") - y.cast("double")).as("qr"))
-    // one broadcast row of per-(query, cell) distance tables; the q×nprobe
-    // probe frame is broadcast-hinted so the keyless cross resolves to a
-    // BroadcastNestedLoopJoin instead of a partition-paired cartesian
-    val tblRow = broadcast(
+    // one broadcast dense-array row of per-(query, cell) distance tables;
+    // the q×nprobe probe frame is broadcast-hinted so the keyless cross
+    // resolves to a BroadcastNestedLoopJoin instead of a partition-paired
+    // cartesian
+    val tblRow = broadcast(denseAdcTable(
       codebook.crossJoin(broadcast(probed))
         .select(col("qid"), col("cell"), col("sub"), col("code_id"),
-          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d"))
-        .agg(collect_list(struct(col("qid"), col("cell"), col("sub"),
-          col("code_id"), col("d"))).as("tbl")))
+          l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
+      keyCols = Seq("qid", "cell")))
     // candidates fan out to the queries probing their cell (broadcast join
-    // on cell — partition-prunable), then m lookups per (candidate, query)
-    val probePairs = broadcast(probed.select(col("qid"), col("cell")))
-    val adc = (0 until m).map { s =>
-      element_at(filter(col("tbl"), t =>
-        t.getField("qid") === col("qid") && t.getField("cell") === col("cell") &&
-          t.getField("sub") === s && t.getField("code_id") === col(s"c$s")), 1)
-        .getField("d")
-    }.reduce(_ + _)
+    // on cell — partition-prunable) carrying each (query, cell) pair's
+    // 0-based rank in the dense table, then m O(1) lookups per
+    // (candidate, query)
+    val probePairs = broadcast(probed
+      .select(col("qid"), col("cell"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qid"), col("cell"))) - 1).as("pair_rank0")))
     val scored = encoded
       .join(probePairs, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .crossJoin(tblRow)
-      .select(col("qid").as("query_id"), col("vec_id"), adc.as("adc"))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        adcSum(col("pair_rank0"), m).as("adc"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)

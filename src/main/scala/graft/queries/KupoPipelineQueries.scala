@@ -106,17 +106,21 @@ object KupoPipelineQueries {
 
   private val cache = scala.collection.mutable.Map.empty[String, GraftIndex]
 
-  private val copyDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private val lastCopyDir = new java.util.concurrent.atomic.AtomicReference[String]
 
-  /** Temp dir for a copyDatabase bootstrap, deleting the PREVIOUS
-    * invocations' copies first: the bench runs this query 4× per pass
-    * (warm + best-of-3), and letting whole index copies accumulate in /tmp
-    * is both a disk leak and a source of run-to-run drift (round-5 bench
-    * watch item on q_kupo_copy_database). The just-returned dir stays live
-    * until the NEXT invocation, which is after its result was consumed. */
+  /** Temp dir for a copyDatabase bootstrap, deleting ONLY the immediately
+    * previous invocation's copy first (single atomic swap): the bench runs
+    * this query 4× per pass (warm + best-of-3), and letting whole index
+    * copies accumulate in /tmp is both a disk leak and a source of
+    * run-to-run drift (round-5 bench watch item on q_kupo_copy_database).
+    * The just-returned dir stays live until the NEXT invocation — and if
+    * invocations ever overlap, each reclaims at most the one dir it
+    * swapped out, so a dir another in-flight call is still reading can't
+    * be deleted by a third call draining a shared queue (ADVICE r6). */
   private def freshCopyDir(): String = {
-    var old = copyDirs.poll()
-    while (old != null) {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val old = lastCopyDir.getAndSet(dir)
+    if (old != null) {
       val p = java.nio.file.Paths.get(old)
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
@@ -124,10 +128,7 @@ object KupoPipelineQueries {
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
         finally walk.close()
       }
-      old = copyDirs.poll()
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
-    copyDirs.add(dir)
     dir
   }
 

@@ -223,6 +223,16 @@ object LlmScaleRehearsal {
     val idxFilesFull = filesRead(onDisk)
     val idxFilesProbed =
       filesRead(onDisk.where(col("cell").isin(probedCells.toSeq: _*)))
+    // reclaim the sf-sized temp index before the JVM exits — this runs every
+    // round, and leaked copies are the same /tmp-accumulation class the
+    // freshCopyDir fix exists for (ADVICE r6)
+    locally {
+      val p = java.nio.file.Paths.get(idxDir)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
     // ---- (d) LSH pairs grow linearly in salted corpus replicas ----
     // salting every token keeps each replica's shingle space disjoint, so a
@@ -250,7 +260,7 @@ object LlmScaleRehearsal {
         s""""ivfpq_m":$pqM,"ivfpq_recall_at_10":$ivfPqRecall,"ivf_nprobe_ceiling":$ivfCeiling,""" +
         s""""ivfpq_trained_coarse_recall":$trainedPipeRecall,""" +
         s""""ivfpq_trained_coarse_ceiling":$trainedCeiling,""" +
-        s""""ivfpq_rerank_recall":$rerankRecall,""" +
+        s""""ivfpq_trained_rerank_recall":$rerankRecall,""" +
         s""""ivfpq_index_files_full":$idxFilesFull,"ivfpq_index_files_probed":$idxFilesProbed,""" +
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2}""")
 

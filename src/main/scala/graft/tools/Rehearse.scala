@@ -9,12 +9,15 @@ package graft.tools
   * rather than on demand. Each prints its one-line JSON; both are recorded
   * in SCALE.md Appendix A/B.
   *
-  * Run: `sbt "runMain graft.tools.Rehearse [sfDir]"` (default sf0.1 for
-  * the LLM suite; the kupo suite builds its own 400-block fixture). */
+  * Run: `sbt "runMain graft.tools.Rehearse [sfDir]"` — the LLM-suite
+  * fixture dir resolves from the argument, else `$GRAFT_TESTDATA_SF`,
+  * else the build host's `/root/testdata/sf0.1` (documented example
+  * layout; the kupo suite builds its own 400-block fixture). */
 object Rehearse {
   def main(args: Array[String]): Unit = {
     ScaleRehearsal.main(Array.empty)
     LlmScaleRehearsal.main(
-      if (args.nonEmpty) args else Array("/root/testdata/sf0.1"))
+      if (args.nonEmpty) args
+      else Array(sys.env.getOrElse("GRAFT_TESTDATA_SF", "/root/testdata/sf0.1")))
   }
 }

@@ -308,12 +308,19 @@ class LlmSpec extends SparkSpec {
     // ADC: query == codeword 1, so codes (1,1) score exactly 0.0; the
     // (1,1)-coded vectors tie and break on vec_id; the mixed code ranks
     // between full-match and full-mismatch
-    val top = Similarity.pqAdcTopK(enc, cb, emb.where(col("vec_id") === 0L),
+    val topDf = Similarity.pqAdcTopK(enc, cb, emb.where(col("vec_id") === 0L),
         queryVecId = 0L, k = 4, m = 2, subDim = 2)
-      .collect()
+    val top = topDf.collect()
     assert(top.map(_.getLong(0)).toSeq == Seq(1L, 10L, 3L, 2L))
     assert(top(0).getDouble(3) == 0.0 && top(1).getDouble(3) == 0.0)
     assert(top(2).getDouble(3) > 0.0 && top(3).getDouble(3) > top(2).getDouble(3))
+    // the ADC lookup is a pure-arithmetic element_at into the dense table —
+    // NO per-row filter() scan over the broadcast array (that shape is
+    // O(|table|) per candidate per subspace: a constant-factor scale-killer
+    // at production ks=256, m=16)
+    val adcPlan = topDf.queryExecution.executedPlan.toString
+    assert(!adcPlan.contains("filter(tbl"), adcPlan)
+    assert(adcPlan.contains("element_at(tbl"), adcPlan)
   }
 
   test("trained PQ: per-subspace L2 k-means codebook separates clusters") {
@@ -428,6 +435,15 @@ class LlmSpec extends SparkSpec {
     assert(bexchanges.nonEmpty, bplan)
     bexchanges.foreach(e =>
       assert(!e.contains("embedding") && !e.contains("residual"), e))
+    // dense-table ADC in both the single-query and batch plans: arithmetic
+    // element_at lookups only, no per-row filter() scan over the table array
+    Seq(Similarity.ivfPqTopK(cached, centroids, cb,
+          emb.where(col("vec_id") === 9L), queryVecId = 9L, k = 4, nprobe = 2,
+          m = 2, subDim = 2).queryExecution.executedPlan.toString,
+        bplan).foreach { p =>
+      assert(!p.contains("filter(tbl"), p)
+      assert(p.contains("element_at(tbl"), p)
+    }
     cached.unpersist()
   }
 
