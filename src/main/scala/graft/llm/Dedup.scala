@@ -178,21 +178,46 @@ object Dedup {
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, "4-band retrieval is lossless only for hamming ≤ 3")
-    // ONE equi-join on the exploded (band, nibble) key — identical result to
-    // four per-band self-joins unioned (a pair matching on any band appears;
-    // distinct dedups multi-band agreement), but the plan has a single join
-    // + one distinct instead of 4 joins + union (4× fewer join operators;
-    // the exploded row count equals what the 4 separate joins scanned)
-    val banded = sims.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(i =>
+    bandedHammingPairs(sims, bits = 16, bandBits = 4, maxHamming, idCol, "simhash")
+      .withColumnRenamed("hash_a", "sim_a")
+      .withColumnRenamed("hash_b", "sim_b")
+  }
+
+  /** Generalized banded Hamming-ball retrieval over ANY packed bit
+    * fingerprint column (simhash, dHash, …): band the `bits`-bit hash into
+    * `bits / bandBits` equal slices; rows agreeing on ANY slice are
+    * candidates. Pigeonhole: a pair within Hamming distance `maxHamming`
+    * flips bits in at most `maxHamming` bands, so with `maxHamming <
+    * numBands` at least one band matches exactly — retrieval is LOSSLESS.
+    * ONE equi-join on the exploded (band, slice) key — identical result to
+    * per-band self-joins unioned (a pair matching on any band appears;
+    * distinct dedups multi-band agreement), but the plan has a single join
+    * + one distinct instead of numBands joins + union. A codegen'd popcount
+    * then verifies bit_count(xor) ≤ maxHamming — never O(n²).
+    *
+    * Scale knob: candidate volume per band is Σ bucket² over 2^bandBits
+    * buckets — narrow bands buy a wider lossless radius at the cost of
+    * coarser buckets. At corpus scale prefer wide hashes with bandBits ≥ 8
+    * (≥256 buckets/band) and a small radius; the tiny test fixtures run
+    * bandBits = 4 to keep the radius meaningful on 500 rows. */
+  def bandedHammingPairs(hashes: DataFrame, bits: Int, bandBits: Int,
+                         maxHamming: Int, idCol: String = "doc_id",
+                         hashCol: String = "simhash"): DataFrame = {
+    require(bits % bandBits == 0, s"bits $bits must split into whole $bandBits-bit bands")
+    val numBands = bits / bandBits
+    require(maxHamming < numBands,
+      s"$numBands-band retrieval is lossless only for hamming < $numBands")
+    val mask = (1L << bandBits) - 1
+    val banded = hashes.select(col(idCol), col(hashCol),
+      explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("simhash"), i * 4).bitwiseAND(lit(0xf)).as("bits"))): _*)).as("bd"))
+          shiftright(col(hashCol), i * bandBits).bitwiseAND(lit(mask)).as("bits"))): _*)).as("bd"))
     banded.as("a").join(banded.as("b"),
         col("a.bd") === col("b.bd") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        col(s"a.$hashCol").as("hash_a"), col(s"b.$hashCol").as("hash_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .withColumn("hamming", bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
   }
 

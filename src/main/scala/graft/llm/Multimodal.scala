@@ -86,6 +86,37 @@ object Multimodal {
     }
   }
 
+  /** Quantize a float vector into a grayscale pixel grid: each component is
+    * mapped from roughly [-1, 1] to an integer gray level via
+    * `floor((v + 1) · 127.5)`. The embedding tables stand in for decoded
+    * image rasters in this container (no codec libs — see StubCodec); with a
+    * real decoder the same downstream hash consumes its byte grid directly.
+    * Pure per-row `transform`, no shuffle. */
+  def grayscaleGrid(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), v =>
+        floor((v.cast("double") + lit(1.0)) * lit(127.5)).cast("int")).as("px"))
+
+  /** dHash perceptual fingerprint over a row-major w×h grayscale grid: bit
+    * (r·(w−1)+c) is set iff px[r][c] < px[r][c+1] — the classic
+    * difference-hash (gradient direction per adjacent pixel pair), so
+    * near-identical images land within a few bits of each other and exact
+    * Hamming distance measures perceptual change. (w−1)·h must be ≤ 63 so
+    * the fingerprint packs into one BIGINT. One `aggregate` HOF per row —
+    * a single map pass, no shuffle, no UDF. */
+  def dHash(grid: DataFrame, w: Int = 8, h: Int = 8,
+            idCol: String = "vec_id", pxCol: String = "px"): DataFrame = {
+    val bits = (w - 1) * h
+    require(bits <= 63, s"dHash bits $bits must fit a signed 64-bit value")
+    grid.select(col(idCol), expr(
+      s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(
+         |    element_at($pxCol, CAST((i div ${w - 1}) * $w + (i % ${w - 1}) + 1 AS INT))
+         |      < element_at($pxCol, CAST((i div ${w - 1}) * $w + (i % ${w - 1}) + 2 AS INT)),
+         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+      .as("dhash"))
+  }
+
   /** Frame sampling plumbing for video/audio: expand each asset into
     * (media_id, frame_no, offset_ms) rows every `everyMs` — pure Catalyst
     * (sequence + posexplode), so at scale it's a codegen'd generator, and the

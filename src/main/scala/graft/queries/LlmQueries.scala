@@ -539,6 +539,42 @@ object LlmQueries {
              |       substr(md5(text), 1, 8) AS content_key
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Content-aware image near-dup: dHash perceptual fingerprint over an
+    // 8×8 grayscale grid (the embedding vectors quantized to gray levels —
+    // the container-safe stand-in for a decoded raster), then banded
+    // Hamming retrieval (14 bands × 4 bits — lossless for hamming ≤ 13 by
+    // pigeonhole) + exact popcount verify. The oracle does the O(n²) join;
+    // Spark's plan is ONE equi-join on the banded key — never a cross
+    // product. Exact integers end to end, so the hash compare is strict.
+    QueryDef("q_image_neardup",
+      (s, d) => {
+        val grid = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val hashes = graft.llm.Multimodal.dHash(grid, w = 8, h = 8)
+        Dedup.bandedHammingPairs(hashes, bits = 56, bandBits = 4,
+            maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("hamming"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH px AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, v ->
+             |           CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
+             |  FROM embeddings),
+             |h AS (
+             |  SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(0, 56), i ->
+             |           CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
+             |                     < p[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]
+             |                THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+             |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+             |  FROM px)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.vec_id < b.vec_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // Quality score in [0,1]: unique-token ratio + stopword presence + length
     // band, averaged. Pure map — no shuffle; the standard cheap pre-filter
     // before expensive dedup/classification passes.

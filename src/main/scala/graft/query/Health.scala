@@ -43,6 +43,42 @@ object Health {
           case 1L         => 86400L   // preprod
           case _          => 0L       // preview and friends
         })
+
+    /** Derive parameters from the operator's genesis/config JSON text, the
+      * way the reference boots (Configuration.hs:268-282 `FromOnDiskConfig`
+      * + the Health.hs:198-248 era math). Two shapes are accepted:
+      *
+      *  - a Byron genesis file: `startTime` (unix seconds),
+      *    `protocolConsts.protocolMagic`, and `blockVersionData.slotDuration`
+      *    (milliseconds, encoded as a JSON string on real networks);
+      *  - the reference's on-disk config shape: top-level `networkMagic` and
+      *    ISO-8601 `systemStart`.
+      *
+      * The Byron→Shelley boundary then comes from the shipped-network table
+      * ([[fromMagic]]) — exactly the derivation the reference hardcodes for
+      * the magics its genesis configs ship — and the parsed slot length
+      * replaces the 20 s default when the file carries one. Driver-side
+      * one-shot parse (Jackson, already on Spark's classpath): a genesis
+      * file is a config artifact, not data. */
+    def fromGenesis(genesisJson: String): NetworkParameters = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(genesisJson)
+      def opt(n: com.fasterxml.jackson.databind.JsonNode): Option[com.fasterxml.jackson.databind.JsonNode] =
+        Option(n).filterNot(_.isMissingNode).filterNot(_.isNull)
+      val magic = opt(root.path("protocolConsts").path("protocolMagic"))
+        .orElse(opt(root.path("networkMagic")))
+        .map(_.asLong())
+        .getOrElse(throw new IllegalArgumentException(
+          "genesis JSON carries neither protocolConsts.protocolMagic nor networkMagic"))
+      val startSec = opt(root.path("startTime")).map(_.asLong())
+        .orElse(opt(root.path("systemStart")).map(n =>
+          java.time.Instant.parse(n.asText()).getEpochSecond))
+        .getOrElse(throw new IllegalArgumentException(
+          "genesis JSON carries neither startTime nor systemStart"))
+      val slotSec = opt(root.path("blockVersionData").path("slotDuration"))
+        .map(_.asText().toLong / 1000L)
+        .getOrElse(20L)
+      fromMagic(magic, startSec).copy(byronSlotLengthSec = slotSec)
+    }
   }
 
   /** DeferIndexesInstallation (Configuration.hs:211-219): whether secondary

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,24 @@ object LlmScaleRehearsal {
     val pairs1 = pairCount(replicas(1))
     val pairs2 = pairCount(replicas(2))
 
+    // ---- (i) perceptual-hash near-dup: map-only fingerprint, banded join ----
+    // dHash is one map pass over the grid (no exchange before the self-join);
+    // banded Hamming retrieval must be an equi-join on the (band, slice) key,
+    // never a cross product — and the band+verify composition is LOSSLESS, so
+    // it returns exactly the brute-force Hamming ball at any corpus size
+    val dhashes = Multimodal.dHash(
+      Multimodal.grayscaleGrid(emb, "vec_id", "embedding"), w = 8, h = 8).cache()
+    val dhashEx = hashExchanges(dhashes)
+    val imgPairs = Dedup.bandedHammingPairs(dhashes, bits = 56, bandBits = 4,
+      maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
+    val imgPlan = imgPairs.queryExecution.executedPlan.toString
+    val imgCross = imgPlan.contains("CartesianProduct") ||
+      imgPlan.contains("BroadcastNestedLoopJoin")
+    val imgPairCount = imgPairs.count()
+    val imgBrute = dhashes.as("a").join(dhashes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 13)
+      .count()
+
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
         s""""pq_encode_hash_exchanges":$encodeEx,"ivfpq_encode_hash_exchanges":$ivfPqEncodeEx,""" +
@@ -262,7 +280,9 @@ object LlmScaleRehearsal {
         s""""ivfpq_trained_coarse_ceiling":$trainedCeiling,""" +
         s""""ivfpq_trained_rerank_recall":$rerankRecall,""" +
         s""""ivfpq_index_files_full":$idxFilesFull,"ivfpq_index_files_probed":$idxFilesProbed,""" +
-        s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2}""")
+        s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2,""" +
+        s""""dhash_exchanges":$dhashEx,"dhash_cross_product":$imgCross,""" +
+        s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -273,6 +293,10 @@ object LlmScaleRehearsal {
       s"decontam must broadcast-probe, not shuffle-join: $decontamShuffleJoins")
     require(pairs2 <= 3 * pairs1 && pairs2 >= pairs1,
       s"LSH pair growth not linear: $pairs1 -> $pairs2")
+    require(dhashEx == 0, s"dHash fingerprint must be map-only: $dhashEx exchanges")
+    require(!imgCross, s"banded Hamming retrieval must not cross-product:\n$imgPlan")
+    require(imgPairCount == imgBrute,
+      s"banded retrieval must be lossless: $imgPairCount banded vs $imgBrute brute")
     // hard floor is the DEGENERATE case (random ≈ 0.02, one 0.1 step above);
     // the measured value — 0.2 fixed / 0.4 trained on the sf0.01 fixture —
     // is recorded in SCALE.md, not pinned here: recall moves in 0.1 steps,

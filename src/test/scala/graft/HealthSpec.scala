@@ -90,6 +90,41 @@ class HealthSpec extends SparkSpec {
     assert(Health.asJson(Health.snapshot(ix)).contains(""""network_synchronization":null"""))
   }
 
+  test("fromGenesis: byron genesis and on-disk-config shapes, era derivation") {
+    import Health.NetworkParameters
+    // Byron genesis shape (mainnet-like): unix startTime, magic under
+    // protocolConsts, slot duration in ms as a JSON STRING (as on real
+    // networks). Extra fields ignored.
+    val byron = NetworkParameters.fromGenesis(
+      """{"startTime": 1506203091,
+        |  "blockVersionData": {"slotDuration": "20000", "maxBlockSize": "2000000"},
+        |  "protocolConsts": {"k": 2160, "protocolMagic": 764824073},
+        |  "avvmDistr": {}}""".stripMargin)
+    assert(byron == NetworkParameters(764824073L, 1506203091L,
+      firstShelleySlot = 4492800L, byronSlotLengthSec = 20L))
+    // reference FromOnDiskConfig shape (Configuration.hs:270-282): top-level
+    // networkMagic + ISO-8601 systemStart; no slotDuration → 20 s default
+    val onDisk = NetworkParameters.fromGenesis(
+      """{"networkMagic": 2, "systemStart": "1970-01-01T00:16:40Z",
+        |  "protocolConsts": {"k": 432}}""".stripMargin)
+    assert(onDisk == NetworkParameters(2L, 1000L,
+      firstShelleySlot = 0L, byronSlotLengthSec = 20L))
+    // custom testnet: unknown magic → shelley from slot 0, and a
+    // non-standard slot duration is honored (8000 ms → 8 s byron slots)
+    val custom = NetworkParameters.fromGenesis(
+      """{"startTime": 0, "blockVersionData": {"slotDuration": "8000"},
+        |  "protocolConsts": {"protocolMagic": 42}}""".stripMargin)
+    assert(custom.byronSlotLengthSec == 8L && custom.firstShelleySlot == 0L)
+    // the parsed parameters drive the gauge end to end
+    assert(Health.networkSynchronization(nowSec = 101000L, onDisk,
+      tipSlot = 50000L) == "0.50000")
+    // missing both magic fields / both start fields → loud failure
+    intercept[IllegalArgumentException](
+      NetworkParameters.fromGenesis("""{"startTime": 0}"""))
+    intercept[IllegalArgumentException](
+      NetworkParameters.fromGenesis("""{"networkMagic": 1}"""))
+  }
+
   test("cacheOr: matching if-none-match short-circuits (304), stale recomputes") {
     val ix = new GraftIndex(spark, tmpDir("graft-health-etag"))
     Indexer.ingest(ix, FixtureChain.toDf(spark, FixtureChain.chain(3)),

@@ -283,6 +283,38 @@ class LlmSpec extends SparkSpec {
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
   }
 
+  test("dHash: gradient bits exact, near-dup retrieval lossless, no cross product") {
+    import spark.implicits._
+    // strictly increasing grid → every adjacent comparison true → all 56 bits
+    val inc = Array.tabulate(64)(i => i.toFloat / 64f - 0.5f)
+    // one interior pixel bumped high flips the comparison it leads
+    val bumped = inc.clone(); bumped(18) = 0.499f
+    // strictly decreasing → no bits set
+    val dec = inc.reverse
+    val vecs = Seq((1L, inc), (2L, bumped), (3L, dec)).toDF("vec_id", "embedding")
+    val hashes = Multimodal.dHash(
+      Multimodal.grayscaleGrid(vecs, "vec_id", "embedding"), w = 8, h = 8)
+    val h = hashes.orderBy("vec_id").as[(Long, Long)].collect()
+    assert(h(0)._2 == (1L << 56) - 1, s"all-gradient hash: ${h(0)._2}")
+    assert(h(2)._2 == 0L, s"reverse gradient hash: ${h(2)._2}")
+    val d12 = java.lang.Long.bitCount(h(0)._2 ^ h(1)._2)
+    assert(d12 >= 1 && d12 <= 2, s"single-pixel bump flips 1-2 bits, got $d12")
+    // lossless retrieval: banded pairs == brute-force popcount filter
+    val got = Dedup.bandedHammingPairs(hashes, bits = 56, bandBits = 4,
+        maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 13
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"banded $got vs brute $brute")
+    // the candidate join is a single equi-join on the banded key — a cross
+    // product here would be quadratic in the corpus
+    val plan = Dedup.bandedHammingPairs(hashes, 56, 4, 13, "vec_id", "dhash")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("product quantization: nearest-codeword codes, ADC ranking, map-only encode") {
     import spark.implicits._
     // 4-d vectors, m=2 subspaces × 2 dims; codewords from vec 10 (code 1)

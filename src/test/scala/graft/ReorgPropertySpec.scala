@@ -20,13 +20,45 @@ class ReorgPropertySpec extends SparkSpec {
     var rows: Vector[MRow] = Vector.empty
     var checkpoints: Set[Long] = Set.empty
 
-    def ingest(blocks: Seq[Blk]): Unit = {
+    /** `indexed` mirrors the active pattern set: only matching outputs become
+      * rows, but spends are recorded against ANY existing row — exactly the
+      * engine split (MatchBlock filters `produced` by pattern, `spends`
+      * carries every consumed ref). */
+    def ingest(blocks: Seq[Blk], indexed: String => Boolean = _ => true): Unit = {
       blocks.foreach { b =>
         checkpoints += b.slot
         b.txs.foreach { tx =>
           tx.outputs.zipWithIndex.foreach { case (o, i) =>
-            rows :+= MRow(tx.id, i, o.address, b.slot, None)
+            if (indexed(o.address))
+              rows :+= MRow(tx.id, i, o.address, b.slot, None)
           }
+          tx.inputs.foreach { case (t, i) =>
+            rows = rows.map(r =>
+              if (r.txId == t && r.outputIndex == i && r.spentAt.isEmpty)
+                r.copy(spentAt = Some(b.slot))
+              else r)
+          }
+        }
+      }
+    }
+
+    /** U6 putPatterns mirror: fresh rows for the new pattern from `since`
+      * (PK-deduped, like the engine's anti-join), then spends replayed from
+      * the canonical history — the engine's spends side-table already holds
+      * every consumed ref, so a backfilled row picks its spend mark up
+      * regardless of when the row was appended. */
+    def backfill(history: Seq[Blk], since: Long, matches: String => Boolean): Unit = {
+      history.filter(_.slot >= since).foreach { b =>
+        b.txs.foreach { tx =>
+          tx.outputs.zipWithIndex.foreach { case (o, i) =>
+            if (matches(o.address) &&
+                !rows.exists(r => r.txId == tx.id && r.outputIndex == i))
+              rows :+= MRow(tx.id, i, o.address, b.slot, None)
+          }
+        }
+      }
+      history.foreach { b =>
+        b.txs.foreach { tx =>
           tx.inputs.foreach { case (t, i) =>
             rows = rows.map(r =>
               if (r.txId == t && r.outputIndex == i && r.spentAt.isEmpty)
@@ -159,6 +191,80 @@ class ReorgPropertySpec extends SparkSpec {
         .head()
       val engineMax = if (maxCp.isNullAt(0)) None else Some(maxCp.getLong(0))
       assert(engineMax == model.checkpoints.maxOption)
+    }
+  }
+
+  // U6-in-the-loop: the reference's state machine also inserts/retires
+  // patterns mid-sequence (AppSpec's pattern actions). Same model compare,
+  // but the active set shifts under the mutation stream: ingest only indexes
+  // matching outputs, putPatterns backfills the new pattern's history from a
+  // random since-slot (occasionally as a full validated point), and
+  // removePatterns retires one without touching its rows. 50 seeded
+  // sequences, model asserted after EVERY step.
+  test("pattern put/remove interleaved with forward/rollback/GC matches the model (50 seeds)") {
+    import graft.index.PatternManager
+    val payCred = (0 to 2).map(s => s -> graft.tools.FixtureChain.hex28(2000 + s)).toMap
+    def paySeedOf(addr: String): Int =
+      (0 to 2).find(s => addr.endsWith(payCred(s))).get
+
+    for (seed <- 100L until 150L) {
+      val gen = new Gen(seed)
+      val model = new Model
+      val ix = new GraftIndex(spark, tmpDir(s"graft-prop-pat-$seed"))
+      val rnd = new scala.util.Random(seed * 13)
+      var active: Set[Int] = Set(0, 1)
+      def activePatterns: Set[Pattern] = active.map(s => Pattern.MatchPayment(payCred(s)))
+      Indexer.setPatterns(ix, activePatterns)
+      var history: Vector[Blk] = Vector.empty
+
+      (0 until 8).foreach { step =>
+        rnd.nextInt(10) match {
+          case r if r <= 4 || history.isEmpty => // forward batch, narrow patterns
+            val blocks = gen.nextBlocks(1 + rnd.nextInt(3))
+            history ++= blocks
+            Indexer.ingest(ix, toDf(spark, blocks), activePatterns)
+            model.ingest(blocks, a => active.contains(paySeedOf(a)))
+          case 5 | 6 => // putPatterns with backfill from a random since-slot
+            val cred = (0 to 2).find(!active.contains(_))
+              .getOrElse(rnd.nextInt(3)) // re-put is idempotent
+            val since = history(rnd.nextInt(history.size)).slot
+            val point = // sometimes a full validated (slot, header_hash) point
+              if (rnd.nextBoolean()) Some(history.find(_.slot == since).get.headerHash)
+              else None
+            PatternManager.putPatterns(ix, toDf(spark, history),
+              Set[Pattern](Pattern.MatchPayment(payCred(cred))),
+              since = since, sinceHeaderHash = point)
+            // engine diffs already-active patterns out of the backfill set —
+            // a re-put must NOT resurrect rows GC'd since (prune is final
+            // for history the active set already covered)
+            if (!active.contains(cred))
+              model.backfill(history, since, a => paySeedOf(a) == cred)
+            active += cred
+            assert(PatternManager.listPatterns(ix).toSet == activePatterns,
+              s"pattern set after put at step $step (seed=$seed)")
+          case 7 => // retire a pattern: rows stay, future ingests skip it
+            if (active.size > 1) {
+              val cred = active.toSeq(rnd.nextInt(active.size))
+              PatternManager.removePatterns(ix,
+                Set[Pattern](Pattern.MatchPayment(payCred(cred))))
+              active -= cred
+              assert(PatternManager.listPatterns(ix).toSet == activePatterns,
+                s"pattern set after remove at step $step (seed=$seed)")
+            }
+          case 8 => // reorg
+            val target = math.max(0L, gen.slot - (1 + rnd.nextInt(8)))
+            Mutations.rollbackTo(ix, target)
+            model.rollback(target)
+            gen.rollbackTo(target)
+            history = history.filter(_.slot <= target)
+          case 9 => // GC
+            val k = 5L + rnd.nextInt(10)
+            Mutations.pruneInputs(ix, k)
+            model.prune(k)
+        }
+        assert(engineState(ix) == model.state,
+          s"divergence at step $step (seed=$seed, active=$active)")
+      }
     }
   }
 }
