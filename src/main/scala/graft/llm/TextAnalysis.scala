@@ -212,4 +212,32 @@ object TextAnalysis {
       .where(col("i") <= col("n") - (w - 1)) // full windows only
       .select(col(idCol), col("fp")).distinct()
   }
+
+  /** PII pattern scan + redaction — the standard pre-training privacy pass:
+    * count and mask email addresses, NANP-style phone numbers, and IPv4
+    * addresses. Pure per-row regex work (regexp_extract_all /
+    * regexp_replace are codegen'd), no shuffle, no UDF — at corpus scale
+    * this runs as a map over the scan with the text column pruned to one
+    * pass. Patterns are deliberately RE2-safe (no backrefs/lookarounds) so
+    * the same regexes run in any engine. Redaction order is email → phone
+    * → ip: the patterns can't overlap each other's replacements, but
+    * redacting emails first keeps dotted hosts inside addresses from ever
+    * being probed as IPs. */
+  def piiScan(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    def countOf(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    docs.select(col(idCol),
+      countOf(email).as("email_count"),
+      countOf(phone).as("phone_count"),
+      countOf(ip).as("ip_count"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(email), lit("[EMAIL]")),
+          lit(phone), lit("[PHONE]")),
+        lit(ip), lit("[IP]")).as("redacted"))
+  }
 }

@@ -299,6 +299,41 @@ object LlmQueries {
              |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scan + redaction over the corpus. The word-soup fixture carries no
+    // natural PII, so the query plants deterministic markers derived from
+    // doc_id (email every 3rd doc, phone every 5th, IPv4 every 7th) before
+    // the scan — the operator sees a text column like any other; counts and
+    // the redacted text are exact strings, so the compare is strict. Pure
+    // map (codegen'd regexes), no shuffle.
+    QueryDef("q_pii_scan",
+      (s, d) => {
+        val injected = table(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" from 10.0.0.1 today")).otherwise(lit("")))
+            .as("text"))
+        graft.llm.TextAnalysis.piiScan(injected).orderBy(col("doc_id"))
+      },
+      Some("""WITH injected AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 today' ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+             |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_count,
+             |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip_count,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+             |FROM injected ORDER BY doc_id""".stripMargin)),
+
     // Language-ID: marker-stopword n-gram heuristic with a fixed tie-break
     // chain (en > de > fr > es). Deterministic by construction.
     QueryDef("q_lang_id",

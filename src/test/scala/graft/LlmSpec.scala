@@ -505,6 +505,26 @@ class LlmSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 2L, 1L)))
   }
 
+  test("pii scan: exact counts, ordered redaction, map-only plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org, call 555-123-4567 from 10.0.0.1 ok"),
+      (2L, "version 1.2.3.4 is an ip shape; v1.2 is not"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScan(d).orderBy("doc_id").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((2L, 1L, 1L)))
+    assert(r(0).getString(4) ==
+      "mail [EMAIL] and [EMAIL], call [PHONE] from [IP] ok")
+    // dotted quads match the IPv4 SHAPE even mid-version-string — the scan
+    // counts candidates, it does not validate octet ranges
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((0L, 0L, 1L)))
+    assert(r(2).getString(4) == "clean text with no identifiers at all")
+    // per-row regex work only: no exchange anywhere in the plan
+    val plan = TextAnalysis.piiScan(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("stratified sampling: deterministic, stratum-scoped, rate-proportional") {
     import graft.llm.Sampling
     import spark.implicits._
