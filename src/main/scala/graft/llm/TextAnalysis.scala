@@ -213,6 +213,31 @@ object TextAnalysis {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Winnowing-overlap pairing (the MOSS report shape): doc pairs sharing at
+    * least `minShared` winnowing fingerprints, with the shared count —
+    * local-similarity detection that catches partial overlap (a copied
+    * paragraph inside an otherwise-different doc) that whole-doc hashes
+    * miss. Fingerprints appearing in more than `maxDocsPerFp` docs are
+    * dropped first — the standard boilerplate guard, and the skew bound:
+    * after it, no fp group exceeds C(maxDocsPerFp, 2) pairs, so the
+    * pair-expansion is bounded per key at any corpus size. Shape: one
+    * groupBy(fp) exchange (doc lists), map-side pair expansion from the
+    * sorted list (doc_a < doc_b by construction), then the pair-count
+    * aggregate with map-side combine. No self-join operator at all. */
+  def winnowOverlapPairs(fps: DataFrame, minShared: Int = 3, maxDocsPerFp: Int = 10,
+                         idCol: String = "doc_id"): DataFrame = {
+    val grouped = fps.groupBy(col("fp"))
+      .agg(array_sort(collect_list(col(idCol))).as("docs"))
+      .where(size(col("docs")).between(2, maxDocsPerFp))
+    grouped
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** PII pattern scan + redaction — the standard pre-training privacy pass:
     * count and mask email addresses, NANP-style phone numbers, and IPv4
     * addresses. Pure per-row regex work (regexp_extract_all /

@@ -66,6 +66,7 @@ object LlmQueries {
   private val ivfCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val dhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val winnowCache = scala.collection.mutable.Map.empty[String, DataFrame]
   private val clustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
   /** Connected-component cluster assignment over the LSH pairs — the
@@ -94,6 +95,14 @@ object LlmQueries {
     dhashCache.getOrElseUpdate(d,
       graft.llm.Multimodal.dHash(graft.llm.Multimodal.grayscaleGrid(
         table(s, d, "embeddings"), "vec_id", "embedding"), w = 8, h = 8).cache())
+  }
+
+  /** Per-doc winnowing fingerprints (k=8, w=4) — cached artifact shared by
+    * the fingerprint report and the overlap-pairing query (the explode +
+    * per-doc window is the expensive part; both queries read the result). */
+  private def winnowOf(s: SparkSession, d: String): DataFrame = synchronized {
+    winnowCache.getOrElseUpdate(d,
+      graft.llm.TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4).cache())
   }
 
   /** The per-doc simhash derivation as a DuckDB CTE (mirrors Dedup.simhash). */
@@ -219,6 +228,7 @@ object LlmQueries {
     tfOf(s, d).count()
     simhashOf(s, d).count()
     dhashOf(s, d).count()
+    winnowOf(s, d).count()
     clustersOf(s, d).count()
   }
 
@@ -435,7 +445,7 @@ object LlmQueries {
     // any common substring of length ≥ w+k−1. The windowed min is over
     // 8-hex-char strings, so both engines agree lexicographically.
     QueryDef("q_winnow_fingerprint",
-      (s, d) => TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4)
+      (s, d) => winnowOf(s, d)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"),
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
         .orderBy(col("doc_id")),
@@ -452,6 +462,37 @@ object LlmQueries {
              |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3)
              |SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
              |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // MOSS-style overlap report over the winnowing fingerprints: doc pairs
+    // sharing >= 3 fingerprints after dropping boilerplate fps (present in
+    // > 10 docs). Catches PARTIAL overlap — a copied span inside an
+    // otherwise-different doc — that whole-doc hashing misses. The Spark
+    // plan has no self-join at all: fp doc-lists group once, pairs expand
+    // map-side from the sorted list (skew-bounded by the boilerplate cap),
+    // and the pair count aggregates with map-side combine. The oracle
+    // verifies with the plain self-join formulation.
+    QueryDef("q_winnow_overlap",
+      (s, d) => TextAnalysis.winnowOverlapPairs(winnowOf(s, d),
+          minShared = 3, maxDocsPerFp = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
+             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+             |        FROM documents)),
+             |win AS (
+             |  SELECT doc_id,
+             |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             |         i, count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM pos),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3),
+             |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(count(*) AS BIGINT) AS shared_fps
+             |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |WHERE a.fp IN (SELECT fp FROM rare)
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Document fingerprint: hash of the sorted distinct token set (order- and
     // repetition-invariant content signature).

@@ -505,6 +505,38 @@ class LlmSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 2L, 1L)))
   }
 
+  test("winnow overlap: matches brute force, boilerplate capped, no self-join") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val boiler = " COMMON-FOOTER-TEXT-IN-EVERY-DOC"
+    val docs = Seq(
+      (1L, s"alpha $shared beta$boiler"),
+      (2L, s"gamma $shared delta$boiler"), // shares the fox span with 1
+      (3L, s"completely unrelated content about spark plans here$boiler"),
+      (4L, s"another independent document with its own words$boiler")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(docs, k = 8, w = 4)
+    val got = TextAnalysis.winnowOverlapPairs(fps, minShared = 2, maxDocsPerFp = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force from the same fingerprints, same boilerplate cap
+    val rows = fps.as[(Long, String)].collect()
+    val byFp = rows.groupBy(_._2).filter(_._2.length <= 3)
+    val expected = byFp.values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, v) => (p._1, p._2, v.size.toLong) }
+      .filter(_._3 >= 2L).toSet
+    assert(got == expected, s"got $got vs $expected")
+    // the copied span pairs 1-2; the boilerplate footer (in all 4 docs,
+    // over the cap) must not pair 3 or 4 with anything
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+    // pair expansion is map-side from grouped lists: no join operator
+    val plan = TextAnalysis.winnowOverlapPairs(fps, 2, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("pii scan: exact counts, ordered redaction, map-only plan") {
     import spark.implicits._
     val d = Seq(
