@@ -1356,6 +1356,59 @@ object LlmQueries {
              |       start_offset // 512 AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
+    // The END-TO-END corpus-preparation pass, composed from the tested
+    // operators in production order: exact-dedup survivors (window, full
+    // rows) → integer quality gate (≥20 tokens, distinct-token ratio ≥ 1/3 —
+    // Gopher-style repetition rule in exact arithmetic) → deterministic
+    // stratified sample (salted-hash threshold per source class) → packed
+    // sequence layout. Every stage is individually oracle-gated elsewhere;
+    // this query gates the COMPOSITION — offsets downstream of three
+    // filters, where any divergence in any stage moves every later number.
+    // Shape: two shuffles total (dedup window by content hash; packing by
+    // (stream, sub)) — the quality gate and the sample are residual-free
+    // maps fused into the scans between them.
+    QueryDef("q_corpus_prep",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val quality = Dedup.survivors(table(s, d, "documents"))
+          .where(size(toks) >= 20 && size(array_distinct(toks)) * 3 >= size(toks))
+        val thr = {
+          val cls = expr("try_cast(substr(source, 4) AS INT)") % 4
+          when(cls === 0, "40").when(cls === 1, "80")
+            .when(cls === 2, "c0").otherwise("zz")
+        }
+        graft.llm.Sampling.packSequences(
+            graft.llm.Sampling.stratifiedSample(quality, thr),
+            capacity = 512, subStreamWidth = 64L)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH surv AS (
+             |  SELECT doc_id, source, text FROM (
+             |    SELECT doc_id, source, text,
+             |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+             |    FROM documents) WHERE rk = 1),
+             |q AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS n_uniq
+             |  FROM surv),
+             |kept AS (
+             |  SELECT doc_id, source, n_tokens FROM q
+             |  WHERE n_tokens >= 20 AND n_uniq * 3 >= n_tokens
+             |    AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) <
+             |        (CASE TRY_CAST(substr(source, 4) AS INT) % 4
+             |           WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0'
+             |           ELSE 'zz' END)),
+             |o AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+             |         AS BIGINT) AS start_offset
+             |  FROM kept)
+             |SELECT doc_id, source, n_tokens, start_offset,
+             |       start_offset // 512 AS bin
+             |FROM o ORDER BY source, doc_id""".stripMargin)),
+
     // Per-source exact token-length quantiles (rank-picked, no float
     // interpolation): the length-distribution report behind context-window
     // and training-mix design.
