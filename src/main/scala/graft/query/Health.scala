@@ -64,18 +64,25 @@ object Health {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(genesisJson)
       def opt(n: com.fasterxml.jackson.databind.JsonNode): Option[com.fasterxml.jackson.databind.JsonNode] =
         Option(n).filterNot(_.isMissingNode).filterNot(_.isNull)
+      // asLong() would silently yield 0 for an unparseable node — parse the
+      // text form instead so a malformed field fails loudly, not as magic 0
+      def long(n: com.fasterxml.jackson.databind.JsonNode, field: String): Long =
+        try n.asText().toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"genesis JSON field $field is not an integer: ${n.asText()}")
+        }
       val magic = opt(root.path("protocolConsts").path("protocolMagic"))
-        .orElse(opt(root.path("networkMagic")))
-        .map(_.asLong())
+        .map(long(_, "protocolConsts.protocolMagic"))
+        .orElse(opt(root.path("networkMagic")).map(long(_, "networkMagic")))
         .getOrElse(throw new IllegalArgumentException(
           "genesis JSON carries neither protocolConsts.protocolMagic nor networkMagic"))
-      val startSec = opt(root.path("startTime")).map(_.asLong())
+      val startSec = opt(root.path("startTime")).map(long(_, "startTime"))
         .orElse(opt(root.path("systemStart")).map(n =>
           java.time.Instant.parse(n.asText()).getEpochSecond))
         .getOrElse(throw new IllegalArgumentException(
           "genesis JSON carries neither startTime nor systemStart"))
       val slotSec = opt(root.path("blockVersionData").path("slotDuration"))
-        .map(_.asText().toLong / 1000L)
+        .map(long(_, "blockVersionData.slotDuration") / 1000L)
         .getOrElse(20L)
       fromMagic(magic, startSec).copy(byronSlotLengthSec = slotSec)
     }

@@ -123,6 +123,10 @@ class HealthSpec extends SparkSpec {
       NetworkParameters.fromGenesis("""{"startTime": 0}"""))
     intercept[IllegalArgumentException](
       NetworkParameters.fromGenesis("""{"networkMagic": 1}"""))
+    // malformed numerics fail loudly instead of silently parsing as 0
+    intercept[IllegalArgumentException](
+      NetworkParameters.fromGenesis(
+        """{"networkMagic": "not-a-number", "startTime": 0}"""))
   }
 
   test("cacheOr: matching if-none-match short-circuits (304), stale recomputes") {

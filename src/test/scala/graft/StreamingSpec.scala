@@ -180,4 +180,32 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("sessions").count() == 2) // user 1 s1 + user 2 s1
     } finally q.stop()
   }
+
+  test("stateless text operators lift to streaming unchanged (pii scan)") {
+    // the pipeline's per-row operators (pii scan, quality gates, language
+    // id, fingerprints) are pure projections/filters — the SAME function
+    // applies to a readStream frame with no code change, which is how a
+    // live ingest firehose gets scanned before it lands in the corpus
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val scanned = graft.llm.TextAnalysis.piiScan(ms.toDF.toDF("doc_id", "text"))
+    assert(scanned.isStreaming) // the plan lifted, nothing was collected
+    val q = scanned.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "reach me at a@b.co"), (2L, "clean"))
+      q.processAllAvailable()
+      ms.addData((3L, "call 555-123-4567 twice 555-123-4567"))
+      q.processAllAvailable()
+      val out = spark.table("pii_stream")
+        .select("doc_id", "email_count", "phone_count", "redacted")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(out == Set(
+        (1L, 1L, 0L, "reach me at [EMAIL]"),
+        (2L, 0L, 0L, "clean"),
+        (3L, 0L, 2L, "call [PHONE] twice [PHONE]")))
+    } finally q.stop()
+  }
 }
