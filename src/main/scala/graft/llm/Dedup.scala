@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard, and embedding-cosine near-dup.
   *
   * Every operator is a groupBy/join on a DERIVED KEY (content hash, band
-  * signature, LSH bucket): candidate generation stays ~linear in the number
-  * of true near-duplicates and is never O(n²) — the only property that
-  * survives a 100 TB corpus. Hash functions are md5-derived so a SQL oracle
-  * can mirror them exactly. */
+  * signature, LSH bucket): no operator ever compares all pairs directly.
+  * For the content/shingle/bucket families the key space grows with the
+  * corpus, so candidate generation stays ~linear in the number of true
+  * near-duplicates; fixed-width-hash banding ([[bandedHammingPairs]]) is
+  * the exception — its candidate stream is a TUNABLE FRACTION of C(n,2)
+  * set by bandBits (see its scaladoc for the exact arithmetic and the
+  * lossless-radius tradeoff). Hash functions are md5-derived so a SQL
+  * oracle can mirror them exactly. */
 object Dedup {
 
   /** Exact dedup: one shuffle on md5(text). Survivor = min id. */
@@ -192,14 +196,23 @@ object Dedup {
     * ONE equi-join on the exploded (band, slice) key — identical result to
     * per-band self-joins unioned (a pair matching on any band appears;
     * distinct dedups multi-band agreement), but the plan has a single join
-    * + one distinct instead of numBands joins + union. A codegen'd popcount
-    * then verifies bit_count(xor) ≤ maxHamming — never O(n²).
+    * + one distinct instead of numBands joins + union; the popcount verify
+    * runs in the join stream, so the one exchange carries only survivors.
     *
-    * Scale knob: candidate volume per band is Σ bucket² over 2^bandBits
-    * buckets — narrow bands buy a wider lossless radius at the cost of
-    * coarser buckets. At corpus scale prefer wide hashes with bandBits ≥ 8
-    * (≥256 buckets/band) and a small radius; the tiny test fixtures run
-    * bandBits = 4 to keep the radius meaningful on 500 rows.
+    * BE HONEST ABOUT THE CANDIDATE VOLUME: banding over a fixed-width hash
+    * is a constant-FRACTION prefilter, not an asymptotic class change —
+    * expected candidates ≈ C(n,2) · numBands / 2^bandBits on hash-random
+    * data. The fraction is the scale knob: bandBits must grow with
+    * log₂(n) for the candidate stream to stay near-linear (bucket size
+    * n/2^bandBits ⇒ pairs per band n²/2^(bandBits+1)), and pigeonhole
+    * losslessness (maxHamming < numBands = bits/bandBits) caps how wide
+    * bands can get for a given radius — a 56-bit hash supports radius 13
+    * only with 4-bit bands (fraction 14/16 ≈ dense), radius ≤ 6 with
+    * 8-bit bands (fraction 7/256 ≈ 2.7%). At corpus scale use wide
+    * hashes + small radius, or accept the verify-stream cost knowingly:
+    * the rehearsal RECORDS the measured fraction instead of claiming
+    * sub-quadratic candidates. The tiny test fixtures run bandBits = 4 to
+    * keep the radius meaningful on 500 rows.
     *
     * `hashes` must carry a MATERIALIZED hash column (cached frame or a
     * parquet-backed fingerprint column): an unevaluated expression would be

@@ -111,12 +111,19 @@ object Multimodal {
             idCol: String = "vec_id", pxCol: String = "px"): DataFrame = {
     val bits = (w - 1) * h
     require(bits <= 63, s"dHash bits $bits must fit a signed 64-bit value")
-    grid.select(col(idCol), expr(
+    // a short grid would read past the array end: with ANSI off element_at
+    // yields NULL and the comparison's 0-branch silently CLEARS the high
+    // bits, collapsing unrelated images into one Hamming ball — fail the
+    // row loudly at the API boundary instead
+    val guarded = when(size(col(pxCol)) < w * h,
+      raise_error(concat(lit(s"dHash needs a $w x $h grid, got "),
+        size(col(pxCol)).cast("string"), lit(" pixels"))).cast("long"))
+    grid.select(col(idCol), guarded.otherwise(expr(
       s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
          |  (acc, i) -> acc + IF(
          |    element_at($pxCol, CAST((i div ${w - 1}) * $w + (i % ${w - 1}) + 1 AS INT))
          |      < element_at($pxCol, CAST((i div ${w - 1}) * $w + (i % ${w - 1}) + 2 AS INT)),
-         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin))
       .as("dhash"))
   }
 

@@ -244,25 +244,25 @@ object TextAnalysis {
     * regexp_replace are codegen'd), no shuffle, no UDF — at corpus scale
     * this runs as a map over the scan with the text column pruned to one
     * pass. Patterns are deliberately RE2-safe (no backrefs/lookarounds) so
-    * the same regexes run in any engine. Redaction order is email → phone
-    * → ip: the patterns can't overlap each other's replacements, but
-    * redacting emails first keeps dotted hosts inside addresses from ever
-    * being probed as IPs. */
+    * the same regexes run in any engine. Redaction is staged email → phone
+    * → ip, and EACH COUNT is taken on the text as of its stage — so a
+    * digit run inside an email's local part is counted (and masked) once
+    * as the email, never again as a phone/IP, and `phone_count`/`ip_count`
+    * always equal the number of `[PHONE]`/`[IP]` placeholders in
+    * `redacted` (the reconciliation an audit runs). */
   def piiScan(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    def countOf(pat: String) =
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    def countOf(in: Column, pat: String) =
+      size(regexp_extract_all(in, lit(pat), lit(0))).cast("long")
+    val noEmail = regexp_replace(col(textCol), lit(email), lit("[EMAIL]"))
+    val noPhone = regexp_replace(noEmail, lit(phone), lit("[PHONE]"))
     docs.select(col(idCol),
-      countOf(email).as("email_count"),
-      countOf(phone).as("phone_count"),
-      countOf(ip).as("ip_count"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), lit(email), lit("[EMAIL]")),
-          lit(phone), lit("[PHONE]")),
-        lit(ip), lit("[IP]")).as("redacted"))
+      countOf(col(textCol), email).as("email_count"),
+      countOf(noEmail, phone).as("phone_count"),
+      countOf(noPhone, ip).as("ip_count"),
+      regexp_replace(noPhone, lit(ip), lit("[IP]")).as("redacted"))
   }
 }

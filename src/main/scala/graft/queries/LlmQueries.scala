@@ -334,15 +334,22 @@ object LlmQueries {
              |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
              |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 today' ELSE '' END AS text
              |  FROM documents)
+             |, staged AS (
+             |  SELECT doc_id, text,
+             |    regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS no_email
+             |  FROM injected),
+             |staged2 AS (
+             |  SELECT doc_id, text, no_email,
+             |    regexp_replace(no_email, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS no_phone
+             |  FROM staged)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
-             |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_count,
-             |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip_count,
-             |  regexp_replace(regexp_replace(regexp_replace(text,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             |  CAST(len(regexp_extract_all(no_email, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_count,
+             |  CAST(len(regexp_extract_all(no_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip_count,
+             |  regexp_replace(no_phone,
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
-             |FROM injected ORDER BY doc_id""".stripMargin)),
+             |FROM staged2 ORDER BY doc_id""".stripMargin)),
 
     // Language-ID: marker-stopword n-gram heuristic with a fixed tie-break
     // chain (en > de > fr > es). Deterministic by construction.

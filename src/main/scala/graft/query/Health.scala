@@ -77,12 +77,25 @@ object Health {
         .getOrElse(throw new IllegalArgumentException(
           "genesis JSON carries neither protocolConsts.protocolMagic nor networkMagic"))
       val startSec = opt(root.path("startTime")).map(long(_, "startTime"))
-        .orElse(opt(root.path("systemStart")).map(n =>
-          java.time.Instant.parse(n.asText()).getEpochSecond))
+        .orElse(opt(root.path("systemStart")).map { n =>
+          try java.time.Instant.parse(n.asText()).getEpochSecond
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"genesis JSON field systemStart is not an ISO-8601 instant: ${n.asText()}")
+          }
+        })
         .getOrElse(throw new IllegalArgumentException(
           "genesis JSON carries neither startTime nor systemStart"))
       val slotSec = opt(root.path("blockVersionData").path("slotDuration"))
-        .map(long(_, "blockVersionData.slotDuration") / 1000L)
+        .map { n =>
+          val ms = long(n, "blockVersionData.slotDuration")
+          // era math counts whole seconds; silently flooring 500 ms to 0 (or
+          // 2500 to 2 s) would mis-gauge sync with no error — refuse instead
+          if (ms <= 0 || ms % 1000L != 0) throw new IllegalArgumentException(
+            s"blockVersionData.slotDuration must be a positive whole-second millisecond value, got $ms")
+          ms / 1000L
+        }
         .getOrElse(20L)
       fromMagic(magic, startSec).copy(byronSlotLengthSec = slotSec)
     }

@@ -252,7 +252,12 @@ object LlmScaleRehearsal {
     // dHash is one map pass over the grid (no exchange before the self-join);
     // banded Hamming retrieval must be an equi-join on the (band, slice) key,
     // never a cross product — and the band+verify composition is LOSSLESS, so
-    // it returns exactly the brute-force Hamming ball at any corpus size
+    // it returns exactly the brute-force Hamming ball at any corpus size.
+    // The CANDIDATE fraction (what the verify stream scans relative to all
+    // pairs) is measured and recorded, not hand-waved: fixed-width banding
+    // is a constant-fraction prefilter ≈ numBands/2^bandBits, and the demo
+    // radius (13 on 56 bits) deliberately runs it dense — production picks
+    // bandBits to shrink it (see Dedup.bandedHammingPairs scaladoc).
     val dhashes = Multimodal.dHash(
       Multimodal.grayscaleGrid(emb, "vec_id", "embedding"), w = 8, h = 8).cache()
     val dhashEx = hashExchanges(dhashes)
@@ -265,6 +270,14 @@ object LlmScaleRehearsal {
     val imgBrute = dhashes.as("a").join(dhashes.as("b"), col("a.vec_id") < col("b.vec_id"))
       .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 13)
       .count()
+    val mask4 = (1L << 4) - 1
+    val banded4 = dhashes.select(col("vec_id"),
+      explode(array((0 until 14).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 4).bitwiseAND(lit(mask4)).as("bits"))): _*)).as("bd"))
+    val imgCandidates = banded4.as("a").join(banded4.as("b"),
+      col("a.bd") === col("b.bd") && col("a.vec_id") < col("b.vec_id")).count()
+    val nVec = dhashes.count()
+    val imgAllPairs = nVec * (nVec - 1) / 2
 
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
@@ -282,7 +295,8 @@ object LlmScaleRehearsal {
         s""""ivfpq_index_files_full":$idxFilesFull,"ivfpq_index_files_probed":$idxFilesProbed,""" +
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2,""" +
         s""""dhash_exchanges":$dhashEx,"dhash_cross_product":$imgCross,""" +
-        s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute}""")
+        s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute,""" +
+        s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")

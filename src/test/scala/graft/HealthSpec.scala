@@ -127,6 +127,15 @@ class HealthSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       NetworkParameters.fromGenesis(
         """{"networkMagic": "not-a-number", "startTime": 0}"""))
+    // malformed date and sub-second slot duration fail loudly too — a
+    // 500 ms slot flooring to 0 s would gauge sync as 0 forever
+    intercept[IllegalArgumentException](
+      NetworkParameters.fromGenesis(
+        """{"networkMagic": 2, "systemStart": "not-a-date"}"""))
+    intercept[IllegalArgumentException](
+      NetworkParameters.fromGenesis(
+        """{"networkMagic": 2, "startTime": 0,
+          |  "blockVersionData": {"slotDuration": "500"}}""".stripMargin))
   }
 
   test("cacheOr: matching if-none-match short-circuits (304), stale recomputes") {

@@ -299,6 +299,12 @@ class LlmSpec extends SparkSpec {
     assert(h(2)._2 == 0L, s"reverse gradient hash: ${h(2)._2}")
     val d12 = java.lang.Long.bitCount(h(0)._2 ^ h(1)._2)
     assert(d12 >= 1 && d12 <= 2, s"single-pixel bump flips 1-2 bits, got $d12")
+    // a grid shorter than w×h fails loudly — silent NULL reads past the
+    // array end would clear high bits and collapse unrelated images
+    val short = Seq((9L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](Multimodal.dHash(
+      Multimodal.grayscaleGrid(short, "vec_id", "embedding")).collect())
+    assert(ex.getMessage.contains("dHash needs"), ex.getMessage)
     // lossless retrieval: banded pairs == brute-force popcount filter
     val got = Dedup.bandedHammingPairs(hashes, bits = 56, bandBits = 4,
         maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
@@ -542,7 +548,8 @@ class LlmSpec extends SparkSpec {
     val d = Seq(
       (1L, "mail a@b.co and c.d+x@e.org, call 555-123-4567 from 10.0.0.1 ok"),
       (2L, "version 1.2.3.4 is an ip shape; v1.2 is not"),
-      (3L, "clean text with no identifiers at all")
+      (3L, "clean text with no identifiers at all"),
+      (4L, "reach 555-123-4567@corp.co or 555-123-4567")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.piiScan(d).orderBy("doc_id").collect()
     assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == ((2L, 1L, 1L)))
@@ -552,6 +559,11 @@ class LlmSpec extends SparkSpec {
     // counts candidates, it does not validate octet ranges
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((0L, 0L, 1L)))
     assert(r(2).getString(4) == "clean text with no identifiers at all")
+    // a phone shape INSIDE an email local part counts once (as the email):
+    // counts are staged on progressively-redacted text, so each count
+    // reconciles with its placeholder occurrences in `redacted`
+    assert((r(3).getLong(1), r(3).getLong(2), r(3).getLong(3)) == ((1L, 1L, 0L)))
+    assert(r(3).getString(4) == "reach [EMAIL] or [PHONE]")
     // per-row regex work only: no exchange anywhere in the plan
     val plan = TextAnalysis.piiScan(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
