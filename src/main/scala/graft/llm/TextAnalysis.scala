@@ -213,6 +213,30 @@ object TextAnalysis {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Tokenizer-vocabulary coverage — the OOV-rate report behind tokenizer
+    * and mix design: build the top-`vocabSize` corpus vocabulary (by
+    * frequency, ties broken lexicographically so the cut is deterministic
+    * in any engine) and count, per doc, total tokens and how many are in
+    * vocabulary (OOV = difference, downstream arithmetic — exact
+    * integers only on the compare surface).
+    *
+    * Scale shape: the vocabulary build is a map-side-combined token count
+    * + a top-V selection (`TakeOrderedAndProject`, never a full sort);
+    * the per-doc pass probes the corpus token stream against the
+    * BROADCAST vocabulary — a real tokenizer vocab is ≤ a few hundred
+    * thousand entries, so the corpus never shuffles on the token. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_in_vocab"))
+  }
+
   /** Winnowing-overlap pairing (the MOSS report shape): doc pairs sharing at
     * least `minShared` winnowing fingerprints, with the shared count —
     * local-similarity detection that catches partial overlap (a copied

@@ -1416,6 +1416,25 @@ object LlmQueries {
              |       start_offset // 512 AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
+    // Tokenizer-vocab coverage: top-16 corpus vocabulary (freq desc, token
+    // asc — a deterministic cut), then per-doc total vs in-vocab token
+    // counts. OOV rate is downstream arithmetic; the corpus probes the
+    // BROADCAST vocab, never shuffling on the token.
+    QueryDef("q_vocab_oov",
+      (s, d) => TextAnalysis.vocabCoverage(spreadDocs(s, d), vocabSize = 16)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT token FROM (
+             |    SELECT token, count(*) AS c FROM toks GROUP BY token
+             |    ORDER BY c DESC, token LIMIT 16))
+             |SELECT t.doc_id, count(*) AS n_tokens,
+             |       CAST(count(v.token) AS BIGINT) AS n_in_vocab
+             |FROM toks t LEFT JOIN vocab v USING (token)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     // Per-source exact token-length quantiles (rank-picked, no float
     // interpolation): the length-distribution report behind context-window
     // and training-mix design.

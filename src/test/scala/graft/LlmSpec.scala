@@ -511,6 +511,24 @@ class LlmSpec extends SparkSpec {
     assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == ((2L, 2L, 1L)))
   }
 
+  test("vocab coverage: deterministic cut, exact counts, broadcast probe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),   // freqs: a=3 b=2 c=1(+doc2) d=1
+      (2L, "c d a"),
+      (3L, "")               // empty text: zero tokens, still reported? no rows
+    ).toDF("doc_id", "text")
+    // vocabSize=2 → counts a=4, b=2, c=2, d=1; tie b/c at 2 breaks
+    // lexicographically → vocab = {a, b}
+    val r = TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 6L, 5L), (2L, 3L, 1L)))
+    // the corpus-side probe broadcasts the vocab — no shuffle on the token
+    val plan = TextAnalysis.vocabCoverage(docs, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("winnow overlap: matches brute force, boilerplate capped, no self-join") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog again and again"
