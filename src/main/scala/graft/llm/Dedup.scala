@@ -340,4 +340,71 @@ object Dedup {
   /** md5 carved into `n` independent 8-hex-char hash values. */
   def carvedHashes(c: Column, n: Int): Seq[Column] =
     (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))
+
+  /** Incremental dedup candidates: a NEW batch's MinHash signatures banded
+    * against an already-indexed corpus's signatures — WITHOUT re-pairing the
+    * corpus with itself. This is the production maintenance shape: a 100 TB
+    * corpus is deduplicated once, its signature frame persists (partitioned
+    * by band key), and each ingest batch only joins ITS bands against the
+    * stored ones — work is O(batch + matched buckets), never O(corpus²) and
+    * never a corpus self-join. MinHash signatures are per-doc (independent
+    * of the rest of the corpus), so a full-corpus signature artifact can be
+    * split into index/batch sides by filtering — no recompute.
+    *
+    * Returns distinct (batch_doc, index_doc) candidates; verify with
+    * [[setJaccardOnPairs]] before acting (same contract as
+    * [[lshCandidatePairs]]). */
+  def crossSetCandidates(indexSigs: DataFrame, batchSigs: DataFrame,
+                         bands: Int, rowsPerBand: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    def banded(sigs: DataFrame): DataFrame = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sigs.select(col(idCol), lit(b).as("band"), concat(cols: _*).as("sig"))
+    }.reduce(_ unionByName _)
+    banded(batchSigs).as("n").join(banded(indexSigs).as("x"),
+        col("n.band") === col("x.band") && col("n.sig") === col("x.sig"))
+      .select(col(s"n.$idCol").as("batch_doc"), col(s"x.$idCol").as("index_doc"))
+      .distinct()
+  }
+
+  /** Non-overlapping `n`-token tiles per document, with tile position —
+    * the exact-substring dedup artifact (tiled variant of the suffix-array
+    * scheme in Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": tiling trades the suffix array's arbitrary-offset
+    * matches for a pure explode that needs no global sort). One narrow map
+    * pass; the output is ~corpus-sized and never wider than the input. */
+  def tokenTiles(docs: DataFrame, n: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol),
+        explode(sequence(lit(0), floor((size(col("toks")) - 1) / n).cast("int"))).as("tile_idx"),
+        col("toks"))
+      .select(col(idCol), col("tile_idx"),
+        concat_ws(" ", slice(col("toks"), col("tile_idx") * n + 1, lit(n))).as("tile"))
+
+  /** Duplicated-chunk removal over a tile frame ([[tokenTiles]]): any tile
+    * occurring more than once corpus-wide is dropped from EVERY document
+    * (the aggressive within-and-across-doc policy of C4/RefinedWeb line
+    * dedup); the survivor text is reassembled in original tile order.
+    *
+    * Scale shape: one hash aggregation on the tile (map-side combined — the
+    * dominant cost and exactly the exact-dedup shuffle shape, on chunk
+    * granularity), one shuffled equi-join back on the tile, then a per-doc
+    * aggregation that carries (tile_idx, tile) structs — never the full
+    * corpus twice. When no tile of a doc is duplicated, `retained_text`
+    * reconstructs the original text exactly (property-tested). */
+  def chunkDedup(tiles: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val counts = tiles.groupBy(col("tile")).agg(count(lit(1)).as("n_occ"))
+    tiles.join(counts, "tile")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_tiles"),
+        // collect_list skips the nulls `when` leaves on duplicated tiles;
+        // array_sort on (tile_idx, tile) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("n_occ") === 1,
+            struct(col("tile_idx"), col("tile"))))),
+          x => x("tile")), " ").as("retained_text"))
+  }
 }

@@ -1498,6 +1498,120 @@ object LlmQueries {
               |JOIN sizes sa ON sa.doc_id = p.doc_a
               |JOIN sizes sb ON sb.doc_id = p.doc_b
               |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-              |ORDER BY p.doc_a, p.doc_b""".stripMargin))
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
+    // Exact-substring chunk dedup (tiled Lee et al. 2022): 4-token tiles,
+    // any tile occurring >1× corpus-wide is dropped from every doc, text
+    // reassembled in order. One tile aggregation + one join back on the
+    // tile — exact-dedup shuffle shape at chunk granularity.
+    QueryDef("q_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(Dedup.tokenTiles(spreadDocs(s, d), n = 4))
+        .orderBy(col("doc_id")),
+      Some("""WITH tiles AS (
+             |  SELECT doc_id, i AS tile_idx,
+             |         array_to_string(list_slice(string_split(text, ' '), i*4 + 1, i*4 + 4), ' ') AS tile
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(0, ((len(string_split(text, ' ')) - 1) // 4) + 1)) AS i
+             |        FROM documents)),
+             |counts AS (SELECT tile, count(*) AS n_occ FROM tiles GROUP BY tile)
+             |SELECT t.doc_id, count(*) AS n_tiles,
+             |       CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
+             |       COALESCE(string_agg(CASE WHEN c.n_occ = 1 THEN t.tile END, ' ' ORDER BY t.tile_idx), '')
+             |         AS retained_text
+             |FROM tiles t JOIN counts c USING (tile)
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0) banded
+    // against the ALREADY-INDEXED rest of the corpus — no corpus self-join;
+    // candidates verified with shingle-set Jaccard. Signatures are per-doc,
+    // so both sides filter the ONE persisted signature artifact.
+    QueryDef("q_dedup_incremental",
+      (s, d) => {
+        val sigs = sigsOf(s, d)
+        val cand = Dedup.crossSetCandidates(
+          sigs.where(col("doc_id") % 5 =!= 0),
+          sigs.where(col("doc_id") % 5 === 0),
+          bands = 2, rowsPerBand = 2)
+        val sets = setsOf("gram", gramsOf(s, d), "gram", d)
+        cand
+          .join(sets.select(col("doc_id").as("batch_doc"), col("elems").as("eb")), "batch_doc")
+          .join(sets.select(col("doc_id").as("index_doc"), col("elems").as("ei")), "index_doc")
+          .select(col("batch_doc"), col("index_doc"),
+            size(array_intersect(col("eb"), col("ei"))).cast("long").as("n_common"),
+            size(col("eb")).cast("long").as("size_batch"),
+            size(col("ei")).cast("long").as("size_index"))
+          .orderBy(col("batch_doc"), col("index_doc"))
+      },
+      Some(s"""WITH $sigsWideDuckSql,
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, mh0 || mh1 AS sig FROM sigs
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, mh2 || mh3 AS sig FROM sigs),
+              |cand AS (
+              |  SELECT DISTINCT n.doc_id AS batch_doc, x.doc_id AS index_doc
+              |  FROM bands n JOIN bands x ON n.band = x.band AND n.sig = x.sig
+              |  WHERE n.doc_id % 5 = 0 AND x.doc_id % 5 <> 0),
+              |grams AS (
+              |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
+              |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+              |        FROM documents)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.batch_doc, c.index_doc, count(*) AS n_common
+              |  FROM cand c
+              |  JOIN grams ga ON ga.doc_id = c.batch_doc
+              |  JOIN grams gb ON gb.doc_id = c.index_doc AND gb.gram = ga.gram
+              |  GROUP BY c.batch_doc, c.index_doc)
+              |SELECT c.batch_doc, c.index_doc, COALESCE(i.n_common, 0) AS n_common,
+              |       sa.sz AS size_batch, sb.sz AS size_index
+              |FROM cand c
+              |JOIN sizes sa ON sa.doc_id = c.batch_doc
+              |JOIN sizes sb ON sb.doc_id = c.index_doc
+              |LEFT JOIN inter i ON i.batch_doc = c.batch_doc AND i.index_doc = c.index_doc
+              |ORDER BY c.batch_doc, c.index_doc""".stripMargin)),
+
+    // Cross-source duplication matrix: which sources duplicate each other —
+    // the verified LSH pair set joined to each side's source, rolled up to
+    // an unordered (source_a ≤ source_b) matrix. The pair set is ~linear in
+    // true near-dups, so both joins and the rollup are candidate-sized.
+    QueryDef("q_dup_source_matrix",
+      (s, d) => {
+        val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+        pairsOf(s, d)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $sigsWideDuckSql,
+              |$bandsDuckSql
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       count(*) AS n_pairs
+              |FROM pairs p
+              |JOIN documents da ON da.doc_id = p.doc_a
+              |JOIN documents db ON db.doc_id = p.doc_b
+              |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
+    // Per-user conversion funnel view → purchase: earliest view, earliest
+    // purchase at-or-after it (null = never converted). Aggregate-before-
+    // join — every exchange keys on user_id.
+    QueryDef("q_funnel",
+      (s, d) => graft.streaming.EventStreams
+        .funnel(table(s, d, "events"), fromType = "view", toType = "purchase")
+        .orderBy(col("user_id")),
+      Some("""WITH fv AS (
+             |  SELECT user_id, min(epoch_ns(ts)) AS from_ts
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |cv AS (
+             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS to_ts
+             |  FROM events e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.from_ts
+             |  GROUP BY e.user_id)
+             |SELECT fv.user_id, fv.from_ts, cv.to_ts
+             |FROM fv LEFT JOIN cv ON cv.user_id = fv.user_id
+             |ORDER BY fv.user_id""".stripMargin))
   )
 }

@@ -89,4 +89,27 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Per-user conversion funnel `fromType` → `toType`: for each user with at
+    * least one `fromType` event, the earliest such timestamp and the
+    * earliest `toType` timestamp AT OR AFTER it (null if the user never
+    * converted). Input needs (user_id, event_type, ts) with ts totally
+    * ordered (nanos-as-long in the testdata parquet).
+    *
+    * Scale shape: both stages aggregate BEFORE joining, so the join carries
+    * one row per user per side, never the raw event stream; every
+    * shuffle — the two min-aggregations and the joins — is keyed on
+    * user_id, so after the first exchange the whole funnel is co-partitioned
+    * (one physical shuffle of each filtered branch, reused downstream).
+    * Longer funnels compose by folding this pairwise step. */
+  def funnel(events: DataFrame, fromType: String, toType: String): DataFrame = {
+    val firstFrom = events.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("from_ts"))
+    val firstToAfter = events.where(col("event_type") === toType)
+      .join(firstFrom, "user_id")
+      .where(col("ts") >= col("from_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("to_ts"))
+    firstFrom.join(firstToAfter, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("from_ts"), col("to_ts"))
+  }
 }

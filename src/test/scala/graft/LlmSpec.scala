@@ -748,4 +748,64 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(detAssigned == assigned)
   }
+
+  test("chunk dedup: shared tiles dropped everywhere, unique docs reconstruct exactly") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),             // tiles: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),             // shares tile "a b c d" with doc 1
+      (3L, "p q r s t u v")                // unique tiles (incl. short tail "t u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(Dedup.tokenTiles(corpus, n = 4))
+      .orderBy("doc_id").collect()
+    // doc 1: "a b c d" duplicated (appears in doc 2) → only "e f g h" kept
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == "e f g h")
+    assert(out(1).getString(3) == "x y z w")
+    // doc 3 has no duplicated tile → retained text IS the original text,
+    // including the 3-token tail tile
+    assert(out(2).getLong(2) == 0 && out(2).getString(3) == "p q r s t u v")
+  }
+
+  test("chunk dedup reconstruction property: dup-free corpus survives unchanged") {
+    val rng = new scala.util.Random(7)
+    // random token-soup docs over a large vocab → tiles effectively unique
+    val docsGen = (1 to 30).map { i =>
+      val nTok = 1 + rng.nextInt(17)
+      (i.toLong, (0 until nTok).map(_ => s"w${rng.nextInt(100000)}").mkString(" "))
+    }
+    val df = docsGen.toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(Dedup.tokenTiles(df, n = 4))
+      .select("doc_id", "retained_text").as[(Long, String)].collect().toMap
+    docsGen.foreach { case (id, text) => assert(out(id) == text, s"doc $id") }
+  }
+
+  test("cross-set candidates pair the batch against the index only") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and looked at the dog"),
+      (5L, "the cat sat on the mat and looked at the dog"),  // batch dup of 1
+      (2L, "der hund und das pferd liefen durch der wald"),
+      (10L, "completely unrelated text about spark engines")  // batch, no match
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, shingle = 8, numHashes = 4)
+    val cand = Dedup.crossSetCandidates(
+      sigs.where($"doc_id" % 5 =!= 0), sigs.where($"doc_id" % 5 === 0),
+      bands = 2, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((5L, 1L)))  // batch doc 5 matches index doc 1; 10 matches nothing
+    // and no index-index pair (1,2) can appear by construction
+  }
+
+  test("funnel: earliest view, earliest purchase at-or-after it, null when none") {
+    val events = Seq(
+      (1L, "view", 100L), (1L, "purchase", 90L), (1L, "purchase", 150L),
+      (2L, "view", 200L),                       // never purchases after
+      (2L, "purchase", 120L),                   // pre-view purchase must not count
+      (3L, "purchase", 500L)                    // purchases but never views → excluded
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.streaming.EventStreams.funnel(events, "view", "purchase")
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 100L && out(0).getLong(2) == 150L)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 200L && out(1).isNullAt(2))
+  }
 }
