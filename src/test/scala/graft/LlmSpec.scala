@@ -795,6 +795,32 @@ class LlmSpec extends SparkSpec {
     // and no index-index pair (1,2) can appear by construction
   }
 
+  test("new-operator plan shapes: keyed exchanges only, no cartesian anywhere") {
+    val corpus = (1 to 40).map(i => (i.toLong, s"tok$i a b c d e f g")).toDF("doc_id", "text")
+    // chunk dedup: every join is an equi-join on the tile / doc key — a
+    // cartesian or nested-loop fallback would be O(corpus²) at scale
+    val cPlan = Dedup.chunkDedup(Dedup.tokenTiles(corpus, n = 4))
+      .queryExecution.executedPlan.toString
+    assert(!cPlan.contains("CartesianProduct") && !cPlan.contains("BroadcastNestedLoopJoin"), cPlan)
+    // incremental candidates: exactly ONE join (batch bands vs index
+    // bands) — a second join would mean the index got self-paired
+    val sigs = Dedup.minhashSignatures(corpus, shingle = 8, numHashes = 4)
+    val iPlan = Dedup.crossSetCandidates(
+        sigs.where($"doc_id" % 5 =!= 0), sigs.where($"doc_id" % 5 === 0),
+        bands = 2, rowsPerBand = 2)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(iPlan.replace("JoinExec", "Join")).size >= 1)
+    assert(!iPlan.contains("CartesianProduct") && !iPlan.contains("BroadcastNestedLoopJoin"), iPlan)
+    // funnel: every hash exchange keys on user_id — the funnel never
+    // shuffles on anything except its join/aggregation key
+    val events = Seq((1L, "view", 100L), (1L, "purchase", 150L)).toDF("user_id", "event_type", "ts")
+    val fPlan = graft.streaming.EventStreams.funnel(events, "view", "purchase")
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(fPlan).foreach { m =>
+      assert(m.group(1) == "user_id", fPlan)
+    }
+  }
+
   test("funnel: earliest view, earliest purchase at-or-after it, null when none") {
     val events = Seq(
       (1L, "view", 100L), (1L, "purchase", 90L), (1L, "purchase", 150L),
