@@ -318,6 +318,23 @@ object Similarity {
       .select(col("vec_id") +: col("cell") +: pqCodeColumns(col("residual"), m, subDim): _*)
   }
 
+  /** INCREMENTAL maintenance of the persisted cell-partitioned IVF-PQ
+    * index: coarse-assign + residual-encode ONE ingest batch (the whole
+    * derivation is map-only — no shuffle per micro-batch) and APPEND it
+    * under the existing `cell=` partition directories. The index never
+    * rebuilds on ingest: new vectors land as new files inside their cell
+    * partitions, so cell-pruned ADC readers (`spark.read.parquet(indexDir)
+    * .where(cell isin probed)`) see them on the next scan, with file
+    * pruning intact. Designed for `writeStream.foreachBatch` — which is
+    * also where a deployment periodically re-trains centroids/codebooks
+    * offline and swaps the whole index dir, the same manifest-swap
+    * discipline the kupo index uses for rollback. */
+  def ivfPqAppend(batch: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                  m: Int, subDim: Int, indexDir: String): Unit =
+    ivfPqEncode(assignCells(batch, centroids, metric = "l2"),
+        centroids, codebook, m, subDim)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+
   /** The ADC distance tables as ONE broadcast row holding a DENSE double
     * array: entries sorted by the composite key (`keyCols` ++ (sub, code)),
     * projected down to just `d`, plus the two scalars (`ks` codewords per

@@ -90,6 +90,50 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(userId: Long, eventType: String, tsNanos: Long)
+  final case class FunnelState(fromTs: Long, converted: Boolean)
+  final case class FunnelOut(userId: Long, fromTs: Long, toTs: Long)
+
+  /** Streaming form of [[funnel]]: per-user conversion tracking as explicit
+    * keyed state. A conversion (first `toType` at-or-after the user's
+    * earliest seen `fromType`) is emitted EXACTLY ONCE, when it happens;
+    * state afterwards is a two-field tombstone that suppresses re-emission.
+    * Within a batch events are sorted by timestamp (the same total order
+    * the batch funnel's min-aggregates use); an out-of-order `fromType`
+    * arriving in a LATER batch lowers the stored first-view time only while
+    * the user is unconverted — after conversion the emitted pair is final,
+    * the usual exactly-once-output tradeoff of streaming funnels (a
+    * production deployment bounds that window with a watermark the way
+    * [[sessionize]] bounds session state). State per user = one small
+    * record; the one shuffle keys on user_id. */
+  def funnelStream(events: Dataset[FunnelEvent], fromType: String, toType: String)
+                  (implicit enc1: org.apache.spark.sql.Encoder[FunnelState],
+                   enc2: org.apache.spark.sql.Encoder[FunnelOut]): Dataset[FunnelOut] = {
+    import org.apache.spark.sql.Encoders
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          var st = state.getOption
+          batch.toSeq.sortBy(_.tsNanos).foreach { e =>
+            st match {
+              case None if e.eventType == fromType =>
+                st = Some(FunnelState(e.tsNanos, converted = false))
+              case Some(s) if !s.converted && e.eventType == fromType && e.tsNanos < s.fromTs =>
+                st = Some(s.copy(fromTs = e.tsNanos))
+              case Some(s) if !s.converted && e.eventType == toType && e.tsNanos >= s.fromTs =>
+                out += FunnelOut(userId, s.fromTs, e.tsNanos)
+                st = Some(s.copy(converted = true))
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-user conversion funnel `fromType` → `toType`: for each user with at
     * least one `fromType` event, the earliest such timestamp and the
     * earliest `toType` timestamp AT OR AFTER it (null if the user never

@@ -181,6 +181,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: conversion emitted once, cross-batch, late view lowers start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelOut}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[FunnelEvent]
+    val conv = EventStreams.funnelStream(ms.toDS(), "view", "purchase")
+    val q = conv.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views; a pre-view purchase must not convert
+      ms.addData(FunnelEvent(1L, "purchase", 50L), FunnelEvent(1L, "view", 100L),
+        FunnelEvent(2L, "view", 200L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 0)
+      // batch 2: user 1 converts (cross-batch); an EARLIER view arriving
+      // late for unconverted user 2 lowers the stored start
+      ms.addData(FunnelEvent(1L, "purchase", 150L), FunnelEvent(2L, "view", 120L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").as[FunnelOut].collect().toSet ==
+        Set(FunnelOut(1L, 100L, 150L)))
+      // batch 3: user 2 converts against the lowered start; user 1's second
+      // purchase is NOT re-emitted (exactly-once output)
+      ms.addData(FunnelEvent(2L, "purchase", 130L), FunnelEvent(1L, "purchase", 999L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").as[FunnelOut].collect().toSet ==
+        Set(FunnelOut(1L, 100L, 150L), FunnelOut(2L, 120L, 130L)))
+    } finally q.stop()
+  }
+
+  test("incremental IVF-PQ index append: map-only per batch, readers see new vectors") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    // two orthogonal-ish centroids and a fixed residual codebook (m=2, subDim=4)
+    val centroids = Seq(
+      (1L, vec(1, 0, 0, 0, 0, 0, 0, 0)), (2L, vec(0, 0, 0, 0, 1, 0, 0, 0))
+    ).toDF("centroid_id", "centroid")
+    val cbSource = Seq(
+      (10L, vec(0.9, 0.1, 0, 0, 0, 0, 0, 0)), (20L, vec(0, 0, 0, 0.2, 0.8, 0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val codebook = Similarity.pqCodebook(cbSource, Seq(10L -> 1, 20L -> 2), 2, 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc").toString
+    try {
+      val b1 = Seq((100L, vec(0.9, 0, 0, 0, 0, 0, 0, 0)),
+                   (101L, vec(0, 0, 0, 0, 0.8, 0, 0, 0))).toDF("vec_id", "embedding")
+      val b2 = Seq((102L, vec(0.95, 0.05, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+      // the per-batch encode is map-only: no hash shuffle in its plan
+      val encPlan = Similarity.ivfPqEncode(
+          Similarity.assignCells(b1, centroids, metric = "l2"), centroids, codebook, 2, 4)
+        .queryExecution.executedPlan.toString
+      assert(!encPlan.contains("Exchange hashpartitioning"), encPlan)
+      Similarity.ivfPqAppend(b1, centroids, codebook, 2, 4, idxDir)
+      val afterB1 = spark.read.parquet(idxDir)
+      assert(afterB1.count() == 2)
+      Similarity.ivfPqAppend(b2, centroids, codebook, 2, 4, idxDir)
+      val idx = spark.read.parquet(idxDir)
+      // readers see the appended vector in its cell partition without any
+      // rebuild, and the incremental index equals the batch-built one
+      assert(idx.count() == 3)
+      assert(idx.where(col("cell") === 1).select("vec_id").as[Long].collect().toSet
+        == Set(100L, 102L))
+      val incRows = idx.select("vec_id", "cell", "c0", "c1").collect().map(_.toSeq).toSet
+      val batchRows = Similarity.ivfPqEncode(
+          Similarity.assignCells(b1.unionByName(b2), centroids, metric = "l2"),
+          centroids, codebook, 2, 4)
+        .select("vec_id", "cell", "c0", "c1").collect().map(_.toSeq).toSet
+      assert(incRows == batchRows)
+    } finally {
+      val p = java.nio.file.Paths.get(idxDir)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   test("stateless text operators lift to streaming unchanged (pii scan)") {
     // the pipeline's per-row operators (pii scan, quality gates, language
     // id, fingerprints) are pure projections/filters — the SAME function
