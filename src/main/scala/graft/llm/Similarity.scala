@@ -335,6 +335,35 @@ object Similarity {
         centroids, codebook, m, subDim)
       .write.mode("append").partitionBy("cell").parquet(indexDir)
 
+  /** Compact a streaming-appended IVF-PQ index: micro-batch appends leave
+    * one small file per batch per cell, and at 100 TB the file-listing and
+    * per-file open cost eventually dominates the cell-pruned ADC scan
+    * (the classic small-files problem). Rewrite every cell into ONE file —
+    * `repartition(cell)` puts each cell wholly in one task, so
+    * `partitionBy(cell)` emits exactly one file per cell directory — then
+    * swap the rewritten tree in. Rows are bit-identical, only the file
+    * layout changes; the ANN twin of the kupo index's optimize/vacuum.
+    *
+    * The swap is delete-then-move, NOT atomic — same contract as a
+    * filesystem-level vacuum; a deployment doing live reads swaps a
+    * manifest pointer instead (the discipline `GraftIndex.copyDatabase`
+    * rehearses) and this function is the offline form. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val tmp = indexDir + ".compacting"
+    spark.read.parquet(indexDir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    rmTree(java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(indexDir))
+  }
+
   /** The ADC distance tables as ONE broadcast row holding a DENSE double
     * array: entries sorted by the composite key (`keyCols` ++ (sub, code)),
     * projected down to just `d`, plus the two scalars (`ks` codewords per

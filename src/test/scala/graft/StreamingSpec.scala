@@ -250,6 +250,20 @@ class StreamingSpec extends SparkSpec {
           centroids, codebook, 2, 4)
         .select("vec_id", "cell", "c0", "c1").collect().map(_.toSeq).toSet
       assert(incRows == batchRows)
+      // compaction: the two appends left multiple files in cell 1; after
+      // compactIndex each cell dir holds exactly ONE parquet file and the
+      // rows are unchanged
+      def filesIn(cell: Int): Long = {
+        val dir = java.nio.file.Paths.get(idxDir, s"cell=$cell")
+        val list = java.nio.file.Files.list(dir)
+        try list.filter(p => p.toString.endsWith(".parquet")).count()
+        finally list.close()
+      }
+      assert(filesIn(1) >= 2)
+      Similarity.compactIndex(spark, idxDir)
+      assert(filesIn(1) == 1 && filesIn(2) == 1)
+      assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
+        .collect().map(_.toSeq).toSet == batchRows)
     } finally {
       val p = java.nio.file.Paths.get(idxDir)
       val walk = java.nio.file.Files.walk(p)
