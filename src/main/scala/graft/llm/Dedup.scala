@@ -382,6 +382,52 @@ object Dedup {
       .select(col(idCol), col("tile_idx"),
         concat_ws(" ", slice(col("toks"), col("tile_idx") * n + 1, lit(n))).as("tile"))
 
+  /** OVERLAPPING `n`-token windows per document at stride 1 — the faithful
+    * arbitrary-offset form of the exact-substring family ([[tokenTiles]] is
+    * the cheaper non-overlapping tiling): a duplicated span is caught at
+    * ANY alignment, at the cost of n× more window rows. Documents shorter
+    * than `n` tokens yield no windows (no span of length n exists). */
+  def overlappingWindows(docs: DataFrame, n: Int,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("pos"),
+        col("toks"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n))).as("win"))
+
+  /** Exact-substring span dedup (Lee et al. 2022, windowed form): every
+    * token position covered by ANY corpus-duplicated n-token window is
+    * masked out of its document; the survivor text keeps the uncovered
+    * tokens in order. Unlike [[chunkDedup]]'s tiling, a duplicated span is
+    * removed wherever it starts.
+    *
+    * Scale shape: the window aggregation is the dominant shuffle (n× the
+    * corpus token stream, map-side combined); everything after the
+    * duplicated-window filter is sized by TRUE duplication — covered
+    * positions explode only from duplicated windows, collapse to one
+    * per-doc position-set row, and the final pass filters each doc's token
+    * array with an indexed lambda against that set (no per-token join, no
+    * second corpus-wide shuffle beyond the per-doc rollup). */
+  def spanDedup(docs: DataFrame, n: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wins = overlappingWindows(docs, n, idCol, textCol)
+    val counts = wins.groupBy(col("win")).agg(count(lit(1)).as("n_occ"))
+    val covered = wins.join(counts, "win")
+      .where(col("n_occ") > 1)
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .groupBy(col(idCol)).agg(collect_set(col("cp")).as("cov"))
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_covered"),
+        array_join(filter(col("toks"),
+          (_, i) => !coalesce(array_contains(col("cov"), i), lit(false))), " ")
+          .as("retained_text"))
+  }
+
   /** Duplicated-chunk removal over a tile frame ([[tokenTiles]]): any tile
     * occurring more than once corpus-wide is dropped from EVERY document
     * (the aggressive within-and-across-doc policy of C4/RefinedWeb line

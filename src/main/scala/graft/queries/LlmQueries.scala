@@ -1521,6 +1521,38 @@ object LlmQueries {
              |FROM tiles t JOIN counts c USING (tile)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Exact-substring SPAN dedup (Lee et al. 2022, windowed): stride-1
+    // 5-token windows, every position covered by a corpus-duplicated window
+    // masked out — duplicated spans removed at ANY offset, unlike the tiled
+    // q_chunk_dedup. Post-filter work is sized by true duplication.
+    QueryDef("q_span_dedup",
+      (s, d) => Dedup.spanDedup(spreadDocs(s, d), n = 5)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |wins AS (
+             |  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS win
+             |  FROM (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 4, 0))) AS i FROM toks)),
+             |counts AS (SELECT win, count(*) AS n_occ FROM wins GROUP BY win),
+             |dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN counts c USING (win) WHERE c.n_occ > 1),
+             |cov AS (SELECT DISTINCT doc_id, pos + j AS cp FROM dup, unnest(range(0, 5)) AS js(j)),
+             |ncov AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id),
+             |tokpos AS (
+             |  SELECT doc_id, j AS tpos, tk[j + 1] AS tok
+             |  FROM toks, unnest(range(0, len(tk))) AS js(j)),
+             |ret AS (
+             |  SELECT tp.doc_id,
+             |         COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.tpos)
+             |                    FILTER (WHERE cv.cp IS NULL), '') AS retained_text
+             |  FROM tokpos tp
+             |  LEFT JOIN cov cv ON cv.doc_id = tp.doc_id AND cv.cp = tp.tpos
+             |  GROUP BY tp.doc_id)
+             |SELECT t.doc_id, len(t.tk) AS n_tokens,
+             |       COALESCE(n.n_covered, 0) AS n_covered, r.retained_text
+             |FROM toks t
+             |LEFT JOIN ncov n ON n.doc_id = t.doc_id
+             |JOIN ret r ON r.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0) banded
     // against the ALREADY-INDEXED rest of the corpus — no corpus self-join;
     // candidates verified with shingle-set Jaccard. Signatures are per-doc,

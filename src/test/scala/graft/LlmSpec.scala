@@ -795,6 +795,23 @@ class LlmSpec extends SparkSpec {
     // and no index-index pair (1,2) can appear by construction
   }
 
+  test("span dedup: duplicated spans masked at any offset, short docs untouched") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),   // shares span "c d e f g" at pos 2
+      (2L, "z c d e f g y"),   // ...same span at pos 1 — different alignment
+      (3L, "m n o p")          // shorter than n: no windows, fully retained
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, n = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 7L, 5L, "a b")))
+    assert(out(1) == ((2L, 7L, 5L, "z y")))
+    assert(out(2) == ((3L, 4L, 0L, "m n o p")))
+    // the tiled form would MISS this: doc 2's span starts mid-tile
+    val tiled = Dedup.chunkDedup(Dedup.tokenTiles(corpus, n = 5))
+      .orderBy("doc_id").select("n_dup_tiles").as[Long].collect()
+    assert(tiled.sameElements(Array(0L, 0L, 0L)))
+  }
+
   test("new-operator plan shapes: keyed exchanges only, no cartesian anywhere") {
     val corpus = (1 to 40).map(i => (i.toLong, s"tok$i a b c d e f g")).toDF("doc_id", "text")
     // chunk dedup: every join is an equi-join on the tile / doc key — a
