@@ -600,6 +600,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most-similar candidates whose `label` DIFFERS from the
+    * query's — the "close but wrong" examples a contrastive loss needs.
+    * Same single-corpus-pass shape as [[knnJoin]]: the query set (with
+    * labels) is ONE sorted broadcast row, scoring is a codegen'd fold per
+    * (candidate × query), the label filter drops same-class pairs before
+    * anything shuffles, and the only exchange carries
+    * (query_id, vec_id, label, cos_sim) — never the embedding payload. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val qRow = broadcast(queries
+      .agg(array_sort(collect_list(struct(col("vec_id").as("qid"),
+        col("label").as("ql"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn")))).as("qs")))
+    val scored = candidates.crossJoin(qRow)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("cn"), explode(col("qs")).as("q"))
+      .where(col("q.ql") =!= col("label"))
+      .select(col("q.qid").as("query_id"), col("vec_id"), col("label"),
+        (dot(col("embedding"), col("q.qe")) / (col("cn") * col("q.qn"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by

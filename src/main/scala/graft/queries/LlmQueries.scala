@@ -967,6 +967,27 @@ object LlmQueries {
              |QUALIFY "rank" <= 3
              |ORDER BY query_id, "rank"""".stripMargin)),
 
+    // Hard-negative mining: per query, top-k most-similar OTHER-label
+    // vectors — the contrastive-training counterpart of the k-NN join
+    // (same one-pass broadcast shape; label filter before the shuffle).
+    QueryDef("q_hard_negatives",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.hardNegatives(emb.where(col("vec_id") < 5), emb, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id, c.label,
+             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
+             |  CAST(row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |             c.vec_id) AS INT) AS "rank"
+             |FROM embeddings q CROSS JOIN embeddings c
+             |WHERE q.vec_id < 5 AND c.label <> q.label
+             |QUALIFY "rank" <= 5
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
     // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
     // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
     // centroid) with 8 codewords per 16-dim subspace, then ADC within the

@@ -795,6 +795,23 @@ class LlmSpec extends SparkSpec {
     // and no index-index pair (1,2) can appear by construction
   }
 
+  test("hard negatives: nearest other-label only, same-label never surfaces") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),   // same label as 0: must never appear for query 0
+      (2L, Array(0.9f, 0.2f), 2),    // closest other-label
+      (3L, Array(0.0f, 1.0f), 2)     // far other-label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb.where($"vec_id" === 0), emb, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((0L, 2L, 1), (0L, 3L, 2)))
+    // the scored exchange never carries the embedding payload
+    val plan = Similarity.hardNegatives(emb.where($"vec_id" === 0), emb, k = 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning[^\n]*".r.findAllIn(plan).toList
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("qe")), plan)
+  }
+
   test("span dedup: duplicated spans masked at any offset, short docs untouched") {
     val corpus = Seq(
       (1L, "a b c d e f g"),   // shares span "c d e f g" at pos 2
