@@ -279,6 +279,37 @@ object LlmScaleRehearsal {
     val nVec = dhashes.count()
     val imgAllPairs = nVec * (nVec - 1) / 2
 
+    // ---- (j) incremental dedup: cross-set banding is EXACT ----
+    // the batch-vs-index band join must produce precisely the full-corpus
+    // LSH pairing restricted to (batch, index) pairs — nothing lost, no
+    // self-pairing gained — while never joining the index with itself
+    val sigsAll = Dedup.minhashFromGrams(grams, numHashes = 4).cache()
+    sigsAll.count()
+    val incCount = Dedup.crossSetCandidates(
+      sigsAll.where(col("doc_id") % 5 =!= 0),
+      sigsAll.where(col("doc_id") % 5 === 0),
+      bands = 2, rowsPerBand = 2).count()
+    val crossFromFull = Dedup.lshCandidatePairs(sigsAll, bands = 2, rowsPerBand = 2)
+      .where((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .count()
+
+    // ---- (k) span dedup: post-filter work sized by TRUE duplication ----
+    // (1) salted replicas keep window spaces disjoint, so doubling the
+    // corpus must EXACTLY double the duplicated-window stream (an all-pairs
+    // or cross-replica-matching formulation would grow faster); (2) the
+    // covered-position stream is bounded by n × duplicated windows — the
+    // only rows that survive the n_occ>1 filter
+    def dupWindowCount(corpus: DataFrame): Long = {
+      val w = Dedup.overlappingWindows(corpus, n = 5)
+      val c = w.groupBy(col("win")).agg(count(lit(1)).as("n_occ"))
+      w.join(c, "win").where(col("n_occ") > 1).count()
+    }
+    val spanDup1 = dupWindowCount(replicas(1))
+    val spanDup2 = dupWindowCount(replicas(2))
+    val spanDupDocs = dupWindowCount(docs)
+    val spanCovered = Dedup.spanDedup(docs, n = 5)
+      .agg(sum(col("n_covered"))).first().getLong(0)
+
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
         s""""pq_encode_hash_exchanges":$encodeEx,"ivfpq_encode_hash_exchanges":$ivfPqEncodeEx,""" +
@@ -296,7 +327,10 @@ object LlmScaleRehearsal {
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2,""" +
         s""""dhash_exchanges":$dhashEx,"dhash_cross_product":$imgCross,""" +
         s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute,""" +
-        s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs}""")
+        s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs,""" +
+        s""""inc_candidates":$incCount,"inc_cross_pairs_full":$crossFromFull,""" +
+        s""""span_dup_windows_1x":$spanDup1,"span_dup_windows_2x":$spanDup2,""" +
+        s""""span_dup_windows_docs":$spanDupDocs,"span_covered_positions":$spanCovered}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -311,6 +345,15 @@ object LlmScaleRehearsal {
     require(!imgCross, s"banded Hamming retrieval must not cross-product:\n$imgPlan")
     require(imgPairCount == imgBrute,
       s"banded retrieval must be lossless: $imgPairCount banded vs $imgBrute brute")
+    require(incCount == crossFromFull,
+      s"incremental candidates must equal the cross-set restriction of the " +
+        s"full pairing: $incCount vs $crossFromFull")
+    require(spanDup2 == 2 * spanDup1,
+      s"span-dedup duplicated windows must double exactly on a salted 2x " +
+        s"corpus: $spanDup1 -> $spanDup2")
+    require(spanCovered <= 5 * spanDupDocs,
+      s"covered positions must be bounded by n x duplicated windows: " +
+        s"$spanCovered > 5*$spanDupDocs")
     // hard floor is the DEGENERATE case (random ≈ 0.02, one 0.1 step above);
     // the measured value — 0.2 fixed / 0.4 trained on the sf0.01 fixture —
     // is recorded in SCALE.md, not pinned here: recall moves in 0.1 steps,
