@@ -1542,6 +1542,22 @@ object LlmQueries {
              |FROM tiles t JOIN counts c USING (tile)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Token frequency-of-frequencies (the Zipf/Good-Turing spectrum): how
+    // many distinct tokens occur exactly f times corpus-wide. Two chained
+    // map-side-combined aggregations — the second one's key space is tiny
+    // (distinct frequencies), so the corpus token stream shuffles once.
+    QueryDef("q_token_spectrum",
+      (s, d) => spreadDocs(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n_tokens"))
+        .orderBy(col("f")),
+      Some("""SELECT f, count(*) AS n_tokens
+             |FROM (SELECT token, count(*) AS f
+             |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |      GROUP BY token)
+             |GROUP BY f ORDER BY f""".stripMargin)),
+
     // Exact-substring SPAN dedup (Lee et al. 2022, windowed): stride-1
     // 5-token windows, every position covered by a corpus-duplicated window
     // masked out — duplicated spans removed at ANY offset, unlike the tiled
