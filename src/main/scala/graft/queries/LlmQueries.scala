@@ -1542,6 +1542,26 @@ object LlmQueries {
              |FROM tiles t JOIN counts c USING (tile)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Length-bucketed batching report: docs grouped into 32-token-wide
+    // length buckets (the dynamic-batching layout trainers use so a batch
+    // pads to its bucket max, not the corpus max), with the padding waste
+    // each bucket would pay — all exact integers. One map-side-combined
+    // aggregation on the derived bucket key.
+    QueryDef("q_length_buckets",
+      (s, d) => spreadDocs(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(floor((col("n_tok") - 1) / 32).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("padding_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+        .orderBy(col("bucket")),
+      Some("""SELECT (n_tok - 1) // 32 AS bucket, count(*) AS n_docs,
+             |       max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
+             |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Token frequency-of-frequencies (the Zipf/Good-Turing spectrum): how
     // many distinct tokens occur exactly f times corpus-wide. Two chained
     // map-side-combined aggregations — the second one's key space is tiny

@@ -829,6 +829,36 @@ class LlmSpec extends SparkSpec {
     assert(tiled.sameElements(Array(0L, 0L, 0L)))
   }
 
+  test("span coverage dominates tile coverage (property, injected duplicates)") {
+    // every position of a duplicated FULL-LENGTH tile is, by construction,
+    // covered by the identical stride-1 WINDOW starting at the tile offset —
+    // so for the same n, span dedup must cover at least n × n_dup_tiles
+    // positions in every document. Doc lengths are kept multiples of n
+    // (partial tail tiles are not windows, so the bound holds only for
+    // full tiles); a violation means one of the two operators mis-keys its
+    // duplication test
+    val rng = new scala.util.Random(11)
+    val shared = (0 until 10).map(i => s"dup$i").mkString(" ") // an injected 10-token run
+    val docsGen = (1 to 40).map { i =>
+      val base = (0 until 5 * (1 + rng.nextInt(3))).map(_ => s"w${rng.nextInt(50)}").mkString(" ")
+      // a third of the docs embed the shared run at a random-parity offset
+      (i.toLong, if (i % 3 == 0) {
+        if (rng.nextBoolean()) s"$shared $base" else s"$base $shared"
+      } else base)
+    }
+    val df = docsGen.toDF("doc_id", "text")
+    val n = 5
+    val tiles = Dedup.chunkDedup(Dedup.tokenTiles(df, n))
+      .select("doc_id", "n_dup_tiles").as[(Long, Long)].collect().toMap
+    val spans = Dedup.spanDedup(df, n)
+      .select("doc_id", "n_covered").as[(Long, Long)].collect().toMap
+    assert(docsGen.exists { case (id, _) => spans(id) > 0 }) // dups actually injected
+    docsGen.foreach { case (id, _) =>
+      assert(spans(id) >= n * tiles(id),
+        s"doc $id: covered=${spans(id)} < $n*dupTiles=${tiles(id)}")
+    }
+  }
+
   test("new-operator plan shapes: keyed exchanges only, no cartesian anywhere") {
     val corpus = (1 to 40).map(i => (i.toLong, s"tok$i a b c d e f g")).toDF("doc_id", "text")
     // chunk dedup: every join is an equi-join on the tile / doc key — a
