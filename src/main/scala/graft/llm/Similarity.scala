@@ -624,6 +624,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Contrastive training-tuple assembly: for each query vector, its
+    * nearest SAME-label candidate (the positive) and the `kNeg` nearest
+    * OTHER-label candidates (the hard negatives) — the (anchor, positive,
+    * negatives) rows a contrastive/triplet loss consumes, labeled by
+    * `role`. ONE corpus pass scores every candidate against the broadcast
+    * query set; the per-(query, role) ranking windows run after the single
+    * triples-only exchange — assembling both sides never re-scans the
+    * corpus ([[hardNegatives]] and a positive-mining pass would). */
+  def contrastiveTuples(queries: DataFrame, candidates: DataFrame,
+                        kNeg: Int): DataFrame = {
+    val qRow = broadcast(queries
+      .agg(array_sort(collect_list(struct(col("vec_id").as("qid"),
+        col("label").as("ql"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn")))).as("qs")))
+    val scored = candidates.crossJoin(qRow)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("cn"), explode(col("qs")).as("q"))
+      .where(col("q.qid") =!= col("vec_id"))
+      .select(col("q.qid").as("query_id"), col("vec_id"), col("label"),
+        when(col("label") === col("q.ql"), lit("pos")).otherwise(lit("neg")).as("role"),
+        (dot(col("embedding"), col("q.qe")) / (col("cn") * col("q.qn"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("role"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where((col("role") === "pos" && col("rank") === 1) ||
+        (col("role") === "neg" && col("rank") <= kNeg))
+  }
+
   /** Random-hyperplane LSH signature: one sign bit per hyperplane,
     * concatenated to a string bucket key. Hyperplanes are given as a
     * broadcast-sized DataFrame (plane_id, plane) — deterministic by

@@ -988,6 +988,32 @@ object LlmQueries {
              |QUALIFY "rank" <= 5
              |ORDER BY query_id, "rank"""".stripMargin)),
 
+    // Contrastive tuple assembly: per query, the nearest same-label
+    // positive + top-3 other-label hard negatives, mined in ONE corpus
+    // pass (role decided per candidate, one exchange, two ranking windows).
+    QueryDef("q_contrastive_tuples",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.contrastiveTuples(emb.where(col("vec_id") < 5), emb, kNeg = 3)
+          .orderBy(col("query_id"), col("role"), col("rank"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+             |    CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
+             |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
+             |  FROM embeddings q CROSS JOIN embeddings c
+             |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, role
+             |    ORDER BY cos_sim DESC, vec_id) AS INT) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, label, role, cos_sim, "rank"
+             |FROM ranked
+             |WHERE (role = 'pos' AND "rank" = 1) OR (role = 'neg' AND "rank" <= 3)
+             |ORDER BY query_id, role, "rank"""".stripMargin)),
+
     // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
     // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
     // centroid) with 8 codewords per 16-dim subspace, then ADC within the

@@ -812,6 +812,20 @@ class LlmSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("qe")), plan)
   }
 
+  test("contrastive tuples: one positive, k hard negatives, one corpus pass") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),   // nearest same-label → THE positive
+      (2L, Array(0.5f, 0.5f), 1),    // same label but farther: excluded (only 1 pos)
+      (3L, Array(0.9f, 0.2f), 2),    // hard negative 1
+      (4L, Array(0.0f, 1.0f), 2)     // hard negative 2
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTuples(emb.where($"vec_id" === 0), emb, kNeg = 2)
+      .select("query_id", "role", "vec_id", "rank")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(out == Set((0L, "pos", 1L, 1), (0L, "neg", 3L, 1), (0L, "neg", 4L, 2)))
+  }
+
   test("span dedup: duplicated spans masked at any offset, short docs untouched") {
     val corpus = Seq(
       (1L, "a b c d e f g"),   // shares span "c d e f g" at pos 2
