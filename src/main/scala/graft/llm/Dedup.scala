@@ -31,6 +31,26 @@ object Dedup {
     docs.withColumn("dup_rank", row_number().over(w)).where(col("dup_rank") === 1).drop("dup_rank")
   }
 
+  /** C4/MassiveText-style text normalization: lowercase, strip every
+    * non-alphanumeric to a space, squash runs of spaces, trim. Catches the
+    * "same text, different punctuation/casing/whitespace" duplicates that
+    * raw-byte hashing misses (mirror sites, re-rendered HTML, smart quotes)
+    * while staying a pure codegen'd per-row expression. ASCII-targeted by
+    * design — `[^a-z0-9 ]` drops non-Latin characters entirely, so this is
+    * the ENGLISH-corpus normalizer (per-language corpora swap the class). */
+  def normalized(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup on the NORMALIZED text ([[normalized]]): same one-shuffle
+    * shape as [[exact]], plus `n_raw_variants` — how many distinct raw byte
+    * forms collapsed into this group (>1 = caught something raw dedup
+    * cannot; the audit column for choosing between the two passes). */
+  def normalizedExact(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(normalized(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col(textCol))).as("n_raw_variants"))
+
   /** Distinct character n-gram shingle set per document — THE shared
     * artifact of the shingle-based family: MinHash signatures and n-gram
     * Jaccard both derive from it, so a deployment computes (and persists)

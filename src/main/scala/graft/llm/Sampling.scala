@@ -39,6 +39,51 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         count(when(hashBucket(col(idCol), salt) < threshold, 1)).as("n_sampled"))
 
+  /** Deterministic global shuffle + shard assignment — the training-order
+    * step between curation and the data loader: every epoch reads the docs
+    * in an order that is (a) statistically shuffled, (b) bit-reproducible
+    * from the salt alone, and (c) stable under re-runs on any engine. The
+    * shard is the first hex nibble of md5(salt ‖ id) — 16 shards, kept AS
+    * the hex character so no engine ever does base conversion — and the
+    * position within a shard is the rank of the full hash (ties broken by
+    * id; md5 collisions on distinct salted ids are the only tie source).
+    *
+    * Scale shape: shard assignment is a pure map; the position is ONE
+    * exchange keyed by the shard — exactly the writer layout (one shard =
+    * one output stream), so the shuffle that orders the data is the same
+    * shuffle that writes it. A wider shard space (two nibbles → 256) is the
+    * same expression with length 2. */
+  def shardAssignment(docs: DataFrame, salt: String = "shard",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(concat(lit(salt), col(idCol).cast("string")))
+    docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Cluster-balanced subsampling — the topic-diversity cap: given a frame
+    * with a group column (an IVF cell, a k-means topic, a source), keep at
+    * most `cap` rows per group, chosen by a salted hash so the within-group
+    * pick is uniform and reproducible (NOT "first by id", which biases
+    * toward old data). Each kept row carries its group's total size, so the
+    * realized kept/total mix is read off the output. Head-heavy cluster
+    * distributions (the common case after embedding clustering) flatten to
+    * ≤ cap·|groups| rows. Shape: one exchange keyed by the group, two
+    * window passes over it, filter — the payload moves once. */
+  def balancedSample(rows: DataFrame, groupCol: String, cap: Int,
+                     idCol: String = "doc_id", salt: String = "bal"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col(groupCol))
+    rows
+      .withColumn("pick", row_number().over(
+        g.orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))).cast("long"))
+      .withColumn("n_group", count(lit(1)).over(g))
+      .where(col("pick") <= cap)
+      .select(col(idCol), col(groupCol), col("pick"), col("n_group"))
+  }
+
   /** Sequence packing, concatenate-and-chunk style (the GPT-pretraining
     * layout): within each stream (source shard), documents concatenate in
     * `idCol` order and the token stream is cut every `capacity` tokens;

@@ -262,6 +262,45 @@ object TextAnalysis {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** Character-bigram language-model surprisal — the integer-exact core of
+    * perplexity filtering (the CCNet/KenLM quality gate: score each document
+    * under a corpus LM; garbled text, encoding noise, and boilerplate-free
+    * gibberish score high). The LM is the corpus itself: P(c₂|c₁) =
+    * count(c₁c₂) / count(c₁·). Instead of summing float log-probs — whose
+    * accumulation order is engine-dependent — each bigram contributes
+    * `bitlen(ctxCount) − bitlen(bigramCount)` (bitlen n = ⌊log₂ n⌋ + 1 via
+    * `length(bin(n))`): an integer quantization of −log₂ P that is EXACT in
+    * any engine, order-free under summation, and monotone in the true
+    * surprisal to within 1 bit per term. Ratios (bits/char, the perplexity
+    * proxy) are downstream arithmetic.
+    *
+    * Scale shape: ONE positional explode feeds both the model build and the
+    * scoring pass. The model is charset²-sized (map-side-combined aggregate,
+    * ≤ a few thousand rows for any real charset mix) and BROADCASTS back
+    * onto the bigram stream — the corpus never shuffles on the bigram; the
+    * only corpus-sized exchange is the final per-doc aggregate, and at
+    * 100 TB a deployment trains the model once and ships it exactly like a
+    * pretrained KenLM file. Docs shorter than 2 chars have no bigrams and
+    * drop out (mirrored by the oracle's empty range). */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // guard BEFORE the explode: sequence(1, 0) counts DOWN in Spark, so a
+    // one-char doc would fabricate positions (same guard as repetitionStats)
+    val bg = docs.where(length(col(textCol)) >= 2)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - 1)).as("i"), col(textCol))
+      .select(col(idCol), col(textCol).substr(col("i"), lit(2)).as("bigram"))
+    val model = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_big"))
+    val ctx = model.groupBy(substring(col("bigram"), 1, 1).as("ctx"))
+      .agg(sum(col("c_big")).as("c_ctx"))
+    bg.join(broadcast(model), "bigram")
+      .join(broadcast(ctx), substring(col("bigram"), 1, 1) === col("ctx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c_ctx"))) - length(bin(col("c_big"))))
+          .cast("long").as("surprisal_bits"))
+  }
+
   /** PII pattern scan + redaction — the standard pre-training privacy pass:
     * count and mask email addresses, NANP-style phone numbers, and IPv4
     * addresses. Pure per-row regex work (regexp_extract_all /

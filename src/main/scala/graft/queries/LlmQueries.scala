@@ -1727,6 +1727,79 @@ object LlmQueries {
              |  GROUP BY e.user_id)
              |SELECT fv.user_id, fv.from_ts, cv.to_ts
              |FROM fv LEFT JOIN cv ON cv.user_id = fv.user_id
-             |ORDER BY fv.user_id""".stripMargin))
+             |ORDER BY fv.user_id""".stripMargin)),
+
+    // Perplexity-filter core: per-doc surprisal under the corpus char-bigram
+    // LM, quantized to exact integer bits (bitlen(ctx) − bitlen(bigram) per
+    // occurrence) so the compare surface has no float log accumulation. The
+    // charset²-sized model broadcasts; the only corpus exchange is the
+    // per-doc aggregate.
+    QueryDef("q_char_lm_surprisal",
+      (s, d) => graft.llm.TextAnalysis.bigramSurprisal(spreadDocs(s, d))
+        .orderBy(col("doc_id")),
+      Some("""WITH bg AS (
+             |  SELECT doc_id, substr(text, i, 2) AS bigram
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+             |        FROM documents WHERE length(text) >= 2)),
+             |m AS (SELECT bigram, count(*)::BIGINT AS c_big FROM bg GROUP BY 1),
+             |cx AS (SELECT substr(bigram, 1, 1) AS ctx, sum(c_big)::BIGINT AS c_ctx
+             |       FROM m GROUP BY 1)
+             |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+             |       sum(length(bin(cx.c_ctx)) - length(bin(m.c_big)))::BIGINT AS surprisal_bits
+             |FROM bg JOIN m USING (bigram) JOIN cx ON substr(bg.bigram, 1, 1) = cx.ctx
+             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic global shuffle: 16 hash shards (first md5 nibble, kept
+    // as the hex char — no base conversion in any engine) + rank within the
+    // shard by the full salted hash. Assignment is a map; the position is
+    // the one shard-keyed exchange that also writes the output.
+    QueryDef("q_shard_assign",
+      (s, d) => graft.llm.Sampling.shardAssignment(table(s, d, "documents"))
+        .orderBy(col("shard"), col("pos")),
+      Some("""SELECT doc_id,
+             |  substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             |  row_number() OVER (
+             |    PARTITION BY substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 1)
+             |    ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id)::BIGINT AS pos
+             |FROM documents ORDER BY shard, pos""".stripMargin)),
+
+    // Normalized exact dedup (the C4-style pass): same one-shuffle shape as
+    // q_dedup_exact but over lowercased/punctuation-stripped/space-squashed
+    // text; n_raw_variants > 1 marks groups raw-byte hashing missed.
+    QueryDef("q_dedup_normalized",
+      (s, d) => graft.llm.Dedup.normalizedExact(table(s, d, "documents"))
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies,
+             |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // Topic-diversity cap over the persisted IVF cell assignment: at most
+    // 50 vectors per cell, picked by salted hash (uniform within the cell,
+    // not biased toward low ids); each kept row carries the cell's total so
+    // the realized mix is read off the output. One cell-keyed exchange.
+    QueryDef("q_cluster_balance",
+      (s, d) => graft.llm.Sampling.balancedSample(
+          ivfOf(s, d).select(col("vec_id"), col("cell")),
+          groupCol = "cell", cap = 50, idCol = "vec_id")
+        .orderBy(col("cell"), col("pick")),
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+             |scored AS (
+             |  SELECT e.vec_id, c.centroid_id,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
+             |  FROM embeddings e CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, centroid_id AS cell FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)
+             |SELECT vec_id, cell, pick, n_group FROM (
+             |  SELECT vec_id, cell,
+             |         row_number() OVER (PARTITION BY cell
+             |           ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id)::BIGINT AS pick,
+             |         count(*) OVER (PARTITION BY cell)::BIGINT AS n_group
+             |  FROM assigned)
+             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin))
   )
 }

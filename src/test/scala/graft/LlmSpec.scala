@@ -912,4 +912,86 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 100L && out(0).getLong(2) == 150L)
     assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 200L && out(1).isNullAt(2))
   }
+
+  test("bigram surprisal: exact integer bits under the corpus bigram LM") {
+    import spark.implicits._
+    val d = Seq((1L, "abab"), (2L, "abcd"), (3L, "x")).toDF("doc_id", "text")
+    // model: ab:3 ba:1 bc:1 cd:1; ctx: a:3 b:2 c:1
+    // doc1 = ab,ba,ab → (bitlen3-bitlen3)+(bitlen2-bitlen1)+(0) = 0+1+0 = 1
+    // doc2 = ab,bc,cd → (2-2)+(2-1)+(1-1) = 1; doc3: <2 chars → dropped
+    val r = TextAnalysis.bigramSurprisal(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L)))
+    // rare-sequence docs surface: a RARE CONTINUATION OF A COMMON CONTEXT
+    // ("ab" when 'a' almost always continues as "aa") scores more bits per
+    // bigram than the dominant transition. (A bigram that is the ONLY
+    // continuation of its context — however rare — scores zero: P=1 is the
+    // correct conditional-LM behavior, not a bug.)
+    val corpus = (Seq((100L, "ab")) ++
+      (1L to 20L).map(i => (i, "aaaa"))).toDF("doc_id", "text")
+    val bits = TextAnalysis.bigramSurprisal(corpus)
+      .select(col("doc_id"), (col("surprisal_bits").cast("double") / col("n_bigrams")).as("bpb"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(bits(100L) > bits(1L), bits.toString)
+    // model broadcasts: the scoring plan must not shuffle the corpus on the
+    // bigram — both model joins are broadcast, never sort-merge/shuffled-hash
+    val plan = TextAnalysis.bigramSurprisal(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("normalized dedup: case/punctuation/whitespace variants collapse, raw forms counted") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "hello world"),
+      (4L, "different text")).toDF("doc_id", "text")
+    val r = Dedup.normalizedExact(d).orderBy("keep_id").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    // 1,2,3 collapse into one group (3 copies, 3 distinct raw byte forms)
+    assert(r.toSeq == Seq((1L, 3L, 3L), (4L, 1L, 1L)))
+    // raw exact dedup sees them all as distinct — the audit gap this pass closes
+    assert(Dedup.exact(d).count() == 4L)
+  }
+
+  test("shard assignment: md5-nibble shards, contiguous hash-ranked positions, reproducible") {
+    import spark.implicits._
+    val d = (1L to 64L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val r = graft.llm.Sampling.shardAssignment(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.length == 64)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // shard = first hex nibble of md5(salt ‖ id) — pinned against the JVM's
+    // own md5 so the column can't silently drift from the documented scheme
+    r.foreach { case (id, shard, _) => assert(shard == md5hex(s"shard$id").substring(0, 1)) }
+    // positions are exactly 1..n within each shard, ranked by the full hash
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+      val byPos = rows.sortBy(_._3).map(x => md5hex(s"shard${x._1}"))
+      assert(byPos.sameElements(byPos.sorted))
+    }
+    val again = graft.llm.Sampling.shardAssignment(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSet == again.toSet)
+  }
+
+  test("balanced sample: per-group cap, group totals, hash-uniform pick") {
+    import spark.implicits._
+    val rows = ((1L to 10L).map(i => (i, "big")) ++ Seq((20L, "small")))
+      .toDF("doc_id", "grp")
+    val r = graft.llm.Sampling.balancedSample(rows, "grp", cap = 3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val big = r.filter(_._2 == "big")
+    assert(big.length == 3 && big.forall(_._4 == 10L))
+    assert(big.map(_._3).sorted.sameElements(Seq(1L, 2L, 3L)))
+    val small = r.filter(_._2 == "small")
+    assert(small.length == 1 && small.head._4 == 1L)
+    // the pick is by salted hash, not by id: kept ids are the 3 smallest
+    // md5('bal'‖id), which differs from the 3 smallest ids for this fixture
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1L to 10L).sortBy(i => md5hex(s"bal$i")).take(3).toSet
+    assert(big.map(_._1).toSet == expect)
+    assert(expect != Set(1L, 2L, 3L))
+  }
 }
