@@ -84,6 +84,38 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("pick"), col("n_group"))
   }
 
+  /** Sliding-window chunking — the retrieval-index / context-window prep
+    * step: each document splits into `window`-token chunks every `stride`
+    * tokens (stride < window ⇒ overlapping context, the RAG-chunker
+    * layout). Chunk count is 1 + ⌈max(0, n − window) / stride⌉ — the
+    * minimal grid cover, so the final chunk may be partial but is never
+    * fully contained in its predecessor, and every token appears in at
+    * least one chunk. Tokens are non-empty whitespace splits (consistent
+    * with [[packSequences]]); zero-token docs yield no chunks. All
+    * arithmetic is integer (DIV), exact in any engine.
+    *
+    * Scale shape: a pure map — explode multiplies rows by ~n/stride but
+    * involves NO shuffle at all; the chunk stream feeds the embedding/
+    * index stage downstream, which imposes its own partitioning. */
+  def chunkWithOverlap(docs: DataFrame, window: Int, stride: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("n"),
+        explode(sequence(lit(0),
+          expr(s"CAST((greatest(size(toks) - $window, 0) + ${stride - 1}) DIV $stride AS INT)")))
+          .as("k"))
+      .select(col(idCol),
+        col("k").cast("long").as("chunk_idx"),
+        (col("k") * stride).cast("long").as("start_tok"),
+        least(lit(window), col("n") - col("k") * stride).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("k") * stride + 1, lit(window))).as("chunk_text"))
+  }
+
   /** Sequence packing, concatenate-and-chunk style (the GPT-pretraining
     * layout): within each stream (source shard), documents concatenate in
     * `idCol` order and the token stream is cut every `capacity` tokens;

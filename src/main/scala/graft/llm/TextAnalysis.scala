@@ -290,14 +290,26 @@ object TextAnalysis {
       .select(col(idCol),
         explode(sequence(lit(1), length(col(textCol)) - 1)).as("i"), col(textCol))
       .select(col(idCol), col(textCol).substr(col("i"), lit(2)).as("bigram"))
-    val model = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_big"))
+      // vacuously true (substr of non-null text is never null) but stated
+      // EXPLICITLY: the probe join infers isnotnull(bigram) and the ctx
+      // join infers isnotnull(substring(bigram,1,1)) — different inferred
+      // constraints would push different filters into each branch's copy
+      // of the subtree below, break canonical equality, and cost a second
+      // corpus explode (the packing stitch-join discipline)
+      .where(col("bigram").isNotNull && substring(col("bigram"), 1, 1).isNotNull)
+    // per-doc bigram counts FIRST: the model build and the scoring probe
+    // both derive from this one aggregate, whose subtrees stay canonically
+    // identical — AQE reuses its exchange, so the corpus explodes ONCE
+    // (LlmSpec pins the single scan)
+    val dbc = bg.groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+    val model = dbc.groupBy(col("bigram")).agg(sum(col("c")).as("c_big"))
     val ctx = model.groupBy(substring(col("bigram"), 1, 1).as("ctx"))
       .agg(sum(col("c_big")).as("c_ctx"))
-    bg.join(broadcast(model), "bigram")
+    dbc.join(broadcast(model), "bigram")
       .join(broadcast(ctx), substring(col("bigram"), 1, 1) === col("ctx"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(length(bin(col("c_ctx"))) - length(bin(col("c_big"))))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * (length(bin(col("c_ctx"))) - length(bin(col("c_big")))))
           .cast("long").as("surprisal_bits"))
   }
 

@@ -1775,6 +1775,23 @@ object LlmQueries {
              |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
+    // RAG-chunker layout: 64-token windows every 48 tokens (overlapping
+    // context), minimal grid cover — pure map, zero shuffle; integers only
+    // except the chunk text itself.
+    QueryDef("q_chunk_overlap",
+      (s, d) => graft.llm.Sampling.chunkWithOverlap(
+          table(s, d, "documents"), window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents)
+             |SELECT doc_id, k::BIGINT AS chunk_idx, (k * 48)::BIGINT AS start_tok,
+             |       least(64, len(toks) - k * 48)::BIGINT AS n_chunk_tokens,
+             |       array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+             |FROM t, unnest(range(0, 1 + (greatest(len(toks) - 64, 0) + 47) // 48)) AS u(k)
+             |WHERE len(toks) >= 1
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Topic-diversity cap over the persisted IVF cell assignment: at most
     // 50 vectors per cell, picked by salted hash (uniform within the cell,
     // not biased toward low ids); each kept row carries the cell's total so

@@ -310,6 +310,37 @@ object LlmScaleRehearsal {
     val spanCovered = Dedup.spanDedup(docs, n = 5)
       .agg(sum(col("n_covered"))).first().getLong(0)
 
+    // ---- (l) round-7 curation operators: plan shapes at fixture scale ----
+    // bigram-LM surprisal: model + probe branches must share the (doc,
+    // bigram) aggregate's exchange — ONE corpus scan in the executed final
+    // plan, and the model joins must broadcast (no sort-merge anywhere)
+    val surprisalDf = graft.llm.TextAnalysis.bigramSurprisal(docs)
+    // collect() (not count()) so THIS df's AQE final plan materializes in place
+    surprisalDf.collect()
+    val surprisalPlan = surprisalDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val surprisalScans = "Scan parquet".r.findAllIn(surprisalPlan).length
+    val surprisalSmj = surprisalPlan.contains("SortMergeJoin")
+    // shard assignment: exactly one exchange, keyed by the shard (the
+    // writer layout) — never by the doc id or the full hash
+    val shardDf = graft.llm.Sampling.shardAssignment(docs)
+    shardDf.collect()
+    val shardExchanges = "Exchange hashpartitioning\\([^\\n]*".r
+      .findAllIn(shardDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).toList
+    // chunking: a pure map — zero exchanges of any kind
+    val chunkEx = "Exchange".r.findAllIn(
+      graft.llm.Sampling.chunkWithOverlap(docs, window = 64, stride = 48)
+        .queryExecution.executedPlan.toString).length
+    // balanced sampling: one exchange, keyed by the group column
+    val balDf = graft.llm.Sampling.balancedSample(
+      Similarity.assignCells(emb, centroids).select(col("vec_id"), col("cell")),
+      groupCol = "cell", cap = 50, idCol = "vec_id")
+    balDf.collect()
+    val balExchanges = "Exchange hashpartitioning\\([^\\n]*".r
+      .findAllIn(balDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).toList
+
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
         s""""pq_encode_hash_exchanges":$encodeEx,"ivfpq_encode_hash_exchanges":$ivfPqEncodeEx,""" +
@@ -330,7 +361,9 @@ object LlmScaleRehearsal {
         s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs,""" +
         s""""inc_candidates":$incCount,"inc_cross_pairs_full":$crossFromFull,""" +
         s""""span_dup_windows_1x":$spanDup1,"span_dup_windows_2x":$spanDup2,""" +
-        s""""span_dup_windows_docs":$spanDupDocs,"span_covered_positions":$spanCovered}""")
+        s""""span_dup_windows_docs":$spanDupDocs,"span_covered_positions":$spanCovered,""" +
+        s""""surprisal_corpus_scans":$surprisalScans,"shard_exchanges":${shardExchanges.length},""" +
+        s""""chunk_exchanges":$chunkEx,"balance_exchanges":${balExchanges.length}}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -391,6 +424,14 @@ object LlmScaleRehearsal {
     require(rerankRecall >= rerankFloor && rerankRecall >= trainedPipeRecall,
       s"re-ranked recall@10 below floor: $rerankRecall (floor $rerankFloor, " +
         s"unrefined $trainedPipeRecall)")
+    require(surprisalScans == 1 && !surprisalSmj,
+      s"bigram surprisal must scan the corpus once with broadcast model " +
+        s"joins: $surprisalScans scans, smj=$surprisalSmj\n$surprisalPlan")
+    require(shardExchanges.length == 1 && shardExchanges.head.contains("shard"),
+      s"shard assignment must shuffle once, keyed by the shard: $shardExchanges")
+    require(chunkEx == 0, s"chunking must be a pure map: $chunkEx exchanges")
+    require(balExchanges.length == 1 && balExchanges.head.contains("cell"),
+      s"balanced sample must shuffle once, keyed by the group: $balExchanges")
     spark.stop()
   }
 }

@@ -935,9 +935,17 @@ class LlmSpec extends SparkSpec {
     assert(bits(100L) > bits(1L), bits.toString)
     // model broadcasts: the scoring plan must not shuffle the corpus on the
     // bigram — both model joins are broadcast, never sort-merge/shuffled-hash
-    val plan = TextAnalysis.bigramSurprisal(d).queryExecution.executedPlan.toString
+    val scored = TextAnalysis.bigramSurprisal(d)
+    val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    // model build + scoring probe share the (doc, bigram) aggregate's
+    // exchange (canonically identical subtrees → AQE stage reuse): the
+    // corpus is scanned and exploded ONCE in the executed final plan
+    scored.collect()
+    val finalPlan = scored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("LocalTableScan".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
   test("normalized dedup: case/punctuation/whitespace variants collapse, raw forms counted") {
@@ -973,6 +981,34 @@ class LlmSpec extends SparkSpec {
     val again = graft.llm.Sampling.shardAssignment(d).collect()
       .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
     assert(r.toSet == again.toSet)
+  }
+
+  test("chunk with overlap: minimal grid cover, partial tail, zero-token docs drop") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, w=8 s=4 → chunks at 0 (8) and 4 (6)
+      (2L, "a b c"),               // shorter than window → one chunk of 3
+      (3L, ""), (4L, "  ")         // zero tokens → no chunks
+    ).toDF("doc_id", "text")
+    val r = graft.llm.Sampling.chunkWithOverlap(d, window = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 8L, "a b c d e f g h"),
+      (1L, 1L, 4L, 6L, "e f g h i j"),
+      (2L, 0L, 0L, 3L, "a b c")))
+    // coverage invariant on a larger doc: every token index lands in ≥1
+    // chunk, consecutive chunks overlap by window − stride
+    val big = Seq((9L, (1 to 103).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = graft.llm.Sampling.chunkWithOverlap(big, window = 16, stride = 10)
+      .orderBy("chunk_idx").collect()
+      .map(x => (x.getLong(2), x.getLong(3)))
+    assert(ch.head == (0L, 16L) && ch.last._1 + ch.last._2 == 103L)
+    assert(ch.sliding(2).forall { case Array((s1, n1), (s2, _)) => s2 <= s1 + n1 })
+    // pure map: chunking itself plans no exchange at all
+    val plan = graft.llm.Sampling.chunkWithOverlap(d, 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("balanced sample: per-group cap, group totals, hash-uniform pick") {
