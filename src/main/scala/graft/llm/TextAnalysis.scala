@@ -175,6 +175,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), picks: _*)
   }
 
+  /** Quality-decile token budget — the filtering-threshold design report:
+    * within each stratum, rank docs by [[qualityScore]] into `bins`
+    * equal-frequency buckets (ntile; ties broken by id so the cut is
+    * deterministic in any engine) and report each bucket's doc count,
+    * token mass, and score range. Reading the curve answers "if we keep
+    * only the top-k deciles of source X, how many tokens survive?" before
+    * committing to a threshold. Tokens are non-empty whitespace splits.
+    * Shape: ONE shuffle keyed by the stratum (the lengthQuantiles
+    * discipline — strata are the parallel unit; a GLOBAL ntile would
+    * serialize the corpus onto one partition), then a map-side-combined
+    * aggregate over (stratum, bin). */
+  def qualityTokenCurve(docs: DataFrame, bins: Int = 10,
+                        stratumCol: String = "source",
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(stratumCol), col(idCol),
+        qualityScore(col(textCol)).as("q"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("toks"))
+      .withColumn("qbin", ntile(bins).over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("q"), col(idCol))).cast("long"))
+      .groupBy(col(stratumCol), col("qbin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+  }
+
   /** Order/repetition-invariant content signature: hash of the sorted
     * distinct token set. */
   def fingerprint(textCol: Column): Column =

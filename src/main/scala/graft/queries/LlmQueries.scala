@@ -1775,6 +1775,30 @@ object LlmQueries {
              |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
+    // Filtering-threshold design: per-source quality deciles with doc/token
+    // mass and score range per bucket — one stratum-keyed shuffle (never a
+    // global ntile), map-side-combined rollup.
+    QueryDef("q_quality_token_curve",
+      (s, d) => graft.llm.TextAnalysis.qualityTokenCurve(
+          table(s, d, "documents"), bins = 10)
+        .orderBy(col("source"), col("qbin")),
+      Some("""WITH s AS (
+             |  SELECT source, doc_id,
+             |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+             |     + CASE WHEN len(list_filter(string_split(text,' '),
+             |                    x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
+             |     + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
+             |    ) / 3.0 AS q,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+             |  FROM documents),
+             |b AS (SELECT source, q, toks,
+             |        ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS qbin
+             |      FROM s)
+             |SELECT source, qbin::BIGINT AS qbin, count(*) AS n_docs,
+             |       sum(toks)::BIGINT AS n_tokens, min(q) AS q_min, max(q) AS q_max
+             |FROM b GROUP BY 1, 2 ORDER BY source, qbin""".stripMargin)),
+
     // RAG-chunker layout: 64-token windows every 48 tokens (overlapping
     // context), minimal grid cover — pure map, zero shuffle; integers only
     // except the chunk text itself.

@@ -983,6 +983,28 @@ class LlmSpec extends SparkSpec {
     assert(r.toSet == again.toSet)
   }
 
+  test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "x x x x"),                              // low: no stopword, repetitive, short
+      (2L, "a", "the quick brown fox jumps over the lazy dog now"), // high
+      (3L, "a", "y y"),                                  // low
+      (4L, "a", "the cat and the dog walked over the hill today"), // high
+      (5L, "b", "the one and only document here today")  // lone doc in b
+    ).toDF("doc_id", "source", "text")
+    val r = graft.llm.TextAnalysis.qualityTokenCurve(d, bins = 2)
+      .orderBy("source", "qbin").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // source a: 2 bins of 2 docs; the low-quality pair (1,3) lands in bin 1
+    assert(r.toSeq == Seq(("a", 1L, 2L, 6L), ("a", 2L, 2L, 20L), ("b", 1L, 1L, 7L)))
+    // the ranking exchange keys on the stratum ALONE (a global ntile would
+    // serialize the corpus onto one partition); the rollup's exchange moves
+    // only map-side-combined (source, qbin) partials
+    val plan = graft.llm.TextAnalysis.qualityTokenCurve(d, bins = 2)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source[#0-9L]*, (4|32|200)\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("chunk with overlap: minimal grid cover, partial tail, zero-token docs drop") {
     import spark.implicits._
     val d = Seq(
