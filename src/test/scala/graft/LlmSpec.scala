@@ -1033,6 +1033,39 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("chunk with overlap: invariants hold for random window/stride/lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { trial =>
+      val window = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(window)
+      val docs = (0 until 8).map(i =>
+        (i.toLong, (1 to rnd.nextInt(40)).map(j => s"w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val lens = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").count(_.nonEmpty)).toMap
+      val chunks = graft.llm.Sampling.chunkWithOverlap(docs, window, stride)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .groupBy(_._1)
+      lens.foreach { case (id, n) =>
+        val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+        if (n == 0) assert(cs.isEmpty, s"trial $trial: empty doc chunked")
+        else {
+          // minimal grid cover: expected count, grid starts, full coverage,
+          // last chunk ends at n, only the last may be partial
+          val m = 1 + math.ceil(math.max(0, n - window).toDouble / stride).toInt
+          assert(cs.length == m, s"trial $trial doc $id: ${cs.length} != $m")
+          cs.zipWithIndex.foreach { case ((_, k, start, nc), i) =>
+            assert(k == i && start == i.toLong * stride)
+            assert(nc == math.min(window.toLong, n - start))
+            if (i < m - 1) assert(nc == window)
+          }
+          assert(cs.last._3 + cs.last._4 == n, s"trial $trial doc $id tail")
+        }
+      }
+    }
+  }
+
   test("balanced sample: per-group cap, group totals, hash-uniform pick") {
     import spark.implicits._
     val rows = ((1L to 10L).map(i => (i, "big")) ++ Seq((20L, "small")))

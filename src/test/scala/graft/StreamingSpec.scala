@@ -300,4 +300,27 @@ class StreamingSpec extends SparkSpec {
         (3L, 0L, 2L, "call [PHONE] twice [PHONE]")))
     } finally q.stop()
   }
+
+  test("chunker lifts to streaming unchanged (stateless map, explode included)") {
+    // chunkWithOverlap is a pure map (explode + projection, zero shuffle),
+    // so the SAME function chunks a readStream firehose — documents stream
+    // into retrieval-index chunks without a batch round-trip
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val chunked = graft.llm.Sampling.chunkWithOverlap(
+      ms.toDF.toDF("doc_id", "text"), window = 4, stride = 2)
+    assert(chunked.isStreaming)
+    val q = chunked.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a b c d e f"), (2L, ""))
+      q.processAllAvailable()
+      val out = spark.table("chunk_stream")
+        .select("doc_id", "chunk_idx", "start_tok", "chunk_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(out == Set((1L, 0L, 0L, "a b c d"), (1L, 1L, 2L, "c d e f")))
+    } finally q.stop()
+  }
 }
