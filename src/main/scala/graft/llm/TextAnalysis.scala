@@ -287,6 +287,28 @@ object TextAnalysis {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** BPE merge-candidate mining — the first step of byte-pair-encoding
+    * tokenizer training: count every adjacent symbol pair WITHIN words
+    * across the corpus and surface the top-`k` most frequent (the pair a
+    * BPE trainer would merge first; subsequent iterations re-run on merged
+    * symbols — this operator is the corpus-scan primitive each iteration
+    * repeats). Pairs never cross word boundaries, matching the BPE-ish
+    * pre-tokenization in [[bpeishTokens]]. Ties break lexicographically so
+    * the cut is deterministic in any engine.
+    *
+    * Scale shape: one explode (words, then in-word positions), a
+    * map-side-combined count on the pair — a symbol-alphabet²-bounded key
+    * space, so the exchange is tiny regardless of corpus size — and a
+    * top-k selection (`TakeOrderedAndProject`, never a full sort). */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 50,
+                         textCol: String = "text"): DataFrame =
+    docs.select(explode(filter(split(col(textCol), " "), w => w =!= "")).as("word"))
+      .where(length(col("word")) >= 2)
+      .select(explode(sequence(lit(1), length(col("word")) - 1)).as("i"), col("word"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
   /** Character-bigram language-model surprisal — the integer-exact core of
     * perplexity filtering (the CCNet/KenLM quality gate: score each document
     * under a corpus LM; garbled text, encoding noise, and boilerplate-free

@@ -1775,6 +1775,20 @@ object LlmQueries {
              |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
+    // Tokenizer training primitive: top-50 adjacent char pairs within words
+    // (the pair a BPE trainer merges first). Alphabet²-bounded aggregation
+    // key → tiny exchange at any corpus size; top-k via TakeOrdered.
+    QueryDef("q_bpe_merges",
+      (s, d) => graft.llm.TextAnalysis.bpeMergeCandidates(
+        table(s, d, "documents"), k = 50),
+      Some("""SELECT substr(word, i, 2) AS pair, count(*)::BIGINT AS n
+             |FROM (SELECT word, unnest(range(1, length(word))) AS i
+             |      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+             |                            x -> x <> '')) AS word
+             |            FROM documents)
+             |      WHERE length(word) >= 2)
+             |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
     // Filtering-threshold design: per-source quality deciles with doc/token
     // mass and score range per bucket — one stratum-keyed shuffle (never a
     // global ntile), map-side-combined rollup.

@@ -983,6 +983,23 @@ class LlmSpec extends SparkSpec {
     assert(r.toSet == again.toSet)
   }
 
+  test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
+    import spark.implicits._
+    val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
+    // pairs: aaa → aa,aa; ab → ab; aa → aa; xy → xy  ⇒ aa:3, ab:1, xy:1
+    val r = graft.llm.TextAnalysis.bpeMergeCandidates(d, k = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("aa", 3L), ("ab", 1L))) // tie ab < xy broken lexically
+    // single-char words contribute nothing; pairs never span the space
+    val r2 = graft.llm.TextAnalysis.bpeMergeCandidates(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), k = 10).collect()
+    assert(r2.isEmpty)
+    // top-k plans as TakeOrderedAndProject — never a full global sort
+    val plan = graft.llm.TextAnalysis.bpeMergeCandidates(d, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
     import spark.implicits._
     val d = Seq(
