@@ -84,6 +84,32 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("pick"), col("n_group"))
   }
 
+  /** Token-budget-capped sampling — mix design in TOKENS, not doc counts:
+    * within each stratum, documents are taken in descending `rankCol` order
+    * (quality score, LM score …; ties broken by id) until the stratum's
+    * token budget fills. A document is kept iff the tokens BEFORE it are
+    * under budget — so the budget boundary doc is kept (the budget is a
+    * floor on coverage, not a ceiling), and a lone oversized top doc is
+    * kept rather than leaving its stratum empty. Tokens are non-empty
+    * whitespace splits; cumulative sums are exact integers.
+    * Shape: ONE exchange keyed by the stratum, one running-sum window over
+    * it, filter — the lengthQuantiles discipline (strata are the parallel
+    * unit; a stratum so large its ranked prefix sum serializes should be
+    * packed with [[packSequences]]-style sub-streams instead). */
+  def budgetCappedSample(docs: DataFrame, tokenBudget: Long, rankCol: Column,
+                         stratumCol: String = "source",
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_r").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(stratumCol), col(idCol), rankCol.as("_r"),
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col(stratumCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Sliding-window chunking — the retrieval-index / context-window prep
     * step: each document splits into `window`-token chunks every `stride`
     * tokens (stride < window ⇒ overlapping context, the RAG-chunker

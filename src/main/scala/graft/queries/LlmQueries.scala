@@ -1775,6 +1775,32 @@ object LlmQueries {
              |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
+    // Mix design in tokens: fill each source's 500-token budget in
+    // quality-score order (boundary doc kept — the budget is a coverage
+    // floor). One stratum-keyed exchange; exact integer running sums.
+    QueryDef("q_token_budget_sample",
+      (s, d) => graft.llm.Sampling.budgetCappedSample(
+          table(s, d, "documents"), tokenBudget = 500L,
+          rankCol = graft.llm.TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id")),
+      Some("""WITH s AS (
+             |  SELECT source, doc_id,
+             |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+             |     + CASE WHEN len(list_filter(string_split(text,' '),
+             |                    x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
+             |     + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
+             |    ) / 3.0 AS q,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |        (sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+             |                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+             |      FROM s)
+             |SELECT source, doc_id, n_tokens, cum_tokens
+             |FROM c WHERE cum_tokens - n_tokens < 500
+             |ORDER BY source, cum_tokens, doc_id""".stripMargin)),
+
     // Tokenizer training primitive: top-50 adjacent char pairs within words
     // (the pair a BPE trainer merges first). Alphabet²-bounded aggregation
     // key → tiny exchange at any corpus size; top-k via TakeOrdered.

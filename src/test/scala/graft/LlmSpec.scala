@@ -983,6 +983,25 @@ class LlmSpec extends SparkSpec {
     assert(r.toSet == again.toSet)
   }
 
+  test("budget-capped sample: fill in rank order, boundary doc kept, oversized top doc kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "w w w w", 4.0),   // rank 2 in a → cum 9, before=5 < 8 → kept (boundary)
+      (2L, "a", "w w w w w", 9.0), // rank 1 → cum 5, kept
+      (3L, "a", "w w", 1.0),       // rank 3 → before=9 ≥ 8 → dropped
+      (4L, "b", "w w w w w w w w w w w w", 5.0) // lone oversized doc → kept
+    ).toDF("doc_id", "source", "text", "r")
+    val out = graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 8L, rankCol = col("r"))
+      .orderBy("source", "cum_tokens").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 5L, 5L), ("a", 1L, 4L, 9L), ("b", 4L, 12L, 12L)))
+    // the ranking/running-sum exchange keys on the stratum alone
+    val plan = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source[#0-9L]*, (4|32|200)\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
