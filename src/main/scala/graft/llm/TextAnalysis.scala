@@ -309,6 +309,61 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
+  /** Iterative BPE training — the full merge loop over the corpus (the
+    * [[bpeMergeCandidates]] scan is one iteration's counting step): words
+    * start as character-symbol arrays; each round counts adjacent symbol
+    * pairs corpus-wide, fuses the most frequent pair (ties broken
+    * lexicographically) greedily left-to-right in every word, and records
+    * the merge. Returns the merge table (step, left, right, merged, n) —
+    * the artifact a BPE tokenizer ships.
+    *
+    * Scale shape — the k-means discipline for iterative DataFrame
+    * algorithms: per round, ONE map-side-combined pair-count aggregate
+    * over the corpus (symbol-vocabulary-bounded key space), a driver-side
+    * top-1 (a bounded LIMIT-1 collect, like a centroid update), and a
+    * map-only greedy fusion via an `aggregate` fold — the corpus never
+    * shuffles; `localCheckpoint` truncates the compounding lineage each
+    * round. Stops early when no pair occurs twice. */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(filter(split(col(textCol), " "), w => w =!= "")).as("word"))
+      .select(split(col("word"), "").as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      val top = words
+        .where(size(col("syms")) >= 2)
+        .select(explode(sequence(lit(1), size(col("syms")) - 1)).as("i"), col("syms"))
+        .select(element_at(col("syms"), col("i")).as("l"),
+          element_at(col("syms"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty || top.head._3 < 2) done = true
+      else {
+        val (l, r, n) = top.head
+        out += ((step, l, r, l + r, n))
+        // greedy left-to-right fusion: fold each word's symbols, fusing
+        // whenever the accumulator's last symbol is `l` and the next is `r`
+        // (a just-fused symbol is l+r, never l, so no double-merge)
+        words = words.select(aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && s === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "left", "right", "merged", "n")
+  }
+
   /** Character-bigram language-model surprisal — the integer-exact core of
     * perplexity filtering (the CCNet/KenLM quality gate: score each document
     * under a corpus LM; garbled text, encoding noise, and boilerplate-free

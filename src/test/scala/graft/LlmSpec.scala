@@ -1019,6 +1019,24 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bpe training loop: greedy merges in frequency order, early stop when dry") {
+    import spark.implicits._
+    val d = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    // chars: h,u,g ×2 words + p,u,g → pairs (u,g):3 (h,u):2 (p,u):1
+    // merge 0: (u,g)→ug n=3; then (h,ug):2 → merge 1; then (p,ug):1 < 2 → stop
+    val m = graft.llm.TextAnalysis.bpeTrain(d, merges = 10)
+      .orderBy("step").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(m.toSeq == Seq((0, "u", "g", "ug", 3L), (1, "h", "ug", "hug", 2L)))
+    // greedy left-to-right fusion handles overlapping runs: "aaaa" with
+    // merge (a,a) fuses to [aa, aa], so round 2 merges (aa, aa)
+    val m2 = graft.llm.TextAnalysis.bpeTrain(
+      Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"), merges = 3)
+      .orderBy("step").collect()
+      .map(x => (x.getString(1), x.getString(2), x.getLong(4)))
+    assert(m2.toSeq == Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+  }
+
   test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
     import spark.implicits._
     val d = Seq(
