@@ -364,6 +364,31 @@ object TextAnalysis {
     out.toSeq.toDF("step", "left", "right", "merged", "n")
   }
 
+  /** BPE encoding — the inference side of [[bpeTrain]]: apply a merge list
+    * (in training order, the BPE rule) to tokenize text into learned
+    * subword symbols. Each merge is the same greedy left-to-right fusion
+    * fold the trainer used, composed as nested column expressions — the
+    * whole encode is ONE map pass over the corpus (no shuffle, no loop at
+    * run time; the loop happened at training). Returns (id, word_idx,
+    * symbols) — one row per word, symbols in order. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fused = merges.foldLeft[Column => Column](identity) { (prev, m) =>
+      val (l, r) = m
+      syms => aggregate(prev(syms),
+        array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+    }
+    docs.select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+          .as(Seq("word_idx", "word")))
+      .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
+        fused(split(col("word"), "")).as("symbols"))
+  }
+
   /** Character-bigram language-model surprisal — the integer-exact core of
     * perplexity filtering (the CCNet/KenLM quality gate: score each document
     * under a corpus LM; garbled text, encoding noise, and boilerplate-free

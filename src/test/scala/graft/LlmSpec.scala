@@ -1037,6 +1037,31 @@ class LlmSpec extends SparkSpec {
     assert(m2.toSeq == Seq(("a", "a", 6L), ("aa", "aa", 2L)))
   }
 
+  test("bpe encode: trained merges tokenize to a fixpoint, unseen chars stay atomic") {
+    import spark.implicits._
+    val corpus = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val merges = graft.llm.TextAnalysis.bpeTrain(corpus, merges = 10)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.llm.TextAnalysis.bpeEncode(corpus, merges)
+      .orderBy("doc_id", "word_idx").collect().map(_.getSeq[String](2).toList)
+    // training merged (u,g) then (h,ug): hug → [hug], pug → [p, ug]
+    assert(enc.toSeq == Seq(List("hug"), List("hug"), List("p", "ug")))
+    // FIXPOINT: re-counting pairs on the encoded corpus finds nothing the
+    // trainer would still merge (no pair with count >= 2) — encode really
+    // is the training loop's final symbol state
+    val pairs = graft.llm.TextAnalysis.bpeEncode(corpus, merges)
+      .where(size(col("symbols")) >= 2)
+      .select(explode(sequence(lit(1), size(col("symbols")) - 1)).as("i"), col("symbols"))
+      .groupBy(element_at(col("symbols"), col("i")),
+        element_at(col("symbols"), col("i") + 1)).count()
+    assert(pairs.where(col("count") >= 2).count() == 0L)
+    // words with chars never seen in training pass through as single chars
+    val unseen = graft.llm.TextAnalysis.bpeEncode(
+      Seq((9L, "zz hug")).toDF("doc_id", "text"), merges)
+      .orderBy("word_idx").collect().map(_.getSeq[String](2).toList)
+    assert(unseen.toSeq == Seq(List("z", "z"), List("hug")))
+  }
+
   test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
     import spark.implicits._
     val d = Seq(

@@ -103,7 +103,9 @@ class RoundTripPropertySpec extends AnyFunSuite {
         Gen.listOf(genSegment)))
     } yield Manifest(v, tables)
     forAll(genManifest, n = 100) { m =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-manifest-prop").toString
+      val dirPath = java.nio.file.Files.createTempDirectory("graft-manifest-prop")
+      SparkSpec.cleanupAtExit(dirPath) // 100 dirs per run must not pile up in /tmp
+      val dir = dirPath.toString
       Manifest.write(dir, m)
       assert(Manifest.read(dir).contains(m))
     }

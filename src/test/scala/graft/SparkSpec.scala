@@ -8,8 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Fresh temp dir, deleted at JVM exit (suites run in one JVM, so dirs
+    * must outlive the individual spec — fixtures are shared lazily — but
+    * repeated `sbt test` runs must not accumulate them in /tmp). */
+  def tmpDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    SparkSpec.cleanupAtExit(dir)
+    dir.toString
+  }
 }
 
 object SparkSpec {
@@ -24,4 +30,20 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  private val toDelete = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    sys.addShutdownHook {
+      toDelete.forEach { p =>
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          catch { case _: java.io.IOException => () } // best-effort sweep
+          finally walk.close()
+        }
+      }
+    }
+
+  def cleanupAtExit(p: java.nio.file.Path): Unit = { hookInstalled; toDelete.add(p) }
 }
