@@ -193,6 +193,76 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup candidate PAIRS (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv:2303.09540
+    * §2): within each coarse embedding cluster (the IVF `cell` assignment —
+    * [[Similarity.assignCells]], the same artifact the ANN index persists),
+    * every same-cell pair with cosine ≥ `threshold` is a SEMANTIC duplicate —
+    * paraphrases and re-renderings that exact/MinHash dedup cannot see.
+    * Candidate generation IS the clustering: only same-cell pairs are ever
+    * scored, never a corpus cross product.
+    *
+    * Scale shape: the pair join is ONE equi-join on `cell`; with the
+    * assignment persisted partitioned by cell, both sides prune to the cell
+    * being processed. The paper sizes k so per-cell populations stay bounded
+    * (k ≈ n/cellSize; 50k clusters for LAION) — per-cell pairwise work is
+    * then O(cellSize²) independent of corpus size, and a skewed hot cell
+    * splits under AQE like any skewed equi-join key. Norms are computed once
+    * per row before the join (n folds, not 2·|pairs|); cos = dot/(nₐ·n_b) is
+    * the proven-bit-identical expression tree shared with
+    * [[nearDupsFromBuckets]], so scores hash-match DuckDB exactly. */
+  def semanticPairs(assigned: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withNorm = assigned.select(col(idCol), col("cell"), col(vecCol))
+      .withColumn("nrm", Similarity.norm(col(vecCol)))
+    withNorm.as("a").join(withNorm.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        (Similarity.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** SemDeDup DECISION from a prebuilt duplicate-group map: per semantic
+    * group keep exactly ONE member — the one LEAST similar to its cell
+    * centroid (the paper's §2 keep-low-centroid-similarity rule: prune the
+    * redundant cluster core, keep the most atypical example; ties break on
+    * vec_id). Vectors in no pair are singleton groups and always survive.
+    *
+    * `clusters` is [[duplicateClusters]] over [[semanticPairs]] — the
+    * persisted group map (group ids are min member ids, so they stay within
+    * the cell the pairs came from). Centroid similarity is a map-only
+    * broadcast shape (the [[Similarity.assignCells]] pattern): the centroid
+    * set collapses into ONE broadcast row, each row reads its own cell's
+    * entry — the embedding payload never shuffles for scoring; the only
+    * exchanges are the (vec_id, cluster_id) join and the per-group window,
+    * both id-keyed. Output: (vec_id, cell, cluster_id, cent_sim,
+    * keep ∈ {0,1}). */
+  def semDeDupFromClusters(assigned: DataFrame, centroids: DataFrame,
+                           clusters: DataFrame): DataFrame = {
+    val centRow = broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centroid").as("ce"))).as("cents")))
+    val centSim = assigned.crossJoin(centRow)
+      .select(col("vec_id"), col("cell"),
+        Similarity.cosine(col("embedding"),
+          element_at(filter(col("cents"),
+            c => c.getField("centroid_id") === col("cell")), 1).getField("ce"))
+          .as("cent_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("cent_sim"), col("vec_id"))
+    centSim.join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** One-shot SemDeDup: pairs → connected groups → keep decision. Prefer
+    * building [[semanticPairs]] + [[duplicateClusters]] once, persisting the
+    * group map, and calling [[semDeDupFromClusters]] — the group build is the
+    * iterative ingest-side job, the decision is one join + one window. */
+  def semDeDup(assigned: DataFrame, centroids: DataFrame, threshold: Double): DataFrame =
+    semDeDupFromClusters(assigned, centroids,
+      duplicateClusters(semanticPairs(assigned, threshold)))
+
   /** SimHash candidate retrieval: band the 16-bit fingerprint into its four
     * nibbles; docs agreeing on ANY band are candidates. Pigeonhole
     * guarantee: a pair within Hamming distance 3 flips bits in at most 3 of

@@ -110,6 +110,100 @@ object Sampling {
       .select(col(stratumCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * re-balancing rule (Conneau & Lample's XLM sampling, α = 0.5): a
+    * stratum's sampling probability is proportional to its token mass raised
+    * to α < 1, flattening head strata and up-weighting tails without ever
+    * starving either. α is FIXED at 0.5 because x^0.5 = sqrt(x) is the one
+    * fractional power IEEE 754 requires correctly rounded — p_temp stays
+    * bit-reproducible in any engine, where pow(x, 0.4) would not be.
+    *
+    * Output per stratum: exact token count, p_raw = its share of the corpus,
+    * p_temp = sqrt-share. The sqrt-mass total is an ORDERED fold over the
+    * stratum-sorted weights (collect → sort → sequential sum — the
+    * [[graft.llm.Similarity.dot]] discipline), so the float denominator is
+    * identical in every engine too.
+    *
+    * Scale shape: one map-side-combined aggregation keyed by the stratum,
+    * then a single-row broadcast of the totals back onto the |strata|-row
+    * frame — the corpus is read once; everything after is O(|strata|). */
+  def temperatureMixWeights(docs: DataFrame, stratumCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    val perStratum = docs.groupBy(col(stratumCol))
+      .agg(sum(size(filter(split(col(textCol), " "), t => t =!= "")))
+        .cast("long").as("n_tokens"))
+    val totRow = broadcast(perStratum.agg(
+      sum(col("n_tokens")).as("n_total"),
+      aggregate(
+        array_sort(collect_list(struct(col(stratumCol).as("s"),
+          sqrt(col("n_tokens").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total")))
+    perStratum.crossJoin(totRow)
+      .select(col(stratumCol), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_total").cast("double")).as("p_raw"),
+        (sqrt(col("n_tokens").cast("double")) / col("w_total")).as("p_temp"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every document
+    * by how much more likely its content is under a TARGET distribution
+    * (the high-quality set you want more of — a wiki slice, one language, a
+    * curated domain) than under the RAW pool, using hashed bag-of-ngram
+    * models. Selection is then downstream: rank by the weight or feed it to
+    * [[budgetCappedSample]] as the rank column (the resampling step).
+    *
+    * Features are word unigrams hashed into 16^`hexChars` buckets (the first
+    * `hexChars` hex chars of md5 — the paper's hashed-ngram collapse, which
+    * is what makes the model broadcast-sized no matter the vocabulary).
+    * Both models live on the SAME bucket space: T(b) = target-token count,
+    * R(b) = raw-pool count (all docs, target included), add-1 smoothed.
+    *
+    * INTEGER-EXACT, the [[graft.llm.TextAnalysis.bigramSurprisal]]
+    * discipline: instead of float log-ratios — whose summation order is
+    * engine-dependent — each token contributes
+    * `bitlen(T(b)+1) − bitlen(R(b)+1) + bitlen(N_raw+1) − bitlen(N_tgt+1)`
+    * (bitlen n = ⌊log₂ n⌋ + 1 via `length(bin(n))`): a per-term integer
+    * quantization of log₂[p̂_tgt(b)/p̂_raw(b)] exact in any engine, order-free
+    * under summation, monotone in the true log-ratio to within 1 bit per
+    * term. Output: (doc_id, n_tokens, dsir_bits) — higher = more target-like;
+    * docs with no non-empty tokens have no feature rows and drop out
+    * (mirrored by the oracle's token <> '' filter).
+    *
+    * Scale shape: ONE token explode feeds both the model build and the
+    * scoring pass (the per-(doc, bucket) aggregate is the shared subtree —
+    * canonically identical on both branches, so AQE reuses its exchange and
+    * the corpus explodes once). The bucket models are ≤ 16^hexChars rows
+    * (map-side-combined) and BROADCAST back onto the count stream with the
+    * two totals as a second single-row broadcast — the corpus never shuffles
+    * on the bucket; the only corpus-sized exchange is the per-doc aggregate.
+    * At 100 TB the target set is tiny and the raw model ships like a
+    * pretrained artifact. */
+  def importanceWeights(docs: DataFrame, isTarget: Column, hexChars: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
+    val toks = docs.select(col(idCol), isTarget.as("is_target"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .select(col(idCol), col("is_target"),
+        conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+    // per-(doc, bucket) counts FIRST — the one corpus-sized aggregate both
+    // the models and the scoring derive from (is_target is doc-constant, so
+    // carrying it through the key adds no rows)
+    val dbc = toks.groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val model = dbc.groupBy(col("b"))
+      .agg(sum(col("c")).as("c_raw"),
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("c_tgt"))
+    val totals = model.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
+    dbc.join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * ((length(bin(col("c_tgt") + 1)) - length(bin(col("c_raw") + 1)))
+          + (length(bin(col("n_raw") + 1)) - length(bin(col("n_tgt") + 1)))))
+          .cast("long").as("dsir_bits"))
+  }
+
   /** Sliding-window chunking — the retrieval-index / context-window prep
     * step: each document splits into `window`-token chunks every `stride`
     * tokens (stride < window ⇒ overlapping context, the RAG-chunker

@@ -77,6 +77,22 @@ object LlmQueries {
       graft.llm.Dedup.duplicateClusters(pairsOf(s, d)).cache())
   }
 
+  /** SemDeDup threshold: the synthetic embeddings are random (within-cell
+    * cosine tops out near 0.6), so the semantic-duplicate cut sits at 0.35 —
+    * low enough to form non-trivial groups at every SF (94 pairs at
+    * sf0.001, ~1.7k at sf0.1 incl. a 390-member component), high enough that
+    * most vectors stay singletons. A real corpus uses ~0.95+. */
+  private val SemDedupTau = 0.35
+  private val semClustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Semantic duplicate-group map (connected components over the within-cell
+    * cosine pairs) — the persisted SemDeDup decision artifact; the iterative
+    * group build is the ingest-side job, exactly like [[clustersOf]]. */
+  private def semClustersOf(s: SparkSession, d: String): DataFrame = synchronized {
+    semClustersCache.getOrElseUpdate(d,
+      Dedup.duplicateClusters(Dedup.semanticPairs(ivfOf(s, d), SemDedupTau)).cache())
+  }
+
   /** Per-doc 16-bit SimHash signatures — cached artifact shared by the
     * signature dump and the banded pair-retrieval query. */
   private def simhashOf(s: SparkSession, d: String): DataFrame = synchronized {
@@ -230,6 +246,7 @@ object LlmQueries {
     dhashOf(s, d).count()
     winnowOf(s, d).count()
     clustersOf(s, d).count()
+    semClustersOf(s, d).count()
   }
 
   /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
@@ -1749,6 +1766,59 @@ object LlmQueries {
              |FROM bg JOIN m USING (bigram) JOIN cx ON substr(bg.bigram, 1, 1) = cx.ctx
              |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance weights: target = English docs, features = word
+    // unigrams hashed into 256 md5 buckets, both models on the same bucket
+    // space, add-1 smoothed; each token contributes an integer bit-length
+    // quantization of log2[p_tgt/p_raw] — order-free, engine-exact. The
+    // explode feeds model AND scoring through one shared (doc, bucket)
+    // aggregate; models broadcast back.
+    QueryDef("q_dsir_weights",
+      (s, d) => graft.llm.Sampling.importanceWeights(
+          spreadDocs(s, d), isTarget = col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, is_target, ('0x' || substr(md5(token), 1, 2))::INT AS b
+             |  FROM (SELECT doc_id, lang = 'en' AS is_target,
+             |               unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |dbc AS (
+             |  SELECT doc_id, is_target, b, count(*)::BIGINT AS c
+             |  FROM toks GROUP BY 1, 2, 3),
+             |model AS (
+             |  SELECT b, sum(c)::BIGINT AS c_raw,
+             |         sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS c_tgt
+             |  FROM dbc GROUP BY b),
+             |totals AS (SELECT sum(c_raw)::BIGINT AS n_raw, sum(c_tgt)::BIGINT AS n_tgt FROM model)
+             |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             |       sum(c * (length(bin(c_tgt + 1)) - length(bin(c_raw + 1))
+             |              + length(bin(n_raw + 1)) - length(bin(n_tgt + 1))))::BIGINT AS dsir_bits
+             |FROM dbc JOIN model USING (b) CROSS JOIN totals
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled mixture weights (α=0.5): per-source token mass,
+    // raw share, and sqrt-share — sqrt is the IEEE-correctly-rounded power,
+    // and the denominator is an ordered fold over source-sorted weights, so
+    // both floats hash-match exactly. One corpus aggregation + one
+    // single-row broadcast.
+    QueryDef("q_temperature_mix",
+      (s, d) => graft.llm.Sampling.temperatureMixWeights(table(s, d, "documents"))
+        .orderBy(col("source")),
+      Some("""WITH per AS (
+             |  SELECT source,
+             |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+             |         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
+             |                     (a, b) -> a + b) AS w_total
+             |  FROM per)
+             |SELECT source, n_tokens,
+             |       CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
+             |       sqrt(CAST(n_tokens AS DOUBLE)) / w_total AS p_temp
+             |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     // Deterministic global shuffle: 16 hash shards (first md5 nibble, kept
     // as the hex char — no base conversion in any engine) + rank within the
     // shard by the full salted hash. Assignment is a map; the position is
@@ -1881,6 +1951,67 @@ object LlmQueries {
              |           ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id)::BIGINT AS pick,
              |         count(*) OVER (PARTITION BY cell)::BIGINT AS n_group
              |  FROM assigned)
-             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin))
+             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): within-IVF-cell cosine pairs ≥ τ form
+    // semantic duplicate groups (connected components — the cached
+    // semClustersOf artifact); each group keeps its LEAST-centroid-similar
+    // member (prune the redundant cluster core, keep the atypical example).
+    // Spark side = min-label propagation + one broadcast centroid-similarity
+    // map pass + one per-group window; oracle = the same derivation with a
+    // recursive CTE. Cosines are the proven-bit-identical ordered fold, so
+    // float cent_sim hash-matches exactly.
+    QueryDef("q_semdedup",
+      (s, d) => Dedup.semDeDupFromClusters(
+          ivfOf(s, d), centroidsOf(s, d), semClustersOf(s, d))
+        .orderBy(col("vec_id")),
+      Some {
+        // cent_sim must be Spark's EXACT ordered-fold cosine — DuckDB's
+        // list_cosine_similarity clamps cos(v,v) to 1.0 where the fold
+        // gives 1.0000000000000002 for the centroid vectors themselves
+        // (the one case the rest of the family never outputs); for
+        // distinct vectors the two agree bit-for-bit, so the assignment
+        // ranking and the pair threshold keep the builtin.
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+             |   / (sqrt(list_reduce(list_transform($a,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+             |    * sqrt(list_reduce(list_transform($b,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))""".stripMargin
+        s"""WITH RECURSIVE cents AS (
+           |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
+           |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, emb, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+           |csim AS (
+           |  SELECT a.vec_id, a.cell, a.emb, ${cos("a.emb", "c.ce")} AS cent_sim
+           |  FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
+           |pairs AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35),
+           |edges AS (
+           |  SELECT doc_a AS s, doc_b AS d FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |cc(doc, lbl) AS (
+           |  SELECT s, s FROM edges
+           |  UNION
+           |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d),
+           |clusters AS (
+           |  SELECT doc AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY doc)
+           |SELECT a.vec_id, a.cell,
+           |       coalesce(c.cluster_id, a.vec_id) AS cluster_id, a.cent_sim,
+           |       CAST(row_number() OVER (
+           |         PARTITION BY coalesce(c.cluster_id, a.vec_id)
+           |         ORDER BY a.cent_sim, a.vec_id) = 1 AS INT) AS keep
+           |FROM csim a LEFT JOIN clusters c USING (vec_id)
+           |ORDER BY vec_id""".stripMargin
+      })
   )
 }

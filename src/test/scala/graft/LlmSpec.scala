@@ -168,6 +168,43 @@ class LlmSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semdedup: within-cell pairs only, one survivor per group, least-centroid-similar kept") {
+    // two coarse cells: centroid 1 = x-axis, centroid 2 = y-axis; vec 4
+    // (-x) lands in cell 2 (cos 0 beats cos -1) but pairs with nobody
+    val centroids = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(vecs, centroids)
+    val pairs = Dedup.semanticPairs(assigned, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // same-cell near-dups only: (0,1) in cell 1, (2,3) in cell 2; vec 4
+    // shares cell 2 but its cosine to 2/3 is 0 — below threshold
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+    val decision = Dedup.semDeDup(assigned, centroids, threshold = 0.9)
+      .select("vec_id", "cluster_id", "keep")
+      .as[(Long, Long, Int)].collect()
+      .map { case (v, c, k) => v -> (c, k) }.toMap
+    // groups: {0,1} labeled 0, {2,3} labeled 2, singleton 4
+    assert(decision(0L)._1 == 0L && decision(1L)._1 == 0L)
+    assert(decision(2L)._1 == 2L && decision(3L)._1 == 2L)
+    assert(decision(4L) == (4L, 1)) // singleton always survives
+    // keep = least similar to own centroid: 1 (0.9938) beats 0 (1.0);
+    // 3 beats 2 the same way — the paper's prune-the-cluster-core rule
+    assert(decision(0L)._2 == 0 && decision(1L)._2 == 1)
+    assert(decision(2L)._2 == 0 && decision(3L)._2 == 1)
+    // exactly one survivor per group
+    val perGroup = Dedup.semDeDup(assigned, centroids, threshold = 0.9)
+      .groupBy("cluster_id").agg(sum("keep").as("kept"))
+      .select("kept").as[Long].collect()
+    assert(perGroup.forall(_ == 1L))
+    // the centroid-similarity pass is a broadcast shape and the pair join is
+    // an equi-join on cell: no cartesian product anywhere
+    val plan = Dedup.semDeDup(assigned, centroids, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("simhash pairs: 4-band retrieval is lossless for hamming <= 3") {
     import spark.implicits._
     // 0x0101 vs 0x0000 differ in two DIFFERENT nibbles (b0 and b2) —
@@ -1000,6 +1037,68 @@ class LlmSpec extends SparkSpec {
     val plan = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
       .queryExecution.executedPlan.toString
     assert("hashpartitioning\\(source[#0-9L]*, (4|32|200)\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("temperature mix: sqrt-share flattens the head, exact at perfect squares") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w w", "big"), (2L, "w w", "big"),  // 4 tokens → sqrt 2
+      (3L, "w", "small")                       // 1 token  → sqrt 1
+    ).toDF("doc_id", "text", "source")
+    val got = graft.llm.Sampling.temperatureMixWeights(docs)
+      .orderBy("source").as[(String, Long, Double, Double)].collect()
+    // raw shares 4/5 vs 1/5; sqrt shares 2/3 vs 1/3 — the tail more than
+    // doubles its probability while the head keeps its majority
+    assert(got.toSeq == Seq(
+      ("big", 4L, 4.0 / 5.0, 2.0 / 3.0),
+      ("small", 1L, 1.0 / 5.0, 1.0 / 3.0)))
+    // single corpus aggregation; totals come back as a broadcast, never a
+    // second corpus pass
+    val plan = graft.llm.Sampling.temperatureMixWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row totals dim
+  }
+
+  test("dsir weights: exact integer log-ratio vs independent computation, target-heavy scores higher") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "wiki wiki good", "en"),  // all-target tokens
+      (2L, "spam spam junk", "de"),  // all-non-target tokens
+      (3L, "wiki good", "de"),       // non-target doc of target-heavy tokens
+      (4L, "", "en")                 // token-less: drops out
+    )
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val got = graft.llm.Sampling.importanceWeights(docs, isTarget = $"lang" === "en")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // independent reimplementation of the exact formula (md5 buckets,
+    // add-1-smoothed bucket models, bitlen quantization)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Int = Integer.parseInt(md5hex(t).substring(0, 2), 16)
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val toks = rows.flatMap { case (id, text, lang) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, lang == "en", bucket(t))) }
+    val raw = toks.groupBy(_._3).map { case (b, ts) => b -> ts.size.toLong }
+    val tgt = toks.filter(_._2).groupBy(_._3).map { case (b, ts) => b -> ts.size.toLong }
+    val (nRaw, nTgt) = (raw.values.sum, tgt.values.sum)
+    val expected = toks.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ts) =>
+      (id, ts.size.toLong, ts.map { case (_, _, b) =>
+        bitlen(tgt.getOrElse(b, 0L) + 1) - bitlen(raw(b) + 1) +
+          bitlen(nRaw + 1) - bitlen(nTgt + 1) }.sum)
+    }
+    assert(got.toSeq == expected)
+    assert(!got.exists(_._1 == 4L)) // token-less doc dropped
+    // the target-exclusive doc outscores the non-target-exclusive one
+    // per token (dsir_bits are length-weighted; both docs have 3 tokens)
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L))
+    // the model joins back onto the count stream as a BROADCAST (the
+    // corpus-sized side never shuffles on the bucket for scoring; the only
+    // b-keyed exchange is the model build itself, which moves pre-aggregated
+    // (doc, bucket) rows with map-side combine)
+    val plan = graft.llm.Sampling.importanceWeights(docs, $"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[b".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
