@@ -186,6 +186,13 @@ object Sampling {
       .where(col("token") =!= "")
       .select(col(idCol), col("is_target"),
         conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+      // vacuously true (conv of an md5 substring is never null) but stated
+      // EXPLICITLY: the scoring join infers isnotnull(b) and pushes it into
+      // ITS copy of the subtree below — the totals branch has no such join,
+      // so without this filter its subtree canonicalizes differently, AQE
+      // cannot reuse the (doc, bucket) exchange, and the corpus explodes
+      // twice (the bigramSurprisal discipline)
+      .where(col("b").isNotNull)
     // per-(doc, bucket) counts FIRST — the one corpus-sized aggregate both
     // the models and the scoring derive from (is_target is doc-constant, so
     // carrying it through the key adds no rows)

@@ -341,6 +341,40 @@ object LlmScaleRehearsal {
       .findAllIn(balDf.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head).toList
 
+    // ---- (m) data-selection operators: SemDeDup / DSIR / temperature ----
+    // SemDeDup: the within-cell pair join must stay an equi-join on the
+    // cell (a cartesian here is O(corpus²) at scale), and the decision must
+    // keep EXACTLY one member per semantic group — including singletons
+    val assignedCos = Similarity.assignCells(emb, centroids)
+    val semPairsDf = Dedup.semanticPairs(assignedCos, threshold = 0.35)
+    val semCross = semPairsDf.queryExecution.executedPlan.toString
+      .contains("CartesianProduct")
+    val semPairs = semPairsDf.count()
+    val semDecision = Dedup.semDeDup(assignedCos, centroids, threshold = 0.35).cache()
+    val semGroups = semDecision.agg(countDistinct(col("cluster_id"))).first().getLong(0)
+    val semKept = semDecision.agg(sum(col("keep"))).first().getLong(0)
+    semDecision.unpersist()
+    // DSIR importance weights: the corpus must explode ONCE (model and
+    // scoring share the (doc, bucket) aggregate) and the bucket models must
+    // join back as broadcasts — the corpus never shuffles on the bucket
+    val docsWide = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val dsirDf = graft.llm.Sampling.importanceWeights(docsWide, col("lang") === "en")
+    dsirDf.collect()
+    val dsirPlan = dsirDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val dsirScans = "Scan parquet".r.findAllIn(dsirPlan).length
+    val dsirModelBroadcast = "BroadcastHashJoin \\[b".r.findFirstIn(dsirPlan).isDefined
+    val dsirSmj = dsirPlan.contains("SortMergeJoin")
+    // temperature mix: totals must come back onto the |strata|-row frame as
+    // a single-row broadcast, never a sort-merge re-join of the corpus
+    val tempDf = graft.llm.Sampling.temperatureMixWeights(docsWide)
+    tempDf.collect()
+    val tempPlan = tempDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val tempBnlj = tempPlan.contains("BroadcastNestedLoopJoin")
+    val tempSmj = tempPlan.contains("SortMergeJoin")
+
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
         s""""pq_encode_hash_exchanges":$encodeEx,"ivfpq_encode_hash_exchanges":$ivfPqEncodeEx,""" +
@@ -363,7 +397,11 @@ object LlmScaleRehearsal {
         s""""span_dup_windows_1x":$spanDup1,"span_dup_windows_2x":$spanDup2,""" +
         s""""span_dup_windows_docs":$spanDupDocs,"span_covered_positions":$spanCovered,""" +
         s""""surprisal_corpus_scans":$surprisalScans,"shard_exchanges":${shardExchanges.length},""" +
-        s""""chunk_exchanges":$chunkEx,"balance_exchanges":${balExchanges.length}}""")
+        s""""chunk_exchanges":$chunkEx,"balance_exchanges":${balExchanges.length},""" +
+        s""""semdedup_cross_product":$semCross,"semdedup_pairs":$semPairs,""" +
+        s""""semdedup_groups":$semGroups,"semdedup_kept":$semKept,""" +
+        s""""dsir_corpus_scans":$dsirScans,"dsir_model_broadcast":$dsirModelBroadcast,""" +
+        s""""temp_mix_broadcast_totals":$tempBnlj}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -432,6 +470,15 @@ object LlmScaleRehearsal {
     require(chunkEx == 0, s"chunking must be a pure map: $chunkEx exchanges")
     require(balExchanges.length == 1 && balExchanges.head.contains("cell"),
       s"balanced sample must shuffle once, keyed by the group: $balExchanges")
+    require(!semCross, "SemDeDup pair join must be an equi-join on the cell")
+    require(semKept == semGroups,
+      s"SemDeDup must keep exactly one member per group: $semKept kept vs $semGroups groups")
+    require(semPairs > 0, "SemDeDup fixture degenerate: zero semantic pairs")
+    require(dsirScans == 1 && dsirModelBroadcast && !dsirSmj,
+      s"DSIR must scan the corpus once with broadcast model joins: " +
+        s"$dsirScans scans, broadcast=$dsirModelBroadcast, smj=$dsirSmj")
+    require(tempBnlj && !tempSmj,
+      s"temperature mix totals must broadcast back: bnlj=$tempBnlj, smj=$tempSmj")
     spark.stop()
   }
 }
