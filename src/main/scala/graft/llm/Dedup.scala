@@ -393,6 +393,40 @@ object Dedup {
       .drop("_rnk")
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[benchmarkOverlap]]: flag corpus vectors whose cosine to ANY held-out
+    * evaluation vector reaches `threshold` (paraphrased eval content that
+    * n-gram decontamination cannot see). Output per corpus vector: the max
+    * similarity over the eval set, the nearest eval id (ties → lowest id),
+    * and the flag as {0,1}.
+    *
+    * MAP-ONLY (the [[Similarity.assignCells]] shape): eval sets are tiny
+    * next to a 100 TB corpus, so the whole held-out set collapses into ONE
+    * sorted broadcast row with precomputed norms; each streamed corpus row
+    * computes its norm once and takes a per-row argmax over the eval array —
+    * the corpus payload never shuffles, nothing joins, one codegen pass.
+    * Cosine is the ordered-fold tree, so max_sim hash-matches any engine
+    * folding sequentially. Callers must keep corpus and eval DISJOINT
+    * (a vector compared against itself is definitionally contaminated). */
+  def semanticContamination(corpus: DataFrame, heldOut: DataFrame,
+                            threshold: Double): DataFrame = {
+    val hRow = broadcast(heldOut
+      .agg(array_sort(collect_list(struct(col("vec_id").as("hid"),
+        col("embedding").as("he"),
+        Similarity.norm(col("embedding")).as("hn")))).as("hs")))
+    corpus.crossJoin(hRow)
+      .select(col("vec_id"), col("embedding"), col("hs"),
+        Similarity.norm(col("embedding")).as("cn"))
+      .select(col("vec_id"),
+        array_max(transform(col("hs"), h =>
+          struct((Similarity.dot(col("embedding"), h.getField("he")) /
+              (col("cn") * h.getField("hn"))).as("s"),
+            (-h.getField("hid")).as("nid")))).as("best"))
+      .select(col("vec_id"), col("best.s").as("max_sim"),
+        (-col("best.nid")).as("nearest_eval_id"),
+        (col("best.s") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Benchmark decontamination — flag training documents that share content
     * with a held-out evaluation set (the standard n-gram-overlap
     * decontamination pass run before training). Inputs are two (id, gram)

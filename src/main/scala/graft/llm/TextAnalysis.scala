@@ -467,4 +467,27 @@ object TextAnalysis {
       countOf(noPhone, ip).as("ip_count"),
       regexp_replace(noPhone, lit(ip), lit("[IP]")).as("redacted"))
   }
+
+  /** Blocklist filter — the C4-style "bad words" curation pass: per doc,
+    * how many tokens (occurrences and distinct terms) hit a fixed blocklist,
+    * plus the keep flag (no hits at all — C4's drop rule). Exact integer
+    * counts; threshold variants (drop only above k hits) are downstream
+    * arithmetic on the same columns.
+    *
+    * The list is a LITERAL baked into the expression (blocklists are a few
+    * thousand fixed terms), so this is a PURE MAP over the scan — no join,
+    * no shuffle, no broadcast even; the `isin` compiles to a codegen'd set
+    * membership probe per token. Tokens are whitespace splits, matched
+    * exactly (case folding or stemming belongs to a normalization pass
+    * upstream, [[graft.llm.Dedup.normalized]]). */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist filters nothing")
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol),
+      size(filter(toks, t => t.isin(blocklist: _*))).cast("long").as("n_hits"),
+      size(filter(array_distinct(toks), t => t.isin(blocklist: _*)))
+        .cast("long").as("n_distinct_hits"),
+      (size(filter(toks, t => t.isin(blocklist: _*))) === 0).cast("int").as("keep"))
+  }
 }

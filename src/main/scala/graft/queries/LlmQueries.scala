@@ -2012,6 +2012,57 @@ object LlmQueries {
            |         ORDER BY a.cent_sim, a.vec_id) = 1 AS INT) AS keep
            |FROM csim a LEFT JOIN clusters c USING (vec_id)
            |ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // Semantic decontamination: every 25th vector is the held-out eval set;
+    // each remaining corpus vector takes a per-row argmax of cosine over the
+    // broadcast eval array (map-only — the corpus payload never shuffles)
+    // and is flagged at ≥ 0.35. The oracle mirrors the ordered-fold cosine
+    // explicitly (list_cosine_similarity clamps; the fold does not).
+    QueryDef("q_semantic_decontam",
+      (s, d) => Dedup.semanticContamination(
+          spreadEmbeddings(s, d).where(col("vec_id") % 25 =!= 0),
+          spreadEmbeddings(s, d).where(col("vec_id") % 25 === 0),
+          threshold = 0.35)
+        .orderBy(col("vec_id")),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b),
+             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+             |   / (sqrt(list_reduce(list_transform($a,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+             |    * sqrt(list_reduce(list_transform($b,
+             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))""".stripMargin
+        s"""WITH ev AS (
+           |  SELECT vec_id AS hid, embedding::DOUBLE[] AS he
+           |  FROM embeddings WHERE vec_id % 25 = 0),
+           |co AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS ce
+           |  FROM embeddings WHERE vec_id % 25 <> 0),
+           |scored AS (
+           |  SELECT co.vec_id, ev.hid, ${cos("co.ce", "ev.he")} AS s
+           |  FROM co CROSS JOIN ev)
+           |SELECT vec_id, s AS max_sim, hid AS nearest_eval_id,
+           |       CAST(s >= 0.35 AS INT) AS contaminated
+           |FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, hid) = 1
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
+    // counts against a literal blocklist, keep = zero hits. Pure map — the
+    // list compiles into the scan, no join or shuffle anywhere.
+    QueryDef("q_blocklist",
+      (s, d) => graft.llm.TextAnalysis.blocklistFilter(
+          table(s, d, "documents"), Seq("slow", "merge", "broken"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |       x -> x IN ('slow', 'merge', 'broken'))) AS BIGINT) AS n_hits,
+             |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+             |       x -> x IN ('slow', 'merge', 'broken'))) AS BIGINT) AS n_distinct_hits,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |       x -> x IN ('slow', 'merge', 'broken'))) = 0 AS INT) AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

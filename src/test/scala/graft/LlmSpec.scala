@@ -205,6 +205,44 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("semantic decontamination: argmax over eval set, flag at threshold, map-only") {
+    // eval = {0 (x-axis), 2 (y-axis)}; corpus = {1, 3, 4}
+    val eval = vecs.where($"vec_id".isin(0L, 2L))
+    val corpus = vecs.where(!$"vec_id".isin(0L, 2L))
+    val got = Dedup.semanticContamination(corpus, eval, threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Double, Long, Int)].collect()
+    // 1 ≈ x-axis → nearest eval 0, contaminated; 3 ≈ y-axis → nearest 2,
+    // contaminated; 4 = -x → best is cos 0 vs eval 2 (beats -1 vs eval 0)
+    assert(got.map(r => (r._1, r._3, r._4)).toSeq ==
+      Seq((1L, 0L, 1), (3L, 2L, 1), (4L, 2L, 0)))
+    assert(got(0)._2 > 0.99 && got(2)._2.abs < 1e-12)
+    // map-only: no hash exchange anywhere (one broadcast of the eval row)
+    val plan = Dedup.semanticContamination(corpus, eval, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("blocklist filter: occurrence and distinct counts, keep = zero hits, pure map") {
+    val got = TextAnalysis.blocklistFilter(docs, Seq("dog", "fox"))
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect()
+    // doc 1/2 end in "dog" (1 hit), doc 3 in "fox"; doc 4/5 are clean
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 0), (2L, 1L, 1L, 0), (3L, 1L, 1L, 0),
+      (4L, 0L, 0L, 1), (5L, 0L, 0L, 1)))
+    // occurrences vs distinct: repeated hit counts once in n_distinct_hits
+    val rep = TextAnalysis.blocklistFilter(
+      Seq((9L, "bad bad worse")).toDF("doc_id", "text"), Seq("bad", "worse"))
+      .as[(Long, Long, Long, Int)].collect().head
+    assert(rep == ((9L, 3L, 2L, 0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(docs, Seq.empty)
+    }
+    // pure map: no exchange of any kind
+    val plan = TextAnalysis.blocklistFilter(docs, Seq("dog"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("simhash pairs: 4-band retrieval is lossless for hamming <= 3") {
     import spark.implicits._
     // 0x0101 vs 0x0000 differ in two DIFFERENT nibbles (b0 and b2) —
