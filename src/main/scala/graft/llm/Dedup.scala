@@ -461,6 +461,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
+  /** First-occurrence NOVELTY profile — the curriculum/ordering statistic:
+    * per document, its distinct shingle count and how many of those shingles
+    * appear in NO lower-id document (doc ids are the ingest order, so
+    * `n_novel / n_grams` is the fraction of genuinely new content each doc
+    * adds — the curve flattens as a crawl saturates, and per-source novelty
+    * decides which sources still pay for their ingest cost).
+    *
+    * PRECONDITION: `grams` must be (id, gram)-distinct ([[charGrams]] is) —
+    * the [[benchmarkOverlap]] contract.
+    *
+    * Scale shape: NO gram-keyed join of corpus against corpus. n_novel
+    * needs only each gram's min doc id — one map-side-combined aggregate on
+    * the gram, re-aggregated by that min id (the gram itself is dropped
+    * before anything re-shuffles, so the second exchange carries already-
+    * aggregated (doc, count) rows); n_grams is one doc-keyed count; the
+    * final join is docs-sized × docs-sized. The only corpus-sized exchange
+    * is the gram aggregate every shingle statistic already pays. */
+  def noveltyStats(grams: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy(col("gram")).agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
   /** md5 carved into `n` independent 8-hex-char hash values. */
   def carvedHashes(c: Column, n: Int): Seq[Column] =
     (0 until n).map(j => substring(md5(c), j * 8 + 1, 8))

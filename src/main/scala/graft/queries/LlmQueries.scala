@@ -1375,6 +1375,25 @@ object LlmQueries {
              |FROM c LEFT JOIN b USING (gram)
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // First-occurrence novelty: per doc, distinct shingles and how many
+    // occur in no lower-id doc — the ingest-order novelty curve. No
+    // corpus×corpus gram join: min-doc per gram re-aggregates by that doc,
+    // then a docs-sized join against the per-doc totals.
+    QueryDef("q_novelty",
+      (s, d) => Dedup.noveltyStats(gramsOf(s, d)).orderBy(col("doc_id")),
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
+             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+             |        FROM documents)),
+             |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1),
+             |novel AS (
+             |  SELECT doc_id, count(*)::BIGINT AS n_novel
+             |  FROM (SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY 1)
+             |  GROUP BY 1)
+             |SELECT doc_id, n_grams, coalesce(n_novel, 0)::BIGINT AS n_novel
+             |FROM perdoc LEFT JOIN novel USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Training-mix curation: deterministic stratified sampling — each source
     // class keeps a fixed fraction (25/50/75/100% by source number mod 4),
     // membership decided by a salted per-doc hash bucket compared as a hex

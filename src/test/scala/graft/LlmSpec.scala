@@ -243,6 +243,53 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("novelty stats: first occurrence wins, later copies add nothing, no gram join") {
+    // doc 1 introduces everything; doc 2 repeats doc 1 exactly (0 novel);
+    // doc 3 shares a prefix with 1 but adds new tail grams
+    val d = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "abcdefgXYZ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyStats(Dedup.charGrams(d, n = 8))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // 10-char docs → 3 distinct 8-grams each; doc 3 shares only "abcdefgX"'s
+    // predecessor? grams of 3: abcdefgX, bcdefgXY, cdefgXYZ — all new
+    assert(got.toSeq == Seq((1L, 3L, 3L), (2L, 3L, 0L), (3L, 3L, 3L)))
+    // total novelty across docs == |distinct grams in corpus|
+    val totalNovel = got.map(_._3).sum
+    val distinctGrams = Dedup.charGrams(d, n = 8).select("gram").distinct().count()
+    assert(totalNovel == distinctGrams)
+    // the plan joins only docs-sized aggregates: the gram column never
+    // appears in a join condition (no corpus×corpus gram join)
+    val plan = Dedup.noveltyStats(Dedup.charGrams(d, n = 8))
+      .queryExecution.executedPlan.toString
+    assert(!"Join [a-zA-Z]*\\[gram".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("semdedup property: one keeper per group, keeper least centroid-similar (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val vs = data.toDF("vec_id", "embedding")
+    val cents = vs.where($"vec_id" < 3)
+      .select(($"vec_id" + 1).as("centroid_id"), $"embedding".as("centroid"))
+    val assigned = Similarity.assignCells(vs, cents)
+    for (tau <- Seq(0.2, 0.5, 0.8)) {
+      val out = Dedup.semDeDup(assigned, cents, tau).collect()
+      // every vector appears exactly once
+      assert(out.map(_.getAs[Long]("vec_id")).sorted.toSeq == (0L until 60L))
+      out.groupBy(_.getAs[Long]("cluster_id")).values.foreach { rows =>
+        // exactly one keeper per group
+        assert(rows.map(_.getAs[Int]("keep")).sum == 1)
+        // groups never span cells (pairs are within-cell by construction)
+        assert(rows.map(_.getAs[Long]("cell")).distinct.size == 1)
+        // the keeper minimizes (cent_sim, vec_id) — the paper's rule
+        val keeper = rows.find(_.getAs[Int]("keep") == 1).get
+        val expected = rows.minBy(r =>
+          (r.getAs[Double]("cent_sim"), r.getAs[Long]("vec_id")))
+        assert(keeper.getAs[Long]("vec_id") == expected.getAs[Long]("vec_id"))
+      }
+    }
+  }
+
   test("simhash pairs: 4-band retrieval is lossless for hamming <= 3") {
     import spark.implicits._
     // 0x0101 vs 0x0000 differ in two DIFFERENT nibbles (b0 and b2) —
