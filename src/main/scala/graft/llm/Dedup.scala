@@ -461,6 +461,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
+  /** INCREMENTAL SemDeDup pairing — semantic near-dup candidates of an
+    * ingest BATCH against the already-indexed corpus, without ever
+    * re-pairing the corpus with itself (the [[crossSetCandidates]]
+    * maintenance shape, lifted to embedding space): both sides carry their
+    * coarse cell ([[Similarity.assignCells]] — map-only, so a STREAMING
+    * batch assigns without state), candidates share a cell, and the cosine
+    * threshold keeps true near-dups. Work is O(batch × matched cells),
+    * never O(corpus²); with the index persisted partitioned by cell, only
+    * the batch's cells are read. The batch side is a plain stream-static
+    * equi-join away from running under Structured Streaming unchanged
+    * (StreamingSpec proves it). Output: (batch_id, index_id, cos_sim). */
+  def incrementalSemanticPairs(indexAssigned: DataFrame, batchAssigned: DataFrame,
+                               threshold: Double): DataFrame = {
+    val idx = indexAssigned.select(col("vec_id").as("index_id"), col("cell"),
+      col("embedding").as("ie"), Similarity.norm(col("embedding")).as("inrm"))
+    val bat = batchAssigned.select(col("vec_id").as("batch_id"), col("cell"),
+      col("embedding").as("be"), Similarity.norm(col("embedding")).as("bnrm"))
+    bat.join(idx, "cell")
+      .select(col("batch_id"), col("index_id"),
+        (Similarity.dot(col("be"), col("ie")) /
+          (col("bnrm") * col("inrm"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** First-occurrence NOVELTY profile — the curriculum/ordering statistic:
     * per document, its distinct shingle count and how many of those shingles
     * appear in NO lower-id document (doc ids are the ingest order, so

@@ -2068,6 +2068,33 @@ object LlmQueries {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // Incremental SemDeDup: every 5th vector is the ingest batch, the rest
+    // are the indexed corpus; candidates share a coarse cell and pass the
+    // cosine cut — batch×index only, never an index self-join (the
+    // embedding-space twin of q_dedup_incremental's maintenance shape).
+    QueryDef("q_semdedup_incremental",
+      (s, d) => Dedup.incrementalSemanticPairs(
+          ivfOf(s, d).where(col("vec_id") % 5 =!= 0),
+          ivfOf(s, d).where(col("vec_id") % 5 === 0),
+          threshold = 0.35)
+        .orderBy(col("batch_id"), col("index_id")),
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+             |scored AS (
+             |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
+             |  FROM embeddings e CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, emb, centroid_id AS cell FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)
+             |SELECT b.vec_id AS batch_id, i.vec_id AS index_id,
+             |       list_cosine_similarity(b.emb, i.emb) AS cos_sim
+             |FROM assigned b JOIN assigned i ON b.cell = i.cell
+             |WHERE b.vec_id % 5 = 0 AND i.vec_id % 5 <> 0
+             |  AND list_cosine_similarity(b.emb, i.emb) >= 0.35
+             |ORDER BY batch_id, index_id""".stripMargin)),
+
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
     // counts against a literal blocklist, keep = zero hits. Pure map — the
     // list compiles into the scan, no join or shuffle anywhere.

@@ -243,6 +243,28 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("incremental semantic pairs: batch vs index only, equals cross-restriction of full pairing") {
+    val centroids = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(vecs, centroids)
+    val inc = Dedup.incrementalSemanticPairs(
+        assigned.where($"vec_id" =!= 1L), assigned.where($"vec_id" === 1L),
+        threshold = 0.9)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(inc == Set((1L, 0L)))
+    // exactness: the incremental candidates are the full pairing restricted
+    // to batch×index pairs — nothing lost, nothing self-paired
+    val full = Dedup.semanticPairs(assigned, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a == 1L => (a, b)
+      case (a, b) if b == 1L => (b, a)
+    }
+    assert(inc == crossFromFull)
+  }
+
   test("novelty stats: first occurrence wins, later copies add nothing, no gram join") {
     // doc 1 introduces everything; doc 2 repeats doc 1 exactly (0 novel);
     // doc 3 shares a prefix with 1 but adds new tail grams

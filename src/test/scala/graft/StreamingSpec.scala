@@ -301,6 +301,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental semantic dedup lifts to streaming (map-only assign + stream-static join)") {
+    // the batch side of incrementalSemanticPairs is a broadcast-crossed
+    // per-row argmax (no state) joined stream-static against the persisted
+    // index — the SAME operator runs under Structured Streaming unchanged
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val centroids = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("centroid_id", "centroid")
+    val index = graft.llm.Similarity.assignCells(Seq(
+      (10L, Array(1.0f, 0.05f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.05f))).toDF("vec_id", "embedding"), centroids)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val batchAssigned = graft.llm.Similarity.assignCells(
+      ms.toDF.toDF("vec_id", "embedding"), centroids)
+    val pairs = graft.llm.Dedup.incrementalSemanticPairs(
+      index, batchAssigned, threshold = 0.9)
+    assert(pairs.isStreaming)
+    val q = pairs.writeStream.format("memory").queryName("sem_inc_stream")
+      .outputMode("append").start()
+    try {
+      // 100 is a near-dup of indexed 10 (same cell, cos ≈ 0.998); 101 is a
+      // z-axis vector — lands in a cell but clears no threshold
+      ms.addData((100L, Array(0.95f, 0.05f, 0.0f)), (101L, Array(0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+      val out = spark.table("sem_inc_stream")
+        .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 10L)))
+    } finally q.stop()
+  }
+
   test("chunker lifts to streaming unchanged (stateless map, explode included)") {
     // chunkWithOverlap is a pure map (explode + projection, zero shuffle),
     // so the SAME function chunks a readStream firehose — documents stream
