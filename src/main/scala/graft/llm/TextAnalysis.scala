@@ -480,6 +480,48 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** PMI collocation mining — the word2vec-style phrase-detection pass
+    * (Mikolov et al., "Distributed Representations of Words and Phrases",
+    * NeurIPS 2013 §4): adjacent token pairs scored by pointwise mutual
+    * information, so "new york" outranks "of the" even though the latter is
+    * more frequent. Pairs below `minCount` are noise and dropped (the
+    * paper's discounting); the top-k by score are the phrase-merge
+    * candidates a tokenizer or phrase vocabulary takes.
+    *
+    * INTEGER-EXACT PMI (the [[bigramSurprisal]] bitlen discipline):
+    * pmi_bits = bitlen(c_ab) + 2·bitlen(N_uni) − bitlen(N_pairs)
+    *          − bitlen(c_a) − bitlen(c_b)
+    * quantizes log₂[p(ab) / (p(a)·p(b))] with every term order-free and
+    * engine-exact; ties break lexically on the pair.
+    *
+    * Scale shape: TWO corpus explodes (adjacent pairs; unigrams) — each
+    * feeding ONE map-side-combined aggregate; both totals re-aggregate the
+    * already-aggregated count frames (never the corpus), the unigram model
+    * is vocabulary-sized and joins back as broadcasts, and the top-k is a
+    * TakeOrdered, never a global sort. */
+  def pmiPhrases(docs: DataFrame, k: Int = 50, minCount: Long = 5,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val prs = docs.where(size(toks) >= 2)
+      .select(toks.as("t"), explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val pcAll = prs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val uni = docs.select(explode(toks).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = broadcast(pcAll.agg(sum(col("c_pair")).as("n_pairs"))
+      .crossJoin(uni.agg(sum(col("c")).as("n_uni"))))
+    pcAll.where(col("c_pair") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(tot)
+      .select(col("w1"), col("w2"), col("c_pair"),
+        (length(bin(col("c_pair"))) + lit(2) * length(bin(col("n_uni")))
+          - length(bin(col("n_pairs"))) - length(bin(col("c1")))
+          - length(bin(col("c2")))).cast("long").as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Blocklist filter — the C4-style "bad words" curation pass: per doc,
     * how many tokens (occurrences and distinct terms) hit a fixed blocklist,
     * plus the keep flag (no hits at all — C4's drop rule). Exact integer

@@ -2095,6 +2095,34 @@ object LlmQueries {
              |  AND list_cosine_similarity(b.emb, i.emb) >= 0.35
              |ORDER BY batch_id, index_id""".stripMargin)),
 
+    // PMI collocation mining: adjacent-pair PMI in integer bits (bitlen
+    // quantization), minCount 5, top-50 by (pmi_bits desc, pair). Two
+    // corpus explodes → two map-side-combined aggregates; unigram model
+    // broadcasts back; TakeOrdered top-k.
+    QueryDef("q_pmi_phrases",
+      (s, d) => graft.llm.TextAnalysis.pmiPhrases(spreadDocs(s, d), k = 50)
+        .orderBy(col("pmi_bits").desc, col("w1"), col("w2")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |prs AS (
+             |  SELECT t[i] AS w1, t[i + 1] AS w2
+             |  FROM toks, unnest(range(1, len(t))) AS u(i)
+             |  WHERE len(t) >= 2),
+             |pc AS (SELECT w1, w2, count(*)::BIGINT AS c_pair FROM prs GROUP BY 1, 2),
+             |uni AS (
+             |  SELECT w, count(*)::BIGINT AS c
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(c_pair)::BIGINT FROM pc) AS n_pairs,
+             |               (SELECT sum(c)::BIGINT FROM uni) AS n_uni)
+             |SELECT w1, w2, c_pair,
+             |       (length(bin(c_pair)) + 2 * length(bin(n_uni))
+             |        - length(bin(n_pairs)) - length(bin(u1.c))
+             |        - length(bin(u2.c)))::BIGINT AS pmi_bits
+             |FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w
+             |CROSS JOIN tot
+             |WHERE c_pair >= 5
+             |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
+
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
     // counts against a literal blocklist, keep = zero hits. Pure map — the
     // list compiles into the scan, no join or shuffle anywhere.

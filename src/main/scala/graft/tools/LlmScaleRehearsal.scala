@@ -374,6 +374,23 @@ object LlmScaleRehearsal {
       .split("== Initial Plan ==").head
     val tempBnlj = tempPlan.contains("BroadcastNestedLoopJoin")
     val tempSmj = tempPlan.contains("SortMergeJoin")
+    // novelty: the stat must come from aggregates alone — the gram column
+    // never appears in a join (a gram-keyed corpus×corpus join would dwarf
+    // the aggregate); exactness: total novelty across docs IS the corpus's
+    // distinct-gram count (every gram is novel exactly once)
+    val novDf = Dedup.noveltyStats(grams)
+    val novGramJoin = "Join [a-zA-Z]*\\[gram".r.findFirstIn(
+      novDf.queryExecution.executedPlan.toString).isDefined
+    val novTotal = novDf.agg(sum(col("n_novel"))).first().getLong(0)
+    val novDistinct = grams.select(col("gram")).distinct().count()
+    // incremental semantic dedup: candidates must EQUAL the full within-cell
+    // pairing restricted to batch×index pairs (nothing lost, no index
+    // self-pairing) — the crossSetCandidates exactness discipline
+    val incSem = Dedup.incrementalSemanticPairs(
+      assignedCos.where(col("vec_id") % 5 =!= 0),
+      assignedCos.where(col("vec_id") % 5 === 0), threshold = 0.35).count()
+    val crossSem = Dedup.semanticPairs(assignedCos, threshold = 0.35)
+      .where((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0)).count()
 
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
@@ -401,7 +418,10 @@ object LlmScaleRehearsal {
         s""""semdedup_cross_product":$semCross,"semdedup_pairs":$semPairs,""" +
         s""""semdedup_groups":$semGroups,"semdedup_kept":$semKept,""" +
         s""""dsir_corpus_scans":$dsirScans,"dsir_model_broadcast":$dsirModelBroadcast,""" +
-        s""""temp_mix_broadcast_totals":$tempBnlj}""")
+        s""""temp_mix_broadcast_totals":$tempBnlj,""" +
+        s""""novelty_gram_join":$novGramJoin,"novelty_total":$novTotal,""" +
+        s""""novelty_distinct_grams":$novDistinct,""" +
+        s""""incsem_pairs":$incSem,"incsem_cross_pairs_full":$crossSem}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -479,6 +499,12 @@ object LlmScaleRehearsal {
         s"$dsirScans scans, broadcast=$dsirModelBroadcast, smj=$dsirSmj")
     require(tempBnlj && !tempSmj,
       s"temperature mix totals must broadcast back: bnlj=$tempBnlj, smj=$tempSmj")
+    require(!novGramJoin, "novelty must never join on the gram")
+    require(novTotal == novDistinct,
+      s"novelty must conserve: sum(n_novel)=$novTotal vs $novDistinct distinct grams")
+    require(incSem == crossSem,
+      s"incremental semantic candidates must equal the batch×index " +
+        s"restriction of the full pairing: $incSem vs $crossSem")
     spark.stop()
   }
 }

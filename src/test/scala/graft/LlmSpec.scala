@@ -1208,6 +1208,35 @@ class LlmSpec extends SparkSpec {
     assert("BroadcastHashJoin \\[b".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("pmi phrases: collocations outrank frequent-but-independent pairs, exact bits") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "new york new york new york"),          // perfect collocation
+      (2L, "the cat the dog the cat the dog"))     // "the" spreads thin
+    val d = rows.toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.pmiPhrases(d, k = 10, minCount = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // independent reimplementation of the exact bitlen-PMI formula
+    def bitlen(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val uni = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val prs = rows.flatMap { case (_, t) =>
+      t.split(" ").sliding(2).map(a => (a(0), a(1))).toSeq }
+    val pc = prs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nP, nU) = (prs.size.toLong, uni.values.sum)
+    val expected = pc.filter(_._2 >= 2).toSeq.map { case ((a, b), c) =>
+      (a, b, c, bitlen(c) + 2 * bitlen(nU) - bitlen(nP)
+        - bitlen(uni(a)) - bitlen(uni(b))) }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(10)
+    assert(got == expected)
+    // the true collocation wins (ties break lexically on the pair)
+    assert((got.head._1, got.head._2) == (("new", "york")))
+    // top-k plans as TakeOrderedAndProject — never a global sort
+    val plan = graft.llm.TextAnalysis.pmiPhrases(d, k = 10, minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
