@@ -522,6 +522,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Phrase application — the inference twin of [[pmiPhrases]] (the
+    * word2phrase pass): fuse each mined collocation (w1, w2) into the
+    * single token "w1_w2" by a greedy LEFT-TO-RIGHT, NON-OVERLAPPING fold
+    * over the token stream ("a a a" with phrase (a,a) → ["a_a", "a"]),
+    * one phrase at a time in list order — later phrases see earlier
+    * fusions, so ("new","york") then ("new_york","city") builds
+    * "new_york_city" (run [[pmiPhrases]] again over the fused corpus to
+    * mine the second-order phrases, the paper's 2-4 pass recipe).
+    *
+    * The fold is the [[bpeEncode]] expression shape: each phrase compiles
+    * to one `aggregate` HOF pass composed as nested column expressions —
+    * the whole application is ONE map over the corpus, no shuffle, no
+    * join, the phrase list is baked into the codegen'd expression (phrase
+    * vocabularies are thousands of entries; very long lists should batch
+    * by re-applying over the output column). Output: (id, tokens,
+    * fused_text). Empty/whitespace-only docs yield empty tokens. */
+  def applyPhrases(docs: DataFrame, phrases: Seq[(String, String)],
+                   idCol: String = "doc_id", textCol: String = "text",
+                   sep: String = "_"): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase list fuses nothing")
+    val fused = phrases.foldLeft[Column => Column](identity) { (prev, p) =>
+      val (l, r) = p
+      ts => aggregate(prev(ts),
+        array().cast("array<string>"),
+        (acc, t) => when(
+          size(acc) > 0 && element_at(acc, -1) === l && t === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + sep + r))))
+          .otherwise(concat(acc, array(t))))
+    }
+    docs.select(col(idCol),
+        fused(filter(split(col(textCol), " "), w => w =!= "")).as("tokens"))
+      .withColumn("fused_text", concat_ws(" ", col("tokens")))
+  }
+
   /** Blocklist filter — the C4-style "bad words" curation pass: per doc,
     * how many tokens (occurrences and distinct terms) hit a fixed blocklist,
     * plus the keep flag (no hits at all — C4's drop rule). Exact integer

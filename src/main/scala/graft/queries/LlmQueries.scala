@@ -2123,6 +2123,41 @@ object LlmQueries {
              |WHERE c_pair >= 5
              |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
 
+    // Phrase application (word2phrase inference): fuse the two most-frequent
+    // corpus collocations greedily left-to-right, sequentially — the oracle
+    // replays the same fold as a DuckDB string reduce per phrase. Output is
+    // the fused text + token count (exact strings, engine-comparable).
+    QueryDef("q_phrase_apply",
+      (s, d) => graft.llm.TextAnalysis.applyPhrases(
+          table(s, d, "documents"),
+          Seq("table" -> "hash", "slow" -> "key"))
+        .select(col("doc_id"), col("fused_text"),
+          size(col("tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |f1 AS (
+             |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE
+             |    list_reduce(toks, (acc, x) ->
+             |      CASE WHEN (acc = 'table' OR ends_with(acc, ' table')) AND x = 'hash'
+             |           THEN CASE WHEN acc = 'table' THEN 'table_hash'
+             |                     ELSE substr(acc, 1, length(acc) - 6) || ' table_hash' END
+             |           ELSE acc || ' ' || x END) END AS s1
+             |  FROM t0),
+             |f2 AS (
+             |  SELECT doc_id, CASE WHEN s1 = '' THEN '' ELSE
+             |    list_reduce(string_split(s1, ' '), (acc, x) ->
+             |      CASE WHEN (acc = 'slow' OR ends_with(acc, ' slow')) AND x = 'key'
+             |           THEN CASE WHEN acc = 'slow' THEN 'slow_key'
+             |                     ELSE substr(acc, 1, length(acc) - 5) || ' slow_key' END
+             |           ELSE acc || ' ' || x END) END AS fused_text
+             |  FROM f1)
+             |SELECT doc_id, fused_text,
+             |       CAST(CASE WHEN fused_text = '' THEN 0
+             |                 ELSE len(string_split(fused_text, ' ')) END AS BIGINT) AS n_tokens
+             |FROM f2 ORDER BY doc_id""".stripMargin)),
+
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
     // counts against a literal blocklist, keep = zero hits. Pure map — the
     // list compiles into the scan, no join or shuffle anywhere.

@@ -1237,6 +1237,35 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("phrase apply: greedy non-overlapping fusion, sequential phrases compose, map-only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "new york city is in new york"),
+      (2L, "a a a"),          // run of repeats: leftmost pair fuses, tail stays
+      (3L, ""),               // empty doc → empty tokens
+      (4L, "york new")        // reversed order never fuses
+    ).toDF("doc_id", "text")
+    // second phrase consumes the first's fusion → new_york_city
+    val got = graft.llm.TextAnalysis.applyPhrases(d,
+        Seq("new" -> "york", "new_york" -> "city"))
+      .orderBy("doc_id").select("doc_id", "fused_text")
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "new_york_city is in new_york"),
+      (2L, "a a a"), (3L, ""), (4L, "york new")))
+    val run = graft.llm.TextAnalysis.applyPhrases(
+      Seq((9L, "a a a")).toDF("doc_id", "text"), Seq("a" -> "a"))
+      .select("fused_text").as[String].collect().head
+    assert(run == "a_a a")
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.applyPhrases(d, Seq.empty)
+    }
+    // one map pass: no exchange anywhere
+    val plan = graft.llm.TextAnalysis.applyPhrases(d, Seq("new" -> "york"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
