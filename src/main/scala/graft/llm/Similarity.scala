@@ -53,6 +53,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Dimension-budget recall report — the Matryoshka-style truncation
+    * evaluation (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022): for each candidate prefix width `d`, how many of the
+    * full-dimension top-k nearest neighbors survive when ranking by only
+    * the first `d` components. This is the design report behind shrinking
+    * a 100 TB vector scan: if recall holds at d=16 of 64, the ANN index
+    * stores (and the brute-force stage streams) a quarter of the bytes.
+    *
+    * Output: one row per width — (dim, hits ∈ 0..k, k); exact integers
+    * (both rankings are the bit-deterministic [[bruteForceTopK]] ordering,
+    * so the overlap is engine-exact). The per-width scans share the
+    * broadcast-query map-only shape; the k×k overlap join is trivially
+    * broadcast. |dims| is a handful, so the unioned plan stays small. */
+  def truncatedRecall(embeddings: DataFrame, dims: Seq[Int],
+                      queryVecId: Long, k: Int): DataFrame = {
+    require(dims.nonEmpty, "no widths to evaluate")
+    val full = bruteForceTopK(embeddings, queryVecId, k).select(col("vec_id"))
+    dims.map { d =>
+      val trunc = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      bruteForceTopK(trunc, queryVecId, k).select(col("vec_id"))
+        .join(broadcast(full), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"), col("hits"), lit(k.toLong).as("k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Assign every vector to its nearest centroid (max cosine — or min
     * squared L2 with `metric = "l2"` — centroid id as tie-break).
     * `centroids` must be broadcast-sized (IVF coarse quantizer: hundreds to

@@ -2123,6 +2123,31 @@ object LlmQueries {
              |WHERE c_pair >= 5
              |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
 
+    // Dimension-budget recall (Matryoshka-style truncation evaluation): how
+    // many of the full-64-dim top-10 survive ranking by only the first
+    // 8/16/32/64 components — the byte-budget design report for the vector
+    // scan. Exact integer overlaps of two bit-deterministic rankings.
+    QueryDef("q_dim_budget",
+      (s, d) => Similarity.truncatedRecall(
+          spreadEmbeddings(s, d), dims = Seq(8, 16, 32, 64),
+          queryVecId = 7L, k = 10)
+        .orderBy(col("dim")),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+             |f AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+             |      LIMIT 10),
+             |t(d) AS (SELECT unnest([8, 16, 32, 64])),
+             |r AS (SELECT t.d, e.vec_id,
+             |        row_number() OVER (PARTITION BY t.d
+             |          ORDER BY list_cosine_similarity(list_slice(e.embedding::DOUBLE[], 1, t.d),
+             |                                          list_slice(q.qe, 1, t.d)) DESC,
+             |                   e.vec_id) AS rk
+             |      FROM embeddings e CROSS JOIN q CROSS JOIN t WHERE e.vec_id <> 7)
+             |SELECT d AS dim,
+             |       CAST(count(*) FILTER (vec_id IN (SELECT vec_id FROM f)) AS BIGINT) AS hits,
+             |       CAST(10 AS BIGINT) AS k
+             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
+
     // Phrase application (word2phrase inference): fuse the two most-frequent
     // corpus collocations greedily left-to-right, sequentially — the oracle
     // replays the same fold as a DuckDB string reduce per phrase. Output is

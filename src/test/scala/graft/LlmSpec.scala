@@ -63,6 +63,28 @@ class LlmSpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("truncated recall: prefix ranking overlap vs independent computation") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 40L).map(i => (i, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+    val emb = data.toDF("vec_id", "embedding")
+    val got = Similarity.truncatedRecall(emb, dims = Seq(3, 6, 12), queryVecId = 5L, k = 4)
+      .orderBy("dim").as[(Int, Long, Long)].collect()
+    // independent recomputation: top-k by cosine on each prefix
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val q = data.find(_._1 == 5L).get._2
+    def topk(d: Int): Set[Long] = data.filter(_._1 != 5L)
+      .map { case (id, v) => (id, cos(v.take(d), q.take(d))) }
+      .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSet
+    val full = topk(12)
+    val expected = Seq(3, 6, 12).map(d => (d, (topk(d) & full).size.toLong, 4L))
+    assert(got.toSeq == expected)
+    assert(got.last._2 == 4L) // full width recalls everything by definition
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val top = Similarity.bruteForceTopK(vecs, queryVecId = 0L, k = 2)
       .select("vec_id").as[Long].collect()
