@@ -1310,6 +1310,31 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("phrase apply property: linear pass equals greedy fold (random streams)") {
+    import spark.implicits._
+    // reference implementation: the O(len²) greedy left-to-right fold the
+    // linear transform+filter claims to equal for l != r phrases
+    def greedy(tokens: Seq[String], phrases: Seq[(String, String)]): Seq[String] =
+      phrases.foldLeft(tokens) { case (ts, (l, r)) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == l && t == r)
+            acc.init :+ (l + "_" + r)
+          else acc :+ t
+        }
+      }
+    val rnd = new scala.util.Random(13)
+    val phrases = Seq("a" -> "b", "a_b" -> "c", "c" -> "a")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(13))(("abc") (rnd.nextInt(3)).toString).mkString(" "))
+    }
+    val got = graft.llm.TextAnalysis.applyPhrases(docs.toDF("doc_id", "text"), phrases)
+      .select("doc_id", "fused_text").as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val expected = greedy(text.split(" ").filter(_.nonEmpty), phrases).mkString(" ")
+      assert(got(id) == expected, s"doc $id: '$text' -> '${got(id)}' vs '$expected'")
+    }
+  }
+
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
