@@ -144,13 +144,16 @@ object Bench {
     // contention in that one run, invisible to the CPU spin probes.
     val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
     val gcSec = (gcMillis() - gcTimedStart) / 1e3
-    val notes = "r6 4-query outliers (winnow/decontam/clusters/ann_pq) not reproducible " +
-      "at same commit: host-side transient, not engine-side (clean r7 re-runs measured all " +
-      "four at r5 levels); gc_sec + storage_mb recorded to show engine health per run. " +
-      "q_kupo_copy_database +0.2s vs r4 decomposed by stage timing: copyFiltered ~1.5s " +
-      "(at/below r4), the r5-chained deleteInputs rewrite + final read are the residual - " +
-      "new work, not drift. q_pii_scan rewritten this round (counts from staged " +
-      "placeholders, one regex pass per class): 1.11s -> ~0.40s at sf0.1"
+    // Dated, round-tagged findings — historical analysis, NOT claims about
+    // THIS run (refresh or drop the tag when the analysis goes stale; the
+    // full narrative lives in SCALE.md next to the recorded runs).
+    val notes = "[r7 analysis, 2026-08] r6 4-query outliers (winnow/decontam/clusters/" +
+      "ann_pq) not reproducible at same commit: host-side transient, not engine-side " +
+      "(clean r7 re-runs measured all four at r5 levels); gc_sec + storage_mb recorded " +
+      "to show engine health per run. q_kupo_copy_database +0.2s vs r4 decomposed by " +
+      "stage timing: copyFiltered ~1.5s (at/below r4), the r5-chained deleteInputs " +
+      "rewrite + final read are the residual - new work, not drift. q_pii_scan " +
+      "rewritten in r7 (counts from staged placeholders): 1.11s -> ~0.40s at sf0.1"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}""")
     spark.stop()
   }

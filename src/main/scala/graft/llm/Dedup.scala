@@ -92,15 +92,25 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minhashFromGrams(charGrams(docs, shingle, idCol, textCol), numHashes, idCol)
 
+  /** Banded view of a wide signature frame: one row per (id, band, key),
+    * the band key being `rowsPerBand` signature columns concatenated. The
+    * ONE band-key derivation shared by the self-join pairing
+    * ([[lshCandidatePairs]]) and the cross-set incremental pairing
+    * ([[crossSetCandidates]]) — the incremental==full-restriction
+    * exactness gate depends on both computing the identical key, so the
+    * derivation must not fork. */
+  private def bandedSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                               idCol: String): DataFrame = (0 until bands).map { b =>
+    val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+    sigs.select(col(idCol), lit(b).as("band"), concat(cols: _*).as("sig"))
+  }.reduce(_ unionByName _)
+
   /** LSH banding over a wide signature: ids agreeing on a whole band are
     * candidate pairs. `rowsPerBand` signature columns concatenate into one
     * band key; the pair join is on (band, key). */
   def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                         idCol: String = "doc_id"): DataFrame = {
-    val banded = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"), concat(cols: _*).as("sig"))
-    }.reduce(_ unionByName _)
+    val banded = bandedSignatures(sigs, bands, rowsPerBand, idCol)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -407,7 +417,11 @@ object Dedup {
     * the corpus payload never shuffles, nothing joins, one codegen pass.
     * Cosine is the ordered-fold tree, so max_sim hash-matches any engine
     * folding sequentially. Callers must keep corpus and eval DISJOINT
-    * (a vector compared against itself is definitionally contaminated). */
+    * (a vector compared against itself is definitionally contaminated).
+    * An EMPTY held-out set fails loudly at execution (`raise_error` baked
+    * into the plan) — an argmax over zero eval vectors would otherwise
+    * return NULL max_sim/contaminated for every corpus row, which a
+    * downstream `where(contaminated = 1)` silently reads as clean. */
   def semanticContamination(corpus: DataFrame, heldOut: DataFrame,
                             threshold: Double): DataFrame = {
     val hRow = broadcast(heldOut
@@ -415,6 +429,10 @@ object Dedup {
         col("embedding").as("he"),
         Similarity.norm(col("embedding")).as("hn")))).as("hs")))
     corpus.crossJoin(hRow)
+      .withColumn("hs",
+        when(size(col("hs")) > 0, col("hs")).otherwise(raise_error(
+          lit("semanticContamination: held-out set is empty — every " +
+            "max_sim would be NULL, not 0"))))
       .select(col("vec_id"), col("embedding"), col("hs"),
         Similarity.norm(col("embedding")).as("cn"))
       .select(col("vec_id"),
@@ -531,10 +549,8 @@ object Dedup {
   def crossSetCandidates(indexSigs: DataFrame, batchSigs: DataFrame,
                          bands: Int, rowsPerBand: Int,
                          idCol: String = "doc_id"): DataFrame = {
-    def banded(sigs: DataFrame): DataFrame = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"), concat(cols: _*).as("sig"))
-    }.reduce(_ unionByName _)
+    def banded(sigs: DataFrame): DataFrame =
+      bandedSignatures(sigs, bands, rowsPerBand, idCol)
     banded(batchSigs).as("n").join(banded(indexSigs).as("x"),
         col("n.band") === col("x.band") && col("n.sig") === col("x.sig"))
       .select(col(s"n.$idCol").as("batch_doc"), col(s"x.$idCol").as("index_doc"))

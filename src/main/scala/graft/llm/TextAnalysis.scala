@@ -501,7 +501,11 @@ object TextAnalysis {
     * TakeOrdered, never a global sort. */
   def pmiPhrases(docs: DataFrame, k: Int = 50, minCount: Long = 5,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // empty tokens (from doubled/leading whitespace) are dropped BEFORE
+    // pairing, like every sibling token operator — otherwise space runs
+    // mint ('', w) candidates that applyPhrases can never apply (it
+    // filters empties before fusing)
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
     val prs = docs.where(size(toks) >= 2)
       .select(toks.as("t"), explode(sequence(lit(1), size(toks) - 1)).as("i"))
       .select(element_at(col("t"), col("i")).as("w1"),
@@ -539,12 +543,21 @@ object TextAnalysis {
     * be a pair's right, so every match fuses independently — exactly the
     * greedy result, with NO array-accumulator fold (the [[bpeEncode]]
     * aggregate shape is O(len²) per doc from accumulator copies — measured
-    * 3.1 s at sf0.1 vs 1.2 s for this form). The whole application is ONE
-    * map over the corpus: no shuffle, no join, the phrase list baked into
-    * the codegen'd expression (phrase vocabularies are thousands of
-    * entries; very long lists should batch by re-applying over the output
-    * column). Output: (id, tokens, fused_text). Empty/whitespace-only docs
-    * yield empty tokens. */
+    * 3.1 s at sf0.1 vs 1.2 s for this form). The whole application stays
+    * ONE map over the corpus — no shuffle, no join — but each phrase is
+    * its OWN chained projection rewriting the `tokens` column: the pass
+    * expression references its input array three times (the transform
+    * source plus the two neighbor `get`s), and CollapseProject refuses to
+    * inline a non-cheap alias consumed more than once, so the passes stay
+    * separate pipelined ProjectExecs and total expression size is LINEAR
+    * in the phrase count. (Composing the passes into one nested Column
+    * instead triples the tree per level — Catalyst walks expression trees
+    * structurally, so analysis cost is ~3^p and a 20-phrase list hangs the
+    * driver. Measured: the chained form analyzes 24 phrases in
+    * milliseconds.) Very long vocabularies should still batch a few
+    * hundred phrases per `applyPhrases` call to keep the logical plan
+    * shallow. Output: (id, tokens, fused_text). Empty/whitespace-only
+    * docs yield empty tokens. */
   def applyPhrases(docs: DataFrame, phrases: Seq[(String, String)],
                    idCol: String = "doc_id", textCol: String = "text",
                    sep: String = "_"): DataFrame = {
@@ -552,21 +565,20 @@ object TextAnalysis {
     phrases.foreach { case (l, r) =>
       require(l != r, s"self-pair ($l, $r): matches would overlap; greedy " +
         "fusion of self-pairs needs the sequential fold semantics") }
-    val fused = phrases.foldLeft[Column => Column](identity) { (prev, p) =>
+    val base = docs.select(col(idCol),
+      filter(split(col(textCol), " "), w => w =!= "").as("tokens"))
+    val fused = phrases.foldLeft(base) { (df, p) =>
       val (l, r) = p
-      in => { // bind the pass input once so the three get()s share it
-        val ts = prev(in)
+      val ts = col("tokens")
+      df.withColumn("tokens",
         filter(
           transform(ts, (t, i) =>
             when(t === l && get(ts, i + 1) === r, lit(l + sep + r))
               .when(t === r && get(ts, i - 1) === l, lit(null).cast("string"))
               .otherwise(t)),
-          x => x.isNotNull)
-      }
+          x => x.isNotNull))
     }
-    docs.select(col(idCol),
-        fused(filter(split(col(textCol), " "), w => w =!= "")).as("tokens"))
-      .withColumn("fused_text", concat_ws(" ", col("tokens")))
+    fused.withColumn("fused_text", concat_ws(" ", col("tokens")))
   }
 
   /** Blocklist filter — the C4-style "bad words" curation pass: per doc,
@@ -586,9 +598,13 @@ object TextAnalysis {
     require(blocklist.nonEmpty, "empty blocklist filters nothing")
     val toks = split(col(textCol), " ")
     docs.select(col(idCol),
-      size(filter(toks, t => t.isin(blocklist: _*))).cast("long").as("n_hits"),
-      size(filter(array_distinct(toks), t => t.isin(blocklist: _*)))
-        .cast("long").as("n_distinct_hits"),
-      (size(filter(toks, t => t.isin(blocklist: _*))) === 0).cast("int").as("keep"))
+        size(filter(toks, t => t.isin(blocklist: _*))).cast("long").as("n_hits"),
+        size(filter(array_distinct(toks), t => t.isin(blocklist: _*)))
+          .cast("long").as("n_distinct_hits"))
+      // derived in a SECOND projection: n_hits is a non-cheap alias
+      // referenced twice, so CollapseProject keeps the probe single —
+      // the literal blocklist bakes into the expression exactly twice
+      // (occurrences + distinct), not three times
+      .withColumn("keep", (col("n_hits") === 0).cast("int"))
   }
 }

@@ -2103,7 +2103,8 @@ object LlmQueries {
       (s, d) => graft.llm.TextAnalysis.pmiPhrases(spreadDocs(s, d), k = 50)
         .orderBy(col("pmi_bits").desc, col("w1"), col("w2")),
       Some("""WITH toks AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
              |prs AS (
              |  SELECT t[i] AS w1, t[i + 1] AS w2
              |  FROM toks, unnest(range(1, len(t))) AS u(i)

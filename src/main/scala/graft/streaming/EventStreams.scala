@@ -98,8 +98,11 @@ object EventStreams {
     * keyed state. A conversion (first `toType` at-or-after the user's
     * earliest seen `fromType`) is emitted EXACTLY ONCE, when it happens;
     * state afterwards is a two-field tombstone that suppresses re-emission.
-    * Within a batch events are sorted by timestamp (the same total order
-    * the batch funnel's min-aggregates use); an out-of-order `fromType`
+    * Within a batch events are sorted by timestamp with `fromType` ahead of
+    * other types at equal timestamps — the batch funnel's conversion filter
+    * is `ts >= from_ts` (equality converts), so a view and a purchase
+    * sharing a timestamp must apply view-first regardless of arrival order;
+    * an out-of-order `fromType`
     * arriving in a LATER batch lowers the stored first-view time only while
     * the user is unconverted — after conversion the emitted pair is final,
     * the usual exactly-once-output tradeoff of streaming funnels (a
@@ -117,7 +120,8 @@ object EventStreams {
         (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
           var st = state.getOption
-          batch.toSeq.sortBy(_.tsNanos).foreach { e =>
+          batch.toSeq.sortBy(e => (e.tsNanos, if (e.eventType == fromType) 0 else 1))
+            .foreach { e =>
             st match {
               case None if e.eventType == fromType =>
                 st = Some(FunnelState(e.tsNanos, converted = false))

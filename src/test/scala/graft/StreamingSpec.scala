@@ -209,6 +209,14 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("funnel_stream").as[FunnelOut].collect().toSet ==
         Set(FunnelOut(1L, 100L, 150L), FunnelOut(2L, 120L, 130L)))
+      // batch 4: purchase arrives BEFORE the view in the batch but shares
+      // its timestamp — the batch funnel's `ts >= from_ts` converts on
+      // equality, so the in-batch order must put the view first
+      ms.addData(FunnelEvent(3L, "purchase", 300L), FunnelEvent(3L, "view", 300L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").as[FunnelOut].collect().toSet ==
+        Set(FunnelOut(1L, 100L, 150L), FunnelOut(2L, 120L, 130L),
+          FunnelOut(3L, 300L, 300L)))
     } finally q.stop()
   }
 
