@@ -1335,6 +1335,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("phrase apply: 24-phrase list analyzes and runs (linear chained passes)") {
+    import spark.implicits._
+    // Each pass references its input array 3× — composed into ONE nested
+    // Column the tree triples per level (3^24 ≈ 3e11 structural paths:
+    // analysis alone would hang). The chained-projection form is linear;
+    // a generous wall bound distinguishes the two regimes unambiguously.
+    val phrases = (0 until 24).map(i => s"w$i" -> s"w${i + 1}")
+    val d = Seq((1L, (0 to 25).map("w" + _).mkString(" ")), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = graft.llm.TextAnalysis.applyPhrases(d, phrases)
+      .orderBy("doc_id").select("fused_text").as[String].collect()
+    assert((System.nanoTime() - t0) / 1e9 < 60.0, "phrase passes are not linear")
+    // sequential greedy semantics across the whole chain: w0_w1 fuses
+    // first, so (w1,w2) no longer matches; (w2,w3) does, and so on —
+    // pairs fuse at even offsets; (w23,w24) finds its left side consumed,
+    // leaving the w24 w25 tail untouched
+    assert(got(0) == ((0 to 22 by 2).map(i => s"w${i}_w${i + 1}") ++
+      Seq("w24", "w25")).mkString(" "))
+    assert(got(1) == "x y z")
+  }
+
   test("bpe merge candidates: within-word pairs only, deterministic top-k, TakeOrdered plan") {
     import spark.implicits._
     val d = Seq((1L, "aaa ab"), (2L, "aa xy")).toDF("doc_id", "text")
