@@ -581,6 +581,77 @@ object TextAnalysis {
     fused.withColumn("fused_text", concat_ws(" ", col("tokens")))
   }
 
+  /** Hashed-linear text classifier, training half — the frozen-weights
+    * quality-filter pipeline (the CCNet / fastText-style curation
+    * classifier: Wenzek et al. 2020 "CCNet"; Joulin et al. 2017 "Bag of
+    * Tricks for Efficient Text Classification"): a supervised model
+    * trained on a SMALL labeled set, persisted as one bucket→weight
+    * table, then applied as a broadcast artifact to the full corpus by
+    * [[applyTextClassifier]]. Unlike
+    * [[graft.llm.Sampling.importanceWeights]] — which scores the same
+    * pool its models were counted from — this is the train/apply SPLIT a
+    * production filter runs: label a few thousand docs, score 100 TB.
+    *
+    * The model is per-bucket naive-Bayes log-odds over hashed word
+    * unigrams (16^`hexChars` buckets, first `hexChars` hex chars of md5 —
+    * the hashing-trick collapse that bounds the artifact no matter the
+    * vocabulary), add-1 smoothed, INTEGER-EXACT via the
+    * [[bigramSurprisal]] bitlen discipline:
+    * `w(b) = bitlen(c_pos(b)+1) − bitlen(c_neg(b)+1)
+    *       + bitlen(N_neg+1) − bitlen(N_pos+1)`
+    * — the class-total normalization folds INTO the weight, so the
+    * persisted model is exactly (b, w_bits), ≤ 16^hexChars rows.
+    *
+    * Scale shape: everything here is labeled-set-sized (one explode, one
+    * map-side-combined bucket aggregate, one single-row broadcast of the
+    * class totals); the output broadcasts to the scoring pass. */
+  def trainTextClassifier(labeled: DataFrame, isPositive: Column,
+                          hexChars: Int = 2, textCol: String = "text"): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
+    val toks = labeled.select(isPositive.as("is_pos"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .select(col("is_pos"),
+        conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+    val counts = toks.groupBy(col("b"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("c_neg"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"))))
+      .select(col("b"),
+        (length(bin(col("c_pos") + 1)) - length(bin(col("c_neg") + 1))
+          + length(bin(col("n_neg") + 1)) - length(bin(col("n_pos") + 1)))
+          .cast("long").as("w_bits"))
+  }
+
+  /** Hashed-linear text classifier, inference half: score every document
+    * with a FROZEN (b, w_bits) model from [[trainTextClassifier]] —
+    * `score_bits = Σ_tokens w(bucket(token))` (buckets the training set
+    * never saw contribute 0), `pred_pos = score_bits ≥ 0`. Docs with no
+    * non-empty tokens have no feature rows and drop out (the
+    * [[graft.llm.Sampling.importanceWeights]] caveat, mirrored by the
+    * oracle's token <> '' filter).
+    *
+    * Scale shape: ONE corpus-sized exchange total — the token explode is
+    * a pure map, the model join is a BROADCAST onto the raw token stream
+    * (no per-(doc,bucket) pre-aggregate: that shape pays a second
+    * corpus shuffle to save broadcast probes, a bad trade when the join
+    * is map-side), and the per-doc sum is a single map-side-combined
+    * aggregate keyed on the doc id. */
+  def applyTextClassifier(docs: DataFrame, model: DataFrame, hexChars: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+      .select(col(idCol),
+        conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+      .join(broadcast(model), Seq("b"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(coalesce(col("w_bits"), lit(0L))).cast("long").as("score_bits"))
+      .withColumn("pred_pos", (col("score_bits") >= 0).cast("int"))
+  }
+
   /** Blocklist filter — the C4-style "bad words" curation pass: per doc,
     * how many tokens (occurrences and distinct terms) hit a fixed blocklist,
     * plus the keep flag (no hits at all — C4's drop rule). Exact integer

@@ -2220,6 +2220,48 @@ object LlmQueries {
              |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
+    // Supervised hashed-linear quality classifier (CCNet/fastText shape):
+    // naive-Bayes bitlen log-odds TRAINED on the even-doc_id half (labels =
+    // lang judgement), APPLIED frozen to the odd half — the train/apply
+    // split a production filter runs. Train side is labeled-set-sized;
+    // apply is one broadcast join on the token stream + one per-doc
+    // aggregate (a single corpus exchange).
+    QueryDef("q_quality_classifier",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val model = graft.llm.TextAnalysis.trainTextClassifier(
+          docs.where(col("doc_id") % 2 === 0), isPositive = col("lang") === "en")
+        graft.llm.TextAnalysis.applyTextClassifier(
+            docs.where(col("doc_id") % 2 === 1), model)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH trt AS (
+             |  SELECT lang = 'en' AS is_pos,
+             |         ('0x' || substr(md5(token), 1, 2))::INT AS b
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |        FROM documents WHERE doc_id % 2 = 0)
+             |  WHERE token <> ''),
+             |counts AS (
+             |  SELECT b, sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+             |            sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS c_neg
+             |  FROM trt GROUP BY b),
+             |tot AS (SELECT sum(c_pos)::BIGINT AS n_pos,
+             |               sum(c_neg)::BIGINT AS n_neg FROM counts),
+             |model AS (
+             |  SELECT b, (length(bin(c_pos + 1)) - length(bin(c_neg + 1))
+             |           + length(bin(n_neg + 1)) - length(bin(n_pos + 1)))::BIGINT AS w_bits
+             |  FROM counts CROSS JOIN tot),
+             |apl AS (
+             |  SELECT doc_id, ('0x' || substr(md5(token), 1, 2))::INT AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |        FROM documents WHERE doc_id % 2 = 1)
+             |  WHERE token <> '')
+             |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |       sum(coalesce(w_bits, 0))::BIGINT AS score_bits,
+             |       (sum(coalesce(w_bits, 0)) >= 0)::INT AS pred_pos
+             |FROM apl LEFT JOIN model USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
     // counts against a literal blocklist, keep = zero hits. Pure map — the
     // list compiles into the scan, no join or shuffle anywhere.

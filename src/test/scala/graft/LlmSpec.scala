@@ -285,6 +285,46 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    // labeled set: positives speak "good"/"nice", negatives "bad"/"ugly";
+    // "the" appears in both classes equally
+    val labeled = Seq(
+      (1L, "good nice the", true), (2L, "good the", true),
+      (3L, "bad ugly the", false), (4L, "bad the", false)
+    ).toDF("doc_id", "text", "is_pos")
+    val model = TextAnalysis.trainTextClassifier(labeled, col("is_pos"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def bucket(t: String): Int = {
+      val df = Seq(t).toDF("t")
+        .select(conv(substring(md5(col("t")), 1, 2), 16, 10).cast("int"))
+      df.collect().head.getInt(0)
+    }
+    // independent weight computation: N_pos = 5, N_neg = 5 ⇒ the totals
+    // term cancels; w = bitlen(c_pos+1) − bitlen(c_neg+1)
+    // "good": (2+1=3 → 2 bits) − (0+1=1 → 1 bit) = +1 (assuming no
+    // bucket collisions among the 5 distinct test tokens — asserted)
+    assert(Seq("good", "nice", "bad", "ugly", "the").map(bucket).distinct.size == 5)
+    assert(model(bucket("good")) == 1L)
+    assert(model(bucket("bad")) == -1L)
+    assert(model(bucket("the")) == 0L)   // balanced term carries no signal
+    // frozen apply to NEW docs: unseen token ("zzz") scores 0
+    val modelDf = TextAnalysis.trainTextClassifier(labeled, col("is_pos"))
+    val applied = TextAnalysis.applyTextClassifier(
+        Seq((10L, "good good the"), (11L, "ugly zzz"), (12L, "the"))
+          .toDF("doc_id", "text"), modelDf)
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect()
+    assert(applied.toSeq == Seq(
+      (10L, 3L, 2L, 1), (11L, 2L, -1L, 0), (12L, 1L, 0L, 1)))
+    // scale shape: the model joins as a BROADCAST onto the token stream —
+    // never a sort-merge join, and the corpus side shuffles exactly once
+    // (the per-doc aggregate)
+    val bigApply = TextAnalysis.applyTextClassifier(docs, modelDf)
+    val plan = bigApply.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("incremental semantic pairs: batch vs index only, equals cross-restriction of full pairing") {
     val centroids = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
