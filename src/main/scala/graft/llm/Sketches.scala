@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable HyperLogLog — a distinct-count sketch built ENTIRELY
+  * from deterministic relational algebra (Flajolet, Fusy, Gandouet &
+  * Meunier 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+  * estimation algorithm"), so the same derivation runs bit-identically on
+  * any engine: hashes are md5 (not an engine's private xxhash), registers
+  * are a plain (key, bucket, rho) frame, and the estimate folds the
+  * register array in bucket order — the repo's ordered-fold float
+  * discipline — so Spark and the DuckDB oracle agree to the last bit.
+  * Spark's own `approx_count_distinct` is the production default; THIS
+  * sketch is for when the register table itself is the artifact — shipped
+  * between engines, unioned across corpus snapshots, diffed across time —
+  * and the estimate must be reproducible anywhere.
+  *
+  * 2^p registers, p ∈ {4,8,12} (bucket = first p/4 hex chars of md5, so
+  * the carve stays on hex-digit boundaries; rho = leading-zero count + 1
+  * in the next 52 hash bits — 13 hex chars, exact in a BIGINT).
+  *
+  * Scale shape: [[hllRegisters]] is ONE map-side-combined aggregate on
+  * (key, bucket) — ≤ 2^p rows per key survive, whatever the input size;
+  * registers MERGE by bucket-wise max (HLL's defining property), so
+  * per-partition / per-snapshot sketches combine without re-reading data
+  * (property-tested: sketch(A ∪ B) == merge(sketch(A), sketch(B))).
+  * [[hllEstimate]] collapses each key's ≤ 2^p register rows into the
+  * raw HLL estimate α_m·m²/Σ2^−M — per-key work is constant. The
+  * small/large-range corrections (linear counting / 2^32 wraparound) are
+  * deliberately NOT applied: both need `ln`, whose last-ulp value is
+  * libm-specific, and this sketch's contract is cross-engine
+  * bit-equality; callers that want them apply them downstream to the
+  * returned (estimate, buckets_hit) pair. */
+object Sketches {
+
+  private def checkP(p: Int): Unit =
+    require(p == 4 || p == 8 || p == 12,
+      s"p must be 4, 8 or 12 (hex-digit bucket carve), got $p")
+
+  /** Per-key HLL register frame: (keys..., bucket, m_rho) with one row per
+    * NON-EMPTY bucket — empty buckets are implicit (the estimate counts
+    * them as 2^0). `m_rho` is the max over the bucket's values of
+    * (leading zeros in the 52-bit hash suffix + 1); an all-zero suffix
+    * saturates at 53. */
+  def hllRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                   p: Int = 8): DataFrame = {
+    checkP(p)
+    val hexB = p / 4
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, hexB), 16, 10).cast("int").as("bucket")
+    val suffix = conv(substring(h, hexB + 1, 13), 16, 10).cast("long")
+    val rho = when(suffix === 0L, lit(53))
+      .otherwise(lit(53) - length(bin(suffix))).cast("int").as("rho")
+    items.select(keyCols.map(col) :+ bucket :+ rho: _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** Merge two register frames over the same key space: bucket-wise max —
+    * the HLL union. Registers from disjoint scans, snapshots, or engines
+    * combine exactly; the result is indistinguishable from sketching the
+    * concatenated input. */
+  def hllMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("m_rho")).as("m_rho"))
+
+  /** Raw HLL estimate per key from a register frame:
+    * `est = α_m · m² / ((m − V) + Σ_hit 2^−M_j)` with V = buckets hit and
+    * the Σ folded in bucket order from 0.0 — the exact float sequence any
+    * engine reproduces. Also returns V (`buckets_hit`), which downstream
+    * range corrections need. */
+  def hllEstimate(registers: DataFrame, keyCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    // Flajolet et al. 2007 §4: α_16=0.673, α_32=0.697, α_4096 (and the
+    // general m ≥ 128 case) = 0.7213/(1 + 1.079/m); m=256 uses the
+    // general form. Written as one literal expression so every engine
+    // computes the identical double.
+    val alpha: Column = m match {
+      case 16 => lit(0.673)
+      case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    }
+    registers
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("buckets_hit"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"), col("m_rho")))),
+          lit(0.0),
+          (acc, x) => acc + pow(lit(2.0), -x.getField("m_rho"))).as("_s"))
+      .select(keyCols.map(col) :+ col("buckets_hit") :+
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          ((lit(m.toDouble) - col("buckets_hit")) + col("_s"))).as("hll_est"): _*)
+  }
+}

@@ -2220,6 +2220,52 @@ object LlmQueries {
              |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
+    // Engine-portable HyperLogLog (Flajolet et al. 2007): per-source
+    // distinct-token cardinality from an md5-register sketch, alongside
+    // the exact count so the estimate's error is visible in the result.
+    // Registers are ONE map-side-combined (source, bucket) aggregate —
+    // ≤ 256 rows per source survive regardless of corpus size; the
+    // estimate is an ordered register fold, bit-identical in any engine.
+    QueryDef("q_hll_distinct",
+      (s, d) => {
+        val toks = table(s, d, "documents").select(col("source"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+        val est = graft.llm.Sketches.hllEstimate(
+          graft.llm.Sketches.hllRegisters(toks, Seq("source"), "token", p = 8),
+          Seq("source"), p = 8)
+        est.join(toks.groupBy("source")
+            .agg(countDistinct(col("token")).as("n_exact")), "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, token
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |hashed AS (
+             |  SELECT source, ('0x' || substr(md5(token), 1, 2))::INT AS bucket,
+             |         ('0x' || substr(md5(token), 3, 13))::BIGINT AS suffix
+             |  FROM toks),
+             |regs AS (
+             |  SELECT source, bucket,
+             |         max(CASE WHEN suffix = 0 THEN 53
+             |                  ELSE 53 - length(bin(suffix)) END)::INT AS m_rho
+             |  FROM hashed GROUP BY 1, 2),
+             |est AS (
+             |  SELECT source, count(*)::BIGINT AS buckets_hit,
+             |         list_reduce(list_prepend(0.0,
+             |             list(pow(2.0, -m_rho) ORDER BY bucket)),
+             |           (a, b) -> a + b) AS s
+             |  FROM regs GROUP BY source)
+             |SELECT source, buckets_hit,
+             |       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+             |         / ((256.0 - buckets_hit) + s) AS hll_est,
+             |       n_exact
+             |FROM est
+             |JOIN (SELECT source, count(DISTINCT token)::BIGINT AS n_exact
+             |      FROM toks GROUP BY source) USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // Supervised hashed-linear quality classifier (CCNet/fastText shape):
     // naive-Bayes bitlen log-odds TRAINED on the even-doc_id half (labels =
     // lang judgement), APPLIED frozen to the odd half — the train/apply

@@ -285,6 +285,39 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("hll sketch: register merge == union sketch, estimate near exact, bounded registers") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val a = (1 to 1200).map(i => ("k", s"tok$i")).toDF("g", "v")
+    val b = (800 to 2000).map(i => ("k", s"tok$i")).toDF("g", "v")
+    val union = a.unionByName(b)
+    // HLL's defining property: bucket-wise max of two sketches IS the
+    // sketch of the concatenated input — exactly, row for row
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(a, Seq("g"), "v"),
+        Sketches.hllRegisters(b, Seq("g"), "v"), Seq("g"))
+      .orderBy("bucket").collect().map(r => (r.getInt(1), r.getInt(2)))
+    val direct = Sketches.hllRegisters(union, Seq("g"), "v")
+      .orderBy("bucket").collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(merged.toSeq == direct.toSeq)
+    assert(direct.length <= 256) // register bound holds whatever the input
+    // raw-estimate accuracy: 2000 true distinct, m=256 ⇒ σ ≈ 1.04/√m ≈ 6.5%
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(union, Seq("g"), "v"), Seq("g"))
+      .select(col("hll_est")).as[Double].collect().head
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.2, s"estimate $est vs 2000")
+    // p must stay on hex-digit boundaries
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(a, Seq("g"), "v", p = 5)
+    }
+    // scale shape: the register build is ONE hash exchange on (key, bucket)
+    // with a map-side partial max before it
+    val plan = Sketches.hllRegisters(a, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+  }
+
   test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     // labeled set: positives speak "good"/"nice", negatives "bad"/"ugly";
