@@ -667,6 +667,72 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998, "The Use of
+    * MMR, Diversity-Based Reranking for Reordering Documents and Producing
+    * Summaries"): greedily select `k` of the top-`n` relevance shortlist,
+    * each pick maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * standard redundancy-penalized re-rank a RAG stack runs after ANN
+    * retrieval, so near-duplicate passages don't crowd the context window.
+    * Ties break to the lowest id; the first pick (empty S) is pure
+    * relevance.
+    *
+    * Scale shape: the CORPUS work is exactly the [[bruteForceTopK]] scan
+    * (swap in an IVF/PQ shortlist for a persisted index — anything
+    * producing (id, embedding, rel) composes); everything after operates
+    * on the n-row shortlist: the n² pairwise cosines are a broadcast
+    * self-join, and the greedy loop — inherently sequential in k — runs
+    * as ONE `aggregate` fold over the collected candidate array inside a
+    * single row, not as k driver round-trips (the [[ivfPqTopKRerank]]
+    * no-collect discipline). Scores are ordered-fold floats + exact
+    * halves, so any engine reproduces the selection bit-for-bit.
+    *
+    * `k` must not exceed the shortlist size actually retrieved. */
+  def mmrSelect(embeddings: DataFrame, queryVecId: Long, n: Int, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && n >= k, s"need 1 <= k <= n, got n=$n k=$k")
+    val q = broadcast(embeddings.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+    val shortlist = embeddings.where(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("embedding"),
+        (dot(col("embedding"), col("qe")) / (norm(col("embedding")) * col("qn")))
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(n)
+    val pair = shortlist.select(col("vec_id").as("id_a"), col("rel").as("rel_a"),
+        col("embedding").as("ea"))
+      .join(broadcast(shortlist.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"))), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("rel_a"), col("id_b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+    // one row of candidates, each carrying its pairwise-sim map; the
+    // collect order is free to vary — every step below is an argmax over
+    // independently-scored elements, so the selection is order-invariant
+    val cands = pair.groupBy(col("id_a"), col("rel_a"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("id_b"), col("sim"))))).as("sims"))
+      .agg(collect_list(struct(col("id_a").as("id"),
+        col("rel_a").as("rel"), col("sims"))).as("cands"))
+    val selection = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<bigint>"),
+      (acc, _) => {
+        val best = array_max(transform(
+          filter(col("cands"), c => !array_contains(acc, c.getField("id"))),
+          c => struct(
+            (lit(lambda) * c.getField("rel") - lit(1.0 - lambda) *
+              coalesce(array_max(transform(acc,
+                s => element_at(c.getField("sims"), s))), lit(0.0))).as("score"),
+            (-c.getField("id")).as("nid"))))
+        concat(acc, array(-best.getField("nid")))
+      })
+    cands.select(posexplode(selection).as(Seq("rank0", "vec_id")))
+      .select((col("rank0") + 1).cast("int").as("rank"), col("vec_id"))
+      .join(broadcast(shortlist.select(col("vec_id"), col("rel"))), "vec_id")
+      .select(col("rank"), col("vec_id"), col("rel"))
+      .orderBy(col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the top-k most-similar candidates whose `label` DIFFERS from the
     * query's — the "close but wrong" examples a contrastive loss needs.

@@ -94,4 +94,21 @@ object Sketches {
         (alpha * lit(m.toDouble) * lit(m.toDouble) /
           ((lit(m.toDouble) - col("buckets_hit")) + col("_s"))).as("hll_est"): _*)
   }
+
+  /** The paper's small-range correction (linear counting when the raw
+    * estimate ≤ 5m/2 and some buckets are empty), applied to a
+    * COLLECTED (hll_est, buckets_hit) pair on the driver — deliberately
+    * OUTSIDE the expression contract: it needs `ln`, whose last-ulp
+    * value is libm-specific, and [[hllEstimate]] promises cross-engine
+    * bit-equality. Cardinalities far below m are exactly where the raw
+    * estimator is badly biased (measured 5.6× high on ~30-distinct
+    * sources at m=256), and exactly where linear counting over the
+    * empty-bucket count is near-exact. */
+  def correctedEstimate(rawEst: Double, bucketsHit: Long, p: Int): Double = {
+    checkP(p)
+    val m = 1 << p
+    if (rawEst <= 2.5 * m && bucketsHit < m)
+      m * math.log(m.toDouble / (m - bucketsHit))
+    else rawEst
+  }
 }

@@ -2220,6 +2220,46 @@ object LlmQueries {
              |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-20
+    // relevance shortlist for query vector 7, then 5 greedy picks
+    // maximizing 0.5·rel − 0.5·max-sim-to-selected. Corpus work = one
+    // brute-force scan; the greedy loop folds inside a single row (no
+    // driver round-trips). Oracle mirrors the selection with a recursive
+    // CTE — identical floats, identical tie-breaks.
+    QueryDef("q_mmr_select",
+      (s, d) => Similarity.mmrSelect(
+        table(s, d, "embeddings").select("vec_id", "embedding"),
+        queryVecId = 7L, n = 20, k = 5),
+      Some("""WITH RECURSIVE
+             |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+             |short AS (
+             |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) AS rel
+             |  FROM embeddings e, qv WHERE e.vec_id <> 7
+             |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+             |sims AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |         list_cosine_similarity(a.emb, b.emb) AS sim
+             |  FROM short a JOIN short b ON a.id <> b.id),
+             |sel(step, ids) AS (
+             |  SELECT 0, CAST([] AS BIGINT[])
+             |  UNION ALL
+             |  SELECT step + 1, list_append(ids, (
+             |    SELECT c.id FROM short c
+             |    WHERE NOT list_contains(s.ids, c.id)
+             |    ORDER BY 0.5 * c.rel - 0.5 * coalesce((
+             |        SELECT max(p.sim) FROM sims p
+             |        WHERE p.id_a = c.id AND list_contains(s.ids, p.id_b)),
+             |        0.0) DESC,
+             |      c.id
+             |    LIMIT 1))
+             |  FROM sel s WHERE step < 5)
+             |SELECT u.i::INT AS rank, sel.ids[u.i] AS vec_id, short.rel
+             |FROM sel, unnest(range(1, 6)) AS u(i)
+             |JOIN short ON short.id = sel.ids[u.i]
+             |WHERE sel.step = 5
+             |ORDER BY rank""".stripMargin)),
+
     // Engine-portable HyperLogLog (Flajolet et al. 2007): per-source
     // distinct-token cardinality from an md5-register sketch, alongside
     // the exact count so the estimate's error is visible in the result.

@@ -391,6 +391,52 @@ object LlmScaleRehearsal {
       assignedCos.where(col("vec_id") % 5 === 0), threshold = 0.35).count()
     val crossSem = Dedup.semanticPairs(assignedCos, threshold = 0.35)
       .where((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0)).count()
+    // frozen-classifier inference: the (bucket, weight) model must join as
+    // a BROADCAST onto the raw token stream (never sort-merge), and the
+    // scored corpus must shuffle exactly once — the per-doc aggregate
+    val clfModel = graft.llm.TextAnalysis.trainTextClassifier(
+      docsWide.where(col("doc_id") % 2 === 0), col("lang") === "en")
+    val clfDf = graft.llm.TextAnalysis.applyTextClassifier(
+      docsWide.where(col("doc_id") % 2 === 1), clfModel)
+    clfDf.collect()
+    val clfPlan = clfDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val clfBroadcast = "BroadcastHashJoin \\[b".r.findFirstIn(clfPlan).isDefined
+    val clfSmj = clfPlan.contains("SortMergeJoin")
+    val clfDocExchanges = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(clfPlan).length
+    // HLL registers: ONE exchange keyed (source, bucket) with a map-side
+    // partial max; ≤ 2^p surviving rows per key however big the corpus;
+    // split-sketch merge must EQUAL the whole-corpus sketch (the mergeable
+    // -artifact contract); the range-corrected estimate must track the
+    // exact per-source cardinality on real data
+    val srcToks = docsWide.select(col("source"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val hllRegs = graft.llm.Sketches.hllRegisters(srcToks, Seq("source"), "token")
+    val hllEx = hashExchanges(hllRegs)
+    val hllRegRows = hllRegs.count()
+    val hllSources = docsWide.select(col("source")).distinct().count()
+    val hllMergeDiff = graft.llm.Sketches.hllMerge(
+        graft.llm.Sketches.hllRegisters(
+          srcToks.where(crc32(col("token")) % 2 === 0), Seq("source"), "token"),
+        graft.llm.Sketches.hllRegisters(
+          srcToks.where(crc32(col("token")) % 2 === 1), Seq("source"), "token"),
+        Seq("source"))
+      .unionByName(hllRegs).groupBy(col("source"), col("bucket"), col("m_rho"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    // per-source cardinalities here are far below m=256 (tens of distinct
+    // tokens) — the raw estimator's known bias regime — so the accuracy
+    // gate applies the driver-side linear-counting correction the sketch
+    // documents for exactly this range
+    val hllWorstErr = graft.llm.Sketches.hllEstimate(hllRegs, Seq("source"))
+      .join(srcToks.groupBy("source")
+        .agg(countDistinct(col("token")).as("n_exact")), "source")
+      .select(col("hll_est"), col("buckets_hit"), col("n_exact"))
+      .collect().map { r =>
+        val corrected = graft.llm.Sketches.correctedEstimate(
+          r.getDouble(0), r.getLong(1), p = 8)
+        math.abs(corrected - r.getLong(2)) / r.getLong(2).toDouble
+      }.max
 
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
@@ -421,7 +467,10 @@ object LlmScaleRehearsal {
         s""""temp_mix_broadcast_totals":$tempBnlj,""" +
         s""""novelty_gram_join":$novGramJoin,"novelty_total":$novTotal,""" +
         s""""novelty_distinct_grams":$novDistinct,""" +
-        s""""incsem_pairs":$incSem,"incsem_cross_pairs_full":$crossSem}""")
+        s""""incsem_pairs":$incSem,"incsem_cross_pairs_full":$crossSem,""" +
+        s""""clf_model_broadcast":$clfBroadcast,"clf_doc_exchanges":$clfDocExchanges,""" +
+        s""""hll_register_exchanges":$hllEx,"hll_register_rows":$hllRegRows,""" +
+        s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -505,6 +554,18 @@ object LlmScaleRehearsal {
     require(incSem == crossSem,
       s"incremental semantic candidates must equal the batch×index " +
         s"restriction of the full pairing: $incSem vs $crossSem")
+    require(clfBroadcast && !clfSmj && clfDocExchanges == 1,
+      s"classifier inference must broadcast the model onto the token " +
+        s"stream and shuffle the corpus once: broadcast=$clfBroadcast, " +
+        s"smj=$clfSmj, docExchanges=$clfDocExchanges\n$clfPlan")
+    require(hllEx == 1, s"HLL register build must shuffle once: $hllEx")
+    require(hllRegRows <= 256L * hllSources,
+      s"HLL registers unbounded: $hllRegRows rows for $hllSources sources")
+    require(hllMergeDiff == 0,
+      s"split-sketch merge diverged from the whole-corpus sketch: " +
+        s"$hllMergeDiff mismatched register rows")
+    require(hllWorstErr < 0.15,
+      s"corrected HLL estimate off by >15% on real data: $hllWorstErr")
     spark.stop()
   }
 }

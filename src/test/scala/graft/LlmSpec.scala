@@ -285,6 +285,30 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("mmr select: near-dup demoted below diverse candidate, first pick pure relevance") {
+    import graft.llm.Similarity
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // query points at (1,0); candidate 1 is most relevant; candidate 2 is
+    // its near-duplicate; candidate 3 is equally relevant as 2 but on the
+    // OTHER side of the query — diversity should promote 3 over 2
+    val emb = Seq(
+      (0L, v(1.0, 0.0)),
+      (1L, v(0.91, 0.415)),
+      (2L, v(0.9, 0.436)),
+      (3L, v(0.9, -0.436))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, queryVecId = 0L, n = 3, k = 3)
+      .select("rank", "vec_id").as[(Int, Long)].collect()
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // pure-relevance order for contrast: 1, 2, 3 — MMR reordered the tail
+    val rel = Similarity.bruteForceTopK(emb, 0L, 3)
+      .select("vec_id").as[Long].collect()
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(emb, 0L, n = 2, k = 5)
+    }
+  }
+
   test("hll sketch: register merge == union sketch, estimate near exact, bounded registers") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
@@ -306,6 +330,13 @@ class LlmSpec extends SparkSpec {
         Sketches.hllRegisters(union, Seq("g"), "v"), Seq("g"))
       .select(col("hll_est")).as[Double].collect().head
     assert(math.abs(est - 2000.0) / 2000.0 < 0.2, s"estimate $est vs 2000")
+    // small-range regime (n << m): the raw estimator is biased high, and
+    // the driver-side linear-counting correction recovers the count
+    val small = (1 to 30).map(i => ("k", s"tok$i")).toDF("g", "v")
+    val sm = Sketches.hllEstimate(Sketches.hllRegisters(small, Seq("g"), "v"), Seq("g"))
+      .select(col("hll_est"), col("buckets_hit")).collect().head
+    val corrected = Sketches.correctedEstimate(sm.getDouble(0), sm.getLong(1), p = 8)
+    assert(math.abs(corrected - 30.0) / 30.0 < 0.15, s"corrected $corrected vs 30")
     // p must stay on hex-digit boundaries
     intercept[IllegalArgumentException] {
       Sketches.hllRegisters(a, Seq("g"), "v", p = 5)
