@@ -95,6 +95,61 @@ object Sketches {
           ((lit(m.toDouble) - col("buckets_hit")) + col("_s"))).as("hll_est"): _*)
   }
 
+  /** Count-Min sketch registers (Cormode & Muthukrishnan 2005, "An
+    * Improved Data Stream Summary: The Count-Min Sketch and its
+    * Applications") — the FREQUENCY twin of [[hllRegisters]]: `d` hash
+    * rows × `w` counters per key; counter (r, c) counts the items whose
+    * r-th hash lands in bucket c. Hashes are the d disjoint 8-hex-char
+    * carves of one md5 (the [[Dedup.carvedHashes]] idiom) mod w, so the
+    * whole sketch is INTEGER arithmetic — cross-engine exact with no
+    * float discipline at all. Point estimates ([[cmsEstimate]]) never
+    * under-count and over-count by at most ε·N = (e/w)·N with
+    * probability 1 − e^(−d).
+    *
+    * Scale shape: ONE map-side-combined aggregate on (key, row, col) —
+    * ≤ d·w surviving rows per key whatever the input size; CMS is a
+    * LINEAR sketch, so registers from disjoint scans merge by counter-
+    * wise SUM ([[cmsMerge]]), exactly (property-tested like the HLL
+    * bucket-max merge). */
+  def cmsRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                   d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && d <= 4, s"md5 carves at most 4 disjoint 8-hex rows, got d=$d")
+    require(w >= 2, s"need at least 2 buckets per row, got w=$w")
+    val h = md5(col(valueCol).cast("string"))
+    items.select(keyCols.map(col) :+
+        posexplode(array((0 until d).map(r =>
+          (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w)
+            .cast("int")): _*)).as(Seq("row", "col")): _*)
+      .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two CMS register frames over the same key space: counter-wise
+    * sum — the linear-sketch union. The merged frame is EXACTLY the
+    * sketch of the concatenated input. */
+  def cmsMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** CMS point estimates: for each (key, value) probe row, the min over
+    * the d rows of its bucket counter (absent counters read 0). The
+    * register frame is ≤ d·w rows per key and joins as a BROADCAST onto
+    * the probe stream — probing any number of items is one map-side pass
+    * plus the per-probe min aggregate. */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame, keyCols: Seq[String],
+                  valueCol: String, d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && d <= 4, s"md5 carves at most 4 disjoint 8-hex rows, got d=$d")
+    val h = md5(col(valueCol).cast("string"))
+    probes.select(keyCols.map(col) :+ col(valueCol) :+
+        posexplode(array((0 until d).map(r =>
+          (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w)
+            .cast("int")): _*)).as(Seq("row", "col")): _*)
+      .join(broadcast(registers), (keyCols :+ "row" :+ "col").toSeq, "left_outer")
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** The paper's small-range correction (linear counting when the raw
     * estimate ≤ 5m/2 and some buckets are empty), applied to a
     * COLLECTED (hll_est, buckets_hit) pair on the driver — deliberately

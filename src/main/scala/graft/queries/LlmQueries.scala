@@ -2220,6 +2220,65 @@ object LlmQueries {
              |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005): per-source
+    // frequency estimates for the corpus's 5 globally-heaviest tokens,
+    // alongside exact counts — the estimate never under-counts (the CMS
+    // guarantee, visible in the result). All integers; registers are one
+    // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.
+    QueryDef("q_cms_counts",
+      (s, d) => {
+        val toks = table(s, d, "documents").select(col("source"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+        val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
+        val probeToks = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("n_global"))
+          .orderBy(col("n_global").desc, col("token")).limit(5)
+          .select("token")
+        val pairs = table(s, d, "documents").select(col("source")).distinct()
+          .crossJoin(broadcast(probeToks))
+        val exact = toks.join(broadcast(probeToks), "token")
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("n_exact"))
+        graft.llm.Sketches.cmsEstimate(regs, pairs, Seq("source"), "token")
+          .join(exact, Seq("source", "token"), "left_outer")
+          .select(col("source"), col("token"), col("cms_est"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+          .orderBy(col("source"), col("token"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, token
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |regs AS (
+             |  SELECT source, r, ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c,
+             |         count(*)::BIGINT AS cnt
+             |  FROM toks, unnest(range(0, 4)) AS rs(r)
+             |  GROUP BY 1, 2, 3),
+             |probes AS (
+             |  SELECT token FROM (
+             |    SELECT token, count(*) AS n FROM toks GROUP BY 1
+             |    ORDER BY n DESC, token LIMIT 5)),
+             |pairs AS (
+             |  SELECT source, token
+             |  FROM (SELECT DISTINCT source FROM documents), probes),
+             |pb AS (
+             |  SELECT source, token, r,
+             |         ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c
+             |  FROM pairs, unnest(range(0, 4)) AS rs(r)),
+             |est AS (
+             |  SELECT source, token, min(coalesce(cnt, 0))::BIGINT AS cms_est
+             |  FROM pb LEFT JOIN regs USING (source, r, c)
+             |  GROUP BY 1, 2),
+             |exact AS (
+             |  SELECT source, token, count(*)::BIGINT AS n_exact
+             |  FROM toks JOIN probes USING (token)
+             |  GROUP BY 1, 2)
+             |SELECT e.source, e.token, e.cms_est,
+             |       coalesce(x.n_exact, 0)::BIGINT AS n_exact
+             |FROM est e LEFT JOIN exact x USING (source, token)
+             |ORDER BY e.source, e.token""".stripMargin)),
+
     // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-20
     // relevance shortlist for query vector 7, then 5 greedy picks
     // maximizing 0.5·rel − 0.5·max-sim-to-selected. Corpus work = one

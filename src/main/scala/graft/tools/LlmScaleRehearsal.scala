@@ -428,6 +428,25 @@ object LlmScaleRehearsal {
     // tokens) — the raw estimator's known bias regime — so the accuracy
     // gate applies the driver-side linear-counting correction the sketch
     // documents for exactly this range
+    // CMS registers: same build shape as HLL (one keyed exchange, ≤ d·w
+    // rows per key); linear merge of split-halves must EQUAL the whole
+    // sketch; point estimates must never under-count the exact frequency
+    val cmsRegs = graft.llm.Sketches.cmsRegisters(srcToks, Seq("source"), "token")
+    val cmsEx = hashExchanges(cmsRegs)
+    val cmsRows = cmsRegs.count()
+    val cmsMergeDiff = graft.llm.Sketches.cmsMerge(
+        graft.llm.Sketches.cmsRegisters(
+          srcToks.where(crc32(col("token")) % 2 === 0), Seq("source"), "token"),
+        graft.llm.Sketches.cmsRegisters(
+          srcToks.where(crc32(col("token")) % 2 === 1), Seq("source"), "token"),
+        Seq("source"))
+      .unionByName(cmsRegs).groupBy(col("source"), col("row"), col("col"), col("cnt"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    val cmsUnder = graft.llm.Sketches.cmsEstimate(cmsRegs,
+        srcToks.distinct(), Seq("source"), "token")
+      .join(srcToks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n_exact")), Seq("source", "token"))
+      .where(col("cms_est") < col("n_exact")).count()
     val hllWorstErr = graft.llm.Sketches.hllEstimate(hllRegs, Seq("source"))
       .join(srcToks.groupBy("source")
         .agg(countDistinct(col("token")).as("n_exact")), "source")
@@ -470,7 +489,9 @@ object LlmScaleRehearsal {
         s""""incsem_pairs":$incSem,"incsem_cross_pairs_full":$crossSem,""" +
         s""""clf_model_broadcast":$clfBroadcast,"clf_doc_exchanges":$clfDocExchanges,""" +
         s""""hll_register_exchanges":$hllEx,"hll_register_rows":$hllRegRows,""" +
-        s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr}""")
+        s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr,""" +
+        s""""cms_register_exchanges":$cmsEx,"cms_register_rows":$cmsRows,""" +
+        s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -566,6 +587,15 @@ object LlmScaleRehearsal {
         s"$hllMergeDiff mismatched register rows")
     require(hllWorstErr < 0.15,
       s"corrected HLL estimate off by >15% on real data: $hllWorstErr")
+    require(cmsEx == 1, s"CMS register build must shuffle once: $cmsEx")
+    require(cmsRows <= 4L * 64 * hllSources,
+      s"CMS registers unbounded: $cmsRows rows for $hllSources sources")
+    require(cmsMergeDiff == 0,
+      s"CMS split-sketch merge diverged from the whole-corpus sketch: " +
+        s"$cmsMergeDiff mismatched register rows")
+    require(cmsUnder == 0,
+      s"CMS under-counted $cmsUnder (source, token) frequencies — " +
+        "impossible for a correct Count-Min")
     spark.stop()
   }
 }

@@ -349,6 +349,48 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("partial"), plan)
   }
 
+  test("cms sketch: exact on sparse input, never under-counts, linear merge == union") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val items = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .map(("k", _)).toDF("g", "v")
+    val probes = Seq(("k", "x"), ("k", "y"), ("k", "z"), ("k", "absent"))
+      .toDF("g", "v")
+    // 3 distinct values in 4×64 counters: no full-row collision chain, so
+    // estimates are EXACT here (deterministic md5 buckets); the absent
+    // probe reads 0 unless it collides with a present value in all 4 rows
+    val est = Sketches.cmsEstimate(
+        Sketches.cmsRegisters(items, Seq("g"), "v"), probes, Seq("g"), "v")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(est == Map("x" -> 5L, "y" -> 3L, "z" -> 1L, "absent" -> 0L))
+    // the one-sided guarantee under heavy collision pressure (w=2): every
+    // estimate >= its true count
+    val many = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"t$i"))
+      .map(("k", _)).toDF("g", "v")
+    val manyProbes = (1 to 200).map(i => ("k", s"t$i")).toDF("g", "v")
+    val crowded = Sketches.cmsEstimate(
+        Sketches.cmsRegisters(many, Seq("g"), "v", d = 4, w = 2),
+        manyProbes, Seq("g"), "v", d = 4, w = 2)
+      .collect().map(r => (r.getString(1).drop(1).toInt % 7 + 1, r.getLong(2)))
+    assert(crowded.forall { case (truth, e) => e >= truth })
+    // linear merge: register sums over split halves == whole-input sketch
+    val h1 = items.where(col("v") =!= "z")
+    val h2 = items.where(col("v") === "z")
+    val mergedDiff = Sketches.cmsMerge(
+        Sketches.cmsRegisters(h1, Seq("g"), "v"),
+        Sketches.cmsRegisters(h2, Seq("g"), "v"), Seq("g"))
+      .unionByName(Sketches.cmsRegisters(items, Seq("g"), "v"))
+      .groupBy(col("g"), col("row"), col("col"), col("cnt"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    assert(mergedDiff == 0)
+    // register bound + build shape: one exchange, map-side partial count
+    val regs = Sketches.cmsRegisters(many, Seq("g"), "v", d = 4, w = 2)
+    assert(regs.count() <= 4L * 2)
+    val plan = regs.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     // labeled set: positives speak "good"/"nice", negatives "bad"/"ugly";
