@@ -57,6 +57,52 @@ object TextAnalysis {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     topTermsFromTf(termFrequencies(docs, idCol, textCol), k, idCol)
 
+  /** BM25 ranked retrieval (Robertson & Walker 1994; the Okapi weighting)
+    * over a prebuilt [[termFrequencies]] artifact — the lexical-search
+    * counterpart of the ANN family: score(d) = Σ_{t∈Q} idf_bits(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Exactness discipline: idf is the repo's INTEGER bitlen quantization
+    * `bitlen(N) − bitlen(df)` (ln is libm-specific); the tf normalization
+    * is one fixed float expression (identical literals, identical
+    * operation order in any engine), and the per-doc sum over query terms
+    * folds in TERM ORDER from 0.0 — the ordered-fold float rule, so
+    * scores hash-match cross-engine.
+    *
+    * Scale shape: the scan reads ONLY the query terms' tf rows (an `isin`
+    * pushed into the artifact scan); df and N·avgdl come back as
+    * broadcasts (vocabulary-sized and single-row); doc length joins from
+    * the per-doc aggregate the artifact already implies — every exchange
+    * is doc- or term-keyed, the corpus token stream is never re-read, and
+    * the top-k is a TakeOrdered, never a global sort. */
+  def bm25(tf: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 10,
+           idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query matches nothing")
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // N and avgdl ride one single-row broadcast — no driver-side count
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")))
+    val df = broadcast(tf.where(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df")))
+    tf.where(col("term").isin(queryTerms: _*))
+      .join(df, "term")
+      .join(dl, idCol)
+      .crossJoin(stats)
+      .select(col(idCol), col("term"),
+        ((length(bin(col("n_docs"))) - length(bin(col("df")))).cast("double") *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("term_score")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("term_score")).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** n-gram(token) heuristic language-ID with a fixed tie-break chain
     * (en > de > fr > es). Deterministic by construction. */
   def langId(docs: DataFrame, textCol: String = "text"): Column = {

@@ -2220,6 +2220,35 @@ object LlmQueries {
              |       CAST(len(toks2) AS BIGINT) AS n_tokens
              |FROM f2 ORDER BY doc_id""".stripMargin)),
 
+    // BM25 ranked retrieval (Okapi weighting) over the shared TF artifact:
+    // top-10 docs for a 3-term query. idf is integer-bitlen (ln is
+    // libm-specific); the float normalization mirrors literal-for-literal
+    // and the per-doc sum folds in term order — scores hash-match DuckDB.
+    // The scan reads only the query terms' tf rows; df/N/avgdl broadcast.
+    QueryDef("q_bm25",
+      (s, d) => TextAnalysis.bm25(tfOf(s, d), Seq("hash", "spark", "window")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*)::BIGINT AS n_docs,
+             |                 sum(dl) / count(*) AS avgdl FROM dl),
+             |df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+             |       WHERE term IN ('hash', 'spark', 'window') GROUP BY 1),
+             |ts AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         (length(bin(n_docs)) - length(bin(df.df)))::DOUBLE *
+             |           (tf.tf * (1.2 + 1.0)) /
+             |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+             |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+             |SELECT doc_id,
+             |       list_reduce(list_prepend(0.0, list(term_score ORDER BY term)),
+             |                   (a, b) -> a + b) AS bm25
+             |FROM ts GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Count-Min sketch (Cormode & Muthukrishnan 2005): per-source
     // frequency estimates for the corpus's 5 globally-heaviest tokens,
     // alongside exact counts — the estimate never under-counts (the CMS

@@ -349,6 +349,44 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("partial"), plan)
   }
 
+  test("bm25: rare term outranks frequent, length-normalized, TakeOrdered plan") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "common common filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val tf = TextAnalysis.termFrequencies(d)
+    val got = TextAnalysis.bm25(tf, Seq("rare", "common"), topK = 4)
+      .select("doc_id").as[Long].collect()
+    // doc 1 holds the rare term (idf 3 bits vs 1 bit for common-in-3-docs);
+    // doc 2 beats doc 3: same tf=... no — doc 3 has tf=2 but double length;
+    // exact ranking checked against an independent hand computation below
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val dls = Map(1L -> 4.0, 2L -> 4.0, 3L -> 8.0, 4L -> 4.0)
+    val avgdl = 20.0 / 4
+    def score(tfv: Double, dfv: Long, dl: Double) =
+      (bitlen(4) - bitlen(dfv)).toDouble * (tfv * (1.2 + 1.0)) /
+        (tfv + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expected = Map(
+      1L -> (score(1, 1, dls(1L)) + score(1, 3, dls(1L))),
+      2L -> score(1, 3, dls(2L)),
+      3L -> score(2, 3, dls(3L)))
+      .toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(got.toSeq == expected)
+    assert(!got.contains(4L)) // no query term, no score row
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(tf, Seq.empty)
+    }
+    // top-k is a TakeOrdered, never a global sort; the df/stats sides
+    // come back as broadcasts (no sort-merge join anywhere)
+    val plan = TextAnalysis.bm25(tf, Seq("rare"), topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("cms sketch: exact on sparse input, never under-counts, linear merge == union") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
