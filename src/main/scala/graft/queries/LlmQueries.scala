@@ -1746,6 +1746,35 @@ object LlmQueries {
               |JOIN documents db ON db.doc_id = p.doc_b
               |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
 
+    // As-of join: every click event annotated with the user's most recent
+    // view (timestamp + value) at-or-before it. The union+window plan
+    // shuffles once on user_id with NO join operator; the oracle is
+    // DuckDB's native ASOF LEFT JOIN — two engines, two mechanisms, one
+    // answer.
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("ts").as("view_ts"),
+            col("value").as("view_value"))
+        graft.streaming.EventStreams.asofJoin(
+            clicks, views, Seq("user_id"), "ts", Seq("view_ts", "view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, epoch_ns(ts) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |views AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, epoch_ns(ts) AS view_ts,
+             |         value AS view_value
+             |  FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+             |FROM clicks c ASOF LEFT JOIN views v
+             |  ON c.user_id = v.user_id AND c.ts >= v.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // Per-user conversion funnel view → purchase: earliest view, earliest
     // purchase at-or-after it (null = never converted). Aggregate-before-
     // join — every exchange keys on user_id.

@@ -138,6 +138,50 @@ object EventStreams {
       }
   }
 
+  /** As-of join — the time-series "last known state" join (DuckDB/kdb
+    * ASOF semantics): each left row picks up the value columns of the
+    * LATEST right row sharing its keys with `right.ts <= left.ts`
+    * (inclusive), or nulls when no right row precedes it.
+    *
+    * Spark-first shape: a per-row range join would explode to
+    * |left| × |right rows per key| before collapsing back down; instead
+    * the two sides UNION — right rows carrying their values, left rows
+    * carrying nulls — and ONE key-partitioned window running
+    * `last(value, ignoreNulls)` ordered by (ts, side) fills every left
+    * row from its nearest preceding right row. Right rows sort BEFORE
+    * left rows at equal ts, which makes the match inclusive. One shuffle
+    * on the key, no join operator at all, output size = |left|. (The
+    * oracle cross-checks this plan against DuckDB's native ASOF JOIN.)
+    *
+    * Preconditions: right must be unique per (keys, ts) — duplicate
+    * timestamps would make the fill collect-order-dependent (DuckDB's
+    * ASOF shares the requirement); value columns must not be null in
+    * right rows (a null value would fall through to an older row instead
+    * of surfacing); left/value column names must not collide. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.nonEmpty, "as-of join with no value columns is a no-op")
+    require(leftCols.intersect(valueCols).isEmpty,
+      s"value columns collide with left columns: ${leftCols.intersect(valueCols)}")
+    val l = left.select(leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
+      valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val r = right.select(keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side")) ++
+      valueCols.map(col) ++
+      leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .select(leftCols.map(col) ++ Seq(col("_side")) ++
+        valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+
   /** Per-user conversion funnel `fromType` → `toType`: for each user with at
     * least one `fromType` event, the earliest such timestamp and the
     * earliest `toType` timestamp AT OR AFTER it (null if the user never

@@ -349,6 +349,30 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("partial"), plan)
   }
 
+  test("asof join: inclusive ties, nulls before first right row, one shuffle no join") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, 5L), (2L, 10L, 20L), (3L, 10L, 30L), (4L, 99L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 20L, 2.0), (10L, 25L, 3.0))
+      .toDF("user_id", "ts", "v")
+    val got = EventStreams.asofJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .orderBy("event_id").as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      (1L, 10L, 5L, None),        // before any right row
+      (2L, 10L, 20L, Some(2.0)),  // equal ts matches (inclusive)
+      (3L, 10L, 30L, Some(3.0)),  // latest preceding wins
+      (4L, 99L, 50L, None)))      // key with no right rows at all
+    intercept[IllegalArgumentException] {
+      EventStreams.asofJoin(left, right, Seq("user_id"), "ts", Seq.empty)
+    }
+    // the scale claim: ONE hash exchange (the key window), no join operator
+    val plan = EventStreams.asofJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("bm25: rare term outranks frequent, length-normalized, TakeOrdered plan") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
