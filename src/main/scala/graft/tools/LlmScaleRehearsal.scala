@@ -428,6 +428,35 @@ object LlmScaleRehearsal {
     // tokens) — the raw estimator's known bias regime — so the accuracy
     // gate applies the driver-side linear-counting correction the sketch
     // documents for exactly this range
+    // as-of join: the union+window plan must shuffle ONCE (the key
+    // window) and contain NO join operator — the whole point vs a
+    // per-row range join; checked on the real events table
+    val evts = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts"), col("value"),
+        col("event_type"))
+    val asofDf = graft.streaming.EventStreams.asofJoin(
+      evts.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      evts.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("v")),
+      Seq("user_id"), "ts", Seq("v"))
+    asofDf.collect()
+    val asofPlan = asofDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val asofEx = "Exchange hashpartitioning".r.findAllIn(asofPlan).length
+    val asofJoins = "Join".r.findAllIn(asofPlan).length
+    // BM25: the artifact scan must push the query-term filter, the
+    // df/stats sides must come back as broadcasts (no sort-merge join),
+    // and the top-k must be a TakeOrdered, never a global sort
+    val bm25Df = graft.llm.TextAnalysis.bm25(
+      graft.llm.TextAnalysis.termFrequencies(docs),
+      Seq("hash", "spark", "window"))
+    bm25Df.collect()
+    val bm25Plan = bm25Df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bm25TakeOrdered = bm25Plan.contains("TakeOrderedAndProject")
+    val bm25Smj = bm25Plan.contains("SortMergeJoin")
     // CMS registers: same build shape as HLL (one keyed exchange, ≤ d·w
     // rows per key); linear merge of split-halves must EQUAL the whole
     // sketch; point estimates must never under-count the exact frequency
@@ -491,7 +520,9 @@ object LlmScaleRehearsal {
         s""""hll_register_exchanges":$hllEx,"hll_register_rows":$hllRegRows,""" +
         s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr,""" +
         s""""cms_register_exchanges":$cmsEx,"cms_register_rows":$cmsRows,""" +
-        s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder}""")
+        s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder,""" +
+        s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
+        s""""bm25_take_ordered":$bm25TakeOrdered}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -596,6 +627,12 @@ object LlmScaleRehearsal {
     require(cmsUnder == 0,
       s"CMS under-counted $cmsUnder (source, token) frequencies — " +
         "impossible for a correct Count-Min")
+    require(asofEx == 1 && asofJoins == 0,
+      s"as-of must be one window shuffle with no join operator: " +
+        s"$asofEx exchanges, $asofJoins joins\n$asofPlan")
+    require(bm25TakeOrdered && !bm25Smj,
+      s"BM25 top-k must be a TakeOrdered with broadcast stats: " +
+        s"takeOrdered=$bm25TakeOrdered, smj=$bm25Smj\n$bm25Plan")
     spark.stop()
   }
 }
