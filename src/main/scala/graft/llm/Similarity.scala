@@ -676,17 +676,24 @@ object Similarity {
     * Ties break to the lowest id; the first pick (empty S) is pure
     * relevance.
     *
-    * Scale shape: the CORPUS work is exactly the [[bruteForceTopK]] scan
-    * (swap in an IVF/PQ shortlist for a persisted index — anything
-    * producing (id, embedding, rel) composes); everything after operates
-    * on the n-row shortlist: the n² pairwise cosines are a broadcast
-    * self-join, and the greedy loop — inherently sequential in k — runs
-    * as ONE `aggregate` fold over the collected candidate array inside a
-    * single row, not as k driver round-trips (the [[ivfPqTopKRerank]]
-    * no-collect discipline). Scores are ordered-fold floats + exact
-    * halves, so any engine reproduces the selection bit-for-bit.
+    * Scale shape: the CORPUS work is the shortlist retrieval; selection
+    * itself operates only on the n-row shortlist: the n² pairwise
+    * cosines are a broadcast self-join, and the greedy loop — inherently
+    * sequential in k — runs as ONE `aggregate` fold over the collected
+    * candidate array inside a single row, not as k driver round-trips
+    * (the [[ivfPqTopKRerank]] no-collect discipline). Scores are
+    * ordered-fold floats + exact halves, so any engine reproduces the
+    * selection bit-for-bit. Exhausting the candidates before the k-th
+    * pick fails loudly at execution (`raise_error`) rather than
+    * returning a silently short result.
     *
-    * `k` must not exceed the shortlist size actually retrieved. */
+    * THIS convenience form derives the shortlist with a
+    * [[bruteForceTopK]]-shaped scan that the plan references three times
+    * (pairwise left/right + the final rel lookup; a TakeOrdered is not
+    * an exchange, so Spark cannot reuse it) — fine when the corpus scan
+    * is cheap. A production stack persists its ANN shortlist (IVF/PQ,
+    * re-ranked) and calls [[mmrSelectFromShortlist]], where the corpus
+    * is never touched at all. */
   def mmrSelect(embeddings: DataFrame, queryVecId: Long, n: Int, k: Int,
                 lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && n >= k, s"need 1 <= k <= n, got n=$n k=$k")
@@ -699,20 +706,33 @@ object Similarity {
           .as("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(n)
-    val pair = shortlist.select(col("vec_id").as("id_a"), col("rel").as("rel_a"),
+    mmrSelectFromShortlist(shortlist, k, lambda)
+  }
+
+  /** [[mmrSelect]]'s selection stage over an ALREADY-RETRIEVED shortlist
+    * frame (vec_id, embedding, rel) — the production entry point: the
+    * shortlist comes from a persisted ANN index and the corpus is never
+    * scanned here. */
+  def mmrSelectFromShortlist(shortlist: DataFrame, k: Int,
+                             lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val pair = shortlist.select(col("vec_id").as("id"),
         col("embedding").as("ea"))
       .join(broadcast(shortlist.select(col("vec_id").as("id_b"),
-        col("embedding").as("eb"))), col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("rel_a"), col("id_b"),
-        cosine(col("ea"), col("eb")).as("sim"))
+        col("embedding").as("eb"))), col("id") =!= col("id_b"))
+      .select(col("id"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
     // one row of candidates, each carrying its pairwise-sim map; the
     // collect order is free to vary — every step below is an argmax over
-    // independently-scored elements, so the selection is order-invariant
-    val cands = pair.groupBy(col("id_a"), col("rel_a"))
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("id_b"), col("sim"))))).as("sims"))
-      .agg(collect_list(struct(col("id_a").as("id"),
-        col("rel_a").as("rel"), col("sims"))).as("cands"))
+    // independently-scored elements, so the selection is order-invariant.
+    // Candidates come from the SHORTLIST side of a left join (a 1-row
+    // shortlist has no pairs at all — its sims map is null, and the
+    // score's coalesce treats a null lookup as similarity 0)
+    val cands = shortlist.select(col("vec_id").as("id"), col("rel"))
+      .join(pair.groupBy(col("id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("id_b"), col("sim"))))).as("sims")),
+        Seq("id"), "left_outer")
+      .agg(collect_list(struct(col("id"), col("rel"), col("sims"))).as("cands"))
     val selection = aggregate(
       sequence(lit(1), lit(k)),
       array().cast("array<bigint>"),
@@ -724,7 +744,11 @@ object Similarity {
               coalesce(array_max(transform(acc,
                 s => element_at(c.getField("sims"), s))), lit(0.0))).as("score"),
             (-c.getField("id")).as("nid"))))
-        concat(acc, array(-best.getField("nid")))
+        concat(acc, array(
+          when(best.isNull, raise_error(lit(
+            s"mmrSelect: candidates exhausted before the $k-th pick — " +
+              "k exceeds the shortlist actually retrieved")))
+            .otherwise(-best.getField("nid")).cast("long")))
       })
     cands.select(posexplode(selection).as(Seq("rank0", "vec_id")))
       .select((col("rank0") + 1).cast("int").as("rank"), col("vec_id"))

@@ -60,7 +60,10 @@ object Sketches {
   /** Merge two register frames over the same key space: bucket-wise max —
     * the HLL union. Registers from disjoint scans, snapshots, or engines
     * combine exactly; the result is indistinguishable from sketching the
-    * concatenated input. */
+    * concatenated input. Both inputs must share the p they were built at
+    * (no parameter metadata travels in the frame — a deployment keeps p
+    * with the artifact); [[hllEstimate]]'s execution guard catches a
+    * frame whose buckets exceed the estimate's p. */
   def hllMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keyCols :+ "bucket").map(col): _*)
@@ -86,13 +89,22 @@ object Sketches {
     registers
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("buckets_hit"),
+        max(col("bucket")).as("_maxb"),
         aggregate(
           array_sort(collect_list(struct(col("bucket"), col("m_rho")))),
           lit(0.0),
           (acc, x) => acc + pow(lit(2.0), -x.getField("m_rho"))).as("_s"))
       .select(keyCols.map(col) :+ col("buckets_hit") :+
-        (alpha * lit(m.toDouble) * lit(m.toDouble) /
-          ((lit(m.toDouble) - col("buckets_hit")) + col("_s"))).as("hll_est"): _*)
+        // execution guard: a bucket ≥ m proves the registers were built at
+        // a LARGER p than this estimate assumes — silent garbage otherwise.
+        // (A smaller build-p is indistinguishable from a sparse sketch; p
+        // travels with the artifact.)
+        when(col("_maxb") < m,
+          alpha * lit(m.toDouble) * lit(m.toDouble) /
+            ((lit(m.toDouble) - col("buckets_hit")) + col("_s")))
+          .otherwise(raise_error(lit(
+            s"hllEstimate: registers exceed p=$p — built with different p")))
+          .as("hll_est"): _*)
   }
 
   /** Count-Min sketch registers (Cormode & Muthukrishnan 2005, "An
@@ -111,22 +123,34 @@ object Sketches {
     * LINEAR sketch, so registers from disjoint scans merge by counter-
     * wise SUM ([[cmsMerge]]), exactly (property-tested like the HLL
     * bucket-max merge). */
-  def cmsRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
-                   d: Int = 4, w: Int = 64): DataFrame = {
+  /** The ONE (row, col) bucket derivation both [[cmsRegisters]] and
+    * [[cmsEstimate]] use — the d disjoint 8-hex md5 carves mod w. Build
+    * and probe MUST hash identically or every estimate silently corrupts
+    * (an absent counter reads 0, breaking the never-under-count
+    * guarantee), so the derivation must not fork. */
+  private def cmsBuckets(valueCol: String, d: Int, w: Int): Column = {
     require(d >= 1 && d <= 4, s"md5 carves at most 4 disjoint 8-hex rows, got d=$d")
     require(w >= 2, s"need at least 2 buckets per row, got w=$w")
     val h = md5(col(valueCol).cast("string"))
+    array((0 until d).map(r =>
+      (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w).cast("int")): _*)
+  }
+
+  def cmsRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                   d: Int = 4, w: Int = 64): DataFrame =
     items.select(keyCols.map(col) :+
-        posexplode(array((0 until d).map(r =>
-          (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w)
-            .cast("int")): _*)).as(Seq("row", "col")): _*)
+        posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
       .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Merge two CMS register frames over the same key space: counter-wise
     * sum — the linear-sketch union. The merged frame is EXACTLY the
-    * sketch of the concatenated input. */
+    * sketch of the concatenated input. Both inputs must have been built
+    * at the SAME (d, w) — the frames carry no parameter metadata, so a
+    * mixed-parameter merge is undetectable here (a deployment keeps
+    * (d, w) with the persisted artifact); [[cmsEstimate]]'s execution
+    * guard catches a register frame whose buckets exceed the probe's
+    * (d, w). */
   def cmsMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
@@ -139,15 +163,24 @@ object Sketches {
     * plus the per-probe min aggregate. */
   def cmsEstimate(registers: DataFrame, probes: DataFrame, keyCols: Seq[String],
                   valueCol: String, d: Int = 4, w: Int = 64): DataFrame = {
-    require(d >= 1 && d <= 4, s"md5 carves at most 4 disjoint 8-hex rows, got d=$d")
-    val h = md5(col(valueCol).cast("string"))
+    // execution guard against a (d, w) mismatch with the register build:
+    // a register row outside the probe's bucket space proves the frames
+    // disagree, and a silent mismatch would read absent counters as 0 —
+    // an under-count, the one thing CMS must never do. (The converse —
+    // registers built at a SMALLER (d, w) — is indistinguishable from a
+    // sparse sketch; (d, w) travels with the artifact.)
+    val bounds = broadcast(registers.agg(
+      max(col("row")).as("_maxr"), max(col("col")).as("_maxc")))
     probes.select(keyCols.map(col) :+ col(valueCol) :+
-        posexplode(array((0 until d).map(r =>
-          (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w)
-            .cast("int")): _*)).as(Seq("row", "col")): _*)
+        posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
       .join(broadcast(registers), (keyCols :+ "row" :+ "col").toSeq, "left_outer")
+      .crossJoin(bounds)
+      .select(keyCols.map(col) :+ col(valueCol) :+
+        when(col("_maxr") < d && col("_maxc") < w, coalesce(col("cnt"), lit(0L)))
+          .otherwise(raise_error(lit(s"cmsEstimate: registers exceed (d=$d, w=$w)" +
+            " — built with different parameters"))).as("cnt"): _*)
       .groupBy((keyCols :+ valueCol).map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .agg(min(col("cnt")).as("cms_est"))
   }
 
   /** The paper's small-range correction (linear counting when the raw

@@ -651,14 +651,21 @@ object TextAnalysis {
     * Scale shape: everything here is labeled-set-sized (one explode, one
     * map-side-combined bucket aggregate, one single-row broadcast of the
     * class totals); the output broadcasts to the scoring pass. */
+  /** The ONE token→bucket hash both classifier halves use — train and
+    * apply MUST agree exactly or inference scores against buckets the
+    * frozen model never trained; the derivation must not fork. */
+  private def classifierBucket(token: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
+    conv(substring(md5(token), 1, hexChars), 16, 10).cast("int")
+  }
+
   def trainTextClassifier(labeled: DataFrame, isPositive: Column,
                           hexChars: Int = 2, textCol: String = "text"): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
     val toks = labeled.select(isPositive.as("is_pos"),
         explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .select(col("is_pos"),
-        conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+        classifierBucket(col("token"), hexChars).as("b"))
     val counts = toks.groupBy(col("b"))
       .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("is_pos"), 0L).otherwise(1L)).as("c_neg"))
@@ -686,11 +693,10 @@ object TextAnalysis {
     * aggregate keyed on the doc id. */
   def applyTextClassifier(docs: DataFrame, model: DataFrame, hexChars: Int = 2,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 7, "bucket space must fit an int")
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .select(col(idCol),
-        conv(substring(md5(col("token")), 1, hexChars), 16, 10).cast("int").as("b"))
+        classifierBucket(col("token"), hexChars).as("b"))
       .join(broadcast(model), Seq("b"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),

@@ -157,7 +157,12 @@ object EventStreams {
     * timestamps would make the fill collect-order-dependent (DuckDB's
     * ASOF shares the requirement); value columns must not be null in
     * right rows (a null value would fall through to an older row instead
-    * of surfacing); left/value column names must not collide. */
+    * of surfacing); left/value column names must not collide. Right rows
+    * with a NULL timestamp are dropped (the ASOF predicate
+    * `left.ts >= right.ts` can never match them — left untouched they
+    * would sort FIRST ascending and pollute every fill); a left row with
+    * a NULL timestamp precedes every surviving right row and correctly
+    * gets all-null values. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -166,7 +171,8 @@ object EventStreams {
       s"value columns collide with left columns: ${leftCols.intersect(valueCols)}")
     val l = left.select(leftCols.map(col) ++ Seq(lit(1).as("_side")) ++
       valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
-    val r = right.select(keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side")) ++
+    val r = right.where(col(tsCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_side")) ++
       valueCols.map(col) ++
       leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

@@ -430,10 +430,12 @@ object LlmScaleRehearsal {
     // documents for exactly this range
     // as-of join: the union+window plan must shuffle ONCE (the key
     // window) and contain NO join operator — the whole point vs a
-    // per-row range join; checked on the real events table
-    val evts = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts"), col("value"),
+    // per-row range join; checked on the real events table. QueryDef.table
+    // owns the ts normalization (NANOS vs MICROS testdata generations) —
+    // a raw parquet read here would fork that logic and break on the
+    // NANOS generation.
+    val evts = graft.queries.QueryDef.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("event_type"))
     val asofDf = graft.streaming.EventStreams.asofJoin(
       evts.where(col("event_type") === "click")

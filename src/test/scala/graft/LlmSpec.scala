@@ -307,6 +307,18 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.mmrSelect(emb, 0L, n = 2, k = 5)
     }
+    // a 1-candidate shortlist has no pairwise rows at all — the selection
+    // must still work (null sims map reads as similarity 0)
+    val one = Similarity.mmrSelect(emb.where(col("vec_id").isin(0L, 1L)),
+        queryVecId = 0L, n = 1, k = 1)
+      .select("vec_id").as[Long].collect()
+    assert(one.toSeq == Seq(1L))
+    // k exceeding the shortlist ACTUALLY retrieved (n permits it, the
+    // corpus doesn't) fails loudly instead of returning a short result
+    val short = intercept[Exception] {
+      Similarity.mmrSelect(emb, queryVecId = 0L, n = 20, k = 5).collect()
+    }
+    assert(short.getMessage.contains("exhausted"), short.getMessage)
   }
 
   test("hll sketch: register merge == union sketch, estimate near exact, bounded registers") {
@@ -346,7 +358,14 @@ class LlmSpec extends SparkSpec {
     val plan = Sketches.hllRegisters(a, Seq("g"), "v")
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
-    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+    assert(plan.contains("partial_max"), plan)
+    // p-mismatch guard: registers built at p=8 (buckets up to 255) fed to
+    // a p=4 estimate (m=16) must fail loudly, not return garbage
+    val wrong = intercept[Exception] {
+      Sketches.hllEstimate(Sketches.hllRegisters(a, Seq("g"), "v", p = 8),
+        Seq("g"), p = 4).collect()
+    }
+    assert(wrong.getMessage.contains("different p"), wrong.getMessage)
   }
 
   test("asof join: inclusive ties, nulls before first right row, one shuffle no join") {
@@ -366,6 +385,13 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventStreams.asofJoin(left, right, Seq("user_id"), "ts", Seq.empty)
     }
+    // a NULL right timestamp can never satisfy ts >= right.ts — it must
+    // not fill anything (it would otherwise sort first and pollute fills)
+    val nullTs = Seq((Some(10L), Option.empty[Long], Some(9.0)))
+      .toDF("user_id", "ts", "v")
+    val gotNull = EventStreams.asofJoin(left, nullTs, Seq("user_id"), "ts", Seq("v"))
+      .orderBy("event_id").select("v").as[Option[Double]].collect()
+    assert(gotNull.forall(_.isEmpty))
     // the scale claim: ONE hash exchange (the key window), no join operator
     val plan = EventStreams.asofJoin(left, right, Seq("user_id"), "ts", Seq("v"))
       .queryExecution.executedPlan.toString
@@ -451,6 +477,13 @@ class LlmSpec extends SparkSpec {
     assert(regs.count() <= 4L * 2)
     val plan = regs.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // (d, w)-mismatch guard: registers built at w=64 probed at w=2 would
+    // silently read absent counters as 0 (an under-count) — must raise
+    val wrong = intercept[Exception] {
+      Sketches.cmsEstimate(Sketches.cmsRegisters(items, Seq("g"), "v", d = 4, w = 64),
+        probes, Seq("g"), "v", d = 4, w = 2).collect()
+    }
+    assert(wrong.getMessage.contains("different parameters"), wrong.getMessage)
   }
 
   test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
