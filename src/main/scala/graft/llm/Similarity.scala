@@ -71,8 +71,16 @@ object Similarity {
     require(dims.nonEmpty, "no widths to evaluate")
     val full = bruteForceTopK(embeddings, queryVecId, k).select(col("vec_id"))
     dims.map { d =>
+      // execution guard: slice() silently CLAMPS to the array length, so a
+      // width wider than the stored embedding would emit a trivially-perfect
+      // hits=k row for a truncation that was never evaluated — misleading
+      // for exactly the byte-budget decision this report drives. Fail loudly
+      // instead (the raise_error discipline of the sketch family).
       val trunc = embeddings.select(col("vec_id"),
-        slice(col("embedding"), 1, d).as("embedding"))
+        when(size(col("embedding")) >= d, slice(col("embedding"), 1, d))
+          .otherwise(raise_error(lit(
+            s"truncatedRecall: width $d exceeds the stored embedding dimension")))
+          .as("embedding"))
       bruteForceTopK(trunc, queryVecId, k).select(col("vec_id"))
         .join(broadcast(full), Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))

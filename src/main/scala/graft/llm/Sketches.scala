@@ -38,11 +38,14 @@ object Sketches {
     require(p == 4 || p == 8 || p == 12,
       s"p must be 4, 8 or 12 (hex-digit bucket carve), got $p")
 
-  /** Per-key HLL register frame: (keys..., bucket, m_rho) with one row per
-    * NON-EMPTY bucket — empty buckets are implicit (the estimate counts
+  /** Per-key HLL register frame: (keys..., bucket, m_rho, sk_p) with one row
+    * per NON-EMPTY bucket — empty buckets are implicit (the estimate counts
     * them as 2^0). `m_rho` is the max over the bucket's values of
     * (leading zeros in the 52-bit hash suffix + 1); an all-zero suffix
-    * saturates at 53. */
+    * saturates at 53. `sk_p` is the build parameter as a constant-folded
+    * literal column: it travels WITH the persisted artifact, so merge and
+    * estimate can verify it instead of relying on deployment discipline —
+    * closing the formerly-undetectable smaller-build-p direction. */
   def hllRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
                    p: Int = 8): DataFrame = {
     checkP(p)
@@ -55,19 +58,26 @@ object Sketches {
     items.select(keyCols.map(col) :+ bucket :+ rho: _*)
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("m_rho"))
+      .withColumn("sk_p", lit(p))
   }
 
   /** Merge two register frames over the same key space: bucket-wise max —
     * the HLL union. Registers from disjoint scans, snapshots, or engines
     * combine exactly; the result is indistinguishable from sketching the
-    * concatenated input. Both inputs must share the p they were built at
-    * (no parameter metadata travels in the frame — a deployment keeps p
-    * with the artifact); [[hllEstimate]]'s execution guard catches a
-    * frame whose buckets exceed the estimate's p. */
+    * concatenated input. The carried `sk_p` parameters are verified
+    * per colliding bucket group here (mixed-p rows in one group fail
+    * loudly); non-colliding mixed-p inputs survive the merge but are
+    * caught by [[hllEstimate]]'s whole-frame check. */
   def hllMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keyCols :+ "bucket").map(col): _*)
-      .agg(max(col("m_rho")).as("m_rho"))
+      .agg(max(col("m_rho")).as("m_rho"),
+        min(col("sk_p")).as("_pmin"), max(col("sk_p")).as("_pmax"))
+      .select((keyCols :+ "bucket").map(col) :+ col("m_rho") :+
+        when(col("_pmin") === col("_pmax"), col("_pmin"))
+          .otherwise(raise_error(lit(
+            "hllMerge: register frames built with different p")))
+          .as("sk_p"): _*)
 
   /** Raw HLL estimate per key from a register frame:
     * `est = α_m · m² / ((m − V) + Σ_hit 2^−M_j)` with V = buckets hit and
@@ -90,20 +100,22 @@ object Sketches {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("buckets_hit"),
         max(col("bucket")).as("_maxb"),
+        min(col("sk_p")).as("_pmin"), max(col("sk_p")).as("_pmax"),
         aggregate(
           array_sort(collect_list(struct(col("bucket"), col("m_rho")))),
           lit(0.0),
           (acc, x) => acc + pow(lit(2.0), -x.getField("m_rho"))).as("_s"))
       .select(keyCols.map(col) :+ col("buckets_hit") :+
-        // execution guard: a bucket ≥ m proves the registers were built at
-        // a LARGER p than this estimate assumes — silent garbage otherwise.
-        // (A smaller build-p is indistinguishable from a sparse sketch; p
-        // travels with the artifact.)
-        when(col("_maxb") < m,
+        // execution guard: the carried sk_p must equal this estimate's p in
+        // every register row of the key — catching BOTH directions (a
+        // smaller build-p used to be indistinguishable from a sparse
+        // sketch); the bucket bound stays as a backstop for hand-built
+        // frames whose sk_p lies.
+        when(col("_pmin") === p && col("_pmax") === p && col("_maxb") < m,
           alpha * lit(m.toDouble) * lit(m.toDouble) /
             ((lit(m.toDouble) - col("buckets_hit")) + col("_s")))
           .otherwise(raise_error(lit(
-            s"hllEstimate: registers exceed p=$p — built with different p")))
+            s"hllEstimate: registers disagree with p=$p — built with different p")))
           .as("hll_est"): _*)
   }
 
@@ -136,25 +148,38 @@ object Sketches {
       (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % w).cast("int")): _*)
   }
 
+  /** Register frame: (keys..., row, col, cnt, sk_d, sk_w) — the build
+    * parameters ride as constant-folded literal columns so merge and
+    * estimate verify them in BOTH directions (a smaller build-(d, w) used
+    * to be indistinguishable from a sparse sketch and silently
+    * under-counted — the one thing CMS must never do). */
   def cmsRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
                    d: Int = 4, w: Int = 64): DataFrame =
     items.select(keyCols.map(col) :+
         posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
       .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("sk_d", lit(d)).withColumn("sk_w", lit(w))
 
   /** Merge two CMS register frames over the same key space: counter-wise
     * sum — the linear-sketch union. The merged frame is EXACTLY the
-    * sketch of the concatenated input. Both inputs must have been built
-    * at the SAME (d, w) — the frames carry no parameter metadata, so a
-    * mixed-parameter merge is undetectable here (a deployment keeps
-    * (d, w) with the persisted artifact); [[cmsEstimate]]'s execution
-    * guard catches a register frame whose buckets exceed the probe's
-    * (d, w). */
+    * sketch of the concatenated input. The carried (sk_d, sk_w) build
+    * parameters are verified per colliding counter group (mixed rows fail
+    * loudly); non-colliding mixed-parameter inputs are caught by
+    * [[cmsEstimate]]'s whole-frame check. */
   def cmsMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("sk_d")).as("_dmin"), max(col("sk_d")).as("_dmax"),
+        min(col("sk_w")).as("_wmin"), max(col("sk_w")).as("_wmax"))
+      .select((keyCols :+ "row" :+ "col").map(col) :+ col("cnt") :+
+        when(col("_dmin") === col("_dmax"), col("_dmin"))
+          .otherwise(raise_error(lit(
+            "cmsMerge: register frames built with different d"))).as("sk_d") :+
+        when(col("_wmin") === col("_wmax"), col("_wmin"))
+          .otherwise(raise_error(lit(
+            "cmsMerge: register frames built with different w"))).as("sk_w"): _*)
 
   /** CMS point estimates: for each (key, value) probe row, the min over
     * the d rows of its bucket counter (absent counters read 0). The
@@ -163,21 +188,31 @@ object Sketches {
     * plus the per-probe min aggregate. */
   def cmsEstimate(registers: DataFrame, probes: DataFrame, keyCols: Seq[String],
                   valueCol: String, d: Int = 4, w: Int = 64): DataFrame = {
-    // execution guard against a (d, w) mismatch with the register build:
-    // a register row outside the probe's bucket space proves the frames
-    // disagree, and a silent mismatch would read absent counters as 0 —
-    // an under-count, the one thing CMS must never do. (The converse —
-    // registers built at a SMALLER (d, w) — is indistinguishable from a
-    // sparse sketch; (d, w) travels with the artifact.)
+    // execution guard against a (d, w) mismatch with the register build —
+    // in BOTH directions, via the carried (sk_d, sk_w) parameter columns
+    // (a silent mismatch reads absent counters as 0: an under-count, the
+    // one thing CMS must never do); the row/col bound stays as a backstop
+    // for hand-built frames whose parameter columns lie. An EMPTY register
+    // frame is a legitimate sketch of empty input: the bounds coalesce to
+    // the probe's own parameters, the guard passes, and every probe
+    // correctly reads 0.
     val bounds = broadcast(registers.agg(
-      max(col("row")).as("_maxr"), max(col("col")).as("_maxc")))
+      coalesce(max(col("row")), lit(-1)).as("_maxr"),
+      coalesce(max(col("col")), lit(-1)).as("_maxc"),
+      coalesce(min(col("sk_d")), lit(d)).as("_dmin"),
+      coalesce(max(col("sk_d")), lit(d)).as("_dmax"),
+      coalesce(min(col("sk_w")), lit(w)).as("_wmin"),
+      coalesce(max(col("sk_w")), lit(w)).as("_wmax")))
     probes.select(keyCols.map(col) :+ col(valueCol) :+
         posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
-      .join(broadcast(registers), (keyCols :+ "row" :+ "col").toSeq, "left_outer")
+      .join(broadcast(registers.drop("sk_d", "sk_w")),
+        (keyCols :+ "row" :+ "col").toSeq, "left_outer")
       .crossJoin(bounds)
       .select(keyCols.map(col) :+ col(valueCol) :+
-        when(col("_maxr") < d && col("_maxc") < w, coalesce(col("cnt"), lit(0L)))
-          .otherwise(raise_error(lit(s"cmsEstimate: registers exceed (d=$d, w=$w)" +
+        when(col("_dmin") === d && col("_dmax") === d &&
+          col("_wmin") === w && col("_wmax") === w &&
+          col("_maxr") < d && col("_maxc") < w, coalesce(col("cnt"), lit(0L)))
+          .otherwise(raise_error(lit(s"cmsEstimate: registers disagree with (d=$d, w=$w)" +
             " — built with different parameters"))).as("cnt"): _*)
       .groupBy((keyCols :+ valueCol).map(col): _*)
       .agg(min(col("cnt")).as("cms_est"))

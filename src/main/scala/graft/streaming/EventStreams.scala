@@ -155,7 +155,13 @@ object EventStreams {
     *
     * Preconditions: right must be unique per (keys, ts) — duplicate
     * timestamps would make the fill collect-order-dependent (DuckDB's
-    * ASOF shares the requirement); value columns must not be null in
+    * ASOF shares the requirement), so the plan ENFORCES it: duplicate
+    * right rows sort adjacent in the fill window's own ordering, a lag
+    * check flags them, and any flagged key group fails loudly at
+    * execution (`raise_error` — the hllEstimate/cmsEstimate fail-loud
+    * discipline) instead of silently breaking the cross-engine
+    * bit-equality contract. The guard rides the SAME exchange as the
+    * fill (one extra window pass, zero extra shuffles); value columns must not be null in
     * right rows (a null value would fall through to an older row instead
     * of surfacing); left/value column names must not collide. Right rows
     * with a NULL timestamp are dropped (the ASOF predicate
@@ -181,11 +187,32 @@ object EventStreams {
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // duplicate-right detection in the fill's own sort order: right rows
+    // precede left rows at equal ts, so two right rows sharing (keys, ts)
+    // are ADJACENT — a lag over the same (partition, ordering) spec flags
+    // the second one, and a whole-partition max propagates the flag to the
+    // surviving left rows (both windows share the one exchange)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
     l.unionByName(r)
-      .select(leftCols.map(col) ++ Seq(col("_side")) ++
+      .withColumn("_dupf",
+        when(col("_side") === 0 &&
+          lag(col(tsCol), 1).over(wOrd) === col(tsCol) &&
+          lag(col("_side"), 1).over(wOrd) === 0, 1).otherwise(0))
+      .select(leftCols.map(col) ++
+        Seq(col("_side"), max(col("_dupf")).over(wAll).as("_dup")) ++
         valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(v)): _*)
-      .where(col("_side") === 1)
-      .drop("_side")
+      .where(col("_side") === when(col("_dup") === 1,
+        // the message deliberately avoids the substring "Join": it is
+        // embedded verbatim in the physical plan text, which the plan-shape
+        // gates (spec + rehearsal) scan for join OPERATORS by that token
+        raise_error(lit("as-of: right side has duplicate (keys, ts) rows — " +
+          "the last-value fill would be collect-order-nondeterministic")))
+        .otherwise(lit(1)))
+      .drop("_side", "_dup")
   }
 
   /** Per-user conversion funnel `fromType` → `toType`: for each user with at

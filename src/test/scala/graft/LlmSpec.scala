@@ -103,6 +103,13 @@ class LlmSpec extends SparkSpec {
     val expected = Seq(3, 6, 12).map(d => (d, (topk(d) & full).size.toLong, 4L))
     assert(got.toSeq == expected)
     assert(got.last._2 == 4L) // full width recalls everything by definition
+    // a width wider than the stored embedding must fail loudly — slice()
+    // would silently clamp and emit a trivially-perfect hits=k row for a
+    // truncation that was never evaluated
+    val wide = intercept[Exception] {
+      Similarity.truncatedRecall(emb, dims = Seq(24), queryVecId = 5L, k = 4).collect()
+    }
+    assert(wide.getMessage.contains("exceeds the stored embedding"), wide.getMessage)
   }
 
   test("brute-force cosine top-k ranks by similarity") {
@@ -366,6 +373,23 @@ class LlmSpec extends SparkSpec {
         Seq("g"), p = 4).collect()
     }
     assert(wrong.getMessage.contains("different p"), wrong.getMessage)
+    // the formerly-UNDETECTABLE direction: registers built at a SMALLER p
+    // look like a sparse sketch to the bucket bound, but the carried sk_p
+    // parameter column exposes them
+    val wrongSmall = intercept[Exception] {
+      Sketches.hllEstimate(Sketches.hllRegisters(a, Seq("g"), "v", p = 4),
+        Seq("g"), p = 8).collect()
+    }
+    assert(wrongSmall.getMessage.contains("different p"), wrongSmall.getMessage)
+    // mixed-p register frames fail loudly at merge on any colliding bucket
+    // (p=4's 16 buckets are all hit by 1000 values, so collision with the
+    // p=8 frame is certain)
+    val wrongMerge = intercept[Exception] {
+      Sketches.hllMerge(
+        Sketches.hllRegisters(a, Seq("g"), "v", p = 4),
+        Sketches.hllRegisters(b, Seq("g"), "v", p = 8), Seq("g")).collect()
+    }
+    assert(wrongMerge.getMessage.contains("different p"), wrongMerge.getMessage)
   }
 
   test("asof join: inclusive ties, nulls before first right row, one shuffle no join") {
@@ -397,6 +421,21 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
+    // duplicate right (keys, ts) rows make the last-value fill
+    // collect-order-nondeterministic — the precondition is ENFORCED, not
+    // just documented: execution must fail loudly, never silently pick one
+    val dupRight = Seq((10L, 20L, 2.0), (10L, 20L, 7.0), (10L, 25L, 3.0))
+      .toDF("user_id", "ts", "v")
+    val dup = intercept[Exception] {
+      EventStreams.asofJoin(left, dupRight, Seq("user_id"), "ts", Seq("v")).collect()
+    }
+    assert(dup.getMessage.contains("duplicate (keys, ts)"), dup.getMessage)
+    // ...and the guard only fires for the offending KEY group: a duplicate
+    // under user 10 must not poison a query restricted to user 99
+    val ok = EventStreams.asofJoin(left.where($"user_id" === 99L), dupRight
+        .where($"user_id" === 99L), Seq("user_id"), "ts", Seq("v"))
+      .select("v").as[Option[Double]].collect()
+    assert(ok.toSeq == Seq(None))
   }
 
   test("bm25: rare term outranks frequent, length-normalized, TakeOrdered plan") {
@@ -484,6 +523,31 @@ class LlmSpec extends SparkSpec {
         probes, Seq("g"), "v", d = 4, w = 2).collect()
     }
     assert(wrong.getMessage.contains("different parameters"), wrong.getMessage)
+    // ...and the formerly-UNDETECTABLE direction: registers built at a
+    // SMALLER (d, w) than the probe look like a sparse sketch to the
+    // row/col bounds, but the carried sk_d/sk_w parameters expose them
+    val wrongSmall = intercept[Exception] {
+      Sketches.cmsEstimate(Sketches.cmsRegisters(items, Seq("g"), "v", d = 4, w = 2),
+        probes, Seq("g"), "v", d = 4, w = 64).collect()
+    }
+    assert(wrongSmall.getMessage.contains("different parameters"), wrongSmall.getMessage)
+    // a merge of frames built at different parameters fails loudly on any
+    // colliding counter group (w=2 registers fill every (row, col) slot, so
+    // collision with the w=64 frame is certain here); frames that never
+    // collide are caught later by cmsEstimate's whole-frame check
+    val wrongMerge = intercept[Exception] {
+      Sketches.cmsMerge(
+        Sketches.cmsRegisters(many, Seq("g"), "v", d = 4, w = 2),
+        Sketches.cmsRegisters(many, Seq("g"), "v", d = 4, w = 64), Seq("g")).collect()
+    }
+    assert(wrongMerge.getMessage.contains("different"), wrongMerge.getMessage)
+    // an EMPTY register frame is a legitimate sketch of empty input: every
+    // probe must read estimate 0, not trip the mismatch guard
+    val emptySketch = Sketches.cmsRegisters(
+      items.where(col("v") === "no-such-value"), Seq("g"), "v")
+    val emptyEst = Sketches.cmsEstimate(emptySketch, probes, Seq("g"), "v")
+      .select(col("cms_est")).as[Long].collect()
+    assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
   test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
