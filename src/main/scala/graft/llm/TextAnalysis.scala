@@ -355,6 +355,48 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
+  /** ONE greedy left-to-right fusion pass of merge (l, r) over a symbol
+    * array — the primitive both [[bpeTrain]] and [[bpeEncode]] chain, one
+    * PROJECTION per merge (the [[applyPhrases]] discipline; never nested
+    * expressions, whose depth-linear trees make Catalyst analysis cost
+    * quadratic in the merge count).
+    *
+    * A DISTINCT pair (l ≠ r) compiles to a LINEAR indexed transform +
+    * filter: a symbol fuses when its successor completes the pair and
+    * drops when its predecessor consumed it. Because l ≠ r, a symbol
+    * matched as a pair's left can never simultaneously be a pair's right,
+    * and fusion never removes symbols (two become one), so every match
+    * fires independently — exactly the greedy single-pass result, with no
+    * array-accumulator fold (property-tested against the fold in LlmSpec).
+    *
+    * A SELF-pair (l == r) needs the run parity only a sequential scan
+    * carries ("aaa" → [aa, a]) and keeps the `aggregate` fold — O(len²)
+    * accumulator copies, but bounded per WORD (symbol arrays are
+    * word-length, a few dozen entries at most), and self-pairs are a small
+    * minority of any real merge table. Either form references its input
+    * alias more than once, so CollapseProject keeps every pass a separate
+    * pipelined projection and total plan size stays LINEAR in the merge
+    * count. */
+  private def bpeMergePass(ts: Column, l: String, r: String): Column =
+    if (l != r)
+      filter(
+        transform(ts, (t, i) =>
+          when(t === l && get(ts, i + 1) === r, lit(l + r))
+            .when(t === r && get(ts, i - 1) === l, lit(null).cast("string"))
+            .otherwise(t)),
+        x => x.isNotNull)
+    else
+      // the size() guard is vacuously true; it exists to reference the
+      // input alias a second time so CollapseProject keeps this pass its
+      // own projection instead of inlining the fold into every downstream
+      // pass (the applyPhrases non-cheap-alias rule)
+      when(size(ts) >= 0, aggregate(ts,
+        array().cast("array<string>"),
+        (acc, s) => when(
+          size(acc) > 0 && element_at(acc, -1) === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s)))))
+
   /** Iterative BPE training — the full merge loop over the corpus (the
     * [[bpeMergeCandidates]] scan is one iteration's counting step): words
     * start as character-symbol arrays; each round counts adjacent symbol
@@ -366,12 +408,27 @@ object TextAnalysis {
     * Scale shape — the k-means discipline for iterative DataFrame
     * algorithms: per round, ONE map-side-combined pair-count aggregate
     * over the corpus (symbol-vocabulary-bounded key space), a driver-side
-    * top-1 (a bounded LIMIT-1 collect, like a centroid update), and a
-    * map-only greedy fusion via an `aggregate` fold — the corpus never
+    * bounded top-k collect (like a centroid update), and a map-only
+    * greedy fusion pass per accepted merge — the corpus never
     * shuffles; `localCheckpoint` truncates the compounding lineage each
-    * round. Stops early when no pair occurs twice. */
+    * round. Stops early when no pair occurs twice.
+    *
+    * `mergesPerRound` bounds the JOB COUNT at production vocab sizes: a
+    * 32k-merge tokenizer at the default (exact, one count job per merge)
+    * is 32k sequential Spark jobs; with j merges per round it is 32k/j.
+    * Each round accepts up to j pairs from one count, greedily in rank
+    * order, SKIPPING any pair sharing a symbol with — or consuming the
+    * product of — an earlier acceptance: fusion of symbol-disjoint pairs
+    * neither creates nor destroys each other's adjacencies (two symbols
+    * become one; none vanish), so every accepted pair's recorded count
+    * and fusion result are EXACTLY what the one-per-round loop would
+    * have produced for it. The approximation vs strict BPE is only the
+    * RANKING: pairs accepted later in a round are ranked by round-start
+    * counts rather than post-merge recounts — the standard batched-BPE
+    * trade. */
   def bpeTrain(docs: DataFrame, merges: Int,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text", mergesPerRound: Int = 1): DataFrame = {
+    require(mergesPerRound >= 1, s"need mergesPerRound >= 1, got $mergesPerRound")
     val spark = docs.sparkSession
     import spark.implicits._
     var words = docs
@@ -382,29 +439,36 @@ object TextAnalysis {
     var step = 0
     var done = false
     while (step < merges && !done) {
+      // over-fetch so disjointness skips can still fill the round (3x +
+      // slack covers a worst-case chain of overlapping candidates)
       val top = words
         .where(size(col("syms")) >= 2)
         .select(explode(sequence(lit(1), size(col("syms")) - 1)).as("i"), col("syms"))
         .select(element_at(col("syms"), col("i")).as("l"),
           element_at(col("syms"), col("i") + 1).as("r"))
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .where(col("n") >= 2)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(mergesPerRound * 3 + 8)
         .as[(String, String, Long)].collect()
-      if (top.isEmpty || top.head._3 < 2) done = true
+      if (top.isEmpty) done = true
       else {
-        val (l, r, n) = top.head
-        out += ((step, l, r, l + r, n))
-        // greedy left-to-right fusion: fold each word's symbols, fusing
-        // whenever the accumulator's last symbol is `l` and the next is `r`
-        // (a just-fused symbol is l+r, never l, so no double-merge)
-        words = words.select(aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === l && s === r,
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s)))).as("syms"))
-          .localCheckpoint(true)
-        step += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val products = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (chosen.size < math.min(mergesPerRound, merges - step) && it.hasNext) {
+          val (l, r, n) = it.next()
+          if (!used(l) && !used(r) && !products(l) && !products(r)) {
+            chosen += ((l, r, n)); used += l; used += r; products += (l + r)
+          }
+        }
+        words = chosen.foldLeft(words) { case (df, (l, r, _)) =>
+          df.select(bpeMergePass(col("syms"), l, r).as("syms"))
+        }.localCheckpoint(true)
+        chosen.foreach { case (l, r, n) =>
+          out += ((step, l, r, l + r, n)); step += 1
+        }
       }
     }
     out.toSeq.toDF("step", "left", "right", "merged", "n")
@@ -412,27 +476,27 @@ object TextAnalysis {
 
   /** BPE encoding — the inference side of [[bpeTrain]]: apply a merge list
     * (in training order, the BPE rule) to tokenize text into learned
-    * subword symbols. Each merge is the same greedy left-to-right fusion
-    * fold the trainer used, composed as nested column expressions — the
-    * whole encode is ONE map pass over the corpus (no shuffle, no loop at
-    * run time; the loop happened at training). Returns (id, word_idx,
-    * symbols) — one row per word, symbols in order. */
+    * subword symbols. Each merge is ONE chained [[bpeMergePass]]
+    * projection — the whole encode is a single map pass over the corpus
+    * (no shuffle, no loop at run time; the loop happened at training),
+    * and plan size / analysis cost stay LINEAR in the merge count (pinned
+    * by an LlmSpec scaling test, like applyPhrases' 24-phrase test; the
+    * former nested-fold form paid quadratic analysis and O(len²) copies
+    * PER MERGE). A production tokenizer's 30k–100k merge table should
+    * still batch a few hundred merges per `bpeEncode` call — chaining the
+    * calls — to keep each logical plan shallow, exactly the
+    * [[applyPhrases]] guidance. Returns (id, word_idx, symbols) — one row
+    * per word, symbols in order. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fused = merges.foldLeft[Column => Column](identity) { (prev, m) =>
-      val (l, r) = m
-      syms => aggregate(prev(syms),
-        array().cast("array<string>"),
-        (acc, s) => when(
-          size(acc) > 0 && element_at(acc, -1) === l && s === r,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(s))))
-    }
-    docs.select(col(idCol),
+    val base = docs.select(col(idCol),
         posexplode(filter(split(col(textCol), " "), w => w =!= ""))
           .as(Seq("word_idx", "word")))
       .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
-        fused(split(col("word"), "")).as("symbols"))
+        split(col("word"), "").as("symbols"))
+    merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("symbols", bpeMergePass(col("symbols"), l, r))
+    }
   }
 
   /** Character-bigram language-model surprisal — the integer-exact core of

@@ -1722,6 +1722,79 @@ class LlmSpec extends SparkSpec {
     assert(unseen.toSeq == Seq(List("z", "z"), List("hug")))
   }
 
+  test("bpe encode property: chained passes equal the greedy fold (random words, self-pairs)") {
+    import spark.implicits._
+    // reference implementation: the per-merge greedy left-to-right fold
+    // the linear transform+filter pass (and the self-pair fold) must equal
+    def greedy(word: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(word.split("").toList) { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+          else acc :+ s
+        }.toList
+      }
+    val rnd = new scala.util.Random(29)
+    // alphabet {a, b} maximizes run/overlap collisions; merge list mixes
+    // self-pairs, distinct pairs, and second-order merges of products
+    val merges = Seq("a" -> "a", "a" -> "b", "b" -> "a", "aa" -> "b", "b" -> "b")
+    val docs = (1L to 50L).map { i =>
+      (i, Seq.fill(3)(Seq.fill(rnd.nextInt(10) + 1)(
+        ("ab") (rnd.nextInt(2))).mkString).mkString(" "))
+    }
+    val got = graft.llm.TextAnalysis.bpeEncode(docs.toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[String](2).toList).toMap
+    docs.foreach { case (id, text) =>
+      text.split(" ").zipWithIndex.foreach { case (w, wi) =>
+        val expected = greedy(w, merges)
+        assert(got((id, wi.toLong)) == expected,
+          s"doc $id word '$w': ${got((id, wi.toLong))} vs $expected")
+      }
+    }
+  }
+
+  test("bpe encode: 200-merge chain analyzes linearly and runs") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (2L, "zq")).toDF("doc_id", "text")
+    val letters = "etaoinshrdlucmfw"
+    def mergeList(n: Int): Seq[(String, String)] =
+      (for { l <- letters; r <- letters if l != r } yield (l.toString, r.toString)).take(n)
+    def optimizedLen(n: Int): Int =
+      graft.llm.TextAnalysis.bpeEncode(d, mergeList(n))
+        .queryExecution.optimizedPlan.toString.length
+    // the former nested-fold shape tripled the tree per merge (the
+    // applyPhrases 3^p regime — 50 merges would already hang analysis);
+    // the chained-projection form must stay linear: 4x the merges may
+    // cost at most ~6x the optimized-plan text (slack for fixed overhead)
+    val p50 = optimizedLen(50)
+    val p200 = optimizedLen(200)
+    assert(p200 < 6L * p50, s"optimized plan not linear: 50 merges -> $p50 chars, " +
+      s"200 merges -> $p200 chars")
+    // and the full 200-merge pipeline executes end-to-end in bounded time
+    val t0 = System.nanoTime()
+    val rows = graft.llm.TextAnalysis.bpeEncode(d, mergeList(200)).collect()
+    assert((System.nanoTime() - t0) / 1e9 < 120.0, "200-merge encode not linear")
+    assert(rows.length == 7)
+  }
+
+  test("bpe training: batched rounds accept only disjoint pairs, counts stay exact") {
+    import spark.implicits._
+    // pairs by count: (u,g):3, (x,y):3, (h,u):2, (p,u):1. Round 1 at j=3
+    // takes (u,g) [n=3] and (x,y) [n=3, disjoint]; (h,u) shares u → skipped
+    // in that round, accepted next round with its RE-COUNTED post-merge
+    // adjacency gone (h now precedes ug, not u), so it re-ranks as (h,ug):2
+    val d = Seq((1L, "hug hug pug xy xy xy")).toDF("doc_id", "text")
+    val batched = graft.llm.TextAnalysis.bpeTrain(d, merges = 4, mergesPerRound = 3)
+      .orderBy("step").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(4)))
+    assert(batched.toSeq == Seq(
+      (0, "u", "g", 3L), (1, "x", "y", 3L), (2, "h", "ug", 2L)))
+    // on merge tables whose accepted pairs never overlap, batched training
+    // IS sequential training: same merges, same counts, same final symbols
+    val seq1 = graft.llm.TextAnalysis.bpeTrain(d, merges = 4).orderBy("step")
+      .collect().map(x => (x.getString(1), x.getString(2), x.getLong(4)))
+    assert(batched.map(t => (t._2, t._3, t._4)).toSeq == seq1.toSeq)
+  }
+
   test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
     import spark.implicits._
     val d = Seq(
