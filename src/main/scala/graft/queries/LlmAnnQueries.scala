@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import QueryDef.table
+import LlmArtifacts._
+
+/** Similarity-search family: brute-force/k-NN-join cosine retrieval, IVF cell probes, flat PQ ADC, hard negatives, contrastive tuples, index-health and dimension-budget reports.
+  * Split out of the former monolithic LlmQueries registry; shared index
+  * artifacts live in [[LlmArtifacts]]. See that object for the scale notes
+  * common to the family. */
+private[queries] object LlmAnnQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_knn_cosine",
+      (s, d) => {
+        table(s, d, "embeddings").createOrReplaceTempView("embeddings")
+        // the query norm is computed once in the single-row CTE (broadcast),
+        // not re-folded per scanned row; sqrt(a)·sqrt(b) is unchanged as an
+        // expression so scores stay bit-identical to list_cosine_similarity
+        s.sql("""WITH q AS (
+                |  SELECT embedding AS qe,
+                |         sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                |                        CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS qn
+                |  FROM embeddings WHERE vec_id = 0)
+                |SELECT vec_id,
+                |  aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                |            CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+                |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                |                    CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * qn) AS cos_sim
+                |FROM embeddings, q WHERE vec_id <> 0
+                |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qe) AS cos_sim
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Multimodal plumbing (metadata side): opaque-bytes length + a
+    // deterministic md5-derived feature — the decode itself is stubbed in
+    // graft.llm.Multimodal (no media libs in this container).,
+
+    QueryDef("q_ann_ivf",
+      (s, d) => {
+        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
+        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        Similarity.ivfTopK(ivfOf(s, d), centroids, queryVecId = 0L, k = 10, nprobe = 2)
+      },
+      Some("""WITH cents AS (
+             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+             |scored AS (
+             |  SELECT e.vec_id, e.embedding, c.centroid_id,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
+             |  FROM embeddings e CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+             |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+             |probed AS (
+             |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
+             |  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.centroid_id LIMIT 2)
+             |SELECT a.vec_id, a.cell,
+             |       list_cosine_similarity(a.embedding::DOUBLE[], q.qe) AS cos_sim
+             |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
+             |WHERE a.vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Euclidean IVF ANN — the L2 twin of q_ann_ivf (PQ-style pipelines
+    // quantize by squared L2, so the coarse stage should rank the same
+    // way): assignment by min squared distance, probe the 2 nearest cells,
+    // exact L2 within. The ordered-fold distance hash-matches DuckDB.,
+
+    QueryDef("q_ann_ivf_l2",
+      (s, d) => {
+        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
+        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        Similarity.ivfTopK(ivfL2Of(s, d), centroids,
+          queryVecId = 3L, k = 10, nprobe = 2, metric = "l2")
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q)""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding, c.centroid_id,
+           |    ${l2("e.embedding", "c.ce")} AS dist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+           |probed AS (
+           |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
+           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2)
+           |SELECT a.vec_id, a.cell, ${l2("a.embedding", "q.qe")} AS l2_dist
+           |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
+           |WHERE a.vec_id <> 3
+           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
+      }),
+
+    // Duplicate-cluster resolution: connected components over the LSH
+    // candidate-pair graph; each doc gets its component's min doc id as the
+    // canonical survivor. Spark side = iterative min-label propagation;
+    // oracle = recursive CTE over the same edges.,
+
+    QueryDef("q_ann_pq",
+      (s, d) => Similarity.pqAdcTopK(
+        pqOf(s, d), pqCodebookOf(s, d),
+        spreadEmbeddings(s, d).where(col("vec_id") === 7L),
+        queryVecId = 7L, k = 10, m = PqM, subDim = PqSubDim),
+      Some("""WITH cw AS (
+             |  SELECT s AS sub, CAST(vec_id // 10 AS INT) AS code_id,
+             |         embedding[s*16+1 : s*16+16] AS cwv
+             |  FROM embeddings, unnest([0,1,2,3]) AS su(s)
+             |  WHERE vec_id IN (10, 20, 30, 40)),
+             |dist AS (
+             |  SELECT e.vec_id, c.sub, c.code_id,
+             |    list_reduce(list_transform(list_zip(e.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q) AS d
+             |  FROM embeddings e CROSS JOIN cw c),
+             |codes AS (
+             |  SELECT vec_id, sub, code_id FROM dist
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
+             |enc AS (
+             |  SELECT vec_id,
+             |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
+             |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
+             |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
+             |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
+             |  FROM codes GROUP BY vec_id),
+             |qd AS (
+             |  SELECT c.sub, c.code_id,
+             |    list_reduce(list_transform(list_zip(q.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q) AS d
+             |  FROM cw c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q)
+             |SELECT e.vec_id, e.c0, e.c1, e.c2, e.c3,
+             |       ((q0.d + q1.d) + q2.d) + q3.d AS adc
+             |FROM enc e
+             |JOIN qd q0 ON q0.sub = 0 AND q0.code_id = e.c0
+             |JOIN qd q1 ON q1.sub = 1 AND q1.code_id = e.c1
+             |JOIN qd q2 ON q2.sub = 2 AND q2.code_id = e.c2
+             |JOIN qd q3 ON q3.sub = 3 AND q3.code_id = e.c3
+             |WHERE e.vec_id <> 7
+             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
+    // Exact k-NN JOIN — batch similarity search: the 5 lowest vec_ids each
+    // retrieve their top-3 cosine neighbors from the whole corpus in ONE
+    // candidate-side pass (queries broadcast; only (query, id, score)
+    // triples shuffle into the per-query top-k window).,
+
+    QueryDef("q_knn_join",
+      (s, d) => {
+        val emb = spreadEmbeddings(s, d)
+        Similarity.knnJoin(emb.where(col("vec_id") < 5), emb, k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id,
+             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
+             |  CAST(row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |             c.vec_id) AS INT) AS "rank"
+             |FROM embeddings q CROSS JOIN embeddings c
+             |WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+             |QUALIFY "rank" <= 3
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Hard-negative mining: per query, top-k most-similar OTHER-label
+    // vectors — the contrastive-training counterpart of the k-NN join
+    // (same one-pass broadcast shape; label filter before the shuffle).,
+
+    QueryDef("q_hard_negatives",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.hardNegatives(emb.where(col("vec_id") < 5), emb, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id, c.label,
+             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
+             |  CAST(row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |             c.vec_id) AS INT) AS "rank"
+             |FROM embeddings q CROSS JOIN embeddings c
+             |WHERE q.vec_id < 5 AND c.label <> q.label
+             |QUALIFY "rank" <= 5
+             |ORDER BY query_id, "rank"""".stripMargin)),
+
+    // Contrastive tuple assembly: per query, the nearest same-label
+    // positive + top-3 other-label hard negatives, mined in ONE corpus
+    // pass (role decided per candidate, one exchange, two ranking windows).,
+
+    QueryDef("q_contrastive_tuples",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+          .repartition(s.sparkContext.defaultParallelism)
+        Similarity.contrastiveTuples(emb.where(col("vec_id") < 5), emb, kNeg = 3)
+          .orderBy(col("query_id"), col("role"), col("rank"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+             |    CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
+             |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
+             |  FROM embeddings q CROSS JOIN embeddings c
+             |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, role
+             |    ORDER BY cos_sim DESC, vec_id) AS INT) AS "rank"
+             |  FROM scored)
+             |SELECT query_id, vec_id, label, role, cos_sim, "rank"
+             |FROM ranked
+             |WHERE (role = 'pos' AND "rank" = 1) OR (role = 'neg' AND "rank" <= 3)
+             |ORDER BY query_id, role, "rank"""".stripMargin)),
+
+    // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
+    // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
+    // centroid) with 8 codewords per 16-dim subspace, then ADC within the
+    // 2 probed cells using a per-cell distance table built from the
+    // query's residual. Assignment, residual, and encode are all map-only
+    // broadcast shapes; the candidate scan reads only (vec_id, cell,
+    // c0..c3). Residual subtraction and the ordered-fold squared-L2 are
+    // exact float/double ops, so codes AND ADC scores hash-match DuckDB.,
+
+    QueryDef("q_ivf_cell_stats",
+      (s, d) => Similarity.ivfCellStats(ivfL2Of(s, d), centroidsOf(s, d))
+        .orderBy(col("cell"), col("role"), col("vec_id")),
+      Some {
+        def l2(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+             |      (p, q) -> p + q)""".stripMargin
+        s"""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
+           |         ${l2("e.embedding::DOUBLE[]", "c.ce")} AS adist
+           |  FROM embeddings e CROSS JOIN cents c),
+           |assigned AS (
+           |  SELECT vec_id, emb, centroid_id AS cell FROM scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adist, centroid_id) = 1),
+           |d AS (
+           |  SELECT a.vec_id, a.cell, ${l2("a.emb", "c.ce")} AS dist
+           |  FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS rk,
+           |         count(*) OVER (PARTITION BY cell)::BIGINT AS n
+           |  FROM d)
+           |SELECT cell, role, vec_id, dist, n FROM (
+           |  SELECT cell, 'nearest' AS role, vec_id, dist, n FROM r WHERE rk = 1
+           |  UNION ALL
+           |  SELECT cell, 'median', vec_id, dist, n FROM r WHERE rk = (n + 1) // 2
+           |  UNION ALL
+           |  SELECT cell, 'farthest', vec_id, dist, n FROM r WHERE rk = n)
+           |ORDER BY cell, role, vec_id""".stripMargin
+      }),
+
+    // Dimension-budget recall (Matryoshka-style truncation evaluation): how
+    // many of the full-64-dim top-10 survive ranking by only the first
+    // 8/16/32/64 components — the byte-budget design report for the vector
+    // scan. Exact integer overlaps of two bit-deterministic rankings.,
+
+    QueryDef("q_dim_budget",
+      (s, d) => Similarity.truncatedRecall(
+          spreadEmbeddings(s, d), dims = Seq(8, 16, 32, 64),
+          queryVecId = 7L, k = 10)
+        .orderBy(col("dim")),
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
+             |f AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+             |      LIMIT 10),
+             |t(d) AS (SELECT unnest([8, 16, 32, 64])),
+             |r AS (SELECT t.d, e.vec_id,
+             |        row_number() OVER (PARTITION BY t.d
+             |          ORDER BY list_cosine_similarity(list_slice(e.embedding::DOUBLE[], 1, t.d),
+             |                                          list_slice(q.qe, 1, t.d)) DESC,
+             |                   e.vec_id) AS rk
+             |      FROM embeddings e CROSS JOIN q CROSS JOIN t WHERE e.vec_id <> 7)
+             |SELECT d AS dim,
+             |       CAST(count(*) FILTER (vec_id IN (SELECT vec_id FROM f)) AS BIGINT) AS hits,
+             |       CAST(10 AS BIGINT) AS k
+             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
+
+    // Phrase application (word2phrase inference): fuse the two most-frequent
+    // corpus collocations greedily, sequentially — each phrase is one
+    // linear indexed transform+filter pass (fuse where the successor
+    // completes the pair, drop where the predecessor consumed it; l ≠ r
+    // makes matches non-overlapping by construction). Output is the fused
+    // text + token count (exact strings, engine-comparable).
+  )
+}

@@ -1,2484 +1,22 @@
 package graft.queries
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.functions._
-import QueryDef.table
+import org.apache.spark.sql.SparkSession
 
-/** Training-data pipeline operators over `documents` and `embeddings` —
-  * dedup (exact / MinHash-LSH / SimHash / token-Jaccard), similarity search
-  * (brute-force cosine), text analysis (language-ID, quality signals, token
-  * counts, fingerprinting). Hash functions are md5-derived so the DuckDB
-  * oracle can reproduce them exactly; cosine is computed as an ordered
-  * sequential double fold, which is bit-identical between Spark's
-  * `aggregate` HOF and DuckDB's list_cosine_similarity (verified empirically).
-  *
-  * Scale notes: every shape here is a groupBy/join on a derived key — at
-  * 100 TB the shingle explode is the big intermediate, bounded by
-  * banding (LSH) so candidate pairs stay ~linear in near-dup count. */
+/** Training-data pipeline operators over `documents` and `embeddings`,
+  * split by domain: dedup ([[LlmDedupQueries]]), similarity search
+  * ([[LlmAnnQueries]], [[LlmIvfPqQueries]]), text analysis
+  * ([[LlmTextQueries]]), sampling/mix design ([[LlmSamplingQueries]]),
+  * mergeable sketches ([[LlmSketchQueries]]), and event streams
+  * ([[LlmEventQueries]]); shared index artifacts live in
+  * [[LlmArtifacts]]. This object is the stable aggregation point
+  * SparkEntry and Bench consume. */
 object LlmQueries {
 
-  import org.apache.spark.sql.{DataFrame, SparkSession}
-
-  /** Cached-per-dataset LSH index artifacts: the distinct shingle-set frame,
-    * the distinct token-set frame, the wide MinHash signature frame, and the
-    * candidate-pair set. Deployments compute these once and persist them; the
-    * query family reuses them the way the kupo queries share one built index.
-    * Everything shingle-shaped derives from ONE corpus explode (`gramsOf`). */
-  private val gramsCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val tokensCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val sigsCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val pairsCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val setsCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
-
-  /** Per-doc element-set arrays (Dedup.elementSets) — the Jaccard
-    * verification artifact, cached per (dir, kind). */
-  private def setsOf(kind: String, elems: DataFrame, elemCol: String, d: String): DataFrame =
-    synchronized {
-      setsCache.getOrElseUpdate((d, kind),
-        graft.llm.Dedup.elementSets(elems, elemCol).cache())
-    }
-
-  /** The testdata corpus is ONE small parquet file → one input partition —
-    * a single task would run the whole shingle explode. Spread the narrow
-    * pre-explode rows across the cluster first (cheap: docs are small before
-    * exploding; on a real multi-file corpus the reader already splits). */
-  private def spreadDocs(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
-
-  private def gramsOf(s: SparkSession, d: String): DataFrame = synchronized {
-    gramsCache.getOrElseUpdate(d,
-      graft.llm.Dedup.charGrams(spreadDocs(s, d), n = 8).cache())
-  }
-  private def tokensOf(s: SparkSession, d: String): DataFrame = synchronized {
-    tokensCache.getOrElseUpdate(d,
-      graft.llm.Dedup.docTokens(spreadDocs(s, d)).cache())
-  }
-  private def sigsOf(s: SparkSession, d: String): DataFrame = synchronized {
-    sigsCache.getOrElseUpdate(d,
-      graft.llm.Dedup.minhashFromGrams(gramsOf(s, d), numHashes = 4).cache())
-  }
-  private def pairsOf(s: SparkSession, d: String): DataFrame = synchronized {
-    pairsCache.getOrElseUpdate(d,
-      graft.llm.Dedup.lshCandidatePairs(sigsOf(s, d), bands = 2, rowsPerBand = 2).cache())
-  }
-
-  private val bucketsCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val ivfCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val dhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val winnowCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val clustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** Connected-component cluster assignment over the LSH pairs — the
-    * persisted dedup-decision artifact (a deployment materializes it once
-    * per corpus snapshot; the iterative build is the ingest-side job). */
-  private def clustersOf(s: SparkSession, d: String): DataFrame = synchronized {
-    clustersCache.getOrElseUpdate(d,
-      graft.llm.Dedup.duplicateClusters(pairsOf(s, d)).cache())
-  }
-
-  /** SemDeDup threshold: the synthetic embeddings are random (within-cell
-    * cosine tops out near 0.6), so the semantic-duplicate cut sits at 0.35 —
-    * low enough to form non-trivial groups at every SF (94 pairs at
-    * sf0.001, ~1.7k at sf0.1 incl. a 390-member component), high enough that
-    * most vectors stay singletons. A real corpus uses ~0.95+. */
-  private val SemDedupTau = 0.35
-  private val semClustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** Semantic duplicate-group map (connected components over the within-cell
-    * cosine pairs) — the persisted SemDeDup decision artifact; the iterative
-    * group build is the ingest-side job, exactly like [[clustersOf]]. */
-  private def semClustersOf(s: SparkSession, d: String): DataFrame = synchronized {
-    semClustersCache.getOrElseUpdate(d,
-      Dedup.duplicateClusters(Dedup.semanticPairs(ivfOf(s, d), SemDedupTau)).cache())
-  }
-
-  /** Per-doc 16-bit SimHash signatures — cached artifact shared by the
-    * signature dump and the banded pair-retrieval query. */
-  private def simhashOf(s: SparkSession, d: String): DataFrame = synchronized {
-    simhashCache.getOrElseUpdate(d,
-      graft.llm.Dedup.simhash(spreadDocs(s, d), bits = 16).cache())
-  }
-
-  /** Per-image dHash fingerprints — cached artifact for the perceptual
-    * near-dup query. MUST be materialized before the banded self-join:
-    * CollapseProject would otherwise inline the 56-step aggregate HOF into
-    * every band expression on both join sides (~15 evaluations per row —
-    * measured 6× slower at sf0.1). Fingerprinting is one map pass, so the
-    * cache holds n×16 bytes; a production corpus writes the fingerprint
-    * column to parquet at ingest, same shape. */
-  private def dhashOf(s: SparkSession, d: String): DataFrame = synchronized {
-    dhashCache.getOrElseUpdate(d,
-      graft.llm.Multimodal.dHash(graft.llm.Multimodal.grayscaleGrid(
-        table(s, d, "embeddings"), "vec_id", "embedding"), w = 8, h = 8).cache())
-  }
-
-  /** Per-doc winnowing fingerprints (k=8, w=4) — cached artifact shared by
-    * the fingerprint report and the overlap-pairing query (the explode +
-    * per-doc window is the expensive part; both queries read the result). */
-  private def winnowOf(s: SparkSession, d: String): DataFrame = synchronized {
-    winnowCache.getOrElseUpdate(d,
-      graft.llm.TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4).cache())
-  }
-
-  /** The per-doc simhash derivation as a DuckDB CTE (mirrors Dedup.simhash). */
-  private val simhashDuckSql =
-    """sims AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM (
-      |    SELECT doc_id, b,
-      |           sum(CASE WHEN substr(h, b, 1) >= '8' THEN 1 ELSE -1 END) AS s
-      |    FROM (SELECT doc_id, md5(token) AS h
-      |          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
-      |         unnest(range(1, 17)) AS bs(b)
-      |    GROUP BY doc_id, b)
-      |  GROUP BY doc_id)""".stripMargin
-
-  private def spreadEmbeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings").select("vec_id", "embedding")
-      .repartition(s.sparkContext.defaultParallelism)
-
-  /** Hyperplane-bucket index over the embeddings (planes = 4 fixed corpus
-    * vectors) — the persisted near-dup artifact. */
-  private def bucketsOf(s: SparkSession, d: String): DataFrame = synchronized {
-    bucketsCache.getOrElseUpdate(d, {
-      val emb = spreadEmbeddings(s, d)
-      val planes = emb.where(col("vec_id").between(1, 4))
-        .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-      graft.llm.Dedup.embeddingBuckets(emb, planes).cache()
-    })
-  }
-
-  /** IVF cell assignment (4 fixed centroids) — the persisted ANN artifact;
-    * a deployment stores it partitioned by cell. */
-  private def ivfOf(s: SparkSession, d: String): DataFrame = synchronized {
-    ivfCache.getOrElseUpdate(d, {
-      val emb = spreadEmbeddings(s, d)
-      val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      Similarity.assignCells(emb, centroids).cache()
-    })
-  }
-
-  /** PQ parameters shared by the codebook, the encode artifact, and the ADC
-    * query: 4 subspaces × 16 dims over the 64-dim embeddings, codewords from
-    * 4 fixed corpus vectors (vec_id 10/20/30/40 → code 1..4). */
-  private val PqM = 4
-  private val PqSubDim = 16
-  private def pqCodebookOf(s: SparkSession, d: String): DataFrame =
-    Similarity.pqCodebook(spreadEmbeddings(s, d),
-      Seq(10L -> 1, 20L -> 2, 30L -> 3, 40L -> 4), PqM, PqSubDim)
-
-  private val pqCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val tfCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** Term-frequency matrix (one row per doc × term) — the persisted TF-IDF
-    * artifact; every term statistic derives from it without re-exploding
-    * the token stream. */
-  private def tfOf(s: SparkSession, d: String): DataFrame = synchronized {
-    tfCache.getOrElseUpdate(d,
-      TextAnalysis.termFrequencies(spreadDocs(s, d)).cache())
-  }
-
-  /** PQ-encoded corpus (vec_id + m integer codes) — the persisted compressed
-    * ANN artifact; at scale this is the ONLY thing the ADC query scans. */
-  private def pqOf(s: SparkSession, d: String): DataFrame = synchronized {
-    pqCache.getOrElseUpdate(d,
-      Similarity.pqEncode(spreadEmbeddings(s, d), pqCodebookOf(s, d), PqM, PqSubDim).cache())
-  }
-
-  private val ivfL2Cache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** The fixed coarse-quantizer centroid set shared by the IVF variants
-    * (4 corpus vectors). */
-  private def centroidsOf(s: SparkSession, d: String): DataFrame =
-    spreadEmbeddings(s, d).where(col("vec_id").isin(10L, 20L, 30L, 40L))
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-
-  /** L2-metric IVF cell assignment (same 4 fixed centroids) — the Euclidean
-    * twin of [[ivfOf]]; both are map-only and a deployment persists either
-    * partitioned by cell. */
-  private def ivfL2Of(s: SparkSession, d: String): DataFrame = synchronized {
-    ivfL2Cache.getOrElseUpdate(d, {
-      Similarity.assignCells(spreadEmbeddings(s, d), centroidsOf(s, d),
-        metric = "l2").cache()
-    })
-  }
-
-  /** Fixed RESIDUAL codebook for the composed IVF-PQ index: 8 codewords per
-    * subspace, carved from the residuals of corpus vectors 1..8 (the
-    * deterministic stand-in for per-subspace residual k-means —
-    * [[Similarity.pqTrainCodebook]] over the residual frame is the trained
-    * path, exercised and recall-gated in LlmScaleRehearsal). */
-  private def ivfPqCodebookOf(s: SparkSession, d: String): DataFrame =
-    Similarity.pqCodebook(
-      Similarity.residuals(ivfL2Of(s, d), centroidsOf(s, d))
-        .select(col("vec_id"), col("residual").as("embedding")),
-      (1L to 8L).map(i => i -> i.toInt), PqM, PqSubDim)
-
-  private val ivfPqCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** IVF-PQ-encoded corpus (vec_id, cell, m integer codes) — the persisted
-    * composed-index artifact; at scale it is partitioned by cell and the ADC
-    * query scans only the probed cells' code columns. */
-  private def ivfPqOf(s: SparkSession, d: String): DataFrame = synchronized {
-    ivfPqCache.getOrElseUpdate(d,
-      Similarity.ivfPqEncode(ivfL2Of(s, d), centroidsOf(s, d),
-        ivfPqCodebookOf(s, d), PqM, PqSubDim).cache())
-  }
-
-  /** Materialize the shared index artifacts (shingle/token sets, MinHash
-    * signatures, LSH candidate pairs, element-set arrays, embedding buckets,
-    * IVF cells, PQ codes) — the one-time build a deployment runs at ingest,
-    * so per-query timings measure the query, not the build. */
-  def warm(s: SparkSession, d: String): Unit = {
-    pairsOf(s, d).count() // forces grams → sigs → pairs
-    setsOf("gram", gramsOf(s, d), "gram", d).count()
-    setsOf("token", tokensOf(s, d), "token", d).count()
-    bucketsOf(s, d).count()
-    ivfOf(s, d).count()
-    ivfL2Of(s, d).count()
-    pqOf(s, d).count()
-    ivfPqOf(s, d).count()
-    tfOf(s, d).count()
-    simhashOf(s, d).count()
-    dhashOf(s, d).count()
-    winnowOf(s, d).count()
-    clustersOf(s, d).count()
-    semClustersOf(s, d).count()
-  }
-
-  /** MinHash signatures (k=4) over char-8-gram shingles — ONE md5 per shingle
-    * position, four hash functions carved out of its disjoint 8-hex-char
-    * substrings, four mins folded in a single groupBy pass (no seed explode:
-    * 4× less hashing and 4× fewer shuffle rows than the naive
-    * per-seed-explode shape — that's the version that scales).
-    * Spark and DuckDB sides mirror the derivation exactly. */
-  private val sigsWideSparkSql =
-    """SELECT doc_id,
-      |       min(substr(h, 1, 8)) AS mh0, min(substr(h, 9, 8)) AS mh1,
-      |       min(substr(h, 17, 8)) AS mh2, min(substr(h, 25, 8)) AS mh3
-      |FROM (SELECT doc_id, md5(substr(text, i, 8)) AS h
-      |      FROM (SELECT doc_id, text, explode(sequence(1, greatest(length(text) - 7, 1))) AS i
-      |            FROM documents))
-      |GROUP BY doc_id""".stripMargin
-
-  private val sigsWideDuckSql =
-    """sigs AS (
-      |  SELECT doc_id,
-      |         min(substr(h, 1, 8)) AS mh0, min(substr(h, 9, 8)) AS mh1,
-      |         min(substr(h, 17, 8)) AS mh2, min(substr(h, 25, 8)) AS mh3
-      |  FROM (SELECT doc_id, md5(substr(text, i, 8)) AS h
-      |        FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-      |              FROM documents))
-      |  GROUP BY doc_id)""".stripMargin
-
-  /** 2 bands × 2 rows: docs agreeing on a whole band are candidate dups. */
-  private val bandsSparkSql =
-    """bands AS (
-      |  SELECT doc_id, 0 AS band, concat(mh0, mh1) AS sig FROM sigs
-      |  UNION ALL
-      |  SELECT doc_id, 1 AS band, concat(mh2, mh3) AS sig FROM sigs),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
-
-  private val bandsDuckSql =
-    """bands AS (
-      |  SELECT doc_id, 0 AS band, mh0 || mh1 AS sig FROM sigs
-      |  UNION ALL
-      |  SELECT doc_id, 1 AS band, mh2 || mh3 AS sig FROM sigs),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
-
-  val defs: Seq[QueryDef] = Seq(
-
-    // Exact dedup: content-hash groupBy; survivor = min doc_id (one shuffle
-    // on the hash — the 100 TB shape; no pairwise comparison anywhere).
-    QueryDef("q_dedup_exact",
-      (s, d) => table(s, d, "documents")
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("content_hash")),
-      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-             |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin)),
-
-    // Text quality signals: counts only (exact integers — no float ratios in
-    // the compare surface; downstream can derive any ratio).
-    QueryDef("q_text_stats",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql("""SELECT doc_id, n_chars,
-                |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-                |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-                |  CAST(size(filter(split(text, ' '), x -> x = 'the')) AS BIGINT) AS n_the,
-                |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
-                |FROM documents ORDER BY doc_id""".stripMargin)
-      },
-      Some("""SELECT doc_id, n_chars,
-             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-             |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS n_the,
-             |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // PII scan + redaction over the corpus. The word-soup fixture carries no
-    // natural PII, so the query plants deterministic markers derived from
-    // doc_id (email every 3rd doc, phone every 5th, IPv4 every 7th) before
-    // the scan — the operator sees a text column like any other; counts and
-    // the redacted text are exact strings, so the compare is strict. Pure
-    // map (codegen'd regexes), no shuffle.
-    QueryDef("q_pii_scan",
-      (s, d) => {
-        val injected = table(s, d, "documents").select(col("doc_id"),
-          concat(col("text"),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" contact user"), col("doc_id").cast("string"),
-                lit("@example.com now"))).otherwise(lit("")),
-            when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
-            when(col("doc_id") % 7 === 0, lit(" from 10.0.0.1 today")).otherwise(lit("")))
-            .as("text"))
-        graft.llm.TextAnalysis.piiScan(injected).orderBy(col("doc_id"))
-      },
-      Some("""WITH injected AS (
-             |  SELECT doc_id, text ||
-             |    CASE WHEN doc_id % 3 = 0
-             |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
-             |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
-             |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1 today' ELSE '' END AS text
-             |  FROM documents)
-             |, staged AS (
-             |  SELECT doc_id, text,
-             |    regexp_replace(text,
-             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS no_email
-             |  FROM injected),
-             |staged2 AS (
-             |  SELECT doc_id, text, no_email,
-             |    regexp_replace(no_email, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS no_phone
-             |  FROM staged)
-             |SELECT doc_id,
-             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
-             |  CAST(len(regexp_extract_all(no_email, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_count,
-             |  CAST(len(regexp_extract_all(no_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ip_count,
-             |  regexp_replace(no_phone,
-             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
-             |FROM staged2 ORDER BY doc_id""".stripMargin)),
-
-    // Language-ID: marker-stopword n-gram heuristic with a fixed tie-break
-    // chain (en > de > fr > es). Deterministic by construction.
-    QueryDef("q_lang_id",
-      (s, d) => {
-        table(s, d, "documents").createOrReplaceTempView("documents")
-        s.sql("""SELECT doc_id, lang,
-                |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                |       WHEN s_fr >= s_es THEN 'fr'
-                |       ELSE 'es' END AS lang_pred
-                |FROM (SELECT doc_id, lang,
-                |        CAST(size(filter(split(text,' '), x -> x IN ('the','and','of'))) AS BIGINT) AS s_en,
-                |        CAST(size(filter(split(text,' '), x -> x IN ('der','und','das'))) AS BIGINT) AS s_de,
-                |        CAST(size(filter(split(text,' '), x -> x IN ('le','et','les'))) AS BIGINT) AS s_fr,
-                |        CAST(size(filter(split(text,' '), x -> x IN ('el','y','los'))) AS BIGINT) AS s_es
-                |      FROM documents)
-                |ORDER BY doc_id""".stripMargin)
-      },
-      Some("""SELECT doc_id, lang,
-             |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-             |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-             |       WHEN s_fr >= s_es THEN 'fr'
-             |       ELSE 'es' END AS lang_pred
-             |FROM (SELECT doc_id, lang,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('der','und','das'))) AS s_de,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('le','et','les'))) AS s_fr,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('el','y','los'))) AS s_es
-             |      FROM documents)
-             |ORDER BY doc_id""".stripMargin)),
-
-    // Classifier EVALUATION: the language-ID confusion matrix against the
-    // corpus's ground-truth lang column — per (true, predicted) counts,
-    // the quality report a pipeline publishes before trusting a filter.
-    // (zh has no marker set, so it lands wherever the argmax ties fall —
-    // visible in the matrix, which is the point of publishing it.)
-    QueryDef("q_lang_confusion",
-      (s, d) => {
-        val docs = table(s, d, "documents")
-        docs.select(col("lang"), TextAnalysis.langId(docs).as("lang_pred"))
-          .groupBy(col("lang"), col("lang_pred"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("lang"), col("lang_pred"))
-      },
-      Some("""SELECT lang,
-             |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-             |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-             |       WHEN s_fr >= s_es THEN 'fr'
-             |       ELSE 'es' END AS lang_pred,
-             |  count(*) AS n
-             |FROM (SELECT lang,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS s_en,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('der','und','das'))) AS s_de,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('le','et','les'))) AS s_fr,
-             |        len(list_filter(string_split(text,' '), x -> x IN ('el','y','los'))) AS s_es
-             |      FROM documents)
-             |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)),
-
-    // Semi-structured extraction: typed fields pulled out of the events
-    // table's JSON props column and aggregated — the standard
-    // schema-on-read step every log/telemetry pipeline runs. One pushed
-    // projection + a map-side-combined aggregate; exact integers.
-    QueryDef("q_json_props",
-      (s, d) => table(s, d, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
-          max(col("k")).as("max_k"))
-        .orderBy(col("event_type")),
-      Some("""SELECT event_type, count(*) AS n_events,
-             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
-
-    // TF-IDF term statistics, integer-only (the order-sensitive float log
-    // is left to the consumer): per-doc top-3 terms by (tf desc, df asc,
-    // term asc). Exact ints hash-match across engines; the rank triple is
-    // a total order so row_number is deterministic.
-    QueryDef("q_tfidf_terms",
-      (s, d) => TextAnalysis.topTermsFromTf(tfOf(s, d), k = 3)
-        .orderBy(col("doc_id"), col("rnk")),
-      Some("""WITH toks AS (
-             |  SELECT doc_id,
-             |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-             |df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
-             |ranked AS (
-             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-             |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-             |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)::BIGINT AS rnk
-             |  FROM tf JOIN df USING (term))
-             |SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
-             |ORDER BY doc_id, rnk""".stripMargin)),
-
-    // Winnowing fingerprints: positional k-gram rolling hashes, sliding
-    // window minima, distinct per doc — guarantees a shared fingerprint for
-    // any common substring of length ≥ w+k−1. The windowed min is over
-    // 8-hex-char strings, so both engines agree lexicographically.
-    QueryDef("q_winnow_fingerprint",
-      (s, d) => winnowOf(s, d)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"),
-          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
-        .orderBy(col("doc_id")),
-      Some("""WITH pos AS (
-             |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
-             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-             |        FROM documents)),
-             |win AS (
-             |  SELECT doc_id,
-             |         min(h) OVER (PARTITION BY doc_id ORDER BY i
-             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-             |         i, count(*) OVER (PARTITION BY doc_id) AS n
-             |  FROM pos),
-             |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3)
-             |SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
-             |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // MOSS-style overlap report over the winnowing fingerprints: doc pairs
-    // sharing >= 3 fingerprints after dropping boilerplate fps (present in
-    // > 10 docs). Catches PARTIAL overlap — a copied span inside an
-    // otherwise-different doc — that whole-doc hashing misses. The Spark
-    // plan has no self-join at all: fp doc-lists group once, pairs expand
-    // map-side from the sorted list (skew-bounded by the boilerplate cap),
-    // and the pair count aggregates with map-side combine. The oracle
-    // verifies with the plain self-join formulation.
-    QueryDef("q_winnow_overlap",
-      (s, d) => TextAnalysis.winnowOverlapPairs(winnowOf(s, d),
-          minShared = 3, maxDocsPerFp = 10)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some("""WITH pos AS (
-             |  SELECT doc_id, i, substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS h
-             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-             |        FROM documents)),
-             |win AS (
-             |  SELECT doc_id,
-             |         min(h) OVER (PARTITION BY doc_id ORDER BY i
-             |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-             |         i, count(*) OVER (PARTITION BY doc_id) AS n
-             |  FROM pos),
-             |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 3),
-             |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       CAST(count(*) AS BIGINT) AS shared_fps
-             |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             |WHERE a.fp IN (SELECT fp FROM rare)
-             |GROUP BY 1, 2 HAVING count(*) >= 3
-             |ORDER BY doc_a, doc_b""".stripMargin)),
-
-    // Document fingerprint: hash of the sorted distinct token set (order- and
-    // repetition-invariant content signature).
-    QueryDef("q_fingerprint",
-      (s, d) => table(s, d, "documents")
-        .select(col("doc_id"),
-          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
-            .as("fingerprint"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // MinHash signatures (k=4) over char-8-gram shingles, long form output.
-    // The wide signature frame is the shared, cached index artifact —
-    // deployments persist it; the whole LSH family below reuses it instead
-    // of re-shingling the corpus per query.
-    QueryDef("q_minhash_sigs",
-      (s, d) => sigsOf(s, d)
-        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (seed, mh)")
-        .orderBy(col("doc_id"), col("seed")),
-      Some(s"""WITH $sigsWideDuckSql
-              |SELECT doc_id, s.seed,
-              |       CASE s.seed WHEN 0 THEN mh0 WHEN 1 THEN mh1
-              |                   WHEN 2 THEN mh2 ELSE mh3 END AS mh
-              |FROM sigs, (VALUES (0),(1),(2),(3)) AS s(seed)
-              |ORDER BY doc_id, seed""".stripMargin)),
-
-    // MinHash-LSH near-dup candidates: 2 bands × 2 minhashes; pairs agreeing
-    // on a full band. The join is on the band signature — candidates stay
-    // ~linear in true near-dups, never O(n²).
-    QueryDef("q_lsh_dup_pairs",
-      (s, d) => pairsOf(s, d).orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH $sigsWideDuckSql,
-              |$bandsDuckSql
-              |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
-
-    // Token-Jaccard on the LSH candidates: |A∩B| plus set sizes (exact ints;
-    // the ratio is downstream arithmetic).
-    QueryDef("q_jaccard_lsh",
-      (s, d) => Dedup.setJaccardOnPairs(
-          setsOf("token", tokensOf(s, d), "token", d), pairsOf(s, d))
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH $sigsWideDuckSql,
-              |$bandsDuckSql,
-              |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-              |inter AS (
-              |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
-              |  FROM pairs p
-              |  JOIN tok ta ON ta.doc_id = p.doc_a
-              |  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
-              |  GROUP BY p.doc_a, p.doc_b)
-              |SELECT p.doc_a, p.doc_b, COALESCE(i.n_common, 0) AS n_common,
-              |       sa.sz AS size_a, sb.sz AS size_b
-              |FROM pairs p
-              |JOIN sizes sa ON sa.doc_id = p.doc_a
-              |JOIN sizes sb ON sb.doc_id = p.doc_b
-              |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
-
-    // SimHash (16-bit, md5-nibble hash family): per-bit majority vote over
-    // token hashes → compact near-dup fingerprint. The signature frame is a
-    // cached artifact shared with the pair-retrieval query below.
-    QueryDef("q_simhash",
-      (s, d) => simhashOf(s, d).orderBy(col("doc_id")),
-      Some(s"""WITH $simhashDuckSql
-              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
-
-    // SimHash candidate pairs: four 4-bit bands (pigeonhole: hamming ≤ 3
-    // leaves at least one band untouched — LOSSLESS retrieval at this
-    // threshold) + popcount-verified Hamming distance.
-    QueryDef("q_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(simhashOf(s, d), maxHamming = 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH $simhashDuckSql,
-              |banded AS (
-              |  SELECT doc_id, simhash,
-              |         (simhash // 1) % 16 AS b0, (simhash // 16) % 16 AS b1,
-              |         (simhash // 256) % 16 AS b2, (simhash // 4096) % 16 AS b3
-              |  FROM sims),
-              |cand AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |         a.simhash AS sim_a, b.simhash AS sim_b
-              |  FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-              |  FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-              |  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-              |  UNION SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-              |  FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
-              |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-              |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
-              |ORDER BY doc_a, doc_b""".stripMargin)),
-
-    // Brute-force cosine top-k (the ANN baseline): ordered sequential double
-    // fold — bit-identical to DuckDB's list_cosine_similarity on DOUBLE[].
-    // At 100 TB the same plan holds with the query side broadcast; the IVF
-    // variant (graft.llm.Similarity) prunes candidates by centroid first.
-    QueryDef("q_knn_cosine",
-      (s, d) => {
-        table(s, d, "embeddings").createOrReplaceTempView("embeddings")
-        // the query norm is computed once in the single-row CTE (broadcast),
-        // not re-folded per scanned row; sqrt(a)·sqrt(b) is unchanged as an
-        // expression so scores stay bit-identical to list_cosine_similarity
-        s.sql("""WITH q AS (
-                |  SELECT embedding AS qe,
-                |         sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                |                        CAST(0 AS DOUBLE), (acc, v) -> acc + v)) AS qn
-                |  FROM embeddings WHERE vec_id = 0)
-                |SELECT vec_id,
-                |  aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                |            CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-                |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                |                    CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * qn) AS cos_sim
-                |FROM embeddings, q WHERE vec_id <> 0
-                |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
-      },
-      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
-             |SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qe) AS cos_sim
-             |FROM embeddings, q WHERE vec_id <> 0
-             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
-
-    // Multimodal plumbing (metadata side): opaque-bytes length + a
-    // deterministic md5-derived feature — the decode itself is stubbed in
-    // graft.llm.Multimodal (no media libs in this container).
-    QueryDef("q_multimodal_meta",
-      (s, d) => table(s, d, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("n_bytes"),
-          substring(md5(col("text")), 1, 8).as("content_key"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-             |       substr(md5(text), 1, 8) AS content_key
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Content-aware image near-dup: dHash perceptual fingerprint over an
-    // 8×8 grayscale grid (the embedding vectors quantized to gray levels —
-    // the container-safe stand-in for a decoded raster), then banded
-    // Hamming retrieval (14 bands × 4 bits — lossless for hamming ≤ 13 by
-    // pigeonhole) + exact popcount verify. The oracle does the O(n²) join;
-    // Spark's plan is ONE equi-join on the banded key — never a cross
-    // product. Exact integers end to end, so the hash compare is strict.
-    QueryDef("q_image_neardup",
-      (s, d) => {
-        Dedup.bandedHammingPairs(dhashOf(s, d), bits = 56, bandBits = 4,
-            maxHamming = 13, idCol = "vec_id", hashCol = "dhash")
-          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("hamming"))
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some("""WITH px AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, v ->
-             |           CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
-             |  FROM embeddings),
-             |h AS (
-             |  SELECT vec_id,
-             |         CAST(list_sum(list_transform(range(0, 56), i ->
-             |           CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
-             |                     < p[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]
-             |                THEN CAST(1 AS BIGINT) << CAST(i AS INT)
-             |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
-             |  FROM px)
-             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-             |FROM h a JOIN h b ON a.vec_id < b.vec_id
-             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
-             |ORDER BY vec_a, vec_b""".stripMargin)),
-
-    // Quality score in [0,1]: unique-token ratio + stopword presence + length
-    // band, averaged. Pure map — no shuffle; the standard cheap pre-filter
-    // before expensive dedup/classification passes.
-    QueryDef("q_quality_score",
-      (s, d) => table(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |     / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
-             |   + CASE WHEN len(list_filter(string_split(text,' '),
-             |                  x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
-             |   + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
-             |  ) / 3.0 AS quality
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // BPE-ish token counting: word runs + standalone punctuation via one
-    // regexp (GPT-style pre-tokenization) — codegen'd, zero shuffle.
-    QueryDef("q_token_regex",
-      (s, d) => table(s, d, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
-          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-             |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Window-function survivor pick: rank within each content group, keep
-    // rank 1 — the one-pass dedup shape when whole rows must survive.
-    QueryDef("q_dedup_window",
-      (s, d) => Dedup.survivors(table(s, d, "documents"))
-        .select(col("doc_id"), md5(col("text")).as("content_hash"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, md5(text) AS content_hash FROM documents
-             |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-             |ORDER BY doc_id""".stripMargin)),
-
-    // Tumbling-window aggregation over the event stream: 1h buckets ×
-    // event_type; double sums fixed-pointed via floor(value*1000) so the
-    // distributed sum is order-independent (bigint adds commute — the only
-    // sum shape that hash-compares across engines).
-    QueryDef("q_events_window",
-      (s, d) => table(s, d, "events")
-        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
-        .orderBy(col("hour_bucket"), col("event_type")),
-      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
-             |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-             |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
-             |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
-
-    // Gap-based sessionization: a session breaks after 30 min of user
-    // inactivity — lag + running sum windows, then a per-session rollup.
-    // The window partitions by user_id: one shuffle, then all window work is
-    // partition-local (the 100 TB shape for event-stream sessionization).
-    QueryDef("q_sessionize",
-      (s, d) => {
-        table(s, d, "events").createOrReplaceTempView("events")
-        s.sql("""SELECT user_id, session_id, count(*) AS n_events,
-                |       min(event_id) AS first_event, max(event_id) AS last_event
-                |FROM (
-                |  SELECT user_id, event_id,
-                |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                |                        ROWS UNBOUNDED PRECEDING) AS session_id
-                |  FROM (
-                |    SELECT user_id, event_id, ts,
-                |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                |                     > 1800000000000 THEN 1 ELSE 0 END AS brk
-                |    FROM events))
-                |GROUP BY user_id, session_id
-                |ORDER BY user_id, session_id""".stripMargin)
-      },
-      Some("""SELECT user_id, session_id, count(*) AS n_events,
-             |       min(event_id) AS first_event, max(event_id) AS last_event
-             |FROM (
-             |  SELECT user_id, event_id,
-             |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-             |  FROM (
-             |    SELECT user_id, event_id, ts,
-             |           CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             |                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |                     > 1800000000000 THEN 1 ELSE 0 END AS brk
-             |    FROM events))
-             |GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin)),
-
-    // Embedding-cosine near-dup: random-hyperplane LSH buckets (planes = 4
-    // fixed corpus vectors), pairwise cosine ONLY within a bucket — candidate
-    // generation is a join on the 4-bit signature, never O(n²).
-    QueryDef("q_embed_neardup",
-      (s, d) => Dedup.nearDupsFromBuckets(bucketsOf(s, d), threshold = 0.3)
-        .orderBy(col("vec_a"), col("vec_b")),
-      Some("""WITH planes AS (
-             |  SELECT vec_id AS plane_id, embedding::DOUBLE[] AS plane
-             |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
-             |sig AS (
-             |  SELECT e.vec_id,
-             |         string_agg(CASE WHEN list_cosine_similarity(e.embedding::DOUBLE[], p.plane) >= 0
-             |                         THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
-             |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
-             |b AS (SELECT s.vec_id, s.bucket, e.embedding FROM sig s JOIN embeddings e USING (vec_id))
-             |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-             |       list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim
-             |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-             |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.3
-             |ORDER BY vec_a, vec_b""".stripMargin)),
-
-    // IVF ANN: coarse-quantize to 4 fixed centroids, probe the 2 cells
-    // nearest the query, brute-force inside. Partitioned by cell at scale,
-    // the scan touches ~nprobe/|cells| of the data.
-    QueryDef("q_ann_ivf",
-      (s, d) => {
-        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
-        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-        Similarity.ivfTopK(ivfOf(s, d), centroids, queryVecId = 0L, k = 10, nprobe = 2)
-      },
-      Some("""WITH cents AS (
-             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-             |scored AS (
-             |  SELECT e.vec_id, e.embedding, c.centroid_id,
-             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
-             |  FROM embeddings e CROSS JOIN cents c),
-             |assigned AS (
-             |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
-             |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-             |probed AS (
-             |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
-             |  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.centroid_id LIMIT 2)
-             |SELECT a.vec_id, a.cell,
-             |       list_cosine_similarity(a.embedding::DOUBLE[], q.qe) AS cos_sim
-             |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
-             |WHERE a.vec_id <> 0
-             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
-
-    // Euclidean IVF ANN — the L2 twin of q_ann_ivf (PQ-style pipelines
-    // quantize by squared L2, so the coarse stage should rank the same
-    // way): assignment by min squared distance, probe the 2 nearest cells,
-    // exact L2 within. The ordered-fold distance hash-matches DuckDB.
-    QueryDef("q_ann_ivf_l2",
-      (s, d) => {
-        val emb = table(s, d, "embeddings").select("vec_id", "embedding")
-        val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-        Similarity.ivfTopK(ivfL2Of(s, d), centroids,
-          queryVecId = 3L, k = 10, nprobe = 2, metric = "l2")
-      },
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.centroid_id,
-           |    ${l2("e.embedding", "c.ce")} AS dist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
-           |probed AS (
-           |  SELECT c.centroid_id AS cell FROM cents c CROSS JOIN q
-           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2)
-           |SELECT a.vec_id, a.cell, ${l2("a.embedding", "q.qe")} AS l2_dist
-           |FROM assigned a JOIN probed USING (cell) CROSS JOIN q
-           |WHERE a.vec_id <> 3
-           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
-      }),
-
-    // Duplicate-cluster resolution: connected components over the LSH
-    // candidate-pair graph; each doc gets its component's min doc id as the
-    // canonical survivor. Spark side = iterative min-label propagation;
-    // oracle = recursive CTE over the same edges.
-    QueryDef("q_dedup_clusters",
-      (s, d) => clustersOf(s, d).orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE $sigsWideDuckSql,
-              |$bandsDuckSql,
-              |edges AS (
-              |  SELECT doc_a AS s, doc_b AS d FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |cc(doc, lbl) AS (
-              |  SELECT s, s FROM edges
-              |  UNION
-              |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d)
-              |SELECT doc AS doc_id, min(lbl) AS cluster_id
-              |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin)),
-
-    // Survivor selection over the duplicate clusters: the longest doc
-    // (n_chars desc, doc_id asc tie) survives each component — the
-    // quality-ranked dedup decision production pipelines make (min-id,
-    // q_dedup_clusters' label, is the degenerate case).
-    QueryDef("q_dedup_survivors",
-      (s, d) => Dedup.resolveSurvivors(
-          clustersOf(s, d), table(s, d, "documents").select("doc_id", "n_chars"),
-          Seq(col("n_chars").desc, col("doc_id")))
-        .select(col("cluster_id"), col("doc_id"), col("n_chars"))
-        .orderBy(col("cluster_id")),
-      Some(s"""WITH RECURSIVE $sigsWideDuckSql,
-              |$bandsDuckSql,
-              |edges AS (
-              |  SELECT doc_a AS s, doc_b AS d FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |cc(doc, lbl) AS (
-              |  SELECT s, s FROM edges
-              |  UNION
-              |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d),
-              |clusters AS (
-              |  SELECT doc AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc)
-              |SELECT c.cluster_id, c.doc_id, d.n_chars
-              |FROM clusters c JOIN documents d USING (doc_id)
-              |QUALIFY row_number() OVER (PARTITION BY c.cluster_id
-              |  ORDER BY d.n_chars DESC, c.doc_id) = 1
-              |ORDER BY cluster_id""".stripMargin)),
-
-    // Product-quantization ANN: vectors compress to 4 integer codes (nearest
-    // codeword per 16-dim subspace); the query's distance to every codeword
-    // is tabled once and candidates are scored by 4 table lookups — the scan
-    // reads ONLY the code columns, never the embedding payload. Encode and
-    // table-build are map-only broadcast shapes (LlmSpec asserts no
-    // hash exchange); squared-L2 is the ordered fold, so codes AND float ADC
-    // scores hash-match DuckDB exactly.
-    QueryDef("q_ann_pq",
-      (s, d) => Similarity.pqAdcTopK(
-        pqOf(s, d), pqCodebookOf(s, d),
-        spreadEmbeddings(s, d).where(col("vec_id") === 7L),
-        queryVecId = 7L, k = 10, m = PqM, subDim = PqSubDim),
-      Some("""WITH cw AS (
-             |  SELECT s AS sub, CAST(vec_id // 10 AS INT) AS code_id,
-             |         embedding[s*16+1 : s*16+16] AS cwv
-             |  FROM embeddings, unnest([0,1,2,3]) AS su(s)
-             |  WHERE vec_id IN (10, 20, 30, 40)),
-             |dist AS (
-             |  SELECT e.vec_id, c.sub, c.code_id,
-             |    list_reduce(list_transform(list_zip(e.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q) AS d
-             |  FROM embeddings e CROSS JOIN cw c),
-             |codes AS (
-             |  SELECT vec_id, sub, code_id FROM dist
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
-             |enc AS (
-             |  SELECT vec_id,
-             |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
-             |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
-             |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
-             |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
-             |  FROM codes GROUP BY vec_id),
-             |qd AS (
-             |  SELECT c.sub, c.code_id,
-             |    list_reduce(list_transform(list_zip(q.embedding[c.sub*16+1 : c.sub*16+16], c.cwv),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q) AS d
-             |  FROM cw c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q)
-             |SELECT e.vec_id, e.c0, e.c1, e.c2, e.c3,
-             |       ((q0.d + q1.d) + q2.d) + q3.d AS adc
-             |FROM enc e
-             |JOIN qd q0 ON q0.sub = 0 AND q0.code_id = e.c0
-             |JOIN qd q1 ON q1.sub = 1 AND q1.code_id = e.c1
-             |JOIN qd q2 ON q2.sub = 2 AND q2.code_id = e.c2
-             |JOIN qd q3 ON q3.sub = 3 AND q3.code_id = e.c3
-             |WHERE e.vec_id <> 7
-             |ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
-
-    // Exact k-NN JOIN — batch similarity search: the 5 lowest vec_ids each
-    // retrieve their top-3 cosine neighbors from the whole corpus in ONE
-    // candidate-side pass (queries broadcast; only (query, id, score)
-    // triples shuffle into the per-query top-k window).
-    QueryDef("q_knn_join",
-      (s, d) => {
-        val emb = spreadEmbeddings(s, d)
-        Similarity.knnJoin(emb.where(col("vec_id") < 5), emb, k = 3)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""SELECT q.vec_id AS query_id, c.vec_id,
-             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
-             |  CAST(row_number() OVER (PARTITION BY q.vec_id
-             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-             |             c.vec_id) AS INT) AS "rank"
-             |FROM embeddings q CROSS JOIN embeddings c
-             |WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-             |QUALIFY "rank" <= 3
-             |ORDER BY query_id, "rank"""".stripMargin)),
-
-    // Hard-negative mining: per query, top-k most-similar OTHER-label
-    // vectors — the contrastive-training counterpart of the k-NN join
-    // (same one-pass broadcast shape; label filter before the shuffle).
-    QueryDef("q_hard_negatives",
-      (s, d) => {
-        val emb = table(s, d, "embeddings")
-          .select("vec_id", "embedding", "label")
-          .repartition(s.sparkContext.defaultParallelism)
-        Similarity.hardNegatives(emb.where(col("vec_id") < 5), emb, k = 5)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""SELECT q.vec_id AS query_id, c.vec_id, c.label,
-             |  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim,
-             |  CAST(row_number() OVER (PARTITION BY q.vec_id
-             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-             |             c.vec_id) AS INT) AS "rank"
-             |FROM embeddings q CROSS JOIN embeddings c
-             |WHERE q.vec_id < 5 AND c.label <> q.label
-             |QUALIFY "rank" <= 5
-             |ORDER BY query_id, "rank"""".stripMargin)),
-
-    // Contrastive tuple assembly: per query, the nearest same-label
-    // positive + top-3 other-label hard negatives, mined in ONE corpus
-    // pass (role decided per candidate, one exchange, two ranking windows).
-    QueryDef("q_contrastive_tuples",
-      (s, d) => {
-        val emb = table(s, d, "embeddings")
-          .select("vec_id", "embedding", "label")
-          .repartition(s.sparkContext.defaultParallelism)
-        Similarity.contrastiveTuples(emb.where(col("vec_id") < 5), emb, kNeg = 3)
-          .orderBy(col("query_id"), col("role"), col("rank"))
-      },
-      Some("""WITH scored AS (
-             |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
-             |    CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role,
-             |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
-             |  FROM embeddings q CROSS JOIN embeddings c
-             |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-             |ranked AS (
-             |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, role
-             |    ORDER BY cos_sim DESC, vec_id) AS INT) AS "rank"
-             |  FROM scored)
-             |SELECT query_id, vec_id, label, role, cos_sim, "rank"
-             |FROM ranked
-             |WHERE (role = 'pos' AND "rank" = 1) OR (role = 'neg' AND "rank" <= 3)
-             |ORDER BY query_id, role, "rank"""".stripMargin)),
-
-    // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
-    // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
-    // centroid) with 8 codewords per 16-dim subspace, then ADC within the
-    // 2 probed cells using a per-cell distance table built from the
-    // query's residual. Assignment, residual, and encode are all map-only
-    // broadcast shapes; the candidate scan reads only (vec_id, cell,
-    // c0..c3). Residual subtraction and the ordered-fold squared-L2 are
-    // exact float/double ops, so codes AND ADC scores hash-match DuckDB.
-    QueryDef("q_ann_ivfpq",
-      (s, d) => Similarity.ivfPqTopK(
-        ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
-        spreadEmbeddings(s, d).where(col("vec_id") === 9L),
-        queryVecId = 9L, k = 10, nprobe = 2, m = PqM, subDim = PqSubDim),
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.centroid_id,
-           |    ${l2("e.embedding", "c.ce")} AS dist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
-           |res AS (
-           |  SELECT a.vec_id, a.cell,
-           |    list_transform(list_zip(a.embedding, c.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS r
-           |  FROM assigned a JOIN cents c ON a.cell = c.centroid_id),
-           |cw AS (
-           |  SELECT s AS sub, CAST(vec_id AS INT) AS code_id, r[s*16+1 : s*16+16] AS cwv
-           |  FROM res, unnest([0,1,2,3]) AS su(s)
-           |  WHERE vec_id BETWEEN 1 AND 8),
-           |dists AS (
-           |  SELECT r.vec_id, r.cell, c.sub, c.code_id,
-           |    ${l2("r.r[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM res r CROSS JOIN cw c),
-           |codes AS (
-           |  SELECT vec_id, cell, sub, code_id FROM dists
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
-           |enc AS (
-           |  SELECT vec_id, cell,
-           |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
-           |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
-           |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
-           |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
-           |  FROM codes GROUP BY vec_id, cell),
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 9),
-           |probed AS (
-           |  SELECT c.centroid_id AS cell, c.ce FROM cents c CROSS JOIN q
-           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2),
-           |qres AS (
-           |  SELECT p.cell,
-           |    list_transform(list_zip(q.qe, p.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
-           |  FROM probed p CROSS JOIN q),
-           |qd AS (
-           |  SELECT r.cell, c.sub, c.code_id,
-           |    ${l2("r.qr[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM cw c CROSS JOIN qres r)
-           |SELECT e.vec_id, e.cell, e.c0, e.c1, e.c2, e.c3,
-           |       ((q0.d + q1.d) + q2.d) + q3.d AS adc
-           |FROM enc e
-           |JOIN qd q0 ON q0.cell = e.cell AND q0.sub = 0 AND q0.code_id = e.c0
-           |JOIN qd q1 ON q1.cell = e.cell AND q1.sub = 1 AND q1.code_id = e.c1
-           |JOIN qd q2 ON q2.cell = e.cell AND q2.sub = 2 AND q2.code_id = e.c2
-           |JOIN qd q3 ON q3.cell = e.cell AND q3.sub = 3 AND q3.code_id = e.c3
-           |WHERE e.vec_id <> 9
-           |ORDER BY adc, vec_id LIMIT 10""".stripMargin
-      }),
-
-    // Two-stage IVF-PQ: ADC shortlist (c=40) from the code index, exact
-    // L2 re-rank of ONLY those rows (driver-free broadcast left-semi on
-    // the shortlist frame) — removes the cross-cell ADC drift; final
-    // top-10 is exact within the shortlist.
-    QueryDef("q_ann_ivfpq_rerank",
-      (s, d) => Similarity.ivfPqTopKRerank(
-        ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
-        spreadEmbeddings(s, d), queryVecId = 9L, k = 10, c = 40,
-        nprobe = 2, m = PqM, subDim = PqSubDim),
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.centroid_id,
-           |    ${l2("e.embedding", "c.ce")} AS dist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
-           |res AS (
-           |  SELECT a.vec_id, a.cell,
-           |    list_transform(list_zip(a.embedding, c.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS r
-           |  FROM assigned a JOIN cents c ON a.cell = c.centroid_id),
-           |cw AS (
-           |  SELECT s AS sub, CAST(vec_id AS INT) AS code_id, r[s*16+1 : s*16+16] AS cwv
-           |  FROM res, unnest([0,1,2,3]) AS su(s)
-           |  WHERE vec_id BETWEEN 1 AND 8),
-           |dists AS (
-           |  SELECT r.vec_id, r.cell, c.sub, c.code_id,
-           |    ${l2("r.r[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM res r CROSS JOIN cw c),
-           |codes AS (
-           |  SELECT vec_id, cell, sub, code_id FROM dists
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
-           |enc AS (
-           |  SELECT vec_id, cell,
-           |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
-           |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
-           |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
-           |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
-           |  FROM codes GROUP BY vec_id, cell),
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 9),
-           |probed AS (
-           |  SELECT c.centroid_id AS cell, c.ce FROM cents c CROSS JOIN q
-           |  ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id LIMIT 2),
-           |qres AS (
-           |  SELECT p.cell,
-           |    list_transform(list_zip(q.qe, p.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
-           |  FROM probed p CROSS JOIN q),
-           |qd AS (
-           |  SELECT r.cell, c.sub, c.code_id,
-           |    ${l2("r.qr[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM cw c CROSS JOIN qres r),
-           |shortlist AS (
-           |  SELECT e.vec_id
-           |  FROM enc e
-           |  JOIN qd q0 ON q0.cell = e.cell AND q0.sub = 0 AND q0.code_id = e.c0
-           |  JOIN qd q1 ON q1.cell = e.cell AND q1.sub = 1 AND q1.code_id = e.c1
-           |  JOIN qd q2 ON q2.cell = e.cell AND q2.sub = 2 AND q2.code_id = e.c2
-           |  JOIN qd q3 ON q3.cell = e.cell AND q3.sub = 3 AND q3.code_id = e.c3
-           |  WHERE e.vec_id <> 9
-           |  ORDER BY ((q0.d + q1.d) + q2.d) + q3.d, e.vec_id LIMIT 40)
-           |SELECT em.vec_id, ${l2("em.embedding", "q.qe")} AS l2_dist
-           |FROM embeddings em JOIN shortlist USING (vec_id) CROSS JOIN q
-           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
-      }),
-
-    // Batch IVF-PQ k-NN join: three query vectors retrieve their top-5
-    // from the composed code index in ONE candidate pass — per-query
-    // probed cells and per-(query, cell) ADC tables all live in one
-    // broadcast; the scan reads only (vec_id, cell, codes).
-    QueryDef("q_ann_ivfpq_batch",
-      (s, d) => Similarity.ivfPqKnnJoin(
-          ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
-          spreadEmbeddings(s, d).where(col("vec_id").isin(9L, 15L, 21L)),
-          k = 5, nprobe = 2, m = PqM, subDim = PqSubDim)
-        .orderBy(col("query_id"), col("rank")),
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.centroid_id,
-           |    ${l2("e.embedding", "c.ce")} AS dist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
-           |res AS (
-           |  SELECT a.vec_id, a.cell,
-           |    list_transform(list_zip(a.embedding, c.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS r
-           |  FROM assigned a JOIN cents c ON a.cell = c.centroid_id),
-           |cw AS (
-           |  SELECT s AS sub, CAST(vec_id AS INT) AS code_id, r[s*16+1 : s*16+16] AS cwv
-           |  FROM res, unnest([0,1,2,3]) AS su(s)
-           |  WHERE vec_id BETWEEN 1 AND 8),
-           |dists AS (
-           |  SELECT r.vec_id, r.cell, c.sub, c.code_id,
-           |    ${l2("r.r[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM res r CROSS JOIN cw c),
-           |codes AS (
-           |  SELECT vec_id, cell, sub, code_id FROM dists
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
-           |enc AS (
-           |  SELECT vec_id, cell,
-           |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
-           |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
-           |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
-           |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
-           |  FROM codes GROUP BY vec_id, cell),
-           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-           |      WHERE vec_id IN (9, 15, 21)),
-           |probed AS (
-           |  SELECT q.qid, c.centroid_id AS cell, c.ce, q.qe
-           |  FROM cents c CROSS JOIN q
-           |  QUALIFY row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id) <= 2),
-           |qres AS (
-           |  SELECT qid, cell,
-           |    list_transform(list_zip(qe, ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
-           |  FROM probed),
-           |qd AS (
-           |  SELECT r.qid, r.cell, c.sub, c.code_id,
-           |    ${l2("r.qr[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM cw c CROSS JOIN qres r)
-           |SELECT p.qid AS query_id, e.vec_id,
-           |       ((q0.d + q1.d) + q2.d) + q3.d AS adc,
-           |       CAST(row_number() OVER (PARTITION BY p.qid
-           |         ORDER BY ((q0.d + q1.d) + q2.d) + q3.d, e.vec_id) AS INT) AS "rank"
-           |FROM enc e
-           |JOIN (SELECT DISTINCT qid, cell FROM probed) p ON p.cell = e.cell
-           |JOIN qd q0 ON q0.qid = p.qid AND q0.cell = e.cell AND q0.sub = 0 AND q0.code_id = e.c0
-           |JOIN qd q1 ON q1.qid = p.qid AND q1.cell = e.cell AND q1.sub = 1 AND q1.code_id = e.c1
-           |JOIN qd q2 ON q2.qid = p.qid AND q2.cell = e.cell AND q2.sub = 2 AND q2.code_id = e.c2
-           |JOIN qd q3 ON q3.qid = p.qid AND q3.cell = e.cell AND q3.sub = 3 AND q3.code_id = e.c3
-           |WHERE e.vec_id <> p.qid
-           |QUALIFY "rank" <= 5
-           |ORDER BY query_id, "rank"""".stripMargin
-      }),
-
-    // Batch two-stage IVF-PQ: every query's ADC shortlist (c=20) exact
-    // L2 re-ranked in ONE corpus-side pass — shortlist broadcast back onto
-    // the payload table, per-query top-5 window moving only
-    // (query_id, vec_id, l2_dist) triples. Final distances are exact L2,
-    // so they hash-match DuckDB bit-for-bit.
-    QueryDef("q_ann_ivfpq_batch_rerank",
-      (s, d) => Similarity.ivfPqKnnJoinRerank(
-          ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
-          spreadEmbeddings(s, d).where(col("vec_id").isin(9L, 15L, 21L)),
-          spreadEmbeddings(s, d), k = 5, c = 20, nprobe = 2,
-          m = PqM, subDim = PqSubDim)
-        .orderBy(col("query_id"), col("rank")),
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding, c.centroid_id,
-           |    ${l2("e.embedding", "c.ce")} AS dist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, embedding, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1),
-           |res AS (
-           |  SELECT a.vec_id, a.cell,
-           |    list_transform(list_zip(a.embedding, c.ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS r
-           |  FROM assigned a JOIN cents c ON a.cell = c.centroid_id),
-           |cw AS (
-           |  SELECT s AS sub, CAST(vec_id AS INT) AS code_id, r[s*16+1 : s*16+16] AS cwv
-           |  FROM res, unnest([0,1,2,3]) AS su(s)
-           |  WHERE vec_id BETWEEN 1 AND 8),
-           |dists AS (
-           |  SELECT r.vec_id, r.cell, c.sub, c.code_id,
-           |    ${l2("r.r[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM res r CROSS JOIN cw c),
-           |codes AS (
-           |  SELECT vec_id, cell, sub, code_id FROM dists
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) = 1),
-           |enc AS (
-           |  SELECT vec_id, cell,
-           |    CAST(max(CASE WHEN sub = 0 THEN code_id END) AS INT) AS c0,
-           |    CAST(max(CASE WHEN sub = 1 THEN code_id END) AS INT) AS c1,
-           |    CAST(max(CASE WHEN sub = 2 THEN code_id END) AS INT) AS c2,
-           |    CAST(max(CASE WHEN sub = 3 THEN code_id END) AS INT) AS c3
-           |  FROM codes GROUP BY vec_id, cell),
-           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-           |      WHERE vec_id IN (9, 15, 21)),
-           |probed AS (
-           |  SELECT q.qid, c.centroid_id AS cell, c.ce, q.qe
-           |  FROM cents c CROSS JOIN q
-           |  QUALIFY row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${l2("c.ce", "q.qe")}, c.centroid_id) <= 2),
-           |qres AS (
-           |  SELECT qid, cell,
-           |    list_transform(list_zip(qe, ce),
-           |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr
-           |  FROM probed),
-           |qd AS (
-           |  SELECT r.qid, r.cell, c.sub, c.code_id,
-           |    ${l2("r.qr[c.sub*16+1 : c.sub*16+16]", "c.cwv")} AS d
-           |  FROM cw c CROSS JOIN qres r),
-           |shortlist AS (
-           |  SELECT p.qid, e.vec_id
-           |  FROM enc e
-           |  JOIN (SELECT DISTINCT qid, cell FROM probed) p ON p.cell = e.cell
-           |  JOIN qd q0 ON q0.qid = p.qid AND q0.cell = e.cell AND q0.sub = 0 AND q0.code_id = e.c0
-           |  JOIN qd q1 ON q1.qid = p.qid AND q1.cell = e.cell AND q1.sub = 1 AND q1.code_id = e.c1
-           |  JOIN qd q2 ON q2.qid = p.qid AND q2.cell = e.cell AND q2.sub = 2 AND q2.code_id = e.c2
-           |  JOIN qd q3 ON q3.qid = p.qid AND q3.cell = e.cell AND q3.sub = 3 AND q3.code_id = e.c3
-           |  WHERE e.vec_id <> p.qid
-           |  QUALIFY row_number() OVER (PARTITION BY p.qid
-           |    ORDER BY ((q0.d + q1.d) + q2.d) + q3.d, e.vec_id) <= 20)
-           |SELECT s.qid AS query_id, s.vec_id,
-           |       ${l2("em.embedding", "q.qe")} AS l2_dist,
-           |       CAST(row_number() OVER (PARTITION BY s.qid
-           |         ORDER BY ${l2("em.embedding", "q.qe")}, s.vec_id) AS INT) AS "rank"
-           |FROM shortlist s
-           |JOIN embeddings em ON em.vec_id = s.vec_id
-           |JOIN q ON q.qid = s.qid
-           |QUALIFY "rank" <= 5
-           |ORDER BY query_id, "rank"""".stripMargin
-      }),
-
-    // Benchmark decontamination: docs with doc_id % 25 = 0 stand in for the
-    // held-out eval set; every other doc reports how many of its distinct
-    // 8-gram shingles appear anywhere in that set. The benchmark gram set
-    // broadcasts (eval sets are tiny next to a training corpus), so the
-    // corpus side is one pass with zero gram-keyed shuffles.
-    QueryDef("q_decontam",
-      (s, d) => {
-        val grams = gramsOf(s, d)
-        Dedup.benchmarkOverlap(
-            grams.where(col("doc_id") % 25 =!= 0),
-            grams.where(col("doc_id") % 25 === 0))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH g AS (
-             |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
-             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-             |        FROM documents)),
-             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
-             |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 25 <> 0)
-             |SELECT c.doc_id, count(*) AS n_grams,
-             |       CAST(count(b.gram) AS BIGINT) AS n_contaminated
-             |FROM c LEFT JOIN b USING (gram)
-             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
-
-    // First-occurrence novelty: per doc, distinct shingles and how many
-    // occur in no lower-id doc — the ingest-order novelty curve. No
-    // corpus×corpus gram join: min-doc per gram re-aggregates by that doc,
-    // then a docs-sized join against the per-doc totals.
-    QueryDef("q_novelty",
-      (s, d) => Dedup.noveltyStats(gramsOf(s, d)).orderBy(col("doc_id")),
-      Some("""WITH g AS (
-             |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
-             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-             |        FROM documents)),
-             |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY 1),
-             |novel AS (
-             |  SELECT doc_id, count(*)::BIGINT AS n_novel
-             |  FROM (SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY 1)
-             |  GROUP BY 1)
-             |SELECT doc_id, n_grams, coalesce(n_novel, 0)::BIGINT AS n_novel
-             |FROM perdoc LEFT JOIN novel USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
-
-    // Training-mix curation: deterministic stratified sampling — each source
-    // class keeps a fixed fraction (25/50/75/100% by source number mod 4),
-    // membership decided by a salted per-doc hash bucket compared as a hex
-    // string (engine-portable, no base conversion). Pure map + one
-    // map-side-combined aggregate; a doc's fate never depends on other docs.
-    QueryDef("q_mix_sample",
-      (s, d) => {
-        val thr = {
-          // try_cast on the FULL numeric suffix: malformed sources fall to
-          // the keep-all branch identically in both engines (ADVICE r5 —
-          // a plain cast diverges: Spark ANSI throws, DuckDB errors)
-          val cls = expr("try_cast(substr(source, 4) AS INT)") % 4
-          when(cls === 0, "40").when(cls === 1, "80")
-            .when(cls === 2, "c0").otherwise("zz") // "zz" > any hex: keep all
-        }
-        graft.llm.Sampling.mixReport(table(s, d, "documents"), "source", thr)
-          .orderBy(col("source"))
-      },
-      Some("""SELECT source, count(*) AS n_docs,
-             |  count(CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) <
-             |    (CASE TRY_CAST(substr(source, 4) AS INT) % 4
-             |       WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0'
-             |       ELSE 'zz' END) THEN 1 END) AS n_sampled
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
-
-    // Sequence packing (concatenate-and-chunk, the GPT pretraining layout):
-    // per source stream, docs concatenate in doc_id order and the token
-    // stream cuts every 512 tokens; each doc reports its start offset and
-    // chunk. Hierarchical prefix sum: sub-streams of 64 ids run their
-    // windows in parallel and tiny per-sub totals stitch the exact offsets
-    // back — one giant stream never serializes onto one partition. Tokens
-    // are NON-EMPTY splits (empty/multi-space text counts zero), mirrored
-    // by the oracle's list_filter.
-    QueryDef("q_pack_sequences",
-      (s, d) => graft.llm.Sampling.packSequences(
-          table(s, d, "documents"), capacity = 512, subStreamWidth = 64L)
-        .orderBy(col("source"), col("doc_id")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, source,
-             |         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-             |              AS BIGINT) AS n_tokens
-             |  FROM documents),
-             |o AS (
-             |  SELECT doc_id, source, n_tokens,
-             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             |                             ROWS UNBOUNDED PRECEDING) - n_tokens
-             |         AS BIGINT) AS start_offset
-             |  FROM t)
-             |SELECT doc_id, source, n_tokens, start_offset,
-             |       start_offset // 512 AS bin
-             |FROM o ORDER BY source, doc_id""".stripMargin)),
-
-    // The END-TO-END corpus-preparation pass, composed from the tested
-    // operators in production order: exact-dedup survivors (window, full
-    // rows) → integer quality gate (≥20 tokens, distinct-token ratio ≥ 1/3 —
-    // Gopher-style repetition rule in exact arithmetic) → deterministic
-    // stratified sample (salted-hash threshold per source class) → packed
-    // sequence layout. Every stage is individually oracle-gated elsewhere;
-    // this query gates the COMPOSITION — offsets downstream of three
-    // filters, where any divergence in any stage moves every later number.
-    // Shape: two shuffles total (dedup window by content hash; packing by
-    // (stream, sub)) — the quality gate and the sample are residual-free
-    // maps fused into the scans between them.
-    QueryDef("q_corpus_prep",
-      (s, d) => {
-        val toks = filter(split(col("text"), " "), t => t =!= "")
-        val quality = Dedup.survivors(table(s, d, "documents"))
-          .where(size(toks) >= 20 && size(array_distinct(toks)) * 3 >= size(toks))
-        val thr = {
-          val cls = expr("try_cast(substr(source, 4) AS INT)") % 4
-          when(cls === 0, "40").when(cls === 1, "80")
-            .when(cls === 2, "c0").otherwise("zz")
-        }
-        graft.llm.Sampling.packSequences(
-            graft.llm.Sampling.stratifiedSample(quality, thr),
-            capacity = 512, subStreamWidth = 64L)
-          .orderBy(col("source"), col("doc_id"))
-      },
-      Some("""WITH surv AS (
-             |  SELECT doc_id, source, text FROM (
-             |    SELECT doc_id, source, text,
-             |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-             |    FROM documents) WHERE rk = 1),
-             |q AS (
-             |  SELECT doc_id, source, text,
-             |    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
-             |    CAST(len(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS n_uniq
-             |  FROM surv),
-             |kept AS (
-             |  SELECT doc_id, source, n_tokens FROM q
-             |  WHERE n_tokens >= 20 AND n_uniq * 3 >= n_tokens
-             |    AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 2) <
-             |        (CASE TRY_CAST(substr(source, 4) AS INT) % 4
-             |           WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0'
-             |           ELSE 'zz' END)),
-             |o AS (
-             |  SELECT doc_id, source, n_tokens,
-             |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             |                             ROWS UNBOUNDED PRECEDING) - n_tokens
-             |         AS BIGINT) AS start_offset
-             |  FROM kept)
-             |SELECT doc_id, source, n_tokens, start_offset,
-             |       start_offset // 512 AS bin
-             |FROM o ORDER BY source, doc_id""".stripMargin)),
-
-    // Tokenizer-vocab coverage: top-16 corpus vocabulary (freq desc, token
-    // asc — a deterministic cut), then per-doc total vs in-vocab token
-    // counts. OOV rate is downstream arithmetic; the corpus probes the
-    // BROADCAST vocab, never shuffling on the token.
-    QueryDef("q_vocab_oov",
-      (s, d) => TextAnalysis.vocabCoverage(spreadDocs(s, d), vocabSize = 16)
-        .orderBy(col("doc_id")),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
-             |  FROM documents),
-             |vocab AS (
-             |  SELECT token FROM (
-             |    SELECT token, count(*) AS c FROM toks GROUP BY token
-             |    ORDER BY c DESC, token LIMIT 16))
-             |SELECT t.doc_id, count(*) AS n_tokens,
-             |       CAST(count(v.token) AS BIGINT) AS n_in_vocab
-             |FROM toks t LEFT JOIN vocab v USING (token)
-             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
-
-    // Per-source exact token-length quantiles (rank-picked, no float
-    // interpolation): the length-distribution report behind context-window
-    // and training-mix design.
-    QueryDef("q_length_quantiles",
-      (s, d) => TextAnalysis.lengthQuantiles(table(s, d, "documents"))
-        .orderBy(col("source")),
-      Some("""WITH t AS (
-             |  SELECT source,
-             |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-             |              AS BIGINT) AS n_tokens
-             |  FROM documents),
-             |r AS (
-             |  SELECT source, n_tokens,
-             |         row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
-             |         count(*) OVER (PARTITION BY source) AS n
-             |  FROM t)
-             |SELECT source, count(*) AS n_docs,
-             |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
-             |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
-             |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_tokens END) AS p99
-             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
-
-    // Within-doc repetition (Gopher-style quality rules): word-bigram total,
-    // distinct count, and top single-bigram frequency per doc — the integer
-    // cores of the duplicate-n-gram-fraction filters.
-    QueryDef("q_repetition",
-      (s, d) => TextAnalysis.repetitionStats(spreadDocs(s, d))
-        .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |bg AS (
-             |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
-             |  FROM t, unnest(range(1, len(tk))) AS r(i)
-             |  WHERE len(tk) >= 2),
-             |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
-             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-             |       count(*) AS n_uniq_bigrams, CAST(max(c) AS BIGINT) AS top_count
-             |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
-    // token sets — robust to word-boundary edits).
-    QueryDef("q_ngram_jaccard",
-      (s, d) => Dedup.setJaccardOnPairs(
-          setsOf("gram", gramsOf(s, d), "gram", d), pairsOf(s, d))
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH $sigsWideDuckSql,
-              |$bandsDuckSql,
-              |grams AS (
-              |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
-              |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-              |        FROM documents)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-              |inter AS (
-              |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
-              |  FROM pairs p
-              |  JOIN grams ga ON ga.doc_id = p.doc_a
-              |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
-              |  GROUP BY p.doc_a, p.doc_b)
-              |SELECT p.doc_a, p.doc_b, COALESCE(i.n_common, 0) AS n_common,
-              |       sa.sz AS size_a, sb.sz AS size_b
-              |FROM pairs p
-              |JOIN sizes sa ON sa.doc_id = p.doc_a
-              |JOIN sizes sb ON sb.doc_id = p.doc_b
-              |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
-
-    // Exact-substring chunk dedup (tiled Lee et al. 2022): 4-token tiles,
-    // any tile occurring >1× corpus-wide is dropped from every doc, text
-    // reassembled in order. One tile aggregation + one join back on the
-    // tile — exact-dedup shuffle shape at chunk granularity.
-    QueryDef("q_chunk_dedup",
-      (s, d) => Dedup.chunkDedup(Dedup.tokenTiles(spreadDocs(s, d), n = 4))
-        .orderBy(col("doc_id")),
-      Some("""WITH tiles AS (
-             |  SELECT doc_id, i AS tile_idx,
-             |         array_to_string(list_slice(string_split(text, ' '), i*4 + 1, i*4 + 4), ' ') AS tile
-             |  FROM (SELECT doc_id, text,
-             |               unnest(range(0, ((len(string_split(text, ' ')) - 1) // 4) + 1)) AS i
-             |        FROM documents)),
-             |counts AS (SELECT tile, count(*) AS n_occ FROM tiles GROUP BY tile)
-             |SELECT t.doc_id, count(*) AS n_tiles,
-             |       CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tiles,
-             |       COALESCE(string_agg(CASE WHEN c.n_occ = 1 THEN t.tile END, ' ' ORDER BY t.tile_idx), '')
-             |         AS retained_text
-             |FROM tiles t JOIN counts c USING (tile)
-             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
-
-    // Length-bucketed batching report: docs grouped into 32-token-wide
-    // length buckets (the dynamic-batching layout trainers use so a batch
-    // pads to its bucket max, not the corpus max), with the padding waste
-    // each bucket would pay — all exact integers. One map-side-combined
-    // aggregation on the derived bucket key.
-    QueryDef("q_length_buckets",
-      (s, d) => spreadDocs(s, d)
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
-        .groupBy(floor((col("n_tok") - 1) / 32).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_docs"),
-          max(col("n_tok")).as("max_tok"),
-          sum(col("n_tok")).as("sum_tok"))
-        .withColumn("padding_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
-        .orderBy(col("bucket")),
-      Some("""SELECT (n_tok - 1) // 32 AS bucket, count(*) AS n_docs,
-             |       max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-             |       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding_waste
-             |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
-             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
-
-    // Token frequency-of-frequencies (the Zipf/Good-Turing spectrum): how
-    // many distinct tokens occur exactly f times corpus-wide. Two chained
-    // map-side-combined aggregations — the second one's key space is tiny
-    // (distinct frequencies), so the corpus token stream shuffles once.
-    QueryDef("q_token_spectrum",
-      (s, d) => spreadDocs(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("f"))
-        .groupBy(col("f")).agg(count(lit(1)).as("n_tokens"))
-        .orderBy(col("f")),
-      Some("""SELECT f, count(*) AS n_tokens
-             |FROM (SELECT token, count(*) AS f
-             |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-             |      GROUP BY token)
-             |GROUP BY f ORDER BY f""".stripMargin)),
-
-    // Exact-substring SPAN dedup (Lee et al. 2022, windowed): stride-1
-    // 5-token windows, every position covered by a corpus-duplicated window
-    // masked out — duplicated spans removed at ANY offset, unlike the tiled
-    // q_chunk_dedup. Post-filter work is sized by true duplication.
-    QueryDef("q_span_dedup",
-      (s, d) => Dedup.spanDedup(spreadDocs(s, d), n = 5)
-        .orderBy(col("doc_id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |wins AS (
-             |  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS win
-             |  FROM (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 4, 0))) AS i FROM toks)),
-             |counts AS (SELECT win, count(*) AS n_occ FROM wins GROUP BY win),
-             |dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN counts c USING (win) WHERE c.n_occ > 1),
-             |cov AS (SELECT DISTINCT doc_id, pos + j AS cp FROM dup, unnest(range(0, 5)) AS js(j)),
-             |ncov AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id),
-             |tokpos AS (
-             |  SELECT doc_id, j AS tpos, tk[j + 1] AS tok
-             |  FROM toks, unnest(range(0, len(tk))) AS js(j)),
-             |ret AS (
-             |  SELECT tp.doc_id,
-             |         COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.tpos)
-             |                    FILTER (WHERE cv.cp IS NULL), '') AS retained_text
-             |  FROM tokpos tp
-             |  LEFT JOIN cov cv ON cv.doc_id = tp.doc_id AND cv.cp = tp.tpos
-             |  GROUP BY tp.doc_id)
-             |SELECT t.doc_id, len(t.tk) AS n_tokens,
-             |       COALESCE(n.n_covered, 0) AS n_covered, r.retained_text
-             |FROM toks t
-             |LEFT JOIN ncov n ON n.doc_id = t.doc_id
-             |JOIN ret r ON r.doc_id = t.doc_id
-             |ORDER BY t.doc_id""".stripMargin)),
-
-    // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0) banded
-    // against the ALREADY-INDEXED rest of the corpus — no corpus self-join;
-    // candidates verified with shingle-set Jaccard. Signatures are per-doc,
-    // so both sides filter the ONE persisted signature artifact.
-    QueryDef("q_dedup_incremental",
-      (s, d) => {
-        val sigs = sigsOf(s, d)
-        val cand = Dedup.crossSetCandidates(
-          sigs.where(col("doc_id") % 5 =!= 0),
-          sigs.where(col("doc_id") % 5 === 0),
-          bands = 2, rowsPerBand = 2)
-        val sets = setsOf("gram", gramsOf(s, d), "gram", d)
-        cand
-          .join(sets.select(col("doc_id").as("batch_doc"), col("elems").as("eb")), "batch_doc")
-          .join(sets.select(col("doc_id").as("index_doc"), col("elems").as("ei")), "index_doc")
-          .select(col("batch_doc"), col("index_doc"),
-            size(array_intersect(col("eb"), col("ei"))).cast("long").as("n_common"),
-            size(col("eb")).cast("long").as("size_batch"),
-            size(col("ei")).cast("long").as("size_index"))
-          .orderBy(col("batch_doc"), col("index_doc"))
-      },
-      Some(s"""WITH $sigsWideDuckSql,
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, mh0 || mh1 AS sig FROM sigs
-              |  UNION ALL
-              |  SELECT doc_id, 1 AS band, mh2 || mh3 AS sig FROM sigs),
-              |cand AS (
-              |  SELECT DISTINCT n.doc_id AS batch_doc, x.doc_id AS index_doc
-              |  FROM bands n JOIN bands x ON n.band = x.band AND n.sig = x.sig
-              |  WHERE n.doc_id % 5 = 0 AND x.doc_id % 5 <> 0),
-              |grams AS (
-              |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
-              |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
-              |        FROM documents)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.batch_doc, c.index_doc, count(*) AS n_common
-              |  FROM cand c
-              |  JOIN grams ga ON ga.doc_id = c.batch_doc
-              |  JOIN grams gb ON gb.doc_id = c.index_doc AND gb.gram = ga.gram
-              |  GROUP BY c.batch_doc, c.index_doc)
-              |SELECT c.batch_doc, c.index_doc, COALESCE(i.n_common, 0) AS n_common,
-              |       sa.sz AS size_batch, sb.sz AS size_index
-              |FROM cand c
-              |JOIN sizes sa ON sa.doc_id = c.batch_doc
-              |JOIN sizes sb ON sb.doc_id = c.index_doc
-              |LEFT JOIN inter i ON i.batch_doc = c.batch_doc AND i.index_doc = c.index_doc
-              |ORDER BY c.batch_doc, c.index_doc""".stripMargin)),
-
-    // Cross-source duplication matrix: which sources duplicate each other —
-    // the verified LSH pair set joined to each side's source, rolled up to
-    // an unordered (source_a ≤ source_b) matrix. The pair set is ~linear in
-    // true near-dups, so both joins and the rollup are candidate-sized.
-    QueryDef("q_dup_source_matrix",
-      (s, d) => {
-        val src = table(s, d, "documents").select(col("doc_id"), col("source"))
-        pairsOf(s, d)
-          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
-          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-          .groupBy(least(col("sa"), col("sb")).as("source_a"),
-            greatest(col("sa"), col("sb")).as("source_b"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
-      Some(s"""WITH $sigsWideDuckSql,
-              |$bandsDuckSql
-              |SELECT least(da.source, db.source) AS source_a,
-              |       greatest(da.source, db.source) AS source_b,
-              |       count(*) AS n_pairs
-              |FROM pairs p
-              |JOIN documents da ON da.doc_id = p.doc_a
-              |JOIN documents db ON db.doc_id = p.doc_b
-              |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
-
-    // As-of join: every click event annotated with the user's most recent
-    // view (timestamp + value) at-or-before it. The union+window plan
-    // shuffles once on user_id with NO join operator; the oracle is
-    // DuckDB's native ASOF LEFT JOIN — two engines, two mechanisms, one
-    // answer.
-    QueryDef("q_asof_join",
-      (s, d) => {
-        val ev = table(s, d, "events")
-        val clicks = ev.where(col("event_type") === "click")
-          .select("event_id", "user_id", "ts")
-        val views = ev.where(col("event_type") === "view")
-          .select(col("user_id"), col("ts"), col("ts").as("view_ts"),
-            col("value").as("view_value"))
-        graft.streaming.EventStreams.asofJoin(
-            clicks, views, Seq("user_id"), "ts", Seq("view_ts", "view_value"))
-          .orderBy(col("event_id"))
-      },
-      Some("""WITH clicks AS (
-             |  SELECT event_id, user_id, epoch_ns(ts) AS ts
-             |  FROM events WHERE event_type = 'click'),
-             |views AS (
-             |  SELECT user_id, epoch_ns(ts) AS ts, epoch_ns(ts) AS view_ts,
-             |         value AS view_value
-             |  FROM events WHERE event_type = 'view')
-             |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
-             |FROM clicks c ASOF LEFT JOIN views v
-             |  ON c.user_id = v.user_id AND c.ts >= v.ts
-             |ORDER BY c.event_id""".stripMargin)),
-
-    // Per-user conversion funnel view → purchase: earliest view, earliest
-    // purchase at-or-after it (null = never converted). Aggregate-before-
-    // join — every exchange keys on user_id.
-    QueryDef("q_funnel",
-      (s, d) => graft.streaming.EventStreams
-        .funnel(table(s, d, "events"), fromType = "view", toType = "purchase")
-        .orderBy(col("user_id")),
-      Some("""WITH fv AS (
-             |  SELECT user_id, min(epoch_ns(ts)) AS from_ts
-             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
-             |cv AS (
-             |  SELECT e.user_id, min(epoch_ns(e.ts)) AS to_ts
-             |  FROM events e JOIN fv ON fv.user_id = e.user_id
-             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.from_ts
-             |  GROUP BY e.user_id)
-             |SELECT fv.user_id, fv.from_ts, cv.to_ts
-             |FROM fv LEFT JOIN cv ON cv.user_id = fv.user_id
-             |ORDER BY fv.user_id""".stripMargin)),
-
-    // Perplexity-filter core: per-doc surprisal under the corpus char-bigram
-    // LM, quantized to exact integer bits (bitlen(ctx) − bitlen(bigram) per
-    // occurrence) so the compare surface has no float log accumulation. The
-    // charset²-sized model broadcasts; the only corpus exchange is the
-    // per-doc aggregate.
-    QueryDef("q_char_lm_surprisal",
-      (s, d) => graft.llm.TextAnalysis.bigramSurprisal(spreadDocs(s, d))
-        .orderBy(col("doc_id")),
-      Some("""WITH bg AS (
-             |  SELECT doc_id, substr(text, i, 2) AS bigram
-             |  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
-             |        FROM documents WHERE length(text) >= 2)),
-             |m AS (SELECT bigram, count(*)::BIGINT AS c_big FROM bg GROUP BY 1),
-             |cx AS (SELECT substr(bigram, 1, 1) AS ctx, sum(c_big)::BIGINT AS c_ctx
-             |       FROM m GROUP BY 1)
-             |SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
-             |       sum(length(bin(cx.c_ctx)) - length(bin(m.c_big)))::BIGINT AS surprisal_bits
-             |FROM bg JOIN m USING (bigram) JOIN cx ON substr(bg.bigram, 1, 1) = cx.ctx
-             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
-
-    // DSIR importance weights: target = English docs, features = word
-    // unigrams hashed into 256 md5 buckets, both models on the same bucket
-    // space, add-1 smoothed; each token contributes an integer bit-length
-    // quantization of log2[p_tgt/p_raw] — order-free, engine-exact. The
-    // explode feeds model AND scoring through one shared (doc, bucket)
-    // aggregate; models broadcast back.
-    QueryDef("q_dsir_weights",
-      (s, d) => graft.llm.Sampling.importanceWeights(
-          spreadDocs(s, d), isTarget = col("lang") === "en")
-        .orderBy(col("doc_id")),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, is_target, ('0x' || substr(md5(token), 1, 2))::INT AS b
-             |  FROM (SELECT doc_id, lang = 'en' AS is_target,
-             |               unnest(string_split(text, ' ')) AS token
-             |        FROM documents)
-             |  WHERE token <> ''),
-             |dbc AS (
-             |  SELECT doc_id, is_target, b, count(*)::BIGINT AS c
-             |  FROM toks GROUP BY 1, 2, 3),
-             |model AS (
-             |  SELECT b, sum(c)::BIGINT AS c_raw,
-             |         sum(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS c_tgt
-             |  FROM dbc GROUP BY b),
-             |totals AS (SELECT sum(c_raw)::BIGINT AS n_raw, sum(c_tgt)::BIGINT AS n_tgt FROM model)
-             |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-             |       sum(c * (length(bin(c_tgt + 1)) - length(bin(c_raw + 1))
-             |              + length(bin(n_raw + 1)) - length(bin(n_tgt + 1))))::BIGINT AS dsir_bits
-             |FROM dbc JOIN model USING (b) CROSS JOIN totals
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // Temperature-scaled mixture weights (α=0.5): per-source token mass,
-    // raw share, and sqrt-share — sqrt is the IEEE-correctly-rounded power,
-    // and the denominator is an ordered fold over source-sorted weights, so
-    // both floats hash-match exactly. One corpus aggregation + one
-    // single-row broadcast.
-    QueryDef("q_temperature_mix",
-      (s, d) => graft.llm.Sampling.temperatureMixWeights(table(s, d, "documents"))
-        .orderBy(col("source")),
-      Some("""WITH per AS (
-             |  SELECT source,
-             |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
-             |      AS n_tokens
-             |  FROM documents GROUP BY source),
-             |tot AS (
-             |  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
-             |         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source),
-             |                     (a, b) -> a + b) AS w_total
-             |  FROM per)
-             |SELECT source, n_tokens,
-             |       CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw,
-             |       sqrt(CAST(n_tokens AS DOUBLE)) / w_total AS p_temp
-             |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
-
-    // Deterministic global shuffle: 16 hash shards (first md5 nibble, kept
-    // as the hex char — no base conversion in any engine) + rank within the
-    // shard by the full salted hash. Assignment is a map; the position is
-    // the one shard-keyed exchange that also writes the output.
-    QueryDef("q_shard_assign",
-      (s, d) => graft.llm.Sampling.shardAssignment(table(s, d, "documents"))
-        .orderBy(col("shard"), col("pos")),
-      Some("""SELECT doc_id,
-             |  substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-             |  row_number() OVER (
-             |    PARTITION BY substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 1)
-             |    ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id)::BIGINT AS pos
-             |FROM documents ORDER BY shard, pos""".stripMargin)),
-
-    // Normalized exact dedup (the C4-style pass): same one-shuffle shape as
-    // q_dedup_exact but over lowercased/punctuation-stripped/space-squashed
-    // text; n_raw_variants > 1 marks groups raw-byte hashing missed.
-    QueryDef("q_dedup_normalized",
-      (s, d) => graft.llm.Dedup.normalizedExact(table(s, d, "documents"))
-        .orderBy(col("content_hash")),
-      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-             |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
-             |       min(doc_id) AS keep_id, count(*) AS n_copies,
-             |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
-             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
-
-    // Mix design in tokens: fill each source's 500-token budget in
-    // quality-score order (boundary doc kept — the budget is a coverage
-    // floor). One stratum-keyed exchange; exact integer running sums.
-    QueryDef("q_token_budget_sample",
-      (s, d) => graft.llm.Sampling.budgetCappedSample(
-          table(s, d, "documents"), tokenBudget = 500L,
-          rankCol = graft.llm.TextAnalysis.qualityScore(col("text")))
-        .orderBy(col("source"), col("cum_tokens"), col("doc_id")),
-      Some("""WITH s AS (
-             |  SELECT source, doc_id,
-             |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
-             |     + CASE WHEN len(list_filter(string_split(text,' '),
-             |                    x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
-             |     + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
-             |    ) / 3.0 AS q,
-             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
-             |  FROM documents),
-             |c AS (SELECT source, doc_id, n_tokens,
-             |        (sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
-             |                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
-             |      FROM s)
-             |SELECT source, doc_id, n_tokens, cum_tokens
-             |FROM c WHERE cum_tokens - n_tokens < 500
-             |ORDER BY source, cum_tokens, doc_id""".stripMargin)),
-
-    // Tokenizer training primitive: top-50 adjacent char pairs within words
-    // (the pair a BPE trainer merges first). Alphabet²-bounded aggregation
-    // key → tiny exchange at any corpus size; top-k via TakeOrdered.
-    QueryDef("q_bpe_merges",
-      (s, d) => graft.llm.TextAnalysis.bpeMergeCandidates(
-        table(s, d, "documents"), k = 50),
-      Some("""SELECT substr(word, i, 2) AS pair, count(*)::BIGINT AS n
-             |FROM (SELECT word, unnest(range(1, length(word))) AS i
-             |      FROM (SELECT unnest(list_filter(string_split(text, ' '),
-             |                            x -> x <> '')) AS word
-             |            FROM documents)
-             |      WHERE length(word) >= 2)
-             |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
-
-    // Filtering-threshold design: per-source quality deciles with doc/token
-    // mass and score range per bucket — one stratum-keyed shuffle (never a
-    // global ntile), map-side-combined rollup.
-    QueryDef("q_quality_token_curve",
-      (s, d) => graft.llm.TextAnalysis.qualityTokenCurve(
-          table(s, d, "documents"), bins = 10)
-        .orderBy(col("source"), col("qbin")),
-      Some("""WITH s AS (
-             |  SELECT source, doc_id,
-             |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |       / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
-             |     + CASE WHEN len(list_filter(string_split(text,' '),
-             |                    x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
-             |     + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
-             |    ) / 3.0 AS q,
-             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
-             |  FROM documents),
-             |b AS (SELECT source, q, toks,
-             |        ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS qbin
-             |      FROM s)
-             |SELECT source, qbin::BIGINT AS qbin, count(*) AS n_docs,
-             |       sum(toks)::BIGINT AS n_tokens, min(q) AS q_min, max(q) AS q_max
-             |FROM b GROUP BY 1, 2 ORDER BY source, qbin""".stripMargin)),
-
-    // RAG-chunker layout: 64-token windows every 48 tokens (overlapping
-    // context), minimal grid cover — pure map, zero shuffle; integers only
-    // except the chunk text itself.
-    QueryDef("q_chunk_overlap",
-      (s, d) => graft.llm.Sampling.chunkWithOverlap(
-          table(s, d, "documents"), window = 64, stride = 48)
-        .orderBy(col("doc_id"), col("chunk_idx")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |  FROM documents)
-             |SELECT doc_id, k::BIGINT AS chunk_idx, (k * 48)::BIGINT AS start_tok,
-             |       least(64, len(toks) - k * 48)::BIGINT AS n_chunk_tokens,
-             |       array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
-             |FROM t, unnest(range(0, 1 + (greatest(len(toks) - 64, 0) + 47) // 48)) AS u(k)
-             |WHERE len(toks) >= 1
-             |ORDER BY doc_id, chunk_idx""".stripMargin)),
-
-    // Topic-diversity cap over the persisted IVF cell assignment: at most
-    // 50 vectors per cell, picked by salted hash (uniform within the cell,
-    // not biased toward low ids); each kept row carries the cell's total so
-    // the realized mix is read off the output. One cell-keyed exchange.
-    QueryDef("q_cluster_balance",
-      (s, d) => graft.llm.Sampling.balancedSample(
-          ivfOf(s, d).select(col("vec_id"), col("cell")),
-          groupCol = "cell", cap = 50, idCol = "vec_id")
-        .orderBy(col("cell"), col("pick")),
-      Some("""WITH cents AS (
-             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-             |scored AS (
-             |  SELECT e.vec_id, c.centroid_id,
-             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
-             |  FROM embeddings e CROSS JOIN cents c),
-             |assigned AS (
-             |  SELECT vec_id, centroid_id AS cell FROM scored
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)
-             |SELECT vec_id, cell, pick, n_group FROM (
-             |  SELECT vec_id, cell,
-             |         row_number() OVER (PARTITION BY cell
-             |           ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id)::BIGINT AS pick,
-             |         count(*) OVER (PARTITION BY cell)::BIGINT AS n_group
-             |  FROM assigned)
-             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin)),
-
-    // SemDeDup (Abbas et al. 2023): within-IVF-cell cosine pairs ≥ τ form
-    // semantic duplicate groups (connected components — the cached
-    // semClustersOf artifact); each group keeps its LEAST-centroid-similar
-    // member (prune the redundant cluster core, keep the atypical example).
-    // Spark side = min-label propagation + one broadcast centroid-similarity
-    // map pass + one per-group window; oracle = the same derivation with a
-    // recursive CTE. Cosines are the proven-bit-identical ordered fold, so
-    // float cent_sim hash-matches exactly.
-    QueryDef("q_semdedup",
-      (s, d) => Dedup.semDeDupFromClusters(
-          ivfOf(s, d), centroidsOf(s, d), semClustersOf(s, d))
-        .orderBy(col("vec_id")),
-      Some {
-        // cent_sim must be Spark's EXACT ordered-fold cosine — DuckDB's
-        // list_cosine_similarity clamps cos(v,v) to 1.0 where the fold
-        // gives 1.0000000000000002 for the centroid vectors themselves
-        // (the one case the rest of the family never outputs); for
-        // distinct vectors the two agree bit-for-bit, so the assignment
-        // ranking and the pair threshold keep the builtin.
-        def cos(a: String, b: String) =
-          s"""(list_reduce(list_transform(list_zip($a, $b),
-             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
-             |   / (sqrt(list_reduce(list_transform($a,
-             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
-             |    * sqrt(list_reduce(list_transform($b,
-             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))""".stripMargin
-        s"""WITH RECURSIVE cents AS (
-           |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
-           |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, emb, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
-           |csim AS (
-           |  SELECT a.vec_id, a.cell, a.emb, ${cos("a.emb", "c.ce")} AS cent_sim
-           |  FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
-           |pairs AS (
-           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-           |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35),
-           |edges AS (
-           |  SELECT doc_a AS s, doc_b AS d FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |cc(doc, lbl) AS (
-           |  SELECT s, s FROM edges
-           |  UNION
-           |  SELECT e.s, cc.lbl FROM edges e JOIN cc ON cc.doc = e.d),
-           |clusters AS (
-           |  SELECT doc AS vec_id, min(lbl) AS cluster_id FROM cc GROUP BY doc)
-           |SELECT a.vec_id, a.cell,
-           |       coalesce(c.cluster_id, a.vec_id) AS cluster_id, a.cent_sim,
-           |       CAST(row_number() OVER (
-           |         PARTITION BY coalesce(c.cluster_id, a.vec_id)
-           |         ORDER BY a.cent_sim, a.vec_id) = 1 AS INT) AS keep
-           |FROM csim a LEFT JOIN clusters c USING (vec_id)
-           |ORDER BY vec_id""".stripMargin
-      }),
-
-    // Semantic decontamination: every 25th vector is the held-out eval set;
-    // each remaining corpus vector takes a per-row argmax of cosine over the
-    // broadcast eval array (map-only — the corpus payload never shuffles)
-    // and is flagged at ≥ 0.35. The oracle mirrors the ordered-fold cosine
-    // explicitly (list_cosine_similarity clamps; the fold does not).
-    QueryDef("q_semantic_decontam",
-      (s, d) => Dedup.semanticContamination(
-          spreadEmbeddings(s, d).where(col("vec_id") % 25 =!= 0),
-          spreadEmbeddings(s, d).where(col("vec_id") % 25 === 0),
-          threshold = 0.35)
-        .orderBy(col("vec_id")),
-      Some {
-        def cos(a: String, b: String) =
-          s"""(list_reduce(list_transform(list_zip($a, $b),
-             |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
-             |   / (sqrt(list_reduce(list_transform($a,
-             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
-             |    * sqrt(list_reduce(list_transform($b,
-             |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))""".stripMargin
-        s"""WITH ev AS (
-           |  SELECT vec_id AS hid, embedding::DOUBLE[] AS he
-           |  FROM embeddings WHERE vec_id % 25 = 0),
-           |co AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS ce
-           |  FROM embeddings WHERE vec_id % 25 <> 0),
-           |scored AS (
-           |  SELECT co.vec_id, ev.hid, ${cos("co.ce", "ev.he")} AS s
-           |  FROM co CROSS JOIN ev)
-           |SELECT vec_id, s AS max_sim, hid AS nearest_eval_id,
-           |       CAST(s >= 0.35 AS INT) AS contaminated
-           |FROM scored
-           |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, hid) = 1
-           |ORDER BY vec_id""".stripMargin
-      }),
-
-    // Incremental SemDeDup: every 5th vector is the ingest batch, the rest
-    // are the indexed corpus; candidates share a coarse cell and pass the
-    // cosine cut — batch×index only, never an index self-join (the
-    // embedding-space twin of q_dedup_incremental's maintenance shape).
-    QueryDef("q_semdedup_incremental",
-      (s, d) => Dedup.incrementalSemanticPairs(
-          ivfOf(s, d).where(col("vec_id") % 5 =!= 0),
-          ivfOf(s, d).where(col("vec_id") % 5 === 0),
-          threshold = 0.35)
-        .orderBy(col("batch_id"), col("index_id")),
-      Some("""WITH cents AS (
-             |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-             |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-             |scored AS (
-             |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
-             |         list_cosine_similarity(e.embedding::DOUBLE[], c.ce) AS sim
-             |  FROM embeddings e CROSS JOIN cents c),
-             |assigned AS (
-             |  SELECT vec_id, emb, centroid_id AS cell FROM scored
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)
-             |SELECT b.vec_id AS batch_id, i.vec_id AS index_id,
-             |       list_cosine_similarity(b.emb, i.emb) AS cos_sim
-             |FROM assigned b JOIN assigned i ON b.cell = i.cell
-             |WHERE b.vec_id % 5 = 0 AND i.vec_id % 5 <> 0
-             |  AND list_cosine_similarity(b.emb, i.emb) >= 0.35
-             |ORDER BY batch_id, index_id""".stripMargin)),
-
-    // PMI collocation mining: adjacent-pair PMI in integer bits (bitlen
-    // quantization), minCount 5, top-50 by (pmi_bits desc, pair). Two
-    // corpus explodes → two map-side-combined aggregates; unigram model
-    // broadcasts back; TakeOrdered top-k.
-    QueryDef("q_pmi_phrases",
-      (s, d) => graft.llm.TextAnalysis.pmiPhrases(spreadDocs(s, d), k = 50)
-        .orderBy(col("pmi_bits").desc, col("w1"), col("w2")),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-             |  FROM documents),
-             |prs AS (
-             |  SELECT t[i] AS w1, t[i + 1] AS w2
-             |  FROM toks, unnest(range(1, len(t))) AS u(i)
-             |  WHERE len(t) >= 2),
-             |pc AS (SELECT w1, w2, count(*)::BIGINT AS c_pair FROM prs GROUP BY 1, 2),
-             |uni AS (
-             |  SELECT w, count(*)::BIGINT AS c
-             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
-             |tot AS (SELECT (SELECT sum(c_pair)::BIGINT FROM pc) AS n_pairs,
-             |               (SELECT sum(c)::BIGINT FROM uni) AS n_uni)
-             |SELECT w1, w2, c_pair,
-             |       (length(bin(c_pair)) + 2 * length(bin(n_uni))
-             |        - length(bin(n_pairs)) - length(bin(u1.c))
-             |        - length(bin(u2.c)))::BIGINT AS pmi_bits
-             |FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w
-             |CROSS JOIN tot
-             |WHERE c_pair >= 5
-             |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
-
-    // IVF index-health report: per cell, population + nearest/median/
-    // farthest member by exact L2 rank — the cell-balance / retraining
-    // trigger. Map-only distance pass + one cell-keyed window (the index's
-    // own partitioning).
-    QueryDef("q_ivf_cell_stats",
-      (s, d) => Similarity.ivfCellStats(ivfL2Of(s, d), centroidsOf(s, d))
-        .orderBy(col("cell"), col("role"), col("vec_id")),
-      Some {
-        def l2(a: String, b: String) =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-             |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-             |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-             |      (p, q) -> p + q)""".stripMargin
-        s"""WITH cents AS (
-           |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
-           |  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)),
-           |scored AS (
-           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.centroid_id,
-           |         ${l2("e.embedding::DOUBLE[]", "c.ce")} AS adist
-           |  FROM embeddings e CROSS JOIN cents c),
-           |assigned AS (
-           |  SELECT vec_id, emb, centroid_id AS cell FROM scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adist, centroid_id) = 1),
-           |d AS (
-           |  SELECT a.vec_id, a.cell, ${l2("a.emb", "c.ce")} AS dist
-           |  FROM assigned a JOIN cents c ON c.centroid_id = a.cell),
-           |r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS rk,
-           |         count(*) OVER (PARTITION BY cell)::BIGINT AS n
-           |  FROM d)
-           |SELECT cell, role, vec_id, dist, n FROM (
-           |  SELECT cell, 'nearest' AS role, vec_id, dist, n FROM r WHERE rk = 1
-           |  UNION ALL
-           |  SELECT cell, 'median', vec_id, dist, n FROM r WHERE rk = (n + 1) // 2
-           |  UNION ALL
-           |  SELECT cell, 'farthest', vec_id, dist, n FROM r WHERE rk = n)
-           |ORDER BY cell, role, vec_id""".stripMargin
-      }),
-
-    // Dimension-budget recall (Matryoshka-style truncation evaluation): how
-    // many of the full-64-dim top-10 survive ranking by only the first
-    // 8/16/32/64 components — the byte-budget design report for the vector
-    // scan. Exact integer overlaps of two bit-deterministic rankings.
-    QueryDef("q_dim_budget",
-      (s, d) => Similarity.truncatedRecall(
-          spreadEmbeddings(s, d), dims = Seq(8, 16, 32, 64),
-          queryVecId = 7L, k = 10)
-        .orderBy(col("dim")),
-      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
-             |f AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
-             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
-             |      LIMIT 10),
-             |t(d) AS (SELECT unnest([8, 16, 32, 64])),
-             |r AS (SELECT t.d, e.vec_id,
-             |        row_number() OVER (PARTITION BY t.d
-             |          ORDER BY list_cosine_similarity(list_slice(e.embedding::DOUBLE[], 1, t.d),
-             |                                          list_slice(q.qe, 1, t.d)) DESC,
-             |                   e.vec_id) AS rk
-             |      FROM embeddings e CROSS JOIN q CROSS JOIN t WHERE e.vec_id <> 7)
-             |SELECT d AS dim,
-             |       CAST(count(*) FILTER (vec_id IN (SELECT vec_id FROM f)) AS BIGINT) AS hits,
-             |       CAST(10 AS BIGINT) AS k
-             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
-
-    // Phrase application (word2phrase inference): fuse the two most-frequent
-    // corpus collocations greedily, sequentially — each phrase is one
-    // linear indexed transform+filter pass (fuse where the successor
-    // completes the pair, drop where the predecessor consumed it; l ≠ r
-    // makes matches non-overlapping by construction). Output is the fused
-    // text + token count (exact strings, engine-comparable).
-    QueryDef("q_phrase_apply",
-      (s, d) => graft.llm.TextAnalysis.applyPhrases(
-          table(s, d, "documents"),
-          Seq("table" -> "hash", "slow" -> "key"))
-        .select(col("doc_id"), col("fused_text"),
-          size(col("tokens")).cast("long").as("n_tokens"))
-        .orderBy(col("doc_id")),
-      Some("""WITH t0 AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |  FROM documents),
-             |f1 AS (
-             |  SELECT doc_id, list_filter(list_transform(toks, (t, i) ->
-             |    CASE WHEN t = 'table' AND toks[i + 1] = 'hash' THEN 'table_hash'
-             |         WHEN t = 'hash' AND toks[i - 1] = 'table' THEN NULL
-             |         ELSE t END), x -> x IS NOT NULL) AS toks1
-             |  FROM t0),
-             |f2 AS (
-             |  SELECT doc_id, list_filter(list_transform(toks1, (t, i) ->
-             |    CASE WHEN t = 'slow' AND toks1[i + 1] = 'key' THEN 'slow_key'
-             |         WHEN t = 'key' AND toks1[i - 1] = 'slow' THEN NULL
-             |         ELSE t END), x -> x IS NOT NULL) AS toks2
-             |  FROM f1)
-             |SELECT doc_id, array_to_string(toks2, ' ') AS fused_text,
-             |       CAST(len(toks2) AS BIGINT) AS n_tokens
-             |FROM f2 ORDER BY doc_id""".stripMargin)),
-
-    // BM25 ranked retrieval (Okapi weighting) over the shared TF artifact:
-    // top-10 docs for a 3-term query. idf is integer-bitlen (ln is
-    // libm-specific); the float normalization mirrors literal-for-literal
-    // and the per-doc sum folds in term order — scores hash-match DuckDB.
-    // The scan reads only the query terms' tf rows; df/N/avgdl broadcast.
-    QueryDef("q_bm25",
-      (s, d) => TextAnalysis.bm25(tfOf(s, d), Seq("hash", "spark", "window")),
-      Some("""WITH toks AS (
-             |  SELECT doc_id,
-             |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-             |stats AS (SELECT count(*)::BIGINT AS n_docs,
-             |                 sum(dl) / count(*) AS avgdl FROM dl),
-             |df AS (SELECT term, count(*)::BIGINT AS df FROM tf
-             |       WHERE term IN ('hash', 'spark', 'window') GROUP BY 1),
-             |ts AS (
-             |  SELECT tf.doc_id, tf.term,
-             |         (length(bin(n_docs)) - length(bin(df.df)))::DOUBLE *
-             |           (tf.tf * (1.2 + 1.0)) /
-             |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS term_score
-             |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-             |SELECT doc_id,
-             |       list_reduce(list_prepend(0.0, list(term_score ORDER BY term)),
-             |                   (a, b) -> a + b) AS bm25
-             |FROM ts GROUP BY doc_id
-             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
-
-    // Count-Min sketch (Cormode & Muthukrishnan 2005): per-source
-    // frequency estimates for the corpus's 5 globally-heaviest tokens,
-    // alongside exact counts — the estimate never under-counts (the CMS
-    // guarantee, visible in the result). All integers; registers are one
-    // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.
-    QueryDef("q_cms_counts",
-      (s, d) => {
-        val toks = table(s, d, "documents").select(col("source"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
-        val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
-        val probeToks = toks.groupBy(col("token"))
-          .agg(count(lit(1)).as("n_global"))
-          .orderBy(col("n_global").desc, col("token")).limit(5)
-          .select("token")
-        val pairs = table(s, d, "documents").select(col("source")).distinct()
-          .crossJoin(broadcast(probeToks))
-        val exact = toks.join(broadcast(probeToks), "token")
-          .groupBy(col("source"), col("token"))
-          .agg(count(lit(1)).as("n_exact"))
-        graft.llm.Sketches.cmsEstimate(regs, pairs, Seq("source"), "token")
-          .join(exact, Seq("source", "token"), "left_outer")
-          .select(col("source"), col("token"), col("cms_est"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
-          .orderBy(col("source"), col("token"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT source, token
-             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
-             |        FROM documents)
-             |  WHERE token <> ''),
-             |regs AS (
-             |  SELECT source, r, ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c,
-             |         count(*)::BIGINT AS cnt
-             |  FROM toks, unnest(range(0, 4)) AS rs(r)
-             |  GROUP BY 1, 2, 3),
-             |probes AS (
-             |  SELECT token FROM (
-             |    SELECT token, count(*) AS n FROM toks GROUP BY 1
-             |    ORDER BY n DESC, token LIMIT 5)),
-             |pairs AS (
-             |  SELECT source, token
-             |  FROM (SELECT DISTINCT source FROM documents), probes),
-             |pb AS (
-             |  SELECT source, token, r,
-             |         ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c
-             |  FROM pairs, unnest(range(0, 4)) AS rs(r)),
-             |est AS (
-             |  SELECT source, token, min(coalesce(cnt, 0))::BIGINT AS cms_est
-             |  FROM pb LEFT JOIN regs USING (source, r, c)
-             |  GROUP BY 1, 2),
-             |exact AS (
-             |  SELECT source, token, count(*)::BIGINT AS n_exact
-             |  FROM toks JOIN probes USING (token)
-             |  GROUP BY 1, 2)
-             |SELECT e.source, e.token, e.cms_est,
-             |       coalesce(x.n_exact, 0)::BIGINT AS n_exact
-             |FROM est e LEFT JOIN exact x USING (source, token)
-             |ORDER BY e.source, e.token""".stripMargin)),
-
-    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-20
-    // relevance shortlist for query vector 7, then 5 greedy picks
-    // maximizing 0.5·rel − 0.5·max-sim-to-selected. Corpus work = one
-    // brute-force scan; the greedy loop folds inside a single row (no
-    // driver round-trips). Oracle mirrors the selection with a recursive
-    // CTE — identical floats, identical tie-breaks.
-    QueryDef("q_mmr_select",
-      (s, d) => Similarity.mmrSelect(
-        table(s, d, "embeddings").select("vec_id", "embedding"),
-        queryVecId = 7L, n = 20, k = 5),
-      Some("""WITH RECURSIVE
-             |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 7),
-             |short AS (
-             |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS emb,
-             |         list_cosine_similarity(e.embedding::DOUBLE[], qv.qe) AS rel
-             |  FROM embeddings e, qv WHERE e.vec_id <> 7
-             |  ORDER BY rel DESC, e.vec_id LIMIT 20),
-             |sims AS (
-             |  SELECT a.id AS id_a, b.id AS id_b,
-             |         list_cosine_similarity(a.emb, b.emb) AS sim
-             |  FROM short a JOIN short b ON a.id <> b.id),
-             |sel(step, ids) AS (
-             |  SELECT 0, CAST([] AS BIGINT[])
-             |  UNION ALL
-             |  SELECT step + 1, list_append(ids, (
-             |    SELECT c.id FROM short c
-             |    WHERE NOT list_contains(s.ids, c.id)
-             |    ORDER BY 0.5 * c.rel - 0.5 * coalesce((
-             |        SELECT max(p.sim) FROM sims p
-             |        WHERE p.id_a = c.id AND list_contains(s.ids, p.id_b)),
-             |        0.0) DESC,
-             |      c.id
-             |    LIMIT 1))
-             |  FROM sel s WHERE step < 5)
-             |SELECT u.i::INT AS rank, sel.ids[u.i] AS vec_id, short.rel
-             |FROM sel, unnest(range(1, 6)) AS u(i)
-             |JOIN short ON short.id = sel.ids[u.i]
-             |WHERE sel.step = 5
-             |ORDER BY rank""".stripMargin)),
-
-    // Engine-portable HyperLogLog (Flajolet et al. 2007): per-source
-    // distinct-token cardinality from an md5-register sketch, alongside
-    // the exact count so the estimate's error is visible in the result.
-    // Registers are ONE map-side-combined (source, bucket) aggregate —
-    // ≤ 256 rows per source survive regardless of corpus size; the
-    // estimate is an ordered register fold, bit-identical in any engine.
-    QueryDef("q_hll_distinct",
-      (s, d) => {
-        val toks = table(s, d, "documents").select(col("source"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
-        val est = graft.llm.Sketches.hllEstimate(
-          graft.llm.Sketches.hllRegisters(toks, Seq("source"), "token", p = 8),
-          Seq("source"), p = 8)
-        est.join(toks.groupBy("source")
-            .agg(countDistinct(col("token")).as("n_exact")), "source")
-          .orderBy(col("source"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT source, token
-             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
-             |        FROM documents)
-             |  WHERE token <> ''),
-             |hashed AS (
-             |  SELECT source, ('0x' || substr(md5(token), 1, 2))::INT AS bucket,
-             |         ('0x' || substr(md5(token), 3, 13))::BIGINT AS suffix
-             |  FROM toks),
-             |regs AS (
-             |  SELECT source, bucket,
-             |         max(CASE WHEN suffix = 0 THEN 53
-             |                  ELSE 53 - length(bin(suffix)) END)::INT AS m_rho
-             |  FROM hashed GROUP BY 1, 2),
-             |est AS (
-             |  SELECT source, count(*)::BIGINT AS buckets_hit,
-             |         list_reduce(list_prepend(0.0,
-             |             list(pow(2.0, -m_rho) ORDER BY bucket)),
-             |           (a, b) -> a + b) AS s
-             |  FROM regs GROUP BY source)
-             |SELECT source, buckets_hit,
-             |       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-             |         / ((256.0 - buckets_hit) + s) AS hll_est,
-             |       n_exact
-             |FROM est
-             |JOIN (SELECT source, count(DISTINCT token)::BIGINT AS n_exact
-             |      FROM toks GROUP BY source) USING (source)
-             |ORDER BY source""".stripMargin)),
-
-    // Supervised hashed-linear quality classifier (CCNet/fastText shape):
-    // naive-Bayes bitlen log-odds TRAINED on the even-doc_id half (labels =
-    // lang judgement), APPLIED frozen to the odd half — the train/apply
-    // split a production filter runs. Train side is labeled-set-sized;
-    // apply is one broadcast join on the token stream + one per-doc
-    // aggregate (a single corpus exchange).
-    QueryDef("q_quality_classifier",
-      (s, d) => {
-        val docs = table(s, d, "documents")
-        val model = graft.llm.TextAnalysis.trainTextClassifier(
-          docs.where(col("doc_id") % 2 === 0), isPositive = col("lang") === "en")
-        graft.llm.TextAnalysis.applyTextClassifier(
-            docs.where(col("doc_id") % 2 === 1), model)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH trt AS (
-             |  SELECT lang = 'en' AS is_pos,
-             |         ('0x' || substr(md5(token), 1, 2))::INT AS b
-             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
-             |        FROM documents WHERE doc_id % 2 = 0)
-             |  WHERE token <> ''),
-             |counts AS (
-             |  SELECT b, sum(CASE WHEN is_pos THEN 1 ELSE 0 END)::BIGINT AS c_pos,
-             |            sum(CASE WHEN is_pos THEN 0 ELSE 1 END)::BIGINT AS c_neg
-             |  FROM trt GROUP BY b),
-             |tot AS (SELECT sum(c_pos)::BIGINT AS n_pos,
-             |               sum(c_neg)::BIGINT AS n_neg FROM counts),
-             |model AS (
-             |  SELECT b, (length(bin(c_pos + 1)) - length(bin(c_neg + 1))
-             |           + length(bin(n_neg + 1)) - length(bin(n_pos + 1)))::BIGINT AS w_bits
-             |  FROM counts CROSS JOIN tot),
-             |apl AS (
-             |  SELECT doc_id, ('0x' || substr(md5(token), 1, 2))::INT AS b
-             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             |        FROM documents WHERE doc_id % 2 = 1)
-             |  WHERE token <> '')
-             |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-             |       sum(coalesce(w_bits, 0))::BIGINT AS score_bits,
-             |       (sum(coalesce(w_bits, 0)) >= 0)::INT AS pred_pos
-             |FROM apl LEFT JOIN model USING (b)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
-    // counts against a literal blocklist, keep = zero hits. Pure map — the
-    // list compiles into the scan, no join or shuffle anywhere.
-    QueryDef("q_blocklist",
-      (s, d) => graft.llm.TextAnalysis.blocklistFilter(
-          table(s, d, "documents"), Seq("slow", "merge", "broken"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  CAST(len(list_filter(string_split(text, ' '),
-             |       x -> x IN ('slow', 'merge', 'broken'))) AS BIGINT) AS n_hits,
-             |  CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-             |       x -> x IN ('slow', 'merge', 'broken'))) AS BIGINT) AS n_distinct_hits,
-             |  CAST(len(list_filter(string_split(text, ' '),
-             |       x -> x IN ('slow', 'merge', 'broken'))) = 0 AS INT) AS keep
-             |FROM documents ORDER BY doc_id""".stripMargin))
-  )
+  /** Materialize the shared index artifacts (see [[LlmArtifacts.warm]]). */
+  def warm(s: SparkSession, d: String): Unit = LlmArtifacts.warm(s, d)
+
+  val defs: Seq[QueryDef] =
+    LlmDedupQueries.defs ++ LlmAnnQueries.defs ++ LlmIvfPqQueries.defs ++
+      LlmTextQueries.defs ++ LlmSamplingQueries.defs ++
+      LlmSketchQueries.defs ++ LlmEventQueries.defs
 }
