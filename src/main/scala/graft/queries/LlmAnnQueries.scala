@@ -13,6 +13,10 @@ private[queries] object LlmAnnQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Brute-force cosine top-k (the ANN baseline): ordered sequential double
+    // fold — bit-identical to DuckDB's list_cosine_similarity on DOUBLE[].
+    // At 100 TB the same plan holds with the query side broadcast; the IVF
+    // variant (graft.llm.Similarity) prunes candidates by centroid first.
     QueryDef("q_knn_cosine",
       (s, d) => {
         table(s, d, "embeddings").createOrReplaceTempView("embeddings")
@@ -37,10 +41,9 @@ private[queries] object LlmAnnQueries {
              |FROM embeddings, q WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // Multimodal plumbing (metadata side): opaque-bytes length + a
-    // deterministic md5-derived feature — the decode itself is stubbed in
-    // graft.llm.Multimodal (no media libs in this container).,
-
+    // IVF ANN: coarse-quantize to 4 fixed centroids, probe the 2 cells
+    // nearest the query, brute-force inside. Partitioned by cell at scale,
+    // the scan touches ~nprobe/|cells| of the data.
     QueryDef("q_ann_ivf",
       (s, d) => {
         val emb = table(s, d, "embeddings").select("vec_id", "embedding")
@@ -71,8 +74,7 @@ private[queries] object LlmAnnQueries {
     // Euclidean IVF ANN — the L2 twin of q_ann_ivf (PQ-style pipelines
     // quantize by squared L2, so the coarse stage should rank the same
     // way): assignment by min squared distance, probe the 2 nearest cells,
-    // exact L2 within. The ordered-fold distance hash-matches DuckDB.,
-
+    // exact L2 within. The ordered-fold distance hash-matches DuckDB.
     QueryDef("q_ann_ivf_l2",
       (s, d) => {
         val emb = table(s, d, "embeddings").select("vec_id", "embedding")
@@ -107,11 +109,13 @@ private[queries] object LlmAnnQueries {
            |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
       }),
 
-    // Duplicate-cluster resolution: connected components over the LSH
-    // candidate-pair graph; each doc gets its component's min doc id as the
-    // canonical survivor. Spark side = iterative min-label propagation;
-    // oracle = recursive CTE over the same edges.,
-
+    // Product-quantization ANN: vectors compress to 4 integer codes (nearest
+    // codeword per 16-dim subspace); the query's distance to every codeword
+    // is tabled once and candidates are scored by 4 table lookups — the scan
+    // reads ONLY the code columns, never the embedding payload. Encode and
+    // table-build are map-only broadcast shapes (LlmSpec asserts no
+    // hash exchange); squared-L2 is the ordered fold, so codes AND float ADC
+    // scores hash-match DuckDB exactly.
     QueryDef("q_ann_pq",
       (s, d) => Similarity.pqAdcTopK(
         pqOf(s, d), pqCodebookOf(s, d),
@@ -159,8 +163,7 @@ private[queries] object LlmAnnQueries {
     // Exact k-NN JOIN — batch similarity search: the 5 lowest vec_ids each
     // retrieve their top-3 cosine neighbors from the whole corpus in ONE
     // candidate-side pass (queries broadcast; only (query, id, score)
-    // triples shuffle into the per-query top-k window).,
-
+    // triples shuffle into the per-query top-k window).
     QueryDef("q_knn_join",
       (s, d) => {
         val emb = spreadEmbeddings(s, d)
@@ -179,8 +182,7 @@ private[queries] object LlmAnnQueries {
 
     // Hard-negative mining: per query, top-k most-similar OTHER-label
     // vectors — the contrastive-training counterpart of the k-NN join
-    // (same one-pass broadcast shape; label filter before the shuffle).,
-
+    // (same one-pass broadcast shape; label filter before the shuffle).
     QueryDef("q_hard_negatives",
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -201,8 +203,7 @@ private[queries] object LlmAnnQueries {
 
     // Contrastive tuple assembly: per query, the nearest same-label
     // positive + top-3 other-label hard negatives, mined in ONE corpus
-    // pass (role decided per candidate, one exchange, two ranking windows).,
-
+    // pass (role decided per candidate, one exchange, two ranking windows).
     QueryDef("q_contrastive_tuples",
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -226,15 +227,10 @@ private[queries] object LlmAnnQueries {
              |WHERE (role = 'pos' AND "rank" = 1) OR (role = 'neg' AND "rank" <= 3)
              |ORDER BY query_id, role, "rank"""".stripMargin)),
 
-    // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
-    // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
-    // centroid) with 8 codewords per 16-dim subspace, then ADC within the
-    // 2 probed cells using a per-cell distance table built from the
-    // query's residual. Assignment, residual, and encode are all map-only
-    // broadcast shapes; the candidate scan reads only (vec_id, cell,
-    // c0..c3). Residual subtraction and the ordered-fold squared-L2 are
-    // exact float/double ops, so codes AND ADC scores hash-match DuckDB.,
-
+    // IVF index-health report: per cell, population + nearest/median/
+    // farthest member by exact L2 rank — the cell-balance / retraining
+    // trigger. Map-only distance pass + one cell-keyed window (the index's
+    // own partitioning).
     QueryDef("q_ivf_cell_stats",
       (s, d) => Similarity.ivfCellStats(ivfL2Of(s, d), centroidsOf(s, d))
         .orderBy(col("cell"), col("role"), col("vec_id")),
@@ -273,8 +269,7 @@ private[queries] object LlmAnnQueries {
     // Dimension-budget recall (Matryoshka-style truncation evaluation): how
     // many of the full-64-dim top-10 survive ranking by only the first
     // 8/16/32/64 components — the byte-budget design report for the vector
-    // scan. Exact integer overlaps of two bit-deterministic rankings.,
-
+    // scan. Exact integer overlaps of two bit-deterministic rankings.
     QueryDef("q_dim_budget",
       (s, d) => Similarity.truncatedRecall(
           spreadEmbeddings(s, d), dims = Seq(8, 16, 32, 64),
@@ -294,13 +289,6 @@ private[queries] object LlmAnnQueries {
              |SELECT d AS dim,
              |       CAST(count(*) FILTER (vec_id IN (SELECT vec_id FROM f)) AS BIGINT) AS hits,
              |       CAST(10 AS BIGINT) AS k
-             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
-
-    // Phrase application (word2phrase inference): fuse the two most-frequent
-    // corpus collocations greedily, sequentially — each phrase is one
-    // linear indexed transform+filter pass (fuse where the successor
-    // completes the pair, drop where the predecessor consumed it; l ≠ r
-    // makes matches non-overlapping by construction). Output is the fused
-    // text + token count (exact strings, engine-comparable).
+             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin))
   )
 }

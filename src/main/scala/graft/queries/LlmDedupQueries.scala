@@ -13,7 +13,6 @@ private[queries] object LlmDedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-
     // Exact dedup: content-hash groupBy; survivor = min doc_id (one shuffle
     // on the hash — the 100 TB shape; no pairwise comparison anywhere).
     QueryDef("q_dedup_exact",
@@ -24,9 +23,8 @@ private[queries] object LlmDedupQueries {
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin)),
 
-    // Text quality signals: counts only (exact integers — no float ratios in
-    // the compare surface; downstream can derive any ratio).,
-
+    // Document fingerprint: hash of the sorted distinct token set (order- and
+    // repetition-invariant content signature).
     QueryDef("q_fingerprint",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
@@ -40,8 +38,7 @@ private[queries] object LlmDedupQueries {
     // MinHash signatures (k=4) over char-8-gram shingles, long form output.
     // The wide signature frame is the shared, cached index artifact —
     // deployments persist it; the whole LSH family below reuses it instead
-    // of re-shingling the corpus per query.,
-
+    // of re-shingling the corpus per query.
     QueryDef("q_minhash_sigs",
       (s, d) => sigsOf(s, d)
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (seed, mh)")
@@ -55,8 +52,7 @@ private[queries] object LlmDedupQueries {
 
     // MinHash-LSH near-dup candidates: 2 bands × 2 minhashes; pairs agreeing
     // on a full band. The join is on the band signature — candidates stay
-    // ~linear in true near-dups, never O(n²).,
-
+    // ~linear in true near-dups, never O(n²).
     QueryDef("q_lsh_dup_pairs",
       (s, d) => pairsOf(s, d).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $sigsWideDuckSql,
@@ -64,8 +60,7 @@ private[queries] object LlmDedupQueries {
               |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Token-Jaccard on the LSH candidates: |A∩B| plus set sizes (exact ints;
-    // the ratio is downstream arithmetic).,
-
+    // the ratio is downstream arithmetic).
     QueryDef("q_jaccard_lsh",
       (s, d) => Dedup.setJaccardOnPairs(
           setsOf("token", tokensOf(s, d), "token", d), pairsOf(s, d))
@@ -90,8 +85,7 @@ private[queries] object LlmDedupQueries {
 
     // SimHash (16-bit, md5-nibble hash family): per-bit majority vote over
     // token hashes → compact near-dup fingerprint. The signature frame is a
-    // cached artifact shared with the pair-retrieval query below.,
-
+    // cached artifact shared with the pair-retrieval query below.
     QueryDef("q_simhash",
       (s, d) => simhashOf(s, d).orderBy(col("doc_id")),
       Some(s"""WITH $simhashDuckSql
@@ -99,8 +93,7 @@ private[queries] object LlmDedupQueries {
 
     // SimHash candidate pairs: four 4-bit bands (pigeonhole: hamming ≤ 3
     // leaves at least one band untouched — LOSSLESS retrieval at this
-    // threshold) + popcount-verified Hamming distance.,
-
+    // threshold) + popcount-verified Hamming distance.
     QueryDef("q_simhash_pairs",
       (s, d) => Dedup.simhashPairs(simhashOf(s, d), maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -125,11 +118,9 @@ private[queries] object LlmDedupQueries {
               |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Brute-force cosine top-k (the ANN baseline): ordered sequential double
-    // fold — bit-identical to DuckDB's list_cosine_similarity on DOUBLE[].
-    // At 100 TB the same plan holds with the query side broadcast; the IVF
-    // variant (graft.llm.Similarity) prunes candidates by centroid first.,
-
+    // Multimodal plumbing (metadata side): opaque-bytes length + a
+    // deterministic md5-derived feature — the decode itself is stubbed in
+    // graft.llm.Multimodal (no media libs in this container).
     QueryDef("q_multimodal_meta",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
@@ -146,8 +137,7 @@ private[queries] object LlmDedupQueries {
     // Hamming retrieval (14 bands × 4 bits — lossless for hamming ≤ 13 by
     // pigeonhole) + exact popcount verify. The oracle does the O(n²) join;
     // Spark's plan is ONE equi-join on the banded key — never a cross
-    // product. Exact integers end to end, so the hash compare is strict.,
-
+    // product. Exact integers end to end, so the hash compare is strict.
     QueryDef("q_image_neardup",
       (s, d) => {
         Dedup.bandedHammingPairs(dhashOf(s, d), bits = 56, bandBits = 4,
@@ -174,10 +164,8 @@ private[queries] object LlmDedupQueries {
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
-    // Quality score in [0,1]: unique-token ratio + stopword presence + length
-    // band, averaged. Pure map — no shuffle; the standard cheap pre-filter
-    // before expensive dedup/classification passes.,
-
+    // Window-function survivor pick: rank within each content group, keep
+    // rank 1 — the one-pass dedup shape when whole rows must survive.
     QueryDef("q_dedup_window",
       (s, d) => Dedup.survivors(table(s, d, "documents"))
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -186,11 +174,9 @@ private[queries] object LlmDedupQueries {
              |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
              |ORDER BY doc_id""".stripMargin)),
 
-    // Tumbling-window aggregation over the event stream: 1h buckets ×
-    // event_type; double sums fixed-pointed via floor(value*1000) so the
-    // distributed sum is order-independent (bigint adds commute — the only
-    // sum shape that hash-compares across engines).,
-
+    // Embedding-cosine near-dup: random-hyperplane LSH buckets (planes = 4
+    // fixed corpus vectors), pairwise cosine ONLY within a bucket — candidate
+    // generation is a join on the 4-bit signature, never O(n²).
     QueryDef("q_embed_neardup",
       (s, d) => Dedup.nearDupsFromBuckets(bucketsOf(s, d), threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b")),
@@ -209,10 +195,10 @@ private[queries] object LlmDedupQueries {
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= 0.3
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
-    // IVF ANN: coarse-quantize to 4 fixed centroids, probe the 2 cells
-    // nearest the query, brute-force inside. Partitioned by cell at scale,
-    // the scan touches ~nprobe/|cells| of the data.,
-
+    // Duplicate-cluster resolution: connected components over the LSH
+    // candidate-pair graph; each doc gets its component's min doc id as the
+    // canonical survivor. Spark side = iterative min-label propagation;
+    // oracle = recursive CTE over the same edges.
     QueryDef("q_dedup_clusters",
       (s, d) => clustersOf(s, d).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE $sigsWideDuckSql,
@@ -230,8 +216,7 @@ private[queries] object LlmDedupQueries {
     // Survivor selection over the duplicate clusters: the longest doc
     // (n_chars desc, doc_id asc tie) survives each component — the
     // quality-ranked dedup decision production pipelines make (min-id,
-    // q_dedup_clusters' label, is the degenerate case).,
-
+    // q_dedup_clusters' label, is the degenerate case).
     QueryDef("q_dedup_survivors",
       (s, d) => Dedup.resolveSurvivors(
           clustersOf(s, d), table(s, d, "documents").select("doc_id", "n_chars"),
@@ -255,14 +240,11 @@ private[queries] object LlmDedupQueries {
               |  ORDER BY d.n_chars DESC, c.doc_id) = 1
               |ORDER BY cluster_id""".stripMargin)),
 
-    // Product-quantization ANN: vectors compress to 4 integer codes (nearest
-    // codeword per 16-dim subspace); the query's distance to every codeword
-    // is tabled once and candidates are scored by 4 table lookups — the scan
-    // reads ONLY the code columns, never the embedding payload. Encode and
-    // table-build are map-only broadcast shapes (LlmSpec asserts no
-    // hash exchange); squared-L2 is the ordered fold, so codes AND float ADC
-    // scores hash-match DuckDB exactly.,
-
+    // Benchmark decontamination: docs with doc_id % 25 = 0 stand in for the
+    // held-out eval set; every other doc reports how many of its distinct
+    // 8-gram shingles appear anywhere in that set. The benchmark gram set
+    // broadcasts (eval sets are tiny next to a training corpus), so the
+    // corpus side is one pass with zero gram-keyed shuffles.
     QueryDef("q_decontam",
       (s, d) => {
         val grams = gramsOf(s, d)
@@ -285,8 +267,7 @@ private[queries] object LlmDedupQueries {
     // First-occurrence novelty: per doc, distinct shingles and how many
     // occur in no lower-id doc — the ingest-order novelty curve. No
     // corpus×corpus gram join: min-doc per gram re-aggregates by that doc,
-    // then a docs-sized join against the per-doc totals.,
-
+    // then a docs-sized join against the per-doc totals.
     QueryDef("q_novelty",
       (s, d) => Dedup.noveltyStats(gramsOf(s, d)).orderBy(col("doc_id")),
       Some("""WITH g AS (
@@ -302,12 +283,17 @@ private[queries] object LlmDedupQueries {
              |FROM perdoc LEFT JOIN novel USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
-    // Training-mix curation: deterministic stratified sampling — each source
-    // class keeps a fixed fraction (25/50/75/100% by source number mod 4),
-    // membership decided by a salted per-doc hash bucket compared as a hex
-    // string (engine-portable, no base conversion). Pure map + one
-    // map-side-combined aggregate; a doc's fate never depends on other docs.,
-
+    // The END-TO-END corpus-preparation pass, composed from the tested
+    // operators in production order: exact-dedup survivors (window, full
+    // rows) → integer quality gate (≥20 tokens, distinct-token ratio ≥ 1/3 —
+    // Gopher-style repetition rule in exact arithmetic) → deterministic
+    // stratified sample (salted-hash threshold per source class) → packed
+    // sequence layout. Every stage is individually oracle-gated elsewhere;
+    // this query gates the COMPOSITION — offsets downstream of three
+    // filters, where any divergence in any stage moves every later number.
+    // Shape: two shuffles total (dedup window by content hash; packing by
+    // (stream, sub)) — the quality gate and the sample are residual-free
+    // maps fused into the scans between them.
     QueryDef("q_corpus_prep",
       (s, d) => {
         val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -350,11 +336,8 @@ private[queries] object LlmDedupQueries {
              |       start_offset // 512 AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
-    // Tokenizer-vocab coverage: top-16 corpus vocabulary (freq desc, token
-    // asc — a deterministic cut), then per-doc total vs in-vocab token
-    // counts. OOV rate is downstream arithmetic; the corpus probes the
-    // BROADCAST vocab, never shuffling on the token.,
-
+    // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
+    // token sets — robust to word-boundary edits).
     QueryDef("q_ngram_jaccard",
       (s, d) => Dedup.setJaccardOnPairs(
           setsOf("gram", gramsOf(s, d), "gram", d), pairsOf(s, d))
@@ -383,8 +366,7 @@ private[queries] object LlmDedupQueries {
     // Exact-substring chunk dedup (tiled Lee et al. 2022): 4-token tiles,
     // any tile occurring >1× corpus-wide is dropped from every doc, text
     // reassembled in order. One tile aggregation + one join back on the
-    // tile — exact-dedup shuffle shape at chunk granularity.,
-
+    // tile — exact-dedup shuffle shape at chunk granularity.
     QueryDef("q_chunk_dedup",
       (s, d) => Dedup.chunkDedup(Dedup.tokenTiles(spreadDocs(s, d), n = 4))
         .orderBy(col("doc_id")),
@@ -402,12 +384,10 @@ private[queries] object LlmDedupQueries {
              |FROM tiles t JOIN counts c USING (tile)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
 
-    // Length-bucketed batching report: docs grouped into 32-token-wide
-    // length buckets (the dynamic-batching layout trainers use so a batch
-    // pads to its bucket max, not the corpus max), with the padding waste
-    // each bucket would pay — all exact integers. One map-side-combined
-    // aggregation on the derived bucket key.,
-
+    // Exact-substring SPAN dedup (Lee et al. 2022, windowed): stride-1
+    // 5-token windows, every position covered by a corpus-duplicated window
+    // masked out — duplicated spans removed at ANY offset, unlike the tiled
+    // q_chunk_dedup. Post-filter work is sized by true duplication.
     QueryDef("q_span_dedup",
       (s, d) => Dedup.spanDedup(spreadDocs(s, d), n = 5)
         .orderBy(col("doc_id")),
@@ -439,8 +419,7 @@ private[queries] object LlmDedupQueries {
     // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0) banded
     // against the ALREADY-INDEXED rest of the corpus — no corpus self-join;
     // candidates verified with shingle-set Jaccard. Signatures are per-doc,
-    // so both sides filter the ONE persisted signature artifact.,
-
+    // so both sides filter the ONE persisted signature artifact.
     QueryDef("q_dedup_incremental",
       (s, d) => {
         val sigs = sigsOf(s, d)
@@ -489,8 +468,7 @@ private[queries] object LlmDedupQueries {
     // Cross-source duplication matrix: which sources duplicate each other —
     // the verified LSH pair set joined to each side's source, rolled up to
     // an unordered (source_a ≤ source_b) matrix. The pair set is ~linear in
-    // true near-dups, so both joins and the rollup are candidate-sized.,
-
+    // true near-dups, so both joins and the rollup are candidate-sized.
     QueryDef("q_dup_source_matrix",
       (s, d) => {
         val src = table(s, d, "documents").select(col("doc_id"), col("source"))
@@ -512,12 +490,9 @@ private[queries] object LlmDedupQueries {
               |JOIN documents db ON db.doc_id = p.doc_b
               |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
 
-    // As-of join: every click event annotated with the user's most recent
-    // view (timestamp + value) at-or-before it. The union+window plan
-    // shuffles once on user_id with NO join operator; the oracle is
-    // DuckDB's native ASOF LEFT JOIN — two engines, two mechanisms, one
-    // answer.,
-
+    // Normalized exact dedup (the C4-style pass): same one-shuffle shape as
+    // q_dedup_exact but over lowercased/punctuation-stripped/space-squashed
+    // text; n_raw_variants > 1 marks groups raw-byte hashing missed.
     QueryDef("q_dedup_normalized",
       (s, d) => graft.llm.Dedup.normalizedExact(table(s, d, "documents"))
         .orderBy(col("content_hash")),
@@ -527,10 +502,14 @@ private[queries] object LlmDedupQueries {
              |       count(DISTINCT md5(text))::BIGINT AS n_raw_variants
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
-    // Mix design in tokens: fill each source's 500-token budget in
-    // quality-score order (boundary doc kept — the budget is a coverage
-    // floor). One stratum-keyed exchange; exact integer running sums.,
-
+    // SemDeDup (Abbas et al. 2023): within-IVF-cell cosine pairs ≥ τ form
+    // semantic duplicate groups (connected components — the cached
+    // semClustersOf artifact); each group keeps its LEAST-centroid-similar
+    // member (prune the redundant cluster core, keep the atypical example).
+    // Spark side = min-label propagation + one broadcast centroid-similarity
+    // map pass + one per-group window; oracle = the same derivation with a
+    // recursive CTE. Cosines are the proven-bit-identical ordered fold, so
+    // float cent_sim hash-matches exactly.
     QueryDef("q_semdedup",
       (s, d) => Dedup.semDeDupFromClusters(
           ivfOf(s, d), centroidsOf(s, d), semClustersOf(s, d))
@@ -588,8 +567,7 @@ private[queries] object LlmDedupQueries {
     // each remaining corpus vector takes a per-row argmax of cosine over the
     // broadcast eval array (map-only — the corpus payload never shuffles)
     // and is flagged at ≥ 0.35. The oracle mirrors the ordered-fold cosine
-    // explicitly (list_cosine_similarity clamps; the fold does not).,
-
+    // explicitly (list_cosine_similarity clamps; the fold does not).
     QueryDef("q_semantic_decontam",
       (s, d) => Dedup.semanticContamination(
           spreadEmbeddings(s, d).where(col("vec_id") % 25 =!= 0),
@@ -623,8 +601,7 @@ private[queries] object LlmDedupQueries {
     // Incremental SemDeDup: every 5th vector is the ingest batch, the rest
     // are the indexed corpus; candidates share a coarse cell and pass the
     // cosine cut — batch×index only, never an index self-join (the
-    // embedding-space twin of q_dedup_incremental's maintenance shape).,
-
+    // embedding-space twin of q_dedup_incremental's maintenance shape).
     QueryDef("q_semdedup_incremental",
       (s, d) => Dedup.incrementalSemanticPairs(
           ivfOf(s, d).where(col("vec_id") % 5 =!= 0),
@@ -646,11 +623,6 @@ private[queries] object LlmDedupQueries {
              |FROM assigned b JOIN assigned i ON b.cell = i.cell
              |WHERE b.vec_id % 5 = 0 AND i.vec_id % 5 <> 0
              |  AND list_cosine_similarity(b.emb, i.emb) >= 0.35
-             |ORDER BY batch_id, index_id""".stripMargin)),
-
-    // PMI collocation mining: adjacent-pair PMI in integer bits (bitlen
-    // quantization), minCount 5, top-50 by (pmi_bits desc, pair). Two
-    // corpus explodes → two map-side-combined aggregates; unigram model
-    // broadcasts back; TakeOrdered top-k.
+             |ORDER BY batch_id, index_id""".stripMargin))
   )
 }

@@ -13,6 +13,10 @@ private[queries] object LlmEventQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Tumbling-window aggregation over the event stream: 1h buckets ×
+    // event_type; double sums fixed-pointed via floor(value*1000) so the
+    // distributed sum is order-independent (bigint adds commute — the only
+    // sum shape that hash-compares across engines).
     QueryDef("q_events_window",
       (s, d) => table(s, d, "events")
         .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
@@ -28,8 +32,7 @@ private[queries] object LlmEventQueries {
     // Gap-based sessionization: a session breaks after 30 min of user
     // inactivity — lag + running sum windows, then a per-session rollup.
     // The window partitions by user_id: one shuffle, then all window work is
-    // partition-local (the 100 TB shape for event-stream sessionization).,
-
+    // partition-local (the 100 TB shape for event-stream sessionization).
     QueryDef("q_sessionize",
       (s, d) => {
         table(s, d, "events").createOrReplaceTempView("events")
@@ -63,10 +66,11 @@ private[queries] object LlmEventQueries {
              |GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
-    // Embedding-cosine near-dup: random-hyperplane LSH buckets (planes = 4
-    // fixed corpus vectors), pairwise cosine ONLY within a bucket — candidate
-    // generation is a join on the 4-bit signature, never O(n²).,
-
+    // As-of join: every click event annotated with the user's most recent
+    // view (timestamp + value) at-or-before it. The union+window plan
+    // shuffles once on user_id with NO join operator; the oracle is
+    // DuckDB's native ASOF LEFT JOIN — two engines, two mechanisms, one
+    // answer.
     QueryDef("q_asof_join",
       (s, d) => {
         val ev = table(s, d, "events")
@@ -93,8 +97,7 @@ private[queries] object LlmEventQueries {
 
     // Per-user conversion funnel view → purchase: earliest view, earliest
     // purchase at-or-after it (null = never converted). Aggregate-before-
-    // join — every exchange keys on user_id.,
-
+    // join — every exchange keys on user_id.
     QueryDef("q_funnel",
       (s, d) => graft.streaming.EventStreams
         .funnel(table(s, d, "events"), fromType = "view", toType = "purchase")
@@ -109,12 +112,6 @@ private[queries] object LlmEventQueries {
              |  GROUP BY e.user_id)
              |SELECT fv.user_id, fv.from_ts, cv.to_ts
              |FROM fv LEFT JOIN cv ON cv.user_id = fv.user_id
-             |ORDER BY fv.user_id""".stripMargin)),
-
-    // Perplexity-filter core: per-doc surprisal under the corpus char-bigram
-    // LM, quantized to exact integer bits (bitlen(ctx) − bitlen(bigram) per
-    // occurrence) so the compare surface has no float log accumulation. The
-    // charset²-sized model broadcasts; the only corpus exchange is the
-    // per-doc aggregate.
+             |ORDER BY fv.user_id""".stripMargin))
   )
 }

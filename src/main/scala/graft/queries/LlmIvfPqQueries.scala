@@ -13,6 +13,14 @@ private[queries] object LlmIvfPqQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // IVF-PQ ANN — the composed 100 TB index (Jégou et al. 2011): coarse
+    // L2 quantization to 4 cells, PQ codes over the RESIDUAL (vector −
+    // centroid) with 8 codewords per 16-dim subspace, then ADC within the
+    // 2 probed cells using a per-cell distance table built from the
+    // query's residual. Assignment, residual, and encode are all map-only
+    // broadcast shapes; the candidate scan reads only (vec_id, cell,
+    // c0..c3). Residual subtraction and the ordered-fold squared-L2 are
+    // exact float/double ops, so codes AND ADC scores hash-match DuckDB.
     QueryDef("q_ann_ivfpq",
       (s, d) => Similarity.ivfPqTopK(
         ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
@@ -84,8 +92,7 @@ private[queries] object LlmIvfPqQueries {
     // Two-stage IVF-PQ: ADC shortlist (c=40) from the code index, exact
     // L2 re-rank of ONLY those rows (driver-free broadcast left-semi on
     // the shortlist frame) — removes the cross-cell ADC drift; final
-    // top-10 is exact within the shortlist.,
-
+    // top-10 is exact within the shortlist.
     QueryDef("q_ann_ivfpq_rerank",
       (s, d) => Similarity.ivfPqTopKRerank(
         ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
@@ -160,8 +167,7 @@ private[queries] object LlmIvfPqQueries {
     // Batch IVF-PQ k-NN join: three query vectors retrieve their top-5
     // from the composed code index in ONE candidate pass — per-query
     // probed cells and per-(query, cell) ADC tables all live in one
-    // broadcast; the scan reads only (vec_id, cell, codes).,
-
+    // broadcast; the scan reads only (vec_id, cell, codes).
     QueryDef("q_ann_ivfpq_batch",
       (s, d) => Similarity.ivfPqKnnJoin(
           ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
@@ -242,8 +248,7 @@ private[queries] object LlmIvfPqQueries {
     // L2 re-ranked in ONE corpus-side pass — shortlist broadcast back onto
     // the payload table, per-query top-5 window moving only
     // (query_id, vec_id, l2_dist) triples. Final distances are exact L2,
-    // so they hash-match DuckDB bit-for-bit.,
-
+    // so they hash-match DuckDB bit-for-bit.
     QueryDef("q_ann_ivfpq_batch_rerank",
       (s, d) => Similarity.ivfPqKnnJoinRerank(
           ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
@@ -328,12 +333,12 @@ private[queries] object LlmIvfPqQueries {
            |ORDER BY query_id, "rank"""".stripMargin
       }),
 
-    // Benchmark decontamination: docs with doc_id % 25 = 0 stand in for the
-    // held-out eval set; every other doc reports how many of its distinct
-    // 8-gram shingles appear anywhere in that set. The benchmark gram set
-    // broadcasts (eval sets are tiny next to a training corpus), so the
-    // corpus side is one pass with zero gram-keyed shuffles.,
-
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-20
+    // relevance shortlist for query vector 7, then 5 greedy picks
+    // maximizing 0.5·rel − 0.5·max-sim-to-selected. Corpus work = one
+    // brute-force scan; the greedy loop folds inside a single row (no
+    // driver round-trips). Oracle mirrors the selection with a recursive
+    // CTE — identical floats, identical tie-breaks.
     QueryDef("q_mmr_select",
       (s, d) => Similarity.mmrSelect(
         table(s, d, "embeddings").select("vec_id", "embedding"),
@@ -366,13 +371,6 @@ private[queries] object LlmIvfPqQueries {
              |FROM sel, unnest(range(1, 6)) AS u(i)
              |JOIN short ON short.id = sel.ids[u.i]
              |WHERE sel.step = 5
-             |ORDER BY rank""".stripMargin)),
-
-    // Engine-portable HyperLogLog (Flajolet et al. 2007): per-source
-    // distinct-token cardinality from an md5-register sketch, alongside
-    // the exact count so the estimate's error is visible in the result.
-    // Registers are ONE map-side-combined (source, bucket) aggregate —
-    // ≤ 256 rows per source survive regardless of corpus size; the
-    // estimate is an ordered register fold, bit-identical in any engine.
+             |ORDER BY rank""".stripMargin))
   )
 }

@@ -13,6 +13,11 @@ private[queries] object LlmSamplingQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Training-mix curation: deterministic stratified sampling — each source
+    // class keeps a fixed fraction (25/50/75/100% by source number mod 4),
+    // membership decided by a salted per-doc hash bucket compared as a hex
+    // string (engine-portable, no base conversion). Pure map + one
+    // map-side-combined aggregate; a doc's fate never depends on other docs.
     QueryDef("q_mix_sample",
       (s, d) => {
         val thr = {
@@ -40,8 +45,7 @@ private[queries] object LlmSamplingQueries {
     // windows in parallel and tiny per-sub totals stitch the exact offsets
     // back — one giant stream never serializes onto one partition. Tokens
     // are NON-EMPTY splits (empty/multi-space text counts zero), mirrored
-    // by the oracle's list_filter.,
-
+    // by the oracle's list_filter.
     QueryDef("q_pack_sequences",
       (s, d) => graft.llm.Sampling.packSequences(
           table(s, d, "documents"), capacity = 512, subStreamWidth = 64L)
@@ -61,18 +65,12 @@ private[queries] object LlmSamplingQueries {
              |       start_offset // 512 AS bin
              |FROM o ORDER BY source, doc_id""".stripMargin)),
 
-    // The END-TO-END corpus-preparation pass, composed from the tested
-    // operators in production order: exact-dedup survivors (window, full
-    // rows) → integer quality gate (≥20 tokens, distinct-token ratio ≥ 1/3 —
-    // Gopher-style repetition rule in exact arithmetic) → deterministic
-    // stratified sample (salted-hash threshold per source class) → packed
-    // sequence layout. Every stage is individually oracle-gated elsewhere;
-    // this query gates the COMPOSITION — offsets downstream of three
-    // filters, where any divergence in any stage moves every later number.
-    // Shape: two shuffles total (dedup window by content hash; packing by
-    // (stream, sub)) — the quality gate and the sample are residual-free
-    // maps fused into the scans between them.,
-
+    // DSIR importance weights: target = English docs, features = word
+    // unigrams hashed into 256 md5 buckets, both models on the same bucket
+    // space, add-1 smoothed; each token contributes an integer bit-length
+    // quantization of log2[p_tgt/p_raw] — order-free, engine-exact. The
+    // explode feeds model AND scoring through one shared (doc, bucket)
+    // aggregate; models broadcast back.
     QueryDef("q_dsir_weights",
       (s, d) => graft.llm.Sampling.importanceWeights(
           spreadDocs(s, d), isTarget = col("lang") === "en")
@@ -101,8 +99,7 @@ private[queries] object LlmSamplingQueries {
     // raw share, and sqrt-share — sqrt is the IEEE-correctly-rounded power,
     // and the denominator is an ordered fold over source-sorted weights, so
     // both floats hash-match exactly. One corpus aggregation + one
-    // single-row broadcast.,
-
+    // single-row broadcast.
     QueryDef("q_temperature_mix",
       (s, d) => graft.llm.Sampling.temperatureMixWeights(table(s, d, "documents"))
         .orderBy(col("source")),
@@ -124,8 +121,7 @@ private[queries] object LlmSamplingQueries {
     // Deterministic global shuffle: 16 hash shards (first md5 nibble, kept
     // as the hex char — no base conversion in any engine) + rank within the
     // shard by the full salted hash. Assignment is a map; the position is
-    // the one shard-keyed exchange that also writes the output.,
-
+    // the one shard-keyed exchange that also writes the output.
     QueryDef("q_shard_assign",
       (s, d) => graft.llm.Sampling.shardAssignment(table(s, d, "documents"))
         .orderBy(col("shard"), col("pos")),
@@ -136,10 +132,9 @@ private[queries] object LlmSamplingQueries {
              |    ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id)::BIGINT AS pos
              |FROM documents ORDER BY shard, pos""".stripMargin)),
 
-    // Normalized exact dedup (the C4-style pass): same one-shuffle shape as
-    // q_dedup_exact but over lowercased/punctuation-stripped/space-squashed
-    // text; n_raw_variants > 1 marks groups raw-byte hashing missed.,
-
+    // Mix design in tokens: fill each source's 500-token budget in
+    // quality-score order (boundary doc kept — the budget is a coverage
+    // floor). One stratum-keyed exchange; exact integer running sums.
     QueryDef("q_token_budget_sample",
       (s, d) => graft.llm.Sampling.budgetCappedSample(
           table(s, d, "documents"), tokenBudget = 500L,
@@ -163,10 +158,9 @@ private[queries] object LlmSamplingQueries {
              |FROM c WHERE cum_tokens - n_tokens < 500
              |ORDER BY source, cum_tokens, doc_id""".stripMargin)),
 
-    // Tokenizer training primitive: top-50 adjacent char pairs within words
-    // (the pair a BPE trainer merges first). Alphabet²-bounded aggregation
-    // key → tiny exchange at any corpus size; top-k via TakeOrdered.,
-
+    // RAG-chunker layout: 64-token windows every 48 tokens (overlapping
+    // context), minimal grid cover — pure map, zero shuffle; integers only
+    // except the chunk text itself.
     QueryDef("q_chunk_overlap",
       (s, d) => graft.llm.Sampling.chunkWithOverlap(
           table(s, d, "documents"), window = 64, stride = 48)
@@ -184,8 +178,7 @@ private[queries] object LlmSamplingQueries {
     // Topic-diversity cap over the persisted IVF cell assignment: at most
     // 50 vectors per cell, picked by salted hash (uniform within the cell,
     // not biased toward low ids); each kept row carries the cell's total so
-    // the realized mix is read off the output. One cell-keyed exchange.,
-
+    // the realized mix is read off the output. One cell-keyed exchange.
     QueryDef("q_cluster_balance",
       (s, d) => graft.llm.Sampling.balancedSample(
           ivfOf(s, d).select(col("vec_id"), col("cell")),
@@ -207,15 +200,6 @@ private[queries] object LlmSamplingQueries {
              |           ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id)::BIGINT AS pick,
              |         count(*) OVER (PARTITION BY cell)::BIGINT AS n_group
              |  FROM assigned)
-             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin)),
-
-    // SemDeDup (Abbas et al. 2023): within-IVF-cell cosine pairs ≥ τ form
-    // semantic duplicate groups (connected components — the cached
-    // semClustersOf artifact); each group keeps its LEAST-centroid-similar
-    // member (prune the redundant cluster core, keep the atypical example).
-    // Spark side = min-label propagation + one broadcast centroid-similarity
-    // map pass + one per-group window; oracle = the same derivation with a
-    // recursive CTE. Cosines are the proven-bit-identical ordered fold, so
-    // float cent_sim hash-matches exactly.
+             |WHERE pick <= 50 ORDER BY cell, pick""".stripMargin))
   )
 }

@@ -13,6 +13,11 @@ private[queries] object LlmSketchQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005): per-source
+    // frequency estimates for the corpus's 5 globally-heaviest tokens,
+    // alongside exact counts — the estimate never under-counts (the CMS
+    // guarantee, visible in the result). All integers; registers are one
+    // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.
     QueryDef("q_cms_counts",
       (s, d) => {
         val toks = table(s, d, "documents").select(col("source"),
@@ -67,13 +72,12 @@ private[queries] object LlmSketchQueries {
              |FROM est e LEFT JOIN exact x USING (source, token)
              |ORDER BY e.source, e.token""".stripMargin)),
 
-    // MMR-diversified retrieval (Carbonell & Goldstein 1998): top-20
-    // relevance shortlist for query vector 7, then 5 greedy picks
-    // maximizing 0.5·rel − 0.5·max-sim-to-selected. Corpus work = one
-    // brute-force scan; the greedy loop folds inside a single row (no
-    // driver round-trips). Oracle mirrors the selection with a recursive
-    // CTE — identical floats, identical tie-breaks.,
-
+    // Engine-portable HyperLogLog (Flajolet et al. 2007): per-source
+    // distinct-token cardinality from an md5-register sketch, alongside
+    // the exact count so the estimate's error is visible in the result.
+    // Registers are ONE map-side-combined (source, bucket) aggregate —
+    // ≤ 256 rows per source survive regardless of corpus size; the
+    // estimate is an ordered register fold, bit-identical in any engine.
     QueryDef("q_hll_distinct",
       (s, d) => {
         val toks = table(s, d, "documents").select(col("source"),
@@ -112,13 +116,6 @@ private[queries] object LlmSketchQueries {
              |FROM est
              |JOIN (SELECT source, count(DISTINCT token)::BIGINT AS n_exact
              |      FROM toks GROUP BY source) USING (source)
-             |ORDER BY source""".stripMargin)),
-
-    // Supervised hashed-linear quality classifier (CCNet/fastText shape):
-    // naive-Bayes bitlen log-odds TRAINED on the even-doc_id half (labels =
-    // lang judgement), APPLIED frozen to the odd half — the train/apply
-    // split a production filter runs. Train side is labeled-set-sized;
-    // apply is one broadcast join on the token stream + one per-doc
-    // aggregate (a single corpus exchange).
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -11,8 +11,47 @@ import LlmArtifacts._
   * common to the family. */
 private[queries] object LlmTextQueries {
 
+  /** 240 fixed merges for the encode query — every ordered DISTINCT pair
+    * of the 16 most common English letters, in iteration order: deep
+    * enough to exercise the chained-projection encode at a
+    * production-shaped depth (the former nested-fold form could not
+    * analyze a list this long), fully mirrorable as a DuckDB CTE chain.
+    * Early merges fire densely on real text; later ones often no-op on
+    * already-fused symbols — both engines must agree either way. */
+  private val BpeEncodeMerges: Seq[(String, String)] = {
+    val letters = "etaoinshrdlucmfw"
+    for { l <- letters.toSeq; r <- letters.toSeq if l != r }
+      yield (l.toString, r.toString)
+  }
+
+  /** The oracle as a GENERATED chain of one CTE per merge — the same
+    * linear chained-pass shape the Spark plan has (measured: DuckDB binds
+    * and runs the 240-CTE chain in ~0.1 s). */
+  private def bpeEncodeDuckSql: String = {
+    val passes = BpeEncodeMerges.zipWithIndex.map { case ((l, r), k) =>
+      s"""m${k + 1} AS (
+         |  SELECT doc_id, word_idx, list_filter(list_transform(syms, (t, i) ->
+         |    CASE WHEN t = '$l' AND syms[i + 1] = '$r' THEN '$l$r'
+         |         WHEN t = '$r' AND syms[i - 1] = '$l' THEN NULL
+         |         ELSE t END), x -> x IS NOT NULL) AS syms
+         |  FROM m$k)""".stripMargin
+    }
+    s"""WITH m0 AS (
+       |  SELECT doc_id, i - 1 AS word_idx, string_split(words[i], '') AS syms
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |        FROM documents),
+       |       unnest(range(1, len(words) + 1)) AS u(i)),
+       |${passes.mkString(",\n")}
+       |SELECT doc_id, word_idx::BIGINT AS word_idx,
+       |       array_to_string(syms, '|') AS encoded,
+       |       len(syms)::BIGINT AS n_symbols
+       |FROM m${BpeEncodeMerges.size} ORDER BY doc_id, word_idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
+    // Text quality signals: counts only (exact integers — no float ratios in
+    // the compare surface; downstream can derive any ratio).
     QueryDef("q_text_stats",
       (s, d) => {
         table(s, d, "documents").createOrReplaceTempView("documents")
@@ -35,8 +74,7 @@ private[queries] object LlmTextQueries {
     // doc_id (email every 3rd doc, phone every 5th, IPv4 every 7th) before
     // the scan — the operator sees a text column like any other; counts and
     // the redacted text are exact strings, so the compare is strict. Pure
-    // map (codegen'd regexes), no shuffle.,
-
+    // map (codegen'd regexes), no shuffle.
     QueryDef("q_pii_scan",
       (s, d) => {
         val injected = table(s, d, "documents").select(col("doc_id"),
@@ -74,8 +112,7 @@ private[queries] object LlmTextQueries {
              |FROM staged2 ORDER BY doc_id""".stripMargin)),
 
     // Language-ID: marker-stopword n-gram heuristic with a fixed tie-break
-    // chain (en > de > fr > es). Deterministic by construction.,
-
+    // chain (en > de > fr > es). Deterministic by construction.
     QueryDef("q_lang_id",
       (s, d) => {
         table(s, d, "documents").createOrReplaceTempView("documents")
@@ -109,8 +146,7 @@ private[queries] object LlmTextQueries {
     // corpus's ground-truth lang column — per (true, predicted) counts,
     // the quality report a pipeline publishes before trusting a filter.
     // (zh has no marker set, so it lands wherever the argmax ties fall —
-    // visible in the matrix, which is the point of publishing it.),
-
+    // visible in the matrix, which is the point of publishing it.)
     QueryDef("q_lang_confusion",
       (s, d) => {
         val docs = table(s, d, "documents")
@@ -136,8 +172,7 @@ private[queries] object LlmTextQueries {
     // Semi-structured extraction: typed fields pulled out of the events
     // table's JSON props column and aggregated — the standard
     // schema-on-read step every log/telemetry pipeline runs. One pushed
-    // projection + a map-side-combined aggregate; exact integers.,
-
+    // projection + a map-side-combined aggregate; exact integers.
     QueryDef("q_json_props",
       (s, d) => table(s, d, "events")
         .select(col("event_type"),
@@ -154,8 +189,7 @@ private[queries] object LlmTextQueries {
     // TF-IDF term statistics, integer-only (the order-sensitive float log
     // is left to the consumer): per-doc top-3 terms by (tf desc, df asc,
     // term asc). Exact ints hash-match across engines; the rank triple is
-    // a total order so row_number is deterministic.,
-
+    // a total order so row_number is deterministic.
     QueryDef("q_tfidf_terms",
       (s, d) => TextAnalysis.topTermsFromTf(tfOf(s, d), k = 3)
         .orderBy(col("doc_id"), col("rnk")),
@@ -176,8 +210,7 @@ private[queries] object LlmTextQueries {
     // Winnowing fingerprints: positional k-gram rolling hashes, sliding
     // window minima, distinct per doc — guarantees a shared fingerprint for
     // any common substring of length ≥ w+k−1. The windowed min is over
-    // 8-hex-char strings, so both engines agree lexicographically.,
-
+    // 8-hex-char strings, so both engines agree lexicographically.
     QueryDef("q_winnow_fingerprint",
       (s, d) => winnowOf(s, d)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"),
@@ -204,8 +237,7 @@ private[queries] object LlmTextQueries {
     // plan has no self-join at all: fp doc-lists group once, pairs expand
     // map-side from the sorted list (skew-bounded by the boilerplate cap),
     // and the pair count aggregates with map-side combine. The oracle
-    // verifies with the plain self-join formulation.,
-
+    // verifies with the plain self-join formulation.
     QueryDef("q_winnow_overlap",
       (s, d) => TextAnalysis.winnowOverlapPairs(winnowOf(s, d),
           minShared = 3, maxDocsPerFp = 10)
@@ -229,9 +261,9 @@ private[queries] object LlmTextQueries {
              |GROUP BY 1, 2 HAVING count(*) >= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Document fingerprint: hash of the sorted distinct token set (order- and
-    // repetition-invariant content signature).,
-
+    // Quality score in [0,1]: unique-token ratio + stopword presence + length
+    // band, averaged. Pure map — no shuffle; the standard cheap pre-filter
+    // before expensive dedup/classification passes.
     QueryDef("q_quality_score",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -246,8 +278,7 @@ private[queries] object LlmTextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // BPE-ish token counting: word runs + standalone punctuation via one
-    // regexp (GPT-style pre-tokenization) — codegen'd, zero shuffle.,
-
+    // regexp (GPT-style pre-tokenization) — codegen'd, zero shuffle.
     QueryDef("q_token_regex",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
@@ -259,9 +290,10 @@ private[queries] object LlmTextQueries {
              |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Window-function survivor pick: rank within each content group, keep
-    // rank 1 — the one-pass dedup shape when whole rows must survive.,
-
+    // Tokenizer-vocab coverage: top-16 corpus vocabulary (freq desc, token
+    // asc — a deterministic cut), then per-doc total vs in-vocab token
+    // counts. OOV rate is downstream arithmetic; the corpus probes the
+    // BROADCAST vocab, never shuffling on the token.
     QueryDef("q_vocab_oov",
       (s, d) => TextAnalysis.vocabCoverage(spreadDocs(s, d), vocabSize = 16)
         .orderBy(col("doc_id")),
@@ -279,8 +311,7 @@ private[queries] object LlmTextQueries {
 
     // Per-source exact token-length quantiles (rank-picked, no float
     // interpolation): the length-distribution report behind context-window
-    // and training-mix design.,
-
+    // and training-mix design.
     QueryDef("q_length_quantiles",
       (s, d) => TextAnalysis.lengthQuantiles(table(s, d, "documents"))
         .orderBy(col("source")),
@@ -302,8 +333,7 @@ private[queries] object LlmTextQueries {
 
     // Within-doc repetition (Gopher-style quality rules): word-bigram total,
     // distinct count, and top single-bigram frequency per doc — the integer
-    // cores of the duplicate-n-gram-fraction filters.,
-
+    // cores of the duplicate-n-gram-fraction filters.
     QueryDef("q_repetition",
       (s, d) => TextAnalysis.repetitionStats(spreadDocs(s, d))
         .orderBy(col("doc_id")),
@@ -317,9 +347,11 @@ private[queries] object LlmTextQueries {
              |       count(*) AS n_uniq_bigrams, CAST(max(c) AS BIGINT) AS top_count
              |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // Character-8-gram Jaccard on the LSH candidate pairs (shingle sets, not
-    // token sets — robust to word-boundary edits).,
-
+    // Length-bucketed batching report: docs grouped into 32-token-wide
+    // length buckets (the dynamic-batching layout trainers use so a batch
+    // pads to its bucket max, not the corpus max), with the padding waste
+    // each bucket would pay — all exact integers. One map-side-combined
+    // aggregation on the derived bucket key.
     QueryDef("q_length_buckets",
       (s, d) => spreadDocs(s, d)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -338,8 +370,7 @@ private[queries] object LlmTextQueries {
     // Token frequency-of-frequencies (the Zipf/Good-Turing spectrum): how
     // many distinct tokens occur exactly f times corpus-wide. Two chained
     // map-side-combined aggregations — the second one's key space is tiny
-    // (distinct frequencies), so the corpus token stream shuffles once.,
-
+    // (distinct frequencies), so the corpus token stream shuffles once.
     QueryDef("q_token_spectrum",
       (s, d) => spreadDocs(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
@@ -352,11 +383,11 @@ private[queries] object LlmTextQueries {
              |      GROUP BY token)
              |GROUP BY f ORDER BY f""".stripMargin)),
 
-    // Exact-substring SPAN dedup (Lee et al. 2022, windowed): stride-1
-    // 5-token windows, every position covered by a corpus-duplicated window
-    // masked out — duplicated spans removed at ANY offset, unlike the tiled
-    // q_chunk_dedup. Post-filter work is sized by true duplication.,
-
+    // Perplexity-filter core: per-doc surprisal under the corpus char-bigram
+    // LM, quantized to exact integer bits (bitlen(ctx) − bitlen(bigram) per
+    // occurrence) so the compare surface has no float log accumulation. The
+    // charset²-sized model broadcasts; the only corpus exchange is the
+    // per-doc aggregate.
     QueryDef("q_char_lm_surprisal",
       (s, d) => graft.llm.TextAnalysis.bigramSurprisal(spreadDocs(s, d))
         .orderBy(col("doc_id")),
@@ -372,13 +403,9 @@ private[queries] object LlmTextQueries {
              |FROM bg JOIN m USING (bigram) JOIN cx ON substr(bg.bigram, 1, 1) = cx.ctx
              |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
 
-    // DSIR importance weights: target = English docs, features = word
-    // unigrams hashed into 256 md5 buckets, both models on the same bucket
-    // space, add-1 smoothed; each token contributes an integer bit-length
-    // quantization of log2[p_tgt/p_raw] — order-free, engine-exact. The
-    // explode feeds model AND scoring through one shared (doc, bucket)
-    // aggregate; models broadcast back.,
-
+    // Tokenizer training primitive: top-50 adjacent char pairs within words
+    // (the pair a BPE trainer merges first). Alphabet²-bounded aggregation
+    // key → tiny exchange at any corpus size; top-k via TakeOrdered.
     QueryDef("q_bpe_merges",
       (s, d) => graft.llm.TextAnalysis.bpeMergeCandidates(
         table(s, d, "documents"), k = 50),
@@ -390,10 +417,23 @@ private[queries] object LlmTextQueries {
              |      WHERE length(word) >= 2)
              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // BPE ENCODE at production-shaped depth: 240 chained merge passes over
+    // the whole corpus — one linear transform+filter projection per merge
+    // (never a nested fold), a pure map with zero shuffles however long
+    // the merge table. The oracle mirrors the chain as 240 generated CTEs;
+    // every word's symbol sequence must agree exactly.
+    QueryDef("q_bpe_encode",
+      (s, d) => graft.llm.TextAnalysis.bpeEncode(
+          table(s, d, "documents"), BpeEncodeMerges)
+        .select(col("doc_id"), col("word_idx"),
+          concat_ws("|", col("symbols")).as("encoded"),
+          size(col("symbols")).cast("long").as("n_symbols"))
+        .orderBy(col("doc_id"), col("word_idx")),
+      Some(bpeEncodeDuckSql)),
+
     // Filtering-threshold design: per-source quality deciles with doc/token
     // mass and score range per bucket — one stratum-keyed shuffle (never a
-    // global ntile), map-side-combined rollup.,
-
+    // global ntile), map-side-combined rollup.
     QueryDef("q_quality_token_curve",
       (s, d) => graft.llm.TextAnalysis.qualityTokenCurve(
           table(s, d, "documents"), bins = 10)
@@ -415,10 +455,10 @@ private[queries] object LlmTextQueries {
              |       sum(toks)::BIGINT AS n_tokens, min(q) AS q_min, max(q) AS q_max
              |FROM b GROUP BY 1, 2 ORDER BY source, qbin""".stripMargin)),
 
-    // RAG-chunker layout: 64-token windows every 48 tokens (overlapping
-    // context), minimal grid cover — pure map, zero shuffle; integers only
-    // except the chunk text itself.,
-
+    // PMI collocation mining: adjacent-pair PMI in integer bits (bitlen
+    // quantization), minCount 5, top-50 by (pmi_bits desc, pair). Two
+    // corpus explodes → two map-side-combined aggregates; unigram model
+    // broadcasts back; TakeOrdered top-k.
     QueryDef("q_pmi_phrases",
       (s, d) => graft.llm.TextAnalysis.pmiPhrases(spreadDocs(s, d), k = 50)
         .orderBy(col("pmi_bits").desc, col("w1"), col("w2")),
@@ -444,11 +484,12 @@ private[queries] object LlmTextQueries {
              |WHERE c_pair >= 5
              |ORDER BY pmi_bits DESC, w1, w2 LIMIT 50""".stripMargin)),
 
-    // IVF index-health report: per cell, population + nearest/median/
-    // farthest member by exact L2 rank — the cell-balance / retraining
-    // trigger. Map-only distance pass + one cell-keyed window (the index's
-    // own partitioning).,
-
+    // Phrase application (word2phrase inference): fuse the two most-frequent
+    // corpus collocations greedily, sequentially — each phrase is one
+    // linear indexed transform+filter pass (fuse where the successor
+    // completes the pair, drop where the predecessor consumed it; l ≠ r
+    // makes matches non-overlapping by construction). Output is the fused
+    // text + token count (exact strings, engine-comparable).
     QueryDef("q_phrase_apply",
       (s, d) => graft.llm.TextAnalysis.applyPhrases(
           table(s, d, "documents"),
@@ -479,8 +520,7 @@ private[queries] object LlmTextQueries {
     // top-10 docs for a 3-term query. idf is integer-bitlen (ln is
     // libm-specific); the float normalization mirrors literal-for-literal
     // and the per-doc sum folds in term order — scores hash-match DuckDB.
-    // The scan reads only the query terms' tf rows; df/N/avgdl broadcast.,
-
+    // The scan reads only the query terms' tf rows; df/N/avgdl broadcast.
     QueryDef("q_bm25",
       (s, d) => TextAnalysis.bm25(tfOf(s, d), Seq("hash", "spark", "window")),
       Some("""WITH toks AS (
@@ -505,12 +545,12 @@ private[queries] object LlmTextQueries {
              |FROM ts GROUP BY doc_id
              |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
 
-    // Count-Min sketch (Cormode & Muthukrishnan 2005): per-source
-    // frequency estimates for the corpus's 5 globally-heaviest tokens,
-    // alongside exact counts — the estimate never under-counts (the CMS
-    // guarantee, visible in the result). All integers; registers are one
-    // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.,
-
+    // Supervised hashed-linear quality classifier (CCNet/fastText shape):
+    // naive-Bayes bitlen log-odds TRAINED on the even-doc_id half (labels =
+    // lang judgement), APPLIED frozen to the odd half — the train/apply
+    // split a production filter runs. Train side is labeled-set-sized;
+    // apply is one broadcast join on the token stream + one per-doc
+    // aggregate (a single corpus exchange).
     QueryDef("q_quality_classifier",
       (s, d) => {
         val docs = table(s, d, "documents")
@@ -549,8 +589,7 @@ private[queries] object LlmTextQueries {
 
     // Blocklist filter (C4 bad-words rule): occurrence + distinct-term hit
     // counts against a literal blocklist, keep = zero hits. Pure map — the
-    // list compiles into the scan, no join or shuffle anywhere.,
-
+    // list compiles into the scan, no join or shuffle anywhere.
     QueryDef("q_blocklist",
       (s, d) => graft.llm.TextAnalysis.blocklistFilter(
           table(s, d, "documents"), Seq("slow", "merge", "broken"))
