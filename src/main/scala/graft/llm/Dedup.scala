@@ -308,11 +308,14 @@ object Dedup {
     * losslessness (maxHamming < numBands = bits/bandBits) caps how wide
     * bands can get for a given radius — a 56-bit hash supports radius 13
     * only with 4-bit bands (fraction 14/16 ≈ dense), radius ≤ 6 with
-    * 8-bit bands (fraction 7/256 ≈ 2.7%). At corpus scale use wide
-    * hashes + small radius, or accept the verify-stream cost knowingly:
-    * the rehearsal RECORDS the measured fraction instead of claiming
-    * sub-quadratic candidates. The tiny test fixtures run bandBits = 4 to
-    * keep the radius meaningful on 500 rows.
+    * 8-bit bands (fraction 7/256 ≈ 2.7%). At corpus scale DERIVE bandBits
+    * with [[bandBitsFor]], which picks the widest lossless banding and
+    * fails loudly when the (radius, hash width, n) combination cannot
+    * beat brute force — never copy a fixture's bandBits into production.
+    * The rehearsal GATES candidates < all-pairs at the derived
+    * parameters and RECORDS the measured fraction at the dense demo
+    * radius. The tiny test fixtures run bandBits = 4 explicitly to keep
+    * the radius meaningful on 500 rows.
     *
     * `hashes` must carry a MATERIALIZED hash column (cached frame or a
     * parquet-backed fingerprint column): an unevaluated expression would be
@@ -320,6 +323,41 @@ object Dedup {
     * sides — for an aggregate-HOF fingerprint like [[Multimodal.dHash]]
     * that's ~(numBands+1)× recompute per row (measured 6× wall-clock at
     * sf0.1). */
+  /** Scale-aware band width for [[bandedHammingPairs]] — USE THIS instead
+    * of copying a fixture's bandBits into production: returns the WIDEST
+    * bandBits that (a) divides `bits` and (b) keeps retrieval lossless
+    * (bits/bandBits > maxHamming); wider bands shrink the candidate
+    * fraction numBands/2^bandBits, which is the scale knob, so widest is
+    * always right. FAILS LOUDLY — instead of silently returning a banding
+    * whose verify stream costs more than brute force — when, at the
+    * caller's expected corpus size:
+    *   (1) the candidate fraction is not at least 2x better than the
+    *       all-pairs scan (fraction ≥ 0.5: the radius is too wide for the
+    *       hash, e.g. radius 13 on 56 bits → 4-bit bands, fraction 7/8);
+    *   (2) the expected per-row candidate count fraction·n exceeds 64 —
+    *       the near-linearity bound (bucket size grows with n/2^bandBits,
+    *       so bandBits must grow with log₂ n; a wider hash or smaller
+    *       radius is the fix, not a denser scan). */
+  def bandBitsFor(bits: Int, maxHamming: Int, expectedN: Long): Int = {
+    require(expectedN >= 2, s"need at least 2 rows, got $expectedN")
+    val lossless = (1 to bits).filter(bb => bits % bb == 0 && bits / bb > maxHamming)
+    require(lossless.nonEmpty,
+      s"no lossless banding: radius $maxHamming needs more than $maxHamming " +
+        s"bands out of $bits bits")
+    val bb = lossless.max
+    val numBands = bits / bb
+    val fraction = numBands.toDouble / math.pow(2.0, bb.toDouble)
+    require(fraction < 0.5,
+      f"radius $maxHamming on a $bits-bit hash forces $bb-bit bands whose " +
+        f"candidate stream is $fraction%.2f of ALL pairs — denser than brute " +
+        "force pays for; widen the hash or shrink the radius")
+    require(fraction * expectedN < 64,
+      f"$bb-bit bands give ~${fraction * expectedN}%.0f candidates PER ROW at " +
+        f"n=$expectedN (fraction $fraction%.4f) — far from linear; widen the " +
+        "hash or shrink the radius")
+    bb
+  }
+
   def bandedHammingPairs(hashes: DataFrame, bits: Int, bandBits: Int,
                          maxHamming: Int, idCol: String = "doc_id",
                          hashCol: String = "simhash"): DataFrame = {

@@ -717,6 +717,29 @@ object Similarity {
     mmrSelectFromShortlist(shortlist, k, lambda)
   }
 
+  /** The greedy MMR selection as ONE `aggregate` fold over a collected
+    * candidate-array column `cands` of (id, rel, sims) structs — k argmax
+    * steps inside a single row, no driver round-trips; shared by the
+    * single-query and per-query selection stages. Exhausting the
+    * candidates before the k-th pick fails loudly. */
+  private def mmrSelectionFold(k: Int, lambda: Double): Column = aggregate(
+    sequence(lit(1), lit(k)),
+    array().cast("array<bigint>"),
+    (acc, _) => {
+      val best = array_max(transform(
+        filter(col("cands"), c => !array_contains(acc, c.getField("id"))),
+        c => struct(
+          (lit(lambda) * c.getField("rel") - lit(1.0 - lambda) *
+            coalesce(array_max(transform(acc,
+              s => element_at(c.getField("sims"), s))), lit(0.0))).as("score"),
+          (-c.getField("id")).as("nid"))))
+      concat(acc, array(
+        when(best.isNull, raise_error(lit(
+          s"mmrSelect: candidates exhausted before the $k-th pick — " +
+            "k exceeds the shortlist actually retrieved")))
+          .otherwise(-best.getField("nid")).cast("long")))
+    })
+
   /** [[mmrSelect]]'s selection stage over an ALREADY-RETRIEVED shortlist
     * frame (vec_id, embedding, rel) — the production entry point: the
     * shortlist comes from a persisted ANN index and the corpus is never
@@ -741,28 +764,54 @@ object Similarity {
           collect_list(struct(col("id_b"), col("sim"))))).as("sims")),
         Seq("id"), "left_outer")
       .agg(collect_list(struct(col("id"), col("rel"), col("sims"))).as("cands"))
-    val selection = aggregate(
-      sequence(lit(1), lit(k)),
-      array().cast("array<bigint>"),
-      (acc, _) => {
-        val best = array_max(transform(
-          filter(col("cands"), c => !array_contains(acc, c.getField("id"))),
-          c => struct(
-            (lit(lambda) * c.getField("rel") - lit(1.0 - lambda) *
-              coalesce(array_max(transform(acc,
-                s => element_at(c.getField("sims"), s))), lit(0.0))).as("score"),
-            (-c.getField("id")).as("nid"))))
-        concat(acc, array(
-          when(best.isNull, raise_error(lit(
-            s"mmrSelect: candidates exhausted before the $k-th pick — " +
-              "k exceeds the shortlist actually retrieved")))
-            .otherwise(-best.getField("nid")).cast("long")))
-      })
-    cands.select(posexplode(selection).as(Seq("rank0", "vec_id")))
+    cands.select(posexplode(mmrSelectionFold(k, lambda)).as(Seq("rank0", "vec_id")))
       .select((col("rank0") + 1).cast("int").as("rank"), col("vec_id"))
       .join(broadcast(shortlist.select(col("vec_id"), col("rel"))), "vec_id")
       .select(col("rank"), col("vec_id"), col("rel"))
       .orderBy(col("rank"))
+  }
+
+  /** BATCH MMR — the selection stage for MANY queries' shortlists at once
+    * (query_id, vec_id, embedding, rel), composing directly onto
+    * [[ivfPqKnnJoinRerank]]'s output: every query's greedy k-pick runs as
+    * its own single-row `aggregate` fold, so the whole batch diversifies
+    * in ONE job with zero driver round-trips. `rel` is any per-candidate
+    * relevance on a scale of the caller's choice (MMR trades it against
+    * inter-candidate cosine via λ; Carbonell & Goldstein's sim1/sim2 need
+    * not share a scale) — a re-ranked retrieval passes e.g. the negated
+    * exact distance.
+    *
+    * Scale shape: shortlists are broadcast-sized by construction
+    * (|queries| × c rows — the corpus work already happened in the
+    * retrieval stage), so the pairwise-cosine self-join is a broadcast
+    * equi-join on query_id, the per-(query, candidate) sims map is one
+    * small aggregate, and the only per-query state is the one collected
+    * candidate array its fold runs over. A query whose shortlist is
+    * shorter than k fails loudly mid-fold, like the single-query form. */
+  def mmrSelectPerQuery(shortlists: DataFrame, k: Int,
+                        lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val pair = shortlists.select(col("query_id"), col("vec_id").as("id"),
+        col("embedding").as("ea"))
+      .join(broadcast(shortlists.select(col("query_id"),
+        col("vec_id").as("id_b"), col("embedding").as("eb"))), Seq("query_id"))
+      .where(col("id") =!= col("id_b"))
+      .select(col("query_id"), col("id"), col("id_b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+    val cands = shortlists.select(col("query_id"), col("vec_id").as("id"), col("rel"))
+      .join(pair.groupBy(col("query_id"), col("id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("id_b"), col("sim"))))).as("sims")),
+        Seq("query_id", "id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("id"), col("rel"), col("sims"))).as("cands"))
+    cands.select(col("query_id"),
+        posexplode(mmrSelectionFold(k, lambda)).as(Seq("rank0", "vec_id")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"), col("vec_id"))
+      .join(broadcast(shortlists.select(col("query_id"), col("vec_id"), col("rel"))),
+        Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("rel"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Hard-negative mining for contrastive training: for each query vector,

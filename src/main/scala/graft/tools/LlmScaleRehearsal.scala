@@ -278,6 +278,24 @@ object LlmScaleRehearsal {
       col("a.bd") === col("b.bd") && col("a.vec_id") < col("b.vec_id")).count()
     val nVec = dhashes.count()
     val imgAllPairs = nVec * (nVec - 1) / 2
+    // the SCALE-AWARE path (bandBitsFor): at radius ≤ 6 the derivation
+    // picks 8-bit bands (fraction 7/256 ≈ 2.7%) — the candidate stream
+    // must actually beat the all-pairs scan, and banding must stay
+    // lossless vs brute force at the derived parameters
+    val bbScaled = Dedup.bandBitsFor(bits = 56, maxHamming = 6, expectedN = nVec)
+    val imgScaledPairs = Dedup.bandedHammingPairs(dhashes, bits = 56,
+      bandBits = bbScaled, maxHamming = 6, idCol = "vec_id", hashCol = "dhash")
+      .count()
+    val imgScaledBrute = dhashes.as("a")
+      .join(dhashes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))) <= 6)
+      .count()
+    val maskScaled = (1L << bbScaled) - 1
+    val bandedScaled = dhashes.select(col("vec_id"),
+      explode(array((0 until 56 / bbScaled).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * bbScaled).bitwiseAND(lit(maskScaled)).as("bits"))): _*)).as("bd"))
+    val imgScaledCandidates = bandedScaled.as("a").join(bandedScaled.as("b"),
+      col("a.bd") === col("b.bd") && col("a.vec_id") < col("b.vec_id")).count()
 
     // ---- (j) incremental dedup: cross-set banding is EXACT ----
     // the batch-vs-index band join must produce precisely the full-corpus
@@ -506,6 +524,8 @@ object LlmScaleRehearsal {
         s""""dhash_exchanges":$dhashEx,"dhash_cross_product":$imgCross,""" +
         s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute,""" +
         s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs,""" +
+        s""""dhash_scaled_band_bits":$bbScaled,"dhash_scaled_candidates":$imgScaledCandidates,""" +
+        s""""dhash_scaled_pairs":$imgScaledPairs,"dhash_scaled_brute":$imgScaledBrute,""" +
         s""""inc_candidates":$incCount,"inc_cross_pairs_full":$crossFromFull,""" +
         s""""span_dup_windows_1x":$spanDup1,"span_dup_windows_2x":$spanDup2,""" +
         s""""span_dup_windows_docs":$spanDupDocs,"span_covered_positions":$spanCovered,""" +
@@ -539,6 +559,16 @@ object LlmScaleRehearsal {
     require(!imgCross, s"banded Hamming retrieval must not cross-product:\n$imgPlan")
     require(imgPairCount == imgBrute,
       s"banded retrieval must be lossless: $imgPairCount banded vs $imgBrute brute")
+    // the derived parameters must make banding WORTH IT: the candidate
+    // stream strictly beats the all-pairs scan (the demo-default 4-bit/
+    // radius-13 run above is recorded as the honest dense counterexample),
+    // and retrieval at those parameters stays lossless
+    require(imgScaledCandidates < imgAllPairs,
+      s"scale-aware banding must beat all-pairs: $imgScaledCandidates " +
+        s"candidates vs $imgAllPairs pairs (bandBits=$bbScaled)")
+    require(imgScaledPairs == imgScaledBrute,
+      s"scale-aware banded retrieval must be lossless: $imgScaledPairs vs " +
+        s"$imgScaledBrute brute (radius 6, bandBits=$bbScaled)")
     require(incCount == crossFromFull,
       s"incremental candidates must equal the cross-set restriction of the " +
         s"full pairing: $incCount vs $crossFromFull")

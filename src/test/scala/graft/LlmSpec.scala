@@ -328,6 +328,44 @@ class LlmSpec extends SparkSpec {
     assert(short.getMessage.contains("exhausted"), short.getMessage)
   }
 
+  test("batch mmr: per-query folds match the single-query selection, one job, fail-loud") {
+    import graft.llm.Similarity
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // two queries with DIFFERENT shortlists sharing candidate ids — the
+    // per-query fold must select independently per query
+    val shortlists = Seq(
+      (100L, 1L, v(0.91, 0.415), 0.95),
+      (100L, 2L, v(0.9, 0.436), 0.90),
+      (100L, 3L, v(0.9, -0.436), 0.90),
+      (200L, 2L, v(0.9, 0.436), 0.99),
+      (200L, 3L, v(0.9, -0.436), 0.10)
+    ).toDF("query_id", "vec_id", "embedding", "rel")
+    val got = Similarity.mmrSelectPerQuery(shortlists, k = 2)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    // query 100: pick 1 (top rel), then 3 (2 is 1's near-duplicate);
+    // query 200: pick 2, then 3 (only candidates)
+    assert(got.toSeq == Seq((100L, 1, 1L), (100L, 2, 3L), (200L, 1, 2L), (200L, 2, 3L)))
+    // each query's selection equals running the single-query stage on its
+    // own shortlist — the batch form is a pure generalization
+    Seq(100L, 200L).foreach { qid =>
+      val single = Similarity.mmrSelectFromShortlist(
+          shortlists.where(col("query_id") === qid)
+            .select("vec_id", "embedding", "rel"), k = 2)
+        .select("rank", "vec_id").as[(Int, Long)].collect()
+      assert(got.filter(_._1 == qid).map(t => (t._2, t._3)).toSeq == single.toSeq, s"q$qid")
+    }
+    // one query exhausting its shortlist fails the batch loudly — never a
+    // silently short result for that query
+    val bad = intercept[Exception] {
+      Similarity.mmrSelectPerQuery(shortlists, k = 3).collect()
+    }
+    assert(bad.getMessage.contains("exhausted"), bad.getMessage)
+    // shape: broadcast equi-joins only — no cartesian anywhere
+    val plan = Similarity.mmrSelectPerQuery(shortlists, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("hll sketch: register merge == union sketch, estimate near exact, bounded registers") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
@@ -810,6 +848,32 @@ class LlmSpec extends SparkSpec {
     val plan = Dedup.bandedHammingPairs(hashes, 56, 4, 13, "vec_id", "dhash")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bandBitsFor: widest lossless banding, fail-loud when denser than brute force") {
+    // radius 6 on 56 bits → 8-bit bands (7 bands > 6, fraction 7/256)
+    assert(Dedup.bandBitsFor(bits = 56, maxHamming = 6, expectedN = 2000) == 8)
+    // simhash shape: radius 3 on 16 bits → 4-bit bands at small n
+    assert(Dedup.bandBitsFor(bits = 16, maxHamming = 3, expectedN = 200) == 4)
+    // the demo-default footgun, now LOUD: radius 13 on 56 bits forces
+    // 4-bit bands whose candidate stream is 14/16 of all pairs — denser
+    // than the brute-force scan it claims to avoid
+    val dense = intercept[IllegalArgumentException] {
+      Dedup.bandBitsFor(bits = 56, maxHamming = 13, expectedN = 2000)
+    }
+    assert(dense.getMessage.contains("denser than brute force"), dense.getMessage)
+    // near-linearity bound: 8-bit bands on 56 bits give fraction·n ≈ 2700
+    // candidates per row at n = 100k — the banding nominally beats
+    // all-pairs but is nowhere near linear, so it must fail loudly too
+    val quad = intercept[IllegalArgumentException] {
+      Dedup.bandBitsFor(bits = 56, maxHamming = 6, expectedN = 100000)
+    }
+    assert(quad.getMessage.contains("far from linear"), quad.getMessage)
+    // no lossless banding at all: radius >= bits
+    val none = intercept[IllegalArgumentException] {
+      Dedup.bandBitsFor(bits = 16, maxHamming = 16, expectedN = 100)
+    }
+    assert(none.getMessage.contains("no lossless banding"), none.getMessage)
   }
 
   test("product quantization: nearest-codeword codes, ADC ranking, map-only encode") {
