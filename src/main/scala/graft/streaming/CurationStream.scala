@@ -1,0 +1,165 @@
+package graft.streaming
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END streaming curation pipeline — every incremental piece
+  * the LLM family ships, composed under ONE `foreachBatch`:
+  *
+  *   batch → quality gates (decontamination + frozen classifier)
+  *         → near-dup vs the persisted MinHash signature index
+  *           (cross-set banding) and within the batch
+  *         → semantic near-dup vs the persisted vector index
+  *           (incremental within-cell cosine) and within the batch
+  *         → append: survivors to the curated corpus; probe artifacts
+  *           (signatures + cell-assigned vectors) for ALL gate-passing
+  *           docs; IVF-PQ codes to the cell-partitioned ANN index.
+  *
+  * NET-EFFECT CONTRACT (the StreamingIndexer discipline, property-tested
+  * in StreamingSpec): processing a corpus batch-by-batch — under ANY
+  * batch split, in id order — produces EXACTLY the survivors of
+  * [[curateReference]] run once over the concatenated input. Three
+  * design choices make that hold:
+  *
+  *   - Gates run FIRST and are text-pure (broadcast probes + frozen
+  *     model), so their verdicts are independent of batching; exact-dup
+  *     pre-filters (e.g. [[EventStreams.dedupStream]] upstream of this
+  *     pipeline) commute with them for the same reason.
+  *   - The dup rule is "drop a doc iff it matches ANY earlier
+  *     gate-passing doc" — pairwise against smaller ids, never
+  *     connected-components (whose survivor sets depend on seeing the
+  *     whole graph at once).
+  *   - Probe artifacts persist for ALL gate-passing docs, INCLUDING
+  *     dropped duplicates: a chain a~b, b~c (a≁c) must drop c in every
+  *     split — if b's signature vanished with b, a later batch holding c
+  *     would keep it. Only the curated corpus is survivors-only.
+  *
+  * Scale shape per micro-batch: gates are broadcast probes over the
+  * batch; the signature probe joins batch bands against the stored band
+  * keys (O(batch + matched buckets), never a corpus self-join); the
+  * semantic probe equi-joins on the coarse cell; every append is
+  * map-only ([[Similarity.ivfPqAppend]]); no stage touches the driver.
+  * Production additionally verifies LSH candidates with
+  * [[Dedup.setJaccardOnPairs]] before dropping — candidates-only here
+  * keeps the reference equality exact. */
+object CurationStream {
+
+  /** The frozen per-deployment artifacts every batch probes against. */
+  final case class CurationArtifacts(
+      benchGrams: DataFrame,  // (gram)-distinct eval-set shingles (broadcast)
+      classifier: DataFrame,  // frozen (b, w_bits) model
+      centroids: DataFrame,   // IVF coarse quantizer (centroid_id, centroid)
+      codebook: DataFrame,    // residual PQ codebook (sub, code_id, cw)
+      m: Int, subDim: Int,    // PQ geometry
+      bands: Int, rowsPerBand: Int, shingle: Int,
+      semanticTau: Double)
+
+  /** Sink directories of the incremental pipeline. */
+  final case class CurationSinks(
+      corpusDir: String, // curated survivor rows (append)
+      sigDir: String,    // MinHash signatures of ALL gate-passing docs
+      vecDir: String,    // cell-assigned vectors of ALL gate-passing docs
+      idxDir: String)    // IVF-PQ codes (cell-partitioned, ivfPqAppend)
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+                          like: DataFrame): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+
+  /** The per-doc QUALITY GATES — text-pure, batching-independent:
+    * benchmark decontamination (any contaminated shingle drops the doc)
+    * and the frozen classifier (docs it scores negative — or cannot
+    * score, having no tokens — drop). */
+  private def gate(batch: DataFrame, art: CurationArtifacts): DataFrame = {
+    val contaminated = Dedup.benchmarkOverlap(
+        Dedup.charGrams(batch, art.shingle), art.benchGrams)
+      .where(col("n_contaminated") > 0).select("doc_id")
+    val positive = TextAnalysis.applyTextClassifier(batch, art.classifier)
+      .where(col("pred_pos") === 1).select("doc_id")
+    batch.join(contaminated, Seq("doc_id"), "left_anti")
+      .join(positive, Seq("doc_id"), "left_semi")
+  }
+
+  /** ONE micro-batch: gate → dedup vs index + within batch → append.
+    * Returns the survivor frame it appended (already materialized), for
+    * callers that chain further work. */
+  def curateBatch(batch: DataFrame, art: CurationArtifacts,
+                  sinks: CurationSinks): DataFrame = {
+    val spark = batch.sparkSession
+    val filtered = gate(batch, art).localCheckpoint(true)
+
+    // near-dup: batch signatures vs the persisted index (cross-set
+    // banding — the index never self-pairs), plus within-batch pairs;
+    // exact duplicates agree on every band, so one mechanism covers both
+    val sigs = Dedup.minhashFromGrams(Dedup.charGrams(filtered, art.shingle))
+      .localCheckpoint(true)
+    val indexSigs = readOrEmpty(spark, sinks.sigDir, sigs)
+    val dupText = Dedup.crossSetCandidates(indexSigs, sigs, art.bands, art.rowsPerBand)
+      .select(col("batch_doc").as("doc_id"))
+      .unionByName(Dedup.lshCandidatePairs(sigs, art.bands, art.rowsPerBand)
+        .select(col("doc_b").as("doc_id")))
+
+    // semantic near-dup: within-cell cosine vs the persisted vector
+    // sidecar (cells from the index's own coarse quantizer), plus
+    // within-batch pairs
+    val assigned = Similarity.assignCells(
+        filtered.select(col("doc_id").as("vec_id"), col("embedding")),
+        art.centroids, metric = "l2")
+      .localCheckpoint(true)
+    val indexVecs = readOrEmpty(spark, sinks.vecDir, assigned)
+    val dupSem = Dedup.incrementalSemanticPairs(indexVecs, assigned, art.semanticTau)
+      .select(col("batch_id").as("doc_id"))
+      .unionByName(Dedup.semanticPairs(assigned, art.semanticTau)
+        .select(col("doc_b").as("doc_id")))
+
+    val survivors = filtered
+      .join(dupText.unionByName(dupSem).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // appends: survivors to the corpus; probe artifacts for ALL
+    // gate-passing docs (the chain rule above); codes to the ANN index
+    survivors.write.mode("append").parquet(sinks.corpusDir)
+    sigs.write.mode("append").parquet(sinks.sigDir)
+    assigned.write.mode("append").partitionBy("cell").parquet(sinks.vecDir)
+    Similarity.ivfPqAppend(
+      filtered.select(col("doc_id").as("vec_id"), col("embedding")),
+      art.centroids, art.codebook, art.m, art.subDim, sinks.idxDir)
+    survivors
+  }
+
+  /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`
+    * run to completion (availableNow) — the deployment shape; tests use
+    * MemoryStream + processAllAvailable through the same function. */
+  def run(stream: DataFrame, art: CurationArtifacts, sinks: CurationSinks,
+          checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, art, sinks); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The ONE-SHOT reference the incremental pipeline must equal on any
+    * batch split of the same input (docs in id order): gate everything,
+    * then drop every doc with a text-band or semantic match to ANY
+    * smaller-id gate-passing doc. */
+  def curateReference(all: DataFrame, art: CurationArtifacts): DataFrame = {
+    val filtered = gate(all, art)
+    val sigs = Dedup.minhashFromGrams(Dedup.charGrams(filtered, art.shingle))
+    val assigned = Similarity.assignCells(
+      filtered.select(col("doc_id").as("vec_id"), col("embedding")),
+      art.centroids, metric = "l2")
+    val drop = Dedup.lshCandidatePairs(sigs, art.bands, art.rowsPerBand)
+      .select(col("doc_b").as("doc_id"))
+      .unionByName(Dedup.semanticPairs(assigned, art.semanticTau)
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    filtered.join(drop, Seq("doc_id"), "left_anti")
+  }
+}

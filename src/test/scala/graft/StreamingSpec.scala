@@ -363,4 +363,109 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set((1L, 0L, 0L, "a b c d"), (1L, 1L, 2L, "c d e f")))
     } finally q.stop()
   }
+
+  test("end-to-end streaming curation: batch-by-batch equals one-shot on any split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.{CurationArtifacts, CurationSinks}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // frozen deployment artifacts: eval-set shingles, a trained classifier
+    // (positive class speaks good/great; negative bad/ugly/awful), a 2-cell
+    // coarse quantizer, and a tiny PQ codebook for the ANN-index appends
+    val benchGrams = graft.llm.Dedup.charGrams(
+      Seq((100L, "zebraquagga xylophone sample")).toDF("doc_id", "text"), 8)
+    val classifier = graft.llm.TextAnalysis.trainTextClassifier(
+      Seq((1L, "good nice great fine", true), (2L, "good great solid", true),
+        (3L, "bad ugly awful", false), (4L, "bad awful poor", false))
+        .toDF("doc_id", "text", "is_pos"),
+      col("is_pos")).localCheckpoint(true)
+    val centroids = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("centroid_id", "centroid").localCheckpoint(true)
+    val codebook = graft.llm.Similarity.pqCodebook(
+      Seq((1L, Array(0.1f, 0f, 0f, 0f)), (2L, Array(0f, 0.1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      Seq(1L -> 1, 2L -> 2), m = 2, subDim = 2).localCheckpoint(true)
+    val art = CurationArtifacts(benchGrams, classifier, centroids, codebook,
+      m = 2, subDim = 2, bands = 2, rowsPerBand = 2, shingle = 8,
+      semanticTau = 0.95)
+
+    // the corpus, in ingest(=id) order:
+    //   10 survives; 11 is its semantic near-dup (cos ≈ 0.956, same cell);
+    //   12 is a semantic near-dup of 11 but NOT of 10 (the chain — its
+    //      verdict depends on 11's persisted vector even though 11 was
+    //      dropped); 13 is an exact TEXT dup of 10 with a far embedding;
+    //   14 fails the classifier; 15 is benchmark-contaminated; 16 is clean
+    val docs = Seq(
+      (10L, "good solid unique alpha passage about spark windows today",
+        Array(1f, 0f, 0f, 0f)),
+      (11L, "good fresh other beta passage on join strategies tomorrow",
+        Array(0.9563f, 0.2924f, 0f, 0f)),
+      // NB "exchange" would hash-collide with training-negative "poor" at
+      // hexChars=2 and flip this doc's classifier verdict — fixture words
+      // are chosen collision-free so the chain rule is what's tested
+      (12L, "good another gamma passage regarding shuffle plans",
+        Array(0.8290f, 0.5592f, 0f, 0f)),
+      (13L, "good solid unique alpha passage about spark windows today",
+        Array(-1f, 0f, 0f, 0f)),
+      (14L, "bad ugly awful bad ugly awful totally", Array(-0.9f, 0.1f, 0f, 0f)),
+      (15L, "good text zebraquagga xylophone mention here",
+        Array(-0.8f, -0.2f, 0f, 0f)),
+      (16L, "good entirely different delta passage with vectors galore",
+        Array(0f, 0f, 1f, 0f)))
+    val expectSurvivors = Set(10L, 16L)
+    val expectGatePassing = Set(10L, 11L, 12L, 13L, 16L)
+
+    def sinksIn(tag: String): CurationSinks = {
+      val base = tmpDir(s"graft-curation-$tag")
+      CurationSinks(s"$base/corpus", s"$base/sigs", s"$base/vecs", s"$base/idx")
+    }
+    def corpusIds(s: CurationSinks): Set[Long] =
+      spark.read.parquet(s.corpusDir).select("doc_id").as[Long].collect().toSet
+
+    // ---- split A: {10, 11} then {12..16}, through the streaming wiring ----
+    val sA = sinksIn("a")
+    val ms = MemoryStream[(Long, String, Array[Float])]
+    val ckpt = tmpDir("graft-curation-ckpt")
+    ms.addData(docs.filter(_._1 <= 11))
+    CurationStream.run(ms.toDF.toDF("doc_id", "text", "embedding"), art, sA, ckpt)
+    ms.addData(docs.filter(_._1 >= 12))
+    CurationStream.run(ms.toDF.toDF("doc_id", "text", "embedding"), art, sA, ckpt)
+    assert(corpusIds(sA) == expectSurvivors, s"split A: ${corpusIds(sA)}")
+
+    // ---- split B: everything in ONE batch ----
+    val sB = sinksIn("b")
+    CurationStream.curateBatch(docs.toDF("doc_id", "text", "embedding"), art, sB)
+    assert(corpusIds(sB) == expectSurvivors, s"split B: ${corpusIds(sB)}")
+
+    // ---- split C: one doc per batch (the finest split) ----
+    val sC = sinksIn("c")
+    docs.foreach { d =>
+      CurationStream.curateBatch(Seq(d).toDF("doc_id", "text", "embedding"), art, sC)
+    }
+    assert(corpusIds(sC) == expectSurvivors, s"split C: ${corpusIds(sC)}")
+
+    // ---- the one-shot reference agrees, row for row ----
+    val ref = CurationStream.curateReference(
+      docs.toDF("doc_id", "text", "embedding"), art)
+    assert(ref.select("doc_id").as[Long].collect().toSet == expectSurvivors)
+    val refRows = ref.select("doc_id", "text").as[(Long, String)].collect().toSet
+    val gotRows = spark.read.parquet(sA.corpusDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(gotRows == refRows)
+
+    // ---- artifact discipline: probe artifacts hold ALL gate-passing docs
+    // (including dropped duplicates — the chain rule needs 11's vector);
+    // the ANN index is cell-partitioned and code-only ----
+    val sigIds = spark.read.parquet(sA.sigDir).select("doc_id").as[Long].collect().toSet
+    val vecIds = spark.read.parquet(sA.vecDir).select("vec_id").as[Long].collect().toSet
+    assert(sigIds == expectGatePassing, s"sigs: $sigIds")
+    assert(vecIds == expectGatePassing, s"vecs: $vecIds")
+    val idx = spark.read.parquet(sA.idxDir)
+    assert(idx.columns.contains("cell") && idx.columns.contains("c0") &&
+      !idx.columns.contains("embedding"))
+    assert(idx.select("vec_id").as[Long].collect().toSet == expectGatePassing)
+  }
 }
