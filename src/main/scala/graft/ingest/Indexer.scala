@@ -3,6 +3,35 @@ package graft.ingest
 import graft.index.GraftIndex
 import graft.model.Pattern
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Input-management policy — the reference's `--prune-utxo` switch
+  * (/root/reference/src/Kupo/App.hs:558-577): what happens to an index row
+  * when its output is consumed. */
+sealed trait InputManagement
+
+/** Reference default: consumed refs append as spend MARKS; rows stay until
+  * the periodic gardener ([[graft.index.Mutations.pruneInputs]]) collects
+  * them once they fall out of the rollback-unstable window. */
+case object MarkSpentInputs extends InputManagement
+
+/** The `--prune-utxo` analogue (App.hs RemoveSpentInputs): a consumed row
+  * is DROPPED in the same commit — but only when the spend is deeper than
+  * the unstable window (`spent_at < tipSlot − longestRollback`, the
+  * reference's distanceToTip guard); shallower spends are marked so a
+  * rollback can still resurrect them, exactly the reference's fallback.
+  *
+  * Spark-first scope: the in-commit drop applies to BATCH-INTERNAL spends
+  * (rows produced and consumed inside the same micro-batch never land at
+  * all — the dominant case for UTxO churn). Safe spends of rows committed
+  * by EARLIER batches stay marks for the gardener: the reference deletes
+  * them in place because a B-tree delete is cheap, but here that would
+  * rewrite already-sealed parquet segments on every batch — O(affected
+  * segments) per micro-batch at 100 TB. `ingest ∘ pruneInputs` reaches
+  * the identical end state (model-tested in IndexSpec), with strictly
+  * fewer rows ever written than mark mode. */
+final case class RemoveSpentInputs(longestRollback: Long, tipSlot: Long)
+  extends InputManagement
 
 /** Batch ingest driver: one call = one micro-batch = one atomic manifest
   * bump, mirroring the reference's consumer transaction
@@ -12,19 +41,34 @@ import org.apache.spark.sql.DataFrame
   * overlapping batch is safe — the INSERT OR IGNORE analogue (SQLite.hs:831-844). */
 object Indexer {
 
-  def ingest(ix: GraftIndex, blocks: DataFrame, patterns: Set[Pattern]): Unit = {
+  def ingest(ix: GraftIndex, blocks: DataFrame, patterns: Set[Pattern],
+             inputManagement: InputManagement = MarkSpentInputs): Unit = {
     val m = MatchBlock(blocks, patterns)
+    val (produced, spends) = inputManagement match {
+      case MarkSpentInputs => (m.produced, m.spends)
+      case RemoveSpentInputs(longestRollback, tipSlot) =>
+        // strict <, matching the reference's distanceToTip > unstableWindow
+        val safe = m.spends.where(col("spent_at") < lit(tipSlot - longestRollback))
+          .select("tx_id", "output_index")
+        // rows produced AND safely consumed within this batch never land;
+        // their marks would dangle and are dropped with them. Everything
+        // else (unsafe spends; safe spends of earlier-batch rows) marks.
+        val removed = safe.join(m.produced.select("tx_id", "output_index"),
+          Seq("tx_id", "output_index"), "left_semi")
+        (m.produced.join(removed, Seq("tx_id", "output_index"), "left_anti"),
+          m.spends.join(removed, Seq("tx_id", "output_index"), "left_anti"))
+    }
     // ONE atomic manifest bump for the whole batch (the reference's
     // one-transaction-per-drain); the six segment writes run sequentially —
     // see commitAll's note on why concurrent writes over plans sharing one
     // expression tree are unsafe
     ix.commitAll(appends = Map(
       "checkpoints" -> m.checkpoints,
-      "inputs" -> m.produced,
+      "inputs" -> produced,
       "policies" -> m.policies,
       "binary_data" -> m.datums,
       "scripts" -> m.scripts,
-      "spends" -> m.spends))
+      "spends" -> spends))
   }
 
   def setPatterns(ix: GraftIndex, patterns: Set[Pattern]): Unit = {

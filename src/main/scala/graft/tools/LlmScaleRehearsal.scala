@@ -201,6 +201,24 @@ object LlmScaleRehearsal {
       .collect().map(_.getLong(0)).toSet
     val rerankRecall = exactTop.intersect(rerankTop).size / 10.0
 
+    // ---- (n) recall-vs-cost CURVE for the composed trained index: sweep
+    // (nprobe, c) so a deployment picks operating points from measured
+    // data — nprobe prices the scan fraction (nprobe/8 trained cells), c
+    // prices the exact-re-rank width. Recall is provably MONOTONE in c at
+    // fixed nprobe (the c=50 shortlist contains the c=20 one and the
+    // re-rank is exact), so that direction is a hard gate; nprobe at
+    // fixed c is reported, not gated (a wider ADC pool can re-shuffle the
+    // shortlist either way — that is the quantization-drift effect the
+    // re-rank exists to bound).
+    val recallCurve = for { np <- Seq(2, 4, 6, 8); cc <- Seq(20, 50) } yield {
+      val top = Similarity.ivfPqTopKRerank(encT, trainedCents, cbT, emb,
+        queryVecId = 7L, k = 10, c = cc, nprobe = np, m = pqM, subDim = pqSubDim)
+        .collect().map(_.getLong(0)).toSet
+      (np, cc, exactTop.intersect(top).size / 10.0)
+    }
+    val recallCurveJson = recallCurve.map { case (np, cc, r) =>
+      s"""{"nprobe":$np,"c":$cc,"recall":$r}""" }.mkString("[", ",", "]")
+
     // ---- (g) the PERSISTED composed index prunes files by cell: written
     // partitioned by cell (the deployment layout), a static nprobe-cell
     // probe must open only the probed partitions' files. The probe list is
@@ -544,7 +562,8 @@ object LlmScaleRehearsal {
         s""""cms_register_exchanges":$cmsEx,"cms_register_rows":$cmsRows,""" +
         s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder,""" +
         s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
-        s""""bm25_take_ordered":$bm25TakeOrdered}""")
+        s""""bm25_take_ordered":$bm25TakeOrdered,""" +
+        s""""recall_curve":$recallCurveJson}""")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
@@ -615,6 +634,18 @@ object LlmScaleRehearsal {
     require(rerankRecall >= rerankFloor && rerankRecall >= trainedPipeRecall,
       s"re-ranked recall@10 below floor: $rerankRecall (floor $rerankFloor, " +
         s"unrefined $trainedPipeRecall)")
+    // the curve's c-direction is theorem-backed (superset shortlist +
+    // exact re-rank), gated at every probed nprobe; the curve's best
+    // point must reach the operating floor — both recorded in SCALE.md
+    recallCurve.groupBy(_._1).foreach { case (np, pts) =>
+      val r20 = pts.find(_._2 == 20).get._3
+      val r50 = pts.find(_._2 == 50).get._3
+      require(r50 >= r20,
+        s"recall must be monotone in shortlist size: nprobe=$np c=20 -> " +
+          s"$r20 but c=50 -> $r50")
+    }
+    require(recallCurve.map(_._3).max >= rerankFloor,
+      s"no curve operating point reaches the floor $rerankFloor: $recallCurveJson")
     require(surprisalScans == 1 && !surprisalSmj,
       s"bigram surprisal must scan the corpus once with broadcast model " +
         s"joins: $surprisalScans scans, smj=$surprisalSmj\n$surprisalPlan")

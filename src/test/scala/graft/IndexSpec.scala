@@ -382,4 +382,48 @@ class IndexSpec extends SparkSpec {
     ix2.compact()
     assert(ix2.table("inputs").count() == model.size)
   }
+
+  test("remove-spent-inputs mode: in-commit drop under the unstable-window guard") {
+    import graft.ingest.RemoveSpentInputs
+    def visible(ixx: GraftIndex): Set[(String, Int, Long, Option[Long])] =
+      ixx.inputsWithSpends.select("tx_id", "output_index", "created_at", "spent_at")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+    // the supported composition: mark every spend, let the gardener prune
+    val mark = new GraftIndex(spark, tmpDir("graft-ix-mark"))
+    blocks.grouped(4).foreach(b =>
+      Indexer.ingest(mark, FixtureChain.toDf(spark, b), patterns))
+    val markWritten = mark.table("inputs").count()
+
+    // remove mode: chain tip 120, rollback window 25 → spends before slot
+    // 95 are safely removable; batch-internal ones must never land at all
+    val rm = new GraftIndex(spark, tmpDir("graft-ix-rm"))
+    blocks.grouped(4).foreach(b =>
+      Indexer.ingest(rm, FixtureChain.toDf(spark, b), patterns,
+        RemoveSpentInputs(longestRollback = 25L, tipSlot = 120L)))
+    assert(rm.table("inputs").count() < markWritten,
+      "batch-internal safe spends must never be written")
+    // rows that ARE visible agree with the mark-mode reconciliation minus
+    // the safely-spent ones (the in-commit drops), and no mark dangles
+    val markVisible = visible(mark)
+    val rmVisible = visible(rm)
+    assert(rmVisible.subsetOf(markVisible))
+    assert(markVisible.diff(rmVisible).forall(_._4.exists(_ < 95L)),
+      s"only safely-spent rows may be missing: ${markVisible.diff(rmVisible)}")
+
+    // after the gardener runs on both, the end states are IDENTICAL — the
+    // mode is an eager subset of mark+prune, never a divergent semantics
+    Mutations.pruneInputs(mark, longestRollback = 25L)
+    Mutations.pruneInputs(rm, longestRollback = 25L)
+    assert(visible(rm) == visible(mark))
+
+    // a tip inside the unstable window makes nothing safely removable:
+    // remove mode then IS mark mode (the reference's fallback branch)
+    val shallow = new GraftIndex(spark, tmpDir("graft-ix-shallow"))
+    blocks.grouped(4).foreach(b =>
+      Indexer.ingest(shallow, FixtureChain.toDf(spark, b), patterns,
+        RemoveSpentInputs(longestRollback = 1000L, tipSlot = 120L)))
+    assert(visible(shallow) == markVisible)
+  }
 }
