@@ -147,13 +147,17 @@ object Bench {
     // Dated, round-tagged findings — historical analysis, NOT claims about
     // THIS run (refresh or drop the tag when the analysis goes stale; the
     // full narrative lives in SCALE.md next to the recorded runs).
-    val notes = "[r7 analysis, 2026-08] r6 4-query outliers (winnow/decontam/clusters/" +
-      "ann_pq) not reproducible at same commit: host-side transient, not engine-side " +
-      "(clean r7 re-runs measured all four at r5 levels); gc_sec + storage_mb recorded " +
-      "to show engine health per run. q_kupo_copy_database +0.2s vs r4 decomposed by " +
-      "stage timing: copyFiltered ~1.5s (at/below r4), the r5-chained deleteInputs " +
-      "rewrite + final read are the residual - new work, not drift. q_pii_scan " +
-      "rewritten in r7 (counts from staged placeholders): 1.11s -> ~0.40s at sf0.1"
+    val notes = "[r8 analysis, 2026-08] r7 watch items (minhash_sigs/jaccard_lsh/" +
+      "knn_join ~1.4x) pinned as run-to-run noise: two same-day r8 runs at identical " +
+      "code measured minhash_sigs 0.416 vs 0.659 and knn_join 0.674 vs 0.413 with " +
+      "clean CPU probes (0.38s) and stable kupo queries within 5% - the shingle/" +
+      "explode family swings +-0.2-0.5s per run, same conclusion as the r6 outlier " +
+      "postmortem. Structural changes this round: q_bpe_encode rebuilt (240 merges " +
+      "as ONE literal-array fold over DISTINCT words: 111s -> 0.9s measured in-" +
+      "round); q_kupo_copy_database now times the filtered copy ALONE (~1.3s, at " +
+      "r4 level) with the chained deleteInputs split into q_kupo_delete_matches " +
+      "(~1.5s); q_mmr_batch materializes its shortlist before the triple-referenced " +
+      "MMR stage (3.0s -> 1.9s)"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}""")
     spark.stop()
   }

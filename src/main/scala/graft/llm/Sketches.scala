@@ -218,6 +218,103 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_est"))
   }
 
+  /** DDSketch-style quantile registers (Masson, Lee & Rim 2019, "DDSketch:
+    * A Fast and Fully-Mergeable Quantile Sketch with Relative-Error
+    * Guarantees") — the QUANTILE member of the sketch family (HLL =
+    * distinct, CMS = frequency): values land in relative-width buckets, so
+    * any quantile reads back with bounded RELATIVE error from counts
+    * alone. This variant is INTEGER-EXACT end to end (the paper's γ-log
+    * bucketing needs `log`, which is libm-specific): the coarse bucket is
+    * the value's bitlen (the [[hllRegisters]]/bigramSurprisal bitlen
+    * discipline) and each power-of-two range [2^(k−1), 2^k) splits
+    * linearly into `s` sub-buckets by integer arithmetic — relative error
+    * ≤ 1/s per bucket, all bucket math reproducible in any engine.
+    * Values must be non-negative longs BELOW 2^40 (fail-loud guard; ≈10¹²
+    * covers any per-document metric): within that bound every
+    * intermediate — the power-of-two bucket base via `pow(2, k−1)`, the
+    * scaled offsets, and the floor divisions — is EXACT in IEEE double on
+    * any engine (divisors are powers of two or keep quotients under the
+    * half-step-of-1/s ulp), so the DuckDB mirror's integer `//` agrees
+    * bit-for-bit. 0 keeps its own bucket.
+    *
+    * Scale shape: ONE map-side-combined aggregate on (key, qb, sub) —
+    * ≤ 64·s surviving rows per key whatever the input size; a LINEAR
+    * sketch, so registers from disjoint scans merge by counter-wise SUM
+    * ([[quantileMerge]]) exactly, like CMS. The build parameter `sk_s`
+    * rides as a literal column and is verified at merge/estimate, the
+    * same both-directions discipline as the other two sketches. */
+  def quantileRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                        s: Int = 16): DataFrame = {
+    require(s >= 1 && s <= 256, s"sub-bucket count must be 1..256, got $s")
+    val v = col(valueCol).cast("long")
+    val guarded = when(v >= 0 && v < (1L << 40), v).otherwise(raise_error(lit(
+      "quantileRegisters: value outside [0, 2^40) — the integer-exact " +
+        "bucketing contract (see scaladoc) holds only in that range")))
+    val k = when(guarded === 0, lit(0)).otherwise(length(bin(guarded))).cast("int")
+    // 2^(k−1) via pow: powers of two are exact doubles; division by one is
+    // an exponent shift, so the floor below is exact in any engine
+    val lower = pow(lit(2.0), (k - 1).cast("double")).cast("long")
+    val sub = when(k === 0, lit(0))
+      .otherwise(((v - lower) * s / lower).cast("int"))
+    items.select(keyCols.map(col) :+ k.as("qb") :+ sub.as("sub"): _*)
+      .groupBy((keyCols :+ "qb" :+ "sub").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sk_s", lit(s))
+  }
+
+  /** Merge two quantile-register frames: counter-wise sum — exactly the
+    * sketch of the concatenated input (linear, like [[cmsMerge]]); the
+    * carried `sk_s` parameters are verified per colliding group. */
+  def quantileMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols :+ "qb" :+ "sub").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("sk_s")).as("_smin"), max(col("sk_s")).as("_smax"))
+      .select((keyCols :+ "qb" :+ "sub").map(col) :+ col("cnt") :+
+        when(col("_smin") === col("_smax"), col("_smin"))
+          .otherwise(raise_error(lit(
+            "quantileMerge: register frames built with different s"))).as("sk_s"): _*)
+
+  /** Quantile estimates from a register frame: for each requested q, the
+    * bucket holding the rank-⌈q·n⌉ value (ascending — the exact-rank
+    * semantics of lengthQuantiles), reported as its INTEGER bounds
+    * [q_lo, q_hi): the true rank value provably satisfies
+    * lo ≤ v < hi with (hi − lo) ≤ lower/s, i.e. relative error ≤ 1/s.
+    * Exact integers only on the compare surface — any engine agrees to
+    * the row. One window pass over the ≤ 64·s register rows per key.
+    * The carried sk_s must equal the estimate's parameter in every row
+    * (both directions, like [[cmsEstimate]]). */
+  def quantileEstimate(registers: DataFrame, keyCols: Seq[String],
+                       qs: Seq[Double], s: Int = 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("qb"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val lower = pow(lit(2.0), (col("qb") - 1).cast("double")).cast("long")
+    val lo = when(col("qb") === 0, lit(0L))
+      .otherwise(lower + floor(col("sub") * lower / s).cast("long"))
+    val hi = when(col("qb") === 0, lit(1L))
+      .otherwise(lower + floor(((col("sub") + 1) * lower + (s - 1)) / s).cast("long"))
+    val sGuard = when(min(col("sk_s")).over(wAll) === s &&
+      max(col("sk_s")).over(wAll) === s, lit(1))
+      .otherwise(raise_error(lit(
+        s"quantileEstimate: registers disagree with s=$s — built with different s")))
+    val cum = registers
+      .withColumn("_cum", sum(col("cnt")).over(wOrd) * sGuard)
+      .withColumn("_n", sum(col("cnt")).over(wAll))
+      .withColumn("_lo", lo).withColumn("_hi", hi)
+    qs.map { q =>
+      // the FIRST bucket whose cumulative count reaches rank ⌈q·n⌉: its
+      // cum is >= the rank while (cum − cnt) is still below it
+      val rank = ceil(col("_n") * q)
+      cum.where(col("_cum") >= rank && (col("_cum") - col("cnt")) < rank)
+        .select(keyCols.map(col) :+ lit(q).as("q") :+ col("_n").as("n") :+
+          col("_lo").as("q_lo") :+ col("_hi").as("q_hi"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** The paper's small-range correction (linear counting when the raw
     * estimate ≤ 5m/2 and some buckets are empty), applied to a
     * COLLECTED (hll_est, buckets_hit) pair on the driver — deliberately

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import QueryDef.table
 import LlmArtifacts._
 
-/** Mergeable sketch family: HyperLogLog distinct counts and Count-Min frequency estimates as engine-portable register artifacts.
+/** Mergeable sketch family: HyperLogLog distinct counts, Count-Min frequency estimates, and DDSketch-style quantile bounds as engine-portable register artifacts.
   * Split out of the former monolithic LlmQueries registry; shared index
   * artifacts live in [[LlmArtifacts]]. See that object for the scale notes
   * common to the family. */
@@ -116,6 +116,67 @@ private[queries] object LlmSketchQueries {
              |FROM est
              |JOIN (SELECT source, count(DISTINCT token)::BIGINT AS n_exact
              |      FROM toks GROUP BY source) USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // DDSketch-style quantile sketch (Masson et al. 2019), integer-exact
+    // bitlen/linear-sub-bucket variant: per-source doc-length quantile
+    // BOUNDS [q_lo, q_hi) from the mergeable register artifact, alongside
+    // the exact rank quantile — lo ≤ exact < hi is the sketch's relative-
+    // error guarantee, visible in every output row. Registers are one
+    // map-side-combined (source, qb, sub) aggregate, ≤ 64·s rows/source.
+    QueryDef("q_quantile_sketch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qs = Seq(0.5, 0.9, 0.99)
+        val lens = table(s, d, "documents")
+          .select(col("source"), length(col("text")).cast("long").as("v"))
+        val est = graft.llm.Sketches.quantileEstimate(
+          graft.llm.Sketches.quantileRegisters(lens, Seq("source"), "v"),
+          Seq("source"), qs)
+        val ranked = lens
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("v"))))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("source"))))
+        val exact = qs.map(q =>
+          ranked.where(col("rn") === ceil(col("nn") * q))
+            .select(col("source"), lit(q).as("q"), col("v").as("exact_v")))
+          .reduce(_ unionByName _)
+        est.join(exact, Seq("source", "q"))
+          .orderBy(col("source"), col("q"))
+      },
+      Some("""WITH lens AS (
+             |  SELECT source, CAST(length(text) AS BIGINT) AS v FROM documents),
+             |regs AS (
+             |  SELECT source, qb, sub, count(*)::BIGINT AS cnt FROM (
+             |    SELECT source,
+             |      CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS qb,
+             |      CASE WHEN v = 0 THEN 0
+             |           ELSE ((v - CAST(pow(2.0, length(bin(v)) - 1) AS BIGINT)) * 16)
+             |                // CAST(pow(2.0, length(bin(v)) - 1) AS BIGINT) END AS sub
+             |    FROM lens)
+             |  GROUP BY 1, 2, 3),
+             |cum AS (
+             |  SELECT source, qb, sub, cnt,
+             |    (sum(cnt) OVER (PARTITION BY source ORDER BY qb, sub))::BIGINT AS cum,
+             |    (sum(cnt) OVER (PARTITION BY source))::BIGINT AS n,
+             |    CASE WHEN qb = 0 THEN 0 ELSE CAST(pow(2.0, qb - 1) AS BIGINT)
+             |         + sub * CAST(pow(2.0, qb - 1) AS BIGINT) // 16 END AS q_lo,
+             |    CASE WHEN qb = 0 THEN 1 ELSE CAST(pow(2.0, qb - 1) AS BIGINT)
+             |         + ((sub + 1) * CAST(pow(2.0, qb - 1) AS BIGINT) + 15) // 16 END AS q_hi
+             |  FROM regs),
+             |est AS (
+             |  SELECT source, q, n, q_lo, q_hi
+             |  FROM cum, unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS qs(q)
+             |  WHERE cum >= ceil(n * q) AND cum - cnt < ceil(n * q)),
+             |ranked AS (
+             |  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS nn FROM lens),
+             |exact AS (
+             |  SELECT source, q, v AS exact_v
+             |  FROM ranked, unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS qs(q)
+             |  WHERE rn = ceil(nn * q))
+             |SELECT e.source, e.q, e.n, e.q_lo, e.q_hi, x.exact_v
+             |FROM est e JOIN exact x USING (source, q)
+             |ORDER BY source, q""".stripMargin))
   )
 }

@@ -514,6 +514,39 @@ object LlmScaleRehearsal {
       .join(srcToks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("n_exact")), Seq("source", "token"))
       .where(col("cms_est") < col("n_exact")).count()
+    // quantile sketch: same sketch discipline — one keyed exchange,
+    // ≤ 64·s register rows per key, linear split-merge equals the whole
+    // sketch, and the [lo, hi) bounds BRACKET the exact rank quantile for
+    // every (source, q) — the relative-error guarantee verified on the
+    // real corpus
+    val srcLens = docsWide.select(col("source"),
+      length(col("text")).cast("long").as("v"))
+    val qRegs = graft.llm.Sketches.quantileRegisters(srcLens, Seq("source"), "v")
+    val qEx = hashExchanges(qRegs)
+    val qRows = qRegs.count()
+    val qMergeDiff = graft.llm.Sketches.quantileMerge(
+        graft.llm.Sketches.quantileRegisters(
+          srcLens.where(crc32(col("v").cast("string")) % 2 === 0), Seq("source"), "v"),
+        graft.llm.Sketches.quantileRegisters(
+          srcLens.where(crc32(col("v").cast("string")) % 2 === 1), Seq("source"), "v"),
+        Seq("source"))
+      .unionByName(qRegs)
+      .groupBy(col("source"), col("qb"), col("sub"), col("cnt"), col("sk_s"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    val qQs = Seq(0.5, 0.9, 0.99)
+    val qEst = graft.llm.Sketches.quantileEstimate(qRegs, Seq("source"), qQs)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v"))
+    val qRanked = srcLens
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    val qExact = qQs.map(q => qRanked.where(col("rn") === ceil(col("nn") * q))
+        .select(col("source"), lit(q).as("q"), col("v").as("exact_v")))
+      .reduce(_ unionByName _)
+    val qOutOfBounds = qEst.join(qExact, Seq("source", "q"))
+      .where(col("exact_v") < col("q_lo") || col("exact_v") >= col("q_hi"))
+      .count()
     val hllWorstErr = graft.llm.Sketches.hllEstimate(hllRegs, Seq("source"))
       .join(srcToks.groupBy("source")
         .agg(countDistinct(col("token")).as("n_exact")), "source")
@@ -561,6 +594,8 @@ object LlmScaleRehearsal {
         s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr,""" +
         s""""cms_register_exchanges":$cmsEx,"cms_register_rows":$cmsRows,""" +
         s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder,""" +
+        s""""quantile_register_exchanges":$qEx,"quantile_register_rows":$qRows,""" +
+        s""""quantile_merge_mismatch_rows":$qMergeDiff,"quantile_out_of_bounds":$qOutOfBounds,""" +
         s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
         s""""bm25_take_ordered":$bm25TakeOrdered,""" +
         s""""recall_curve":$recallCurveJson}""")
@@ -690,6 +725,15 @@ object LlmScaleRehearsal {
     require(cmsUnder == 0,
       s"CMS under-counted $cmsUnder (source, token) frequencies — " +
         "impossible for a correct Count-Min")
+    require(qEx == 1, s"quantile register build must shuffle once: $qEx")
+    require(qRows <= 64L * 16 * hllSources,
+      s"quantile registers unbounded: $qRows rows for $hllSources sources")
+    require(qMergeDiff == 0,
+      s"quantile split-sketch merge diverged from the whole-corpus sketch: " +
+        s"$qMergeDiff mismatched register rows")
+    require(qOutOfBounds == 0,
+      s"quantile bounds failed to bracket $qOutOfBounds exact rank values — " +
+        "the DDSketch relative-error guarantee must hold exactly")
     require(asofEx == 1 && asofJoins == 0,
       s"as-of must be one window shuffle with no join operator: " +
         s"$asofEx exchanges, $asofJoins joins\n$asofPlan")

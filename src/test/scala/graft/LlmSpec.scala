@@ -588,6 +588,57 @@ class LlmSpec extends SparkSpec {
     assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
+  test("quantile sketch: bounds bracket exact ranks, linear merge == union, fail-loud") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(17)
+    val vals = (1 to 500).map(_ => ("k", rnd.nextInt(100000).toLong)) :+ (("k", 0L))
+    val df = vals.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99, 1.0)
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileRegisters(df, Seq("g"), "v"), Seq("g"), qs)
+      .collect().map(r => r.getDouble(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val sorted = vals.map(_._2).sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val (lo, hi) = est(q)
+      assert(lo <= exact && exact < hi, s"q=$q exact=$exact not in [$lo, $hi)")
+      // the relative-error guarantee: bucket width ≤ base/s (+1 rounding)
+      assert(hi - lo <= lo / 16 + 1, s"q=$q bucket [$lo, $hi) too wide")
+    }
+    // linear merge: split-halves registers sum to the whole-input sketch
+    val mergedDiff = Sketches.quantileMerge(
+        Sketches.quantileRegisters(df.where(col("v") % 2 === 0), Seq("g"), "v"),
+        Sketches.quantileRegisters(df.where(col("v") % 2 =!= 0), Seq("g"), "v"),
+        Seq("g"))
+      .unionByName(Sketches.quantileRegisters(df, Seq("g"), "v"))
+      .groupBy(col("g"), col("qb"), col("sub"), col("cnt"), col("sk_s"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    assert(mergedDiff == 0)
+    // register bound + build shape: one exchange, bounded rows per key
+    val regs = Sketches.quantileRegisters(df, Seq("g"), "v")
+    assert(regs.count() <= 64L * 16)
+    assert("Exchange hashpartitioning".r
+      .findAllIn(regs.queryExecution.executedPlan.toString).size == 1)
+    // guards: negative/oversize values; s mismatch in both estimate + merge
+    val neg = intercept[Exception] {
+      Sketches.quantileRegisters(Seq(("k", -1L)).toDF("g", "v"), Seq("g"), "v").collect()
+    }
+    assert(neg.getMessage.contains("outside [0, 2^40)"), neg.getMessage)
+    val wrongS = intercept[Exception] {
+      Sketches.quantileEstimate(
+        Sketches.quantileRegisters(df, Seq("g"), "v", s = 8), Seq("g"), qs).collect()
+    }
+    assert(wrongS.getMessage.contains("different s"), wrongS.getMessage)
+    val wrongMerge = intercept[Exception] {
+      Sketches.quantileMerge(
+        Sketches.quantileRegisters(df, Seq("g"), "v", s = 8),
+        Sketches.quantileRegisters(df, Seq("g"), "v", s = 16), Seq("g")).collect()
+    }
+    assert(wrongMerge.getMessage.contains("different s"), wrongMerge.getMessage)
+  }
+
   test("text classifier: naive-Bayes bitlen weights, frozen apply, one corpus exchange") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     // labeled set: positives speak "good"/"nice", negatives "bad"/"ugly";
