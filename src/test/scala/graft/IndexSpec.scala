@@ -425,5 +425,38 @@ class IndexSpec extends SparkSpec {
       Indexer.ingest(shallow, FixtureChain.toDf(spark, b), patterns,
         RemoveSpentInputs(longestRollback = 1000L, tipSlot = 120L)))
     assert(visible(shallow) == markVisible)
+
+    // ROLLBACK CONSISTENCY — the invariant the unstable-window guard
+    // exists for: any LEGAL rollback point s is at least tip −
+    // longestRollback, and every removed row was spent strictly BELOW
+    // that, so no rollback can ever need a removed row back un-spent.
+    // Rolling both modes to the window edge must agree exactly.
+    val mark2 = new GraftIndex(spark, tmpDir("graft-ix-mark2"))
+    val rm2 = new GraftIndex(spark, tmpDir("graft-ix-rm2"))
+    blocks.grouped(4).foreach { b =>
+      Indexer.ingest(mark2, FixtureChain.toDf(spark, b), patterns)
+      Indexer.ingest(rm2, FixtureChain.toDf(spark, b), patterns,
+        RemoveSpentInputs(longestRollback = 25L, tipSlot = 120L))
+    }
+    Mutations.rollbackTo(mark2, 95L)
+    Mutations.rollbackTo(rm2, 95L)
+    // the post-rollback difference is still exactly the safely-removed
+    // rows — rows a 95-rollback could never resurrect (spent < 95)
+    val d2 = visible(mark2).diff(visible(rm2))
+    assert(visible(rm2).subsetOf(visible(mark2)))
+    assert(d2.forall(_._4.exists(_ < 95L)), s"rollback resurrected: $d2")
+    // after the gardener runs at the ROLLED-BACK tip (90 − 25 = 65), mark
+    // mode legitimately keeps marks spent in [65, 95) — the rollback
+    // re-opened that window — while remove mode dropped them under the
+    // original tip-120 window. The invariant is NOT post-rollback
+    // equality; it is that the modes never disagree about an UNSPENT row
+    // (what rollback correctness and ?unspent queries observe): every
+    // residual difference is a row both modes agree was spent below 95.
+    Mutations.pruneInputs(mark2, longestRollback = 25L)
+    Mutations.pruneInputs(rm2, longestRollback = 25L)
+    val d3 = visible(mark2).diff(visible(rm2))
+    assert(visible(rm2).subsetOf(visible(mark2)))
+    assert(d3.forall(_._4.exists(_ < 95L)), s"unspent row diverged: $d3")
+    assert(visible(mark2).filter(_._4.isEmpty) == visible(rm2).filter(_._4.isEmpty))
   }
 }
