@@ -57,6 +57,12 @@ object TextAnalysis {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     topTermsFromTf(termFrequencies(docs, idCol, textCol), k, idCol)
 
+  /** Per-doc token length from the tf artifact — the second persisted
+    * member of the TF family (BM25's length normalization reads it every
+    * query; materialize once per corpus snapshot). */
+  def docLengthsFromTf(tf: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+
   /** BM25 ranked retrieval (Robertson & Walker 1994; the Okapi weighting)
     * over a prebuilt [[termFrequencies]] artifact — the lexical-search
     * counterpart of the ANN family: score(d) = Σ_{t∈Q} idf_bits(t) ·
@@ -75,11 +81,16 @@ object TextAnalysis {
     * the per-doc aggregate the artifact already implies — every exchange
     * is doc- or term-keyed, the corpus token stream is never re-read, and
     * the top-k is a TakeOrdered, never a global sort. */
+  /** `docLengths` (doc → dl) is derivable from the tf artifact but is a
+    * PERSISTED SIBLING in a deployment ([[docLengthsFromTf]]): deriving it
+    * inline re-aggregates the WHOLE artifact on every query, the one
+    * corpus-sized pass BM25 otherwise avoids. */
   def bm25(tf: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75, topK: Int = 10,
-           idCol: String = "doc_id"): DataFrame = {
+           idCol: String = "doc_id",
+           docLengths: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "empty query matches nothing")
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dl = docLengths.getOrElse(docLengthsFromTf(tf, idCol))
     // N and avgdl ride one single-row broadcast — no driver-side count
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")) / count(lit(1))).as("avgdl")))

@@ -182,6 +182,16 @@ private[queries] object LlmArtifacts {
       TextAnalysis.termFrequencies(spreadDocs(s, d)).cache())
   }
 
+  private val dlCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Per-doc token lengths — the TF family's second persisted artifact
+    * (BM25's length normalization reads it on EVERY query; deriving it
+    * inline would re-aggregate the whole tf matrix per query). */
+  def dlOf(s: SparkSession, d: String): DataFrame = synchronized {
+    dlCache.getOrElseUpdate(d,
+      TextAnalysis.docLengthsFromTf(tfOf(s, d)).cache())
+  }
+
   /** PQ-encoded corpus (vec_id + m integer codes) — the persisted compressed
     * ANN artifact; at scale this is the ONLY thing the ADC query scans. */
   def pqOf(s: SparkSession, d: String): DataFrame = synchronized {
@@ -243,6 +253,7 @@ private[queries] object LlmArtifacts {
     pqOf(s, d).count()
     ivfPqOf(s, d).count()
     tfOf(s, d).count()
+    dlOf(s, d).count()
     simhashOf(s, d).count()
     dhashOf(s, d).count()
     winnowOf(s, d).count()

@@ -522,7 +522,8 @@ private[queries] object LlmTextQueries {
     // and the per-doc sum folds in term order — scores hash-match DuckDB.
     // The scan reads only the query terms' tf rows; df/N/avgdl broadcast.
     QueryDef("q_bm25",
-      (s, d) => TextAnalysis.bm25(tfOf(s, d), Seq("hash", "spark", "window")),
+      (s, d) => TextAnalysis.bm25(tfOf(s, d), Seq("hash", "spark", "window"),
+        docLengths = Some(dlOf(s, d))),
       Some("""WITH toks AS (
              |  SELECT doc_id,
              |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
