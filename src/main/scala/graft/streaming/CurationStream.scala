@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *           (incremental within-cell cosine) and within the batch
   *         → append: survivors to the curated corpus; probe artifacts
   *           (signatures + cell-assigned vectors) for ALL gate-passing
-  *           docs; IVF-PQ codes to the cell-partitioned ANN index.
+  *           docs; IVF-PQ codes to the cell-partitioned ANN index; and
+  *           mergeable sketch registers (HLL distinct tokens, quantile
+  *           doc lengths) as corpus telemetry, folded on demand by
+  *           [[corpusStats]].
   *
   * NET-EFFECT CONTRACT (the StreamingIndexer discipline, property-tested
   * in StreamingSpec): processing a corpus batch-by-batch — under ANY
@@ -60,7 +63,8 @@ object CurationStream {
       corpusDir: String, // curated survivor rows (append)
       sigDir: String,    // MinHash signatures of ALL gate-passing docs
       vecDir: String,    // cell-assigned vectors of ALL gate-passing docs
-      idxDir: String)    // IVF-PQ codes (cell-partitioned, ivfPqAppend)
+      idxDir: String,    // IVF-PQ codes (cell-partitioned, ivfPqAppend)
+      statsDir: String)  // mergeable sketch registers (corpus telemetry)
 
   private def readOrEmpty(spark: SparkSession, dir: String,
                           like: DataFrame): DataFrame =
@@ -120,14 +124,58 @@ object CurationStream {
       .localCheckpoint(true)
 
     // appends: survivors to the corpus; probe artifacts for ALL
-    // gate-passing docs (the chain rule above); codes to the ANN index
+    // gate-passing docs (the chain rule above); codes to the ANN index;
+    // sketch registers as CORPUS TELEMETRY — HLL (distinct tokens),
+    // quantile (doc lengths): both are LINEAR/MAX-mergeable artifacts, so
+    // per-batch register appends reduce to exactly the whole-corpus
+    // sketch at read time ([[corpusStats]]) — no batch ever re-reads the
+    // corpus to keep running stats current
     survivors.write.mode("append").parquet(sinks.corpusDir)
     sigs.write.mode("append").parquet(sinks.sigDir)
     assigned.write.mode("append").partitionBy("cell").parquet(sinks.vecDir)
     Similarity.ivfPqAppend(
       filtered.select(col("doc_id").as("vec_id"), col("embedding")),
       art.centroids, art.codebook, art.m, art.subDim, sinks.idxDir)
+    val survToks = survivors.select(lit("corpus").as("scope"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    Sketches.hllRegisters(survToks, Seq("scope"), "token")
+      .write.mode("append").parquet(sinks.statsDir + "/hll")
+    Sketches.quantileRegisters(
+        survivors.select(lit("corpus").as("scope"),
+          length(col("text")).cast("long").as("v")),
+        Seq("scope"), "v")
+      .write.mode("append").parquet(sinks.statsDir + "/qlen")
     survivors
+  }
+
+  /** Corpus telemetry from the per-batch sketch appends: fold every
+    * batch's registers down (bucket-wise max for HLL, counter-wise sum
+    * for the length quantiles — the sketches' own merge laws, so the
+    * result EQUALS sketching the concatenated survivors) and estimate.
+    * Returns (distinct-token estimate row, doc-length quantile bounds). */
+  def corpusStats(spark: SparkSession, sinks: CurationSinks,
+                  qs: Seq[Double] = Seq(0.5, 0.9)): (DataFrame, DataFrame) = {
+    // n-way register fold with the same per-group parameter guard the
+    // pairwise hllMerge/quantileMerge apply (a mixed-parameter append is
+    // a deployment bug and must fail loudly, not blend)
+    val hll = spark.read.parquet(sinks.statsDir + "/hll")
+      .groupBy(col("scope"), col("bucket"))
+      .agg(max(col("m_rho")).as("m_rho"),
+        min(col("sk_p")).as("_pmin"), max(col("sk_p")).as("_pmax"))
+      .select(col("scope"), col("bucket"), col("m_rho"),
+        when(col("_pmin") === col("_pmax"), col("_pmin"))
+          .otherwise(raise_error(lit(
+            "corpusStats: HLL registers appended with different p"))).as("sk_p"))
+    val qlen = spark.read.parquet(sinks.statsDir + "/qlen")
+      .groupBy(col("scope"), col("qb"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("sk_s")).as("_smin"), max(col("sk_s")).as("_smax"))
+      .select(col("scope"), col("qb"), col("sub"), col("cnt"),
+        when(col("_smin") === col("_smax"), col("_smin"))
+          .otherwise(raise_error(lit(
+            "corpusStats: quantile registers appended with different s"))).as("sk_s"))
+    (Sketches.hllEstimate(hll, Seq("scope")),
+      Sketches.quantileEstimate(qlen, Seq("scope"), qs))
   }
 
   /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`

@@ -420,7 +420,8 @@ class StreamingSpec extends SparkSpec {
 
     def sinksIn(tag: String): CurationSinks = {
       val base = tmpDir(s"graft-curation-$tag")
-      CurationSinks(s"$base/corpus", s"$base/sigs", s"$base/vecs", s"$base/idx")
+      CurationSinks(s"$base/corpus", s"$base/sigs", s"$base/vecs", s"$base/idx",
+        s"$base/stats")
     }
     def corpusIds(s: CurationSinks): Set[Long] =
       spark.read.parquet(s.corpusDir).select("doc_id").as[Long].collect().toSet
@@ -467,5 +468,28 @@ class StreamingSpec extends SparkSpec {
     assert(idx.columns.contains("cell") && idx.columns.contains("c0") &&
       !idx.columns.contains("embedding"))
     assert(idx.select("vec_id").as[Long].collect().toSet == expectGatePassing)
+
+    // ---- sketch telemetry: the per-batch register appends fold to
+    // EXACTLY the sketch of the concatenated survivors (the merge laws,
+    // end-to-end through the pipeline) — split A's two batches and split
+    // B's single batch read back identical estimates ----
+    val (hllA, qlenA) = CurationStream.corpusStats(spark, sA)
+    val (hllB, qlenB) = CurationStream.corpusStats(spark, sB)
+    val survToks = spark.read.parquet(sB.corpusDir)
+      .select(lit("corpus").as("scope"),
+        explode(split(col("text"), " ")).as("token"))
+    val directHll = graft.llm.Sketches.hllEstimate(
+      graft.llm.Sketches.hllRegisters(survToks, Seq("scope"), "token"), Seq("scope"))
+    assert(hllA.collect().toSeq == directHll.collect().toSeq)
+    assert(hllB.collect().toSeq == directHll.collect().toSeq)
+    assert(qlenA.orderBy("q").collect().toSeq == qlenB.orderBy("q").collect().toSeq)
+
+    // ---- plan shape: the composed one-shot reference never degenerates
+    // into a cartesian (every dup relation is an equi-join or banded key
+    // join; the gates are broadcast probes) ----
+    val refPlan = CurationStream.curateReference(
+      docs.toDF("doc_id", "text", "embedding"), art)
+      .queryExecution.executedPlan.toString
+    assert(!refPlan.contains("CartesianProduct"), refPlan)
   }
 }
