@@ -29,7 +29,17 @@ case object MarkSpentInputs extends InputManagement
   * rewrite already-sealed parquet segments on every batch — O(affected
   * segments) per micro-batch at 100 TB. `ingest ∘ pruneInputs` reaches
   * the identical end state (model-tested in IndexSpec), with strictly
-  * fewer rows ever written than mark mode. */
+  * fewer rows ever written than mark mode.
+  *
+  * The spend MARKS always land, even for in-commit-dropped rows. Dropping
+  * a mark along with its row would be safe only if the row had never been
+  * committed before — but after a crash an OVERLAPPING batch may re-ingest
+  * a produce that an earlier batch already sealed (the INSERT OR IGNORE
+  * path), and losing its spend mark would leave that earlier copy visible
+  * as unspent forever. A mark whose row truly never landed simply dangles:
+  * [[graft.index.GraftIndex.reconcile]] left-joins marks onto inputs, so a
+  * dangling mark is invisible to every read, and the next pruneInputs /
+  * compact sweeps the delta entirely. */
 final case class RemoveSpentInputs(longestRollback: Long, tipSlot: Long)
   extends InputManagement
 
@@ -50,13 +60,16 @@ object Indexer {
         // strict <, matching the reference's distanceToTip > unstableWindow
         val safe = m.spends.where(col("spent_at") < lit(tipSlot - longestRollback))
           .select("tx_id", "output_index")
-        // rows produced AND safely consumed within this batch never land;
-        // their marks would dangle and are dropped with them. Everything
-        // else (unsafe spends; safe spends of earlier-batch rows) marks.
+        // rows produced AND safely consumed within this batch never land.
+        // Their marks DO land regardless: an overlapping re-ingest may be
+        // re-producing a row an earlier batch already committed, and that
+        // copy still needs its spend (see the RemoveSpentInputs scaladoc);
+        // a mark whose row truly never landed dangles harmlessly until the
+        // next prune/compact empties the delta.
         val removed = safe.join(m.produced.select("tx_id", "output_index"),
           Seq("tx_id", "output_index"), "left_semi")
         (m.produced.join(removed, Seq("tx_id", "output_index"), "left_anti"),
-          m.spends.join(removed, Seq("tx_id", "output_index"), "left_anti"))
+          m.spends)
     }
     // ONE atomic manifest bump for the whole batch (the reference's
     // one-transaction-per-drain); the six segment writes run sequentially —

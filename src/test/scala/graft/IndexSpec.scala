@@ -459,4 +459,41 @@ class IndexSpec extends SparkSpec {
     assert(d3.forall(_._4.exists(_ < 95L)), s"unspent row diverged: $d3")
     assert(visible(mark2).filter(_._4.isEmpty) == visible(rm2).filter(_._4.isEmpty))
   }
+
+  test("remove-spent-inputs mode: overlapping re-ingest still spends the earlier copy") {
+    import graft.ingest.RemoveSpentInputs
+    // Crash-recovery shape: batch 1 commits the produce of X; the resumed
+    // batch 2 OVERLAPS it (re-produces X) and also carries X's safe spend.
+    // The in-commit drop removes batch 2's duplicate produce, but the spend
+    // MARK must land so batch 1's already-sealed copy does not stay visible
+    // as unspent forever (the regression this test pins).
+    val addr = FixtureChain.baseAddr(7, 7)
+    val blkA = FixtureChain.Blk(10L, FixtureChain.hex32(9101), Seq(
+      FixtureChain.Tx(FixtureChain.hex32(9102), Nil,
+        Seq(FixtureChain.Out(addr, 42L)))))
+    val blkB = FixtureChain.Blk(50L, FixtureChain.hex32(9103), Seq(
+      FixtureChain.Tx(FixtureChain.hex32(9104),
+        Seq((FixtureChain.hex32(9102), 0)), Seq(FixtureChain.Out(addr, 41L)))))
+    // tip-advancing empty block so the gardener's window clears slot 50
+    val blkC = FixtureChain.Blk(120L, FixtureChain.hex32(9105), Nil)
+
+    val ov = new GraftIndex(spark, tmpDir("graft-ix-overlap"))
+    val pats = Set[Pattern](Pattern.MatchAny(includingBootstrap = false))
+    Indexer.ingest(ov, FixtureChain.toDf(spark, Seq(blkA)), pats,
+      RemoveSpentInputs(longestRollback = 25L, tipSlot = 120L))
+    Indexer.ingest(ov, FixtureChain.toDf(spark, Seq(blkA, blkB, blkC)), pats,
+      RemoveSpentInputs(longestRollback = 25L, tipSlot = 120L))
+
+    // the earlier-committed copy of X must now read as SPENT at 50
+    val x = ov.inputsWithSpends
+      .where(col("tx_id") === FixtureChain.hex32(9102) && col("output_index") === 0)
+      .select("spent_at").collect()
+    assert(x.nonEmpty && x.forall(r => !r.isNullAt(0) && r.getLong(0) == 50L),
+      s"overlap re-ingest lost the spend mark: ${x.mkString(",")}")
+    // and the gardener reaches the same end state as mark+prune: X gone
+    Mutations.pruneInputs(ov, longestRollback = 25L)
+    assert(ov.inputsWithSpends
+      .where(col("tx_id") === FixtureChain.hex32(9102) && col("output_index") === 0)
+      .count() == 0L, "pruneInputs must collect the overlap-spent row")
+  }
 }
