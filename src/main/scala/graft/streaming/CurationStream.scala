@@ -66,12 +66,36 @@ object CurationStream {
       idxDir: String,    // IVF-PQ codes (cell-partitioned, ivfPqAppend)
       statsDir: String)  // mergeable sketch registers (corpus telemetry)
 
+  /** Read a persisted artifact dir, or an empty frame if nothing has been
+    * written yet. Existence goes through the Hadoop FileSystem resolved
+    * FROM the path (not java.nio, which silently answers "missing" for
+    * every non-local scheme — hdfs://, s3a://, ... — and would disable
+    * cross-batch dedup without a trace on exactly the deployments that
+    * need it). A dir that exists but holds no data files yet (a batch
+    * with zero gate-passing docs still writes its marker tree) reads as
+    * empty too.
+    *
+    * Only partitions of batches STRICTLY EARLIER than the probing batch
+    * are visible (partition-pruned, so later/own subtrees are never even
+    * listed). This is what makes a replay correct, not just clean: after
+    * a mid-batch failure the batch's own half-persisted signatures are
+    * already in the index, and an unfiltered probe would match every doc
+    * against itself and drop the entire batch. Filtering to `batch_id <
+    * id` makes the probe read "the index as of all earlier batches" — the
+    * same frame the first attempt saw — so retry output is bit-identical.
+    * The bookkeeping column is dropped after the filter. */
   private def readOrEmpty(spark: SparkSession, dir: String,
-                          like: DataFrame): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
-      spark.read.parquet(dir)
-    else spark.createDataFrame(
+                          like: DataFrame, beforeBatch: Long): DataFrame = {
+    val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) empty
+    else try
+      spark.read.parquet(dir)
+        .where(col("batch_id") < beforeBatch).drop("batch_id")
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
 
   /** The per-doc QUALITY GATES — text-pure, batching-independent:
     * benchmark decontamination (any contaminated shingle drops the doc)
@@ -87,11 +111,25 @@ object CurationStream {
       .join(positive, Seq("doc_id"), "left_semi")
   }
 
-  /** ONE micro-batch: gate → dedup vs index + within batch → append.
-    * Returns the survivor frame it appended (already materialized), for
-    * callers that chain further work. */
+  /** ONE micro-batch: gate → dedup vs index + append. Returns the
+    * survivor frame it appended (already materialized), for callers that
+    * chain further work.
+    *
+    * IDEMPOTENCE: `foreachBatch` is at-least-once — a mid-batch failure
+    * replays the whole batch, and five independent appends would then
+    * double-land whatever committed before the crash (duplicate corpus
+    * rows, telemetry diverging from the stored corpus, every batch doc
+    * matching its own half-persisted signature). Every write therefore
+    * targets the batch's OWN `batch_id=<id>` partition subtree in
+    * OVERWRITE mode: Structured Streaming replays a batch under the same
+    * id, so a retry deletes exactly the failed attempt's partial output
+    * and nothing else — the standard exactly-once foreachBatch recipe.
+    * Callers outside streaming must pass batchIds that are MONOTONICALLY
+    * INCREASING per logical batch, like the engine's: the index probes
+    * read only strictly-earlier partitions (see [[readOrEmpty]]), and
+    * reusing an id overwrites that batch — which is the point. */
   def curateBatch(batch: DataFrame, art: CurationArtifacts,
-                  sinks: CurationSinks): DataFrame = {
+                  sinks: CurationSinks, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val filtered = gate(batch, art).localCheckpoint(true)
 
@@ -100,7 +138,7 @@ object CurationStream {
     // exact duplicates agree on every band, so one mechanism covers both
     val sigs = Dedup.minhashFromGrams(Dedup.charGrams(filtered, art.shingle))
       .localCheckpoint(true)
-    val indexSigs = readOrEmpty(spark, sinks.sigDir, sigs)
+    val indexSigs = readOrEmpty(spark, sinks.sigDir, sigs, batchId)
     val dupText = Dedup.crossSetCandidates(indexSigs, sigs, art.bands, art.rowsPerBand)
       .select(col("batch_doc").as("doc_id"))
       .unionByName(Dedup.lshCandidatePairs(sigs, art.bands, art.rowsPerBand)
@@ -113,7 +151,7 @@ object CurationStream {
         filtered.select(col("doc_id").as("vec_id"), col("embedding")),
         art.centroids, metric = "l2")
       .localCheckpoint(true)
-    val indexVecs = readOrEmpty(spark, sinks.vecDir, assigned)
+    val indexVecs = readOrEmpty(spark, sinks.vecDir, assigned, batchId)
     val dupSem = Dedup.incrementalSemanticPairs(indexVecs, assigned, art.semanticTau)
       .select(col("batch_id").as("doc_id"))
       .unionByName(Dedup.semanticPairs(assigned, art.semanticTau)
@@ -129,22 +167,26 @@ object CurationStream {
     // quantile (doc lengths): both are LINEAR/MAX-mergeable artifacts, so
     // per-batch register appends reduce to exactly the whole-corpus
     // sketch at read time ([[corpusStats]]) — no batch ever re-reads the
-    // corpus to keep running stats current
-    survivors.write.mode("append").parquet(sinks.corpusDir)
-    sigs.write.mode("append").parquet(sinks.sigDir)
-    assigned.write.mode("append").partitionBy("cell").parquet(sinks.vecDir)
-    Similarity.ivfPqAppend(
-      filtered.select(col("doc_id").as("vec_id"), col("embedding")),
-      art.centroids, art.codebook, art.m, art.subDim, sinks.idxDir)
+    // corpus to keep running stats current. Each write lands in the
+    // batch's own batch_id subtree in overwrite mode (see scaladoc):
+    // "append to the artifact" = "create this batch's partition".
+    val bdir = s"/batch_id=$batchId"
+    survivors.write.mode("overwrite").parquet(sinks.corpusDir + bdir)
+    sigs.write.mode("overwrite").parquet(sinks.sigDir + bdir)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(sinks.vecDir + bdir)
+    // `assigned` is exactly ivfPqAppend's internal assignCells result (and
+    // already checkpointed) — encode it directly rather than re-assigning
+    Similarity.ivfPqEncode(assigned, art.centroids, art.codebook, art.m, art.subDim)
+      .write.mode("overwrite").partitionBy("cell").parquet(sinks.idxDir + bdir)
     val survToks = survivors.select(lit("corpus").as("scope"),
       explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
     Sketches.hllRegisters(survToks, Seq("scope"), "token")
-      .write.mode("append").parquet(sinks.statsDir + "/hll")
+      .write.mode("overwrite").parquet(sinks.statsDir + "/hll" + bdir)
     Sketches.quantileRegisters(
         survivors.select(lit("corpus").as("scope"),
           length(col("text")).cast("long").as("v")),
         Seq("scope"), "v")
-      .write.mode("append").parquet(sinks.statsDir + "/qlen")
+      .write.mode("overwrite").parquet(sinks.statsDir + "/qlen" + bdir)
     survivors
   }
 
@@ -185,8 +227,10 @@ object CurationStream {
           checkpointDir: String): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, art, sinks); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the engine-assigned id is stable across retries — the overwrite
+        // key that makes the at-least-once replay idempotent
+        curateBatch(batch, art, sinks, id); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

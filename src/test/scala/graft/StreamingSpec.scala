@@ -438,15 +438,26 @@ class StreamingSpec extends SparkSpec {
 
     // ---- split B: everything in ONE batch ----
     val sB = sinksIn("b")
-    CurationStream.curateBatch(docs.toDF("doc_id", "text", "embedding"), art, sB)
+    CurationStream.curateBatch(docs.toDF("doc_id", "text", "embedding"), art, sB, 0L)
     assert(corpusIds(sB) == expectSurvivors, s"split B: ${corpusIds(sB)}")
 
     // ---- split C: one doc per batch (the finest split) ----
     val sC = sinksIn("c")
-    docs.foreach { d =>
-      CurationStream.curateBatch(Seq(d).toDF("doc_id", "text", "embedding"), art, sC)
+    docs.zipWithIndex.foreach { case (d, i) =>
+      CurationStream.curateBatch(Seq(d).toDF("doc_id", "text", "embedding"), art, sC, i.toLong)
     }
     assert(corpusIds(sC) == expectSurvivors, s"split C: ${corpusIds(sC)}")
+
+    // ---- at-least-once replay: re-running a batch under ITS OWN id (what
+    // foreachBatch does after a mid-batch failure) overwrites that batch's
+    // partition instead of double-appending — corpus, probe artifacts and
+    // telemetry all land exactly once ----
+    val beforeReplay = spark.read.parquet(sC.corpusDir).count()
+    CurationStream.curateBatch(
+      Seq(docs.head).toDF("doc_id", "text", "embedding"), art, sC, 0L)
+    assert(spark.read.parquet(sC.corpusDir).count() == beforeReplay,
+      "batch replay must be idempotent")
+    assert(corpusIds(sC) == expectSurvivors)
 
     // ---- the one-shot reference agrees, row for row ----
     val ref = CurationStream.curateReference(
