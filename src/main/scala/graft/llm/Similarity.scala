@@ -428,15 +428,15 @@ object Similarity {
     spark.read.parquet(indexDir)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
-    rmTree(java.nio.file.Paths.get(indexDir))
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-      java.nio.file.Paths.get(indexDir))
+    // swap through the Hadoop FileSystem resolved from the path — works on
+    // any scheme the index might live on (file://, hdfs://, s3a://, ...),
+    // where java.nio would only ever see the local disk
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"compactIndex: rename $tmp -> $indexDir failed")
   }
 
   /** The ADC distance tables as ONE broadcast row holding a DENSE double
@@ -791,14 +791,22 @@ object Similarity {
   def mmrSelectPerQuery(shortlists: DataFrame, k: Int,
                         lambda: Double = 0.5): DataFrame = {
     require(k >= 1, s"need k >= 1, got k=$k")
-    val pair = shortlists.select(col("query_id"), col("vec_id").as("id"),
+    // The input is referenced FOUR times below (pairwise left/right, the
+    // candidate roll-up, the final rel join). Materialize it here once:
+    // shortlists are small by construction (queries × c rows — the same
+    // bound the broadcast hints rely on), while their LINEAGE is typically
+    // a full ADC+rerank retrieval that an unmaterialized plan would
+    // re-execute per reference (~4x the query cost, measured when this
+    // lived at a call site). Idempotent if the caller already checkpointed.
+    val sl = shortlists.localCheckpoint(true)
+    val pair = sl.select(col("query_id"), col("vec_id").as("id"),
         col("embedding").as("ea"))
-      .join(broadcast(shortlists.select(col("query_id"),
+      .join(broadcast(sl.select(col("query_id"),
         col("vec_id").as("id_b"), col("embedding").as("eb"))), Seq("query_id"))
       .where(col("id") =!= col("id_b"))
       .select(col("query_id"), col("id"), col("id_b"),
         cosine(col("ea"), col("eb")).as("sim"))
-    val cands = shortlists.select(col("query_id"), col("vec_id").as("id"), col("rel"))
+    val cands = sl.select(col("query_id"), col("vec_id").as("id"), col("rel"))
       .join(pair.groupBy(col("query_id"), col("id"))
         .agg(map_from_entries(array_sort(
           collect_list(struct(col("id_b"), col("sim"))))).as("sims")),
@@ -808,7 +816,7 @@ object Similarity {
     cands.select(col("query_id"),
         posexplode(mmrSelectionFold(k, lambda)).as(Seq("rank0", "vec_id")))
       .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"), col("vec_id"))
-      .join(broadcast(shortlists.select(col("query_id"), col("vec_id"), col("rel"))),
+      .join(broadcast(sl.select(col("query_id"), col("vec_id"), col("rel"))),
         Seq("query_id", "vec_id"))
       .select(col("query_id"), col("rank"), col("vec_id"), col("rel"))
       .orderBy(col("query_id"), col("rank"))

@@ -387,16 +387,14 @@ private[queries] object LlmIvfPqQueries {
           ivfPqOf(s, d), centroidsOf(s, d), ivfPqCodebookOf(s, d),
           emb.where(col("vec_id").isin(9L, 15L, 21L)), emb,
           k = 8, c = 20, nprobe = 2, m = PqM, subDim = PqSubDim)
-        // MATERIALIZE the retrieved shortlist (eager localCheckpoint):
-        // mmrSelectPerQuery references it three times (pairwise left/right
-        // + the final rel join) — unmaterialized, each reference re-runs
-        // the whole ADC+rerank retrieval (measured ~4x the query cost)
+        // mmrSelectPerQuery materializes the shortlist internally (it
+        // references it four times; unmaterialized, each reference would
+        // re-run the whole ADC+rerank retrieval — measured ~4x)
         val shortlists = emb
           .join(broadcast(rr.select(col("query_id"), col("vec_id"), col("l2_dist"))),
             Seq("vec_id"))
           .select(col("query_id"), col("vec_id"), col("embedding"),
             (-col("l2_dist")).as("rel"))
-          .localCheckpoint(true)
         Similarity.mmrSelectPerQuery(shortlists, k = 4)
       },
       Some {

@@ -417,11 +417,13 @@ private[queries] object LlmTextQueries {
              |      WHERE length(word) >= 2)
              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
-    // BPE ENCODE at production-shaped depth: 240 chained merge passes over
-    // the whole corpus — one linear transform+filter projection per merge
-    // (never a nested fold), a pure map with zero shuffles however long
-    // the merge table. The oracle mirrors the chain as 240 generated CTEs;
-    // every word's symbol sequence must agree exactly.
+    // BPE ENCODE at production-shaped depth: the 240-merge table folds as
+    // ONE array-literal `aggregate` over DISTINCT words (constant plan
+    // size however long the merge table; a containment guard skips the
+    // ~6x of iterations whose pair can't fire), then joins the encodings
+    // back onto the word stream — one distinct + one join exchange, work
+    // sized by |vocab| not |corpus|. The oracle mirrors the chain as 240
+    // generated CTEs; every word's symbol sequence must agree exactly.
     QueryDef("q_bpe_encode",
       (s, d) => graft.llm.TextAnalysis.bpeEncode(
           table(s, d, "documents"), BpeEncodeMerges)
