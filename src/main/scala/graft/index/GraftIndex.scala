@@ -4,9 +4,10 @@ import graft.Schemas
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
+
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Versioned, segment-based parquet index — the Spark answer to the
   * reference's mutable SQLite index (SURVEY.md §7.4).
@@ -28,9 +29,18 @@ final class GraftIndex(val spark: SparkSession, val root: String,
                        val vacuumGraceMs: Long = GraftIndex.DefaultVacuumGraceMs) {
   import GraftIndex._
 
-  Files.createDirectories(Paths.get(root))
+  // All control-plane IO (manifest, vacuum bookkeeping, segment adoption)
+  // goes through the Hadoop FileSystem resolved FROM the root path, so the
+  // index can live on any scheme Spark can read parquet from — file://,
+  // hdfs://, s3a://, ... The data plane (segment reads/writes) is Spark and
+  // was always scheme-agnostic.
+  private val hconf: Configuration = spark.sessionState.newHadoopConf()
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hconf)
 
-  def manifest: Manifest = Manifest.read(root).getOrElse(Manifest(0, Map.empty))
+  fs.mkdirs(rootPath)
+
+  def manifest: Manifest = Manifest.read(root, hconf).getOrElse(Manifest(0, Map.empty))
 
   private def schemaOf(table: String) = table match {
     case "inputs"      => Schemas.inputsType
@@ -93,7 +103,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val seg = writeSegment(table, df, m.version + 1)
     if (seg.isEmpty) return // nothing written → no manifest bump
     val segs = liveSegments(table, m.tables.getOrElse(table, Nil) ++ seg)
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)))
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)), hconf)
   }
 
   /** Commit several table changes in ONE atomic manifest bump — the true
@@ -139,7 +149,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
       acc.updated(t, liveSegments(t, base ++ seg.toList))
     }
-    Manifest.write(root, Manifest(v, tables))
+    Manifest.write(root, Manifest(v, tables), hconf)
   }
 
   /** Replace the full contents of a table with `df` (mutation rewrites). */
@@ -147,7 +157,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
     Manifest.write(root, Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, seg.toList))))
+      m.tables.updated(table, liveSegments(table, seg.toList))), hconf)
   }
 
   /** Replace keeping the given existing segments and adding `df` as a new one
@@ -156,7 +166,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val m = manifest
     val segs = kept ++ df.flatMap(writeSegment(table, _, m.version + 1)).toList
     Manifest.write(root, Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, segs))))
+      m.tables.updated(table, liveSegments(table, segs))), hconf)
   }
 
   /** Write one segment; None when the frame is empty (row count rides the
@@ -290,55 +300,41 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def vacuum(graceMs: Long): Int = {
     val live = manifest.tables.valuesIterator.flatten.map(_.path).toSet
     val now = System.currentTimeMillis()
-    val rootP = Paths.get(root)
-    def subdirs(p: java.nio.file.Path): List[java.nio.file.Path] =
-      if (!Files.isDirectory(p)) Nil
-      else {
-        val s = Files.list(p)
-        try s.iterator().asScala.filter(Files.isDirectory(_)).toList finally s.close()
-      }
+    def subdirs(p: Path): List[Path] =
+      try fs.listStatus(p).iterator.filter(_.isDirectory).map(_.getPath).toList
+      catch { case _: java.io.FileNotFoundException => Nil }
     val candidates = for {
-      tableDir <- subdirs(rootP)
-      name = tableDir.getFileName.toString
+      tableDir <- subdirs(rootPath)
+      name = tableDir.getName
       // only table payload dirs: skip the stream checkpoint + dotfiles
       if !name.startsWith("_") && !name.startsWith(".")
       seg <- subdirs(tableDir)
-    } yield s"$name/${seg.getFileName.toString}"
+    } yield s"$name/${seg.getName}"
     val pending = readVacuumPending()
     val unreferenced = candidates.filterNot(live).map(p => p -> pending.getOrElse(p, now)).toMap
     val (ripe, waiting) = unreferenced.partition { case (_, firstSeen) => now - firstSeen >= graceMs }
-    ripe.keysIterator.foreach { rel =>
-      val dir = rootP.resolve(rel)
-      if (Files.exists(dir)) {
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    ripe.keysIterator.foreach(rel => fs.delete(new Path(rootPath, rel), true))
     writeVacuumPending(waiting)
     ripe.size
   }
 
-  private def vacuumPendingPath = Paths.get(root, ".vacuum-pending.json")
+  private def vacuumPendingPath = new Path(rootPath, ".vacuum-pending.json")
 
   private def readVacuumPending(): Map[String, Long] =
-    if (!Files.exists(vacuumPendingPath)) Map.empty
+    if (!fs.exists(vacuumPendingPath)) Map.empty
     else {
-      val json = new String(Files.readAllBytes(vacuumPendingPath), StandardCharsets.UTF_8)
+      val json = new String(GraftIndex.readBytes(fs, vacuumPendingPath), StandardCharsets.UTF_8)
       """"([^"]+)":(\d+)""".r.findAllMatchIn(json)
         .map(m => m.group(1) -> m.group(2).toLong).toMap
     }
 
   private def writeVacuumPending(m: Map[String, Long]): Unit =
-    if (m.isEmpty) { Files.deleteIfExists(vacuumPendingPath); () }
+    if (m.isEmpty) { fs.delete(vacuumPendingPath, false); () }
     else {
       val json = m.toSeq.sorted.map { case (p, t) => s""""$p":$t""" }.mkString("{", ",", "}")
-      val tmp = Paths.get(root, ".vacuum-pending.tmp")
-      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, vacuumPendingPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      ()
+      val tmp = new Path(rootPath, ".vacuum-pending.tmp")
+      GraftIndex.writeBytes(fs, tmp, json.getBytes(StandardCharsets.UTF_8))
+      GraftIndex.renameOverwrite(hconf, fs, tmp, vacuumPendingPath)
     }
 
   /** PARTIAL compaction: fold the spends delta into ONLY the segments that
@@ -427,18 +423,17 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // clobbering the adopted files
     val adopted = srcSegs.zipWithIndex.map { case (sg, i) =>
       val path = f"$table/adopt-${m.version + 1}%06d-$i%03d"
-      val from = Paths.get(src.root, sg.path)
-      val to = Paths.get(root, path)
-      Files.createDirectories(to.getParent)
-      val walk = Files.walk(from)
-      try walk.forEach { p =>
-        val dest = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dest)
-        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
-      } finally walk.close()
+      val from = new Path(src.root, sg.path)
+      val to = new Path(rootPath, path)
+      val srcFs = from.getFileSystem(hconf)
+      fs.mkdirs(to.getParent)
+      // recursive, cross-filesystem copy: src and dst may live on different
+      // schemes (bootstrap a local index from an hdfs:// one, or vice versa)
+      if (!FileUtil.copy(srcFs, from, fs, to, false, true, hconf))
+        throw new java.io.IOException(s"adoptSegments: copy $from -> $to failed")
       sg.copy(path = path)
     }
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, adopted)))
+    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, adopted)), hconf)
   }
 
   /** Register the index as temp views (`<prefix>inputs` is the RECONCILED
@@ -473,11 +468,42 @@ object GraftIndex {
                            spent: SpentStat = SpentStat.Unknown)
   final case class Manifest(version: Long, tables: Map[String, List[Segment]])
 
+  /** Hadoop Configuration for callers that don't thread one through: the
+    * active Spark session's (so scheme credentials configured on the
+    * session apply), or a vanilla one outside any session. */
+  private[index] def activeHadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[index] def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private[index] def writeBytes(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Rename-with-overwrite through FileContext — ATOMIC on HDFS and local
+    * filesystems (the swap the manifest's snapshot isolation rests on).
+    * Object stores without atomic rename (s3a) get copy+delete semantics;
+    * a deployment there should front the manifest with a consistent store
+    * — the same caveat every rename-committed table format carries. */
+  private[index] def renameOverwrite(conf: Configuration, fs: FileSystem,
+                                     tmp: Path, dst: Path): Unit = {
+    val q = fs.makeQualified(dst)
+    FileContext.getFileContext(q.toUri, conf)
+      .rename(fs.makeQualified(tmp), q, Options.Rename.OVERWRITE)
+  }
+
   object Manifest {
     /** Hand-rolled JSON — flat, fixed shape; avoids dragging a JSON library
       * into the public API. `spent` is absent for Unknown, null for
       * NoneSpent, a number for MaxAt (backward-compatible read). */
-    def write(root: String, m: Manifest): Unit = {
+    def write(root: String, m: Manifest,
+              conf: Configuration = activeHadoopConf()): Unit = {
       def segJson(s: Segment) = {
         val spent = s.spent match {
           case SpentStat.Unknown   => ""
@@ -490,16 +516,19 @@ object GraftIndex {
         s""""$t":[${segs.map(segJson).mkString(",")}]"""
       }.mkString(",")
       val json = s"""{"version":${m.version},"tables":{$tables}}"""
-      val tmp = Paths.get(root, s".manifest.tmp.${m.version}")
-      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(root, "manifest.json"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      val dst = new Path(root, "manifest.json")
+      val fs = dst.getFileSystem(conf)
+      val tmp = new Path(root, s".manifest.tmp.${m.version}")
+      writeBytes(fs, tmp, json.getBytes(StandardCharsets.UTF_8))
+      renameOverwrite(conf, fs, tmp, dst)
     }
 
-    def read(root: String): Option[Manifest] = {
-      val p = Paths.get(root, "manifest.json")
-      if (!Files.exists(p)) return None
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def read(root: String,
+             conf: Configuration = activeHadoopConf()): Option[Manifest] = {
+      val p = new Path(root, "manifest.json")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val json = new String(readBytes(fs, p), StandardCharsets.UTF_8)
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
       val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?\}""".r
