@@ -218,6 +218,59 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_est"))
   }
 
+  /** Stage 1 of the sketch-era heavy-hitters pipeline (the counter+sketch
+    * hybrid of Cormode & Hadjieleftheriou 2008, "Finding Frequent Items in
+    * Data Streams", re-shaped for disjoint shards): per-shard EXACT
+    * φ-frequent values. The pigeonhole guarantee: if count(v) ≥ φ·N
+    * globally then count_s(v) ≥ φ·N_s in at least one shard — otherwise
+    * summing the per-shard strict inequalities gives count(v) < φ·Σ N_s =
+    * φ·N, a contradiction. So the union of shard-local frequent sets
+    * contains EVERY global φ-heavy hitter, for ANY disjoint sharding of
+    * the rows: micro-batches, ingest dates, partition ids. Output is
+    * bounded by shards/φ rows per key — a tiny mergeable artifact, the
+    * candidate companion to a [[cmsRegisters]] sketch accumulated over the
+    * same shards.
+    *
+    * Scale shape: one map-side-combined (key, shard, value) aggregate;
+    * shard totals ride a window over that aggregate's own (already
+    * exchanged) output, so no second scan of the input. */
+  def frequentCandidates(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                         shardCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"need 0 < phi < 1, got phi=$phi")
+    import org.apache.spark.sql.expressions.Window
+    val grp = items
+      .groupBy((keyCols :+ shardCol :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    grp.withColumn("_tot", sum(col("_cnt"))
+        .over(Window.partitionBy((keyCols :+ shardCol).map(col): _*)))
+      .where(col("_cnt") >= ceil(col("_tot") * phi))
+      .select((keyCols :+ valueCol).map(col): _*)
+      .distinct()
+  }
+
+  /** Heavy hitters FROM THE SKETCH — the raw corpus is not re-read:
+    * estimate each candidate against a (possibly [[cmsMerge]]-accumulated)
+    * register frame and keep those at or above φ·n, where n per key is
+    * read off the sketch itself (every item increments exactly one counter
+    * per hash row, so n = Σ cnt over row 0). Both legs of the guarantee
+    * are one-sided in the safe direction: the [[frequentCandidates]] union
+    * misses no true hitter, and the CMS estimate never under-counts — so
+    * no true φ-heavy hitter among the candidates is ever dropped; false
+    * positives are bounded by the sketch's ε·N over-count and can be
+    * exact-verified with one candidate-filtered pass if the corpus is
+    * still available. Registers and candidates are both broadcast-small;
+    * the whole decision runs without touching corpus-scale data. */
+  def cmsHeavyHitters(registers: DataFrame, candidates: DataFrame,
+                      keyCols: Seq[String], valueCol: String, phi: Double,
+                      d: Int = 4, w: Int = 64): DataFrame = {
+    require(phi > 0 && phi < 1, s"need 0 < phi < 1, got phi=$phi")
+    val n = registers.where(col("row") === 0)
+      .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n_total"))
+    cmsEstimate(registers, candidates, keyCols, valueCol, d, w)
+      .join(broadcast(n), keyCols.toSeq)
+      .where(col("cms_est") >= ceil(col("n_total") * phi))
+  }
+
   /** DDSketch-style quantile registers (Masson, Lee & Rim 2019, "DDSketch:
     * A Fast and Fully-Mergeable Quantile Sketch with Relative-Error
     * Guarantees") — the QUANTILE member of the sketch family (HLL =

@@ -118,6 +118,72 @@ private[queries] object LlmSketchQueries {
              |      FROM toks GROUP BY source) USING (source)
              |ORDER BY source""".stripMargin)),
 
+    // Heavy hitters without re-reading the corpus (Cormode &
+    // Hadjieleftheriou 2008's counter+sketch hybrid over disjoint shards):
+    // per-shard exact φ-frequent tokens union to a candidate set that
+    // provably misses no global φ-heavy hitter (pigeonhole over shards);
+    // the merged CMS then decides from REGISTERS ALONE (n read off row 0,
+    // estimates never under-count — no true hitter dropped). n_exact rides
+    // along so both one-sided guarantees are visible per row.
+    QueryDef("q_heavy_hitters",
+      (s, d) => {
+        val phi = 0.04
+        val toks = table(s, d, "documents").select(col("source"),
+          (col("doc_id") % 4).as("shard"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+        val cand = graft.llm.Sketches.frequentCandidates(
+          toks, Seq("source"), "token", "shard", phi)
+        val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
+        val hh = graft.llm.Sketches.cmsHeavyHitters(
+          regs, cand, Seq("source"), "token", phi)
+        val exact = toks
+          .join(broadcast(hh.select("source", "token")), Seq("source", "token"), "left_semi")
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("n_exact"))
+        hh.join(exact, Seq("source", "token"))
+          .select(col("source"), col("token"), col("cms_est"),
+            col("n_total"), col("n_exact"))
+          .orderBy(col("source"), col("token"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id % 4 AS shard, token
+             |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |grp AS (
+             |  SELECT source, shard, token, count(*)::BIGINT AS cnt
+             |  FROM toks GROUP BY 1, 2, 3),
+             |cand AS (
+             |  SELECT DISTINCT source, token
+             |  FROM (SELECT source, shard, token, cnt,
+             |          sum(cnt) OVER (PARTITION BY source, shard) AS tot FROM grp)
+             |  WHERE cnt >= ceil(tot * 0.04)),
+             |regs AS (
+             |  SELECT source, r, ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c,
+             |         count(*)::BIGINT AS cnt
+             |  FROM toks, unnest(range(0, 4)) AS rs(r)
+             |  GROUP BY 1, 2, 3),
+             |n AS (SELECT source, sum(cnt)::BIGINT AS n_total FROM regs WHERE r = 0 GROUP BY 1),
+             |pb AS (
+             |  SELECT source, token, r,
+             |         ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c
+             |  FROM cand, unnest(range(0, 4)) AS rs(r)),
+             |est AS (
+             |  SELECT source, token, min(coalesce(cnt, 0))::BIGINT AS cms_est
+             |  FROM pb LEFT JOIN regs USING (source, r, c)
+             |  GROUP BY 1, 2),
+             |hh AS (
+             |  SELECT e.source, e.token, e.cms_est, n.n_total
+             |  FROM est e JOIN n USING (source)
+             |  WHERE e.cms_est >= ceil(n.n_total * 0.04)),
+             |exact AS (
+             |  SELECT source, token, count(*)::BIGINT AS n_exact
+             |  FROM toks JOIN hh USING (source, token)
+             |  GROUP BY 1, 2)
+             |SELECT h.source, h.token, h.cms_est, h.n_total, x.n_exact
+             |FROM hh h JOIN exact x USING (source, token)
+             |ORDER BY h.source, h.token""".stripMargin)),
+
     // DDSketch-style quantile sketch (Masson et al. 2019), integer-exact
     // bitlen/linear-sub-bucket variant: per-source doc-length quantile
     // BOUNDS [q_lo, q_hi) from the mergeable register artifact, alongside

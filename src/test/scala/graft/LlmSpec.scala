@@ -588,6 +588,50 @@ class LlmSpec extends SparkSpec {
     assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
+  test("heavy hitters: shard candidates miss no true hitter, sketch-only decision (seeded)") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(23)
+    // skewed corpus: a few heavy values + a long tail, rows sharded at random
+    // (the lemma must hold for ANY disjoint sharding)
+    val rows = (1 to 2000).map { _ =>
+      val v = rnd.nextInt(100) match {
+        case x if x < 30 => "heavy_a"
+        case x if x < 50 => "heavy_b"
+        case x if x < 58 => "mid_c"
+        case x           => s"tail_${x}_${rnd.nextInt(40)}"
+      }
+      ("k", rnd.nextInt(8).toLong, v)
+    }
+    val items = rows.toDF("g", "shard", "v")
+    val phi = 0.05
+    val exact = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    val trueHitters = exact.filter(_._2 >= math.ceil(rows.size * phi)).keySet
+    assert(trueHitters.nonEmpty && trueHitters.size < exact.size) // non-trivial
+
+    // stage 1: candidates from per-shard exact frequent sets — a SUPERSET
+    // of the true hitters under the pigeonhole lemma, and artifact-small
+    val cand = Sketches.frequentCandidates(items, Seq("g"), "v", "shard", phi)
+    val candSet = cand.select("v").as[String].collect().toSet
+    assert(trueHitters.subsetOf(candSet), s"missed: ${trueHitters.diff(candSet)}")
+    assert(candSet.size <= 8 * math.ceil(1 / phi).toInt)
+
+    // stage 2: the decision runs from MERGED per-shard registers alone —
+    // no raw-data pass — and its two one-sided guarantees hold: every true
+    // hitter among the candidates survives, every estimate >= truth
+    val regs = (0L to 7L).map(sh =>
+        Sketches.cmsRegisters(items.where(col("shard") === sh), Seq("g"), "v"))
+      .reduce(Sketches.cmsMerge(_, _, Seq("g")))
+    val hh = Sketches.cmsHeavyHitters(regs, cand, Seq("g"), "v", phi)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(trueHitters.subsetOf(hh.keySet), s"dropped: ${trueHitters.diff(hh.keySet)}")
+    assert(hh.forall { case (v, est) => est >= exact(v) })
+    // n read off the sketch equals the corpus size
+    val nTotal = Sketches.cmsHeavyHitters(regs, cand, Seq("g"), "v", phi)
+      .select("n_total").as[Long].head()
+    assert(nTotal == rows.size.toLong)
+  }
+
   test("quantile sketch: bounds bracket exact ranks, linear merge == union, fail-loud") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
