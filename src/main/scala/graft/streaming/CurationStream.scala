@@ -56,7 +56,12 @@ object CurationStream {
       codebook: DataFrame,    // residual PQ codebook (sub, code_id, cw)
       m: Int, subDim: Int,    // PQ geometry
       bands: Int, rowsPerBand: Int, shingle: Int,
-      semanticTau: Double)
+      semanticTau: Double,
+      // candidate FLOOR for the heavy-hitters telemetry: each batch records
+      // its exact hhPhi-frequent survivor tokens; [[corpusHeavyHitters]]
+      // may then be probed at any phi >= hhPhi (the pigeonhole guarantee
+      // needs the recorded floor at or below the probe)
+      hhPhi: Double = 0.01)
 
   /** Sink directories of the incremental pipeline. */
   final case class CurationSinks(
@@ -187,6 +192,18 @@ object CurationStream {
           length(col("text")).cast("long").as("v")),
         Seq("scope"), "v")
       .write.mode("overwrite").parquet(sinks.statsDir + "/qlen" + bdir)
+    // heavy-hitters telemetry, two mergeable legs: CMS token registers
+    // (counter-sum merge) and this batch's EXACT hhPhi-frequent survivor
+    // tokens — by pigeonhole a corpus-phi-heavy token (phi >= hhPhi) is
+    // hhPhi-heavy in at least one batch, so the candidate union misses
+    // none; [[corpusHeavyHitters]] then decides from registers alone
+    Sketches.cmsRegisters(survToks, Seq("scope"), "token")
+      .write.mode("overwrite").parquet(sinks.statsDir + "/cms" + bdir)
+    Sketches.frequentCandidates(
+        survToks.withColumn("shard", lit(batchId)),
+        Seq("scope"), "token", "shard", art.hhPhi)
+      .withColumn("sk_phi", lit(art.hhPhi))
+      .write.mode("overwrite").parquet(sinks.statsDir + "/hhcand" + bdir)
     survivors
   }
 
@@ -218,6 +235,44 @@ object CurationStream {
             "corpusStats: quantile registers appended with different s"))).as("sk_s"))
     (Sketches.hllEstimate(hll, Seq("scope")),
       Sketches.quantileEstimate(qlen, Seq("scope"), qs))
+  }
+
+  /** Corpus-level φ-heavy survivor tokens FROM TELEMETRY ALONE — the
+    * per-batch CMS registers fold by counter-wise sum (the linear-sketch
+    * merge law: exactly the sketch of all survivors ever appended) and the
+    * per-batch candidate union is probed against them
+    * ([[graft.llm.Sketches.cmsHeavyHitters]]); the curated corpus itself
+    * is never re-read. Both guarantee legs are one-sided in the safe
+    * direction — no true φ-heavy token is missed; over-counts can admit
+    * false positives bounded by the sketch's ε·N.
+    *
+    * `phi` must be at or above the pipeline's recorded candidate floor
+    * (CurationArtifacts.hhPhi) or the pigeonhole guarantee breaks —
+    * guarded in-plan via the sk_phi column the appends carry. */
+  def corpusHeavyHitters(spark: SparkSession, sinks: CurationSinks,
+                         phi: Double): DataFrame = {
+    val regs = spark.read.parquet(sinks.statsDir + "/cms")
+      .groupBy(col("scope"), col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"),
+        min(col("sk_d")).as("_dmin"), max(col("sk_d")).as("_dmax"),
+        min(col("sk_w")).as("_wmin"), max(col("sk_w")).as("_wmax"))
+      .select(col("scope"), col("row"), col("col"), col("cnt"),
+        when(col("_dmin") === col("_dmax"), col("_dmin"))
+          .otherwise(raise_error(lit(
+            "corpusHeavyHitters: CMS registers appended with different d"))).as("sk_d"),
+        when(col("_wmin") === col("_wmax"), col("_wmin"))
+          .otherwise(raise_error(lit(
+            "corpusHeavyHitters: CMS registers appended with different w"))).as("sk_w"))
+    // the floor guard anchors on the token column itself (a value the plan
+    // keeps) so column pruning can never optimize the raise_error away
+    val cand = spark.read.parquet(sinks.statsDir + "/hhcand")
+      .select(col("scope"),
+        when(col("sk_phi") <= phi, col("token"))
+          .otherwise(raise_error(lit(
+            s"corpusHeavyHitters: probe phi=$phi is below a batch's recorded" +
+              " candidate floor — true hitters could be missing"))).as("token"))
+      .distinct()
+    graft.llm.Sketches.cmsHeavyHitters(regs, cand, Seq("scope"), "token", phi)
   }
 
   /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`

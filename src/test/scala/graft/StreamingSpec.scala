@@ -495,6 +495,32 @@ class StreamingSpec extends SparkSpec {
     assert(hllB.collect().toSeq == directHll.collect().toSeq)
     assert(qlenA.orderBy("q").collect().toSeq == qlenB.orderBy("q").collect().toSeq)
 
+    // ---- heavy-hitters telemetry: the per-batch CMS registers + exact
+    // candidate lists decide corpus-level phi-heavy survivor tokens WITHOUT
+    // re-reading the corpus; both one-sided guarantees hold on any split ----
+    val survTokCounts = spark.read.parquet(sB.corpusDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "").groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    val nTok = survTokCounts.values.sum
+    val hhPhi = 0.10
+    val trueHeavy = survTokCounts.filter(_._2 >= math.ceil(nTok * hhPhi)).keySet
+    // a strict subset: "good"/"passage" recur across survivors, the rest don't
+    assert(trueHeavy.nonEmpty && trueHeavy.size < survTokCounts.size)
+    for (s <- Seq(sA, sB, sC)) {
+      val got = CurationStream.corpusHeavyHitters(spark, s, hhPhi)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(trueHeavy.subsetOf(got.keySet), s"missed hitters: ${trueHeavy.diff(got.keySet)}")
+      assert(got.forall { case (t, est) => est >= survTokCounts.getOrElse(t, 0L) },
+        "CMS under-counted")
+    }
+    // probing below the recorded candidate floor must fail loudly — a
+    // silent probe there could miss true hitters
+    val low = intercept[Exception] {
+      CurationStream.corpusHeavyHitters(spark, sB, 0.001).collect()
+    }
+    assert(low.getMessage.contains("candidate floor"), low.getMessage)
+
     // ---- plan shape: the composed one-shot reference never degenerates
     // into a cartesian (every dup relation is an equi-join or banded key
     // join; the gates are broadcast probes) ----
