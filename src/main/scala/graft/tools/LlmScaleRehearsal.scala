@@ -514,6 +514,34 @@ object LlmScaleRehearsal {
       .join(srcToks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("n_exact")), Seq("source", "token"))
       .where(col("cms_est") < col("n_exact")).count()
+    // heavy hitters over the REAL corpus: the shard-candidate union must
+    // contain every exact phi-heavy token (the pigeonhole guarantee under
+    // an arbitrary 8-way sharding), stay artifact-small, and the
+    // register-only decision must drop none of them
+    // 0.03 sits just under the fixture vocabulary's uniform token share, so
+    // the exact heavy set is NON-EMPTY at every sf — the no-false-negative
+    // gates below actually bite instead of passing vacuously
+    val hhPhi = 0.03
+    val hhToks = docsWide.select(col("source"),
+      (col("doc_id") % 8).as("shard"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val hhCand = graft.llm.Sketches.frequentCandidates(
+      hhToks, Seq("source"), "token", "shard", hhPhi).cache()
+    val hhCandRows = hhCand.count()
+    val hhSources = docsWide.select("source").distinct().count()
+    val hhExact = hhToks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .where(col("n") >= ceil(col("tot") * hhPhi))
+      .select("source", "token").cache()
+    val hhExactRows = hhExact.count()
+    val hhCandMissed = hhExact
+      .join(hhCand, Seq("source", "token"), "left_anti").count()
+    val hhDecided = graft.llm.Sketches.cmsHeavyHitters(
+      cmsRegs, hhCand, Seq("source"), "token", hhPhi)
+    val hhDroppedTrue = hhExact
+      .join(hhDecided, Seq("source", "token"), "left_anti").count()
     // quantile sketch: same sketch discipline — one keyed exchange,
     // ≤ 64·s register rows per key, linear split-merge equals the whole
     // sketch, and the [lo, hi) bounds BRACKET the exact rank quantile for
@@ -594,6 +622,8 @@ object LlmScaleRehearsal {
         s""""hll_merge_mismatch_rows":$hllMergeDiff,"hll_worst_rel_err":$hllWorstErr,""" +
         s""""cms_register_exchanges":$cmsEx,"cms_register_rows":$cmsRows,""" +
         s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder,""" +
+        s""""hh_candidate_rows":$hhCandRows,"hh_exact_rows":$hhExactRows,""" +
+        s""""hh_candidates_missed":$hhCandMissed,"hh_dropped_true":$hhDroppedTrue,""" +
         s""""quantile_register_exchanges":$qEx,"quantile_register_rows":$qRows,""" +
         s""""quantile_merge_mismatch_rows":$qMergeDiff,"quantile_out_of_bounds":$qOutOfBounds,""" +
         s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
@@ -725,6 +755,15 @@ object LlmScaleRehearsal {
     require(cmsUnder == 0,
       s"CMS under-counted $cmsUnder (source, token) frequencies — " +
         "impossible for a correct Count-Min")
+    require(hhCandMissed == 0,
+      s"heavy-hitter candidate union missed $hhCandMissed exact phi-heavy " +
+        "tokens — the pigeonhole guarantee is broken")
+    require(hhDroppedTrue == 0,
+      s"register-only heavy-hitter decision dropped $hhDroppedTrue true " +
+        "hitters — CMS must never under-count past the threshold")
+    require(hhCandRows <= hhSources * 8 * math.ceil(1 / hhPhi).toLong,
+      s"heavy-hitter candidate artifact unbounded: $hhCandRows rows " +
+        s"for $hhSources sources x 8 shards at phi=$hhPhi")
     require(qEx == 1, s"quantile register build must shuffle once: $qEx")
     require(qRows <= 64L * 16 * hllSources,
       s"quantile registers unbounded: $qRows rows for $hllSources sources")
