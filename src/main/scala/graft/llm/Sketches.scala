@@ -384,4 +384,90 @@ object Sketches {
       m * math.log(m.toDouble / (m - bucketsHit))
     else rawEst
   }
+
+  /** The k md5-carved bit positions of a Bloom filter (Bloom 1970,
+    * "Space/Time Trade-offs in Hash Coding with Allowable Errors") — the
+    * [[cmsBuckets]] carve mod m, shared by build and probe for the same
+    * must-not-fork reason: a forked derivation would read set bits as
+    * absent, a FALSE NEGATIVE, the one thing a Bloom filter must never
+    * produce. */
+  private def bloomBits(valueCol: String, k: Int, m: Int): Column = {
+    require(k >= 1 && k <= 4, s"md5 carves at most 4 disjoint 8-hex hashes, got k=$k")
+    require(m >= 2, s"need at least 2 bits, got m=$m")
+    val h = md5(col(valueCol).cast("string"))
+    array((0 until k).map(r =>
+      (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % m).cast("int")): _*)
+  }
+
+  /** Bloom MEMBERSHIP filter as a sparse register frame — the fourth
+    * member of the sketch family (HLL = distinct, CMS = frequency,
+    * quantile = rank): (keys..., bit, sk_k, sk_m), one row per bit
+    * actually SET. Sparse relational form beats a packed bitmap here:
+    * registers are bounded by min(k·|values|, m) rows per key, merge is
+    * plain set UNION ([[bloomMerge]] — the bitmap OR, idempotent and
+    * commutative, so re-appending a batch is harmless), and the whole
+    * derivation is md5 integer arithmetic — cross-engine exact like its
+    * three siblings. Membership ([[bloomContains]]) answers "possibly
+    * present" with NO false negatives ever; false positives at rate
+    * ≈ (1 − e^(−k·n/m))^k. The 100 TB role: a few-KB shippable
+    * pre-filter — benchmark-contamination probes, spent-ref membership,
+    * seen-URL checks — that prunes the expensive exact path without ever
+    * wrongly pruning a real member. */
+  def bloomRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                     k: Int = 4, m: Int = 1 << 16): DataFrame =
+    items.select(keyCols.map(col) :+
+        explode(bloomBits(valueCol, k, m)).as("bit"): _*)
+      .distinct()
+      .withColumn("sk_k", lit(k)).withColumn("sk_m", lit(m))
+
+  /** Merge two Bloom register frames over the same key space: set union —
+    * the bitmap OR. Build parameters are verified on every merged row
+    * (the sketch family's both-directions discipline): a (k, m) mismatch
+    * would silently turn probes into false negatives. */
+  def bloomMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols :+ "bit").map(col): _*)
+      .agg(min(col("sk_k")).as("_kmin"), max(col("sk_k")).as("_kmax"),
+        min(col("sk_m")).as("_mmin"), max(col("sk_m")).as("_mmax"))
+      .select((keyCols :+ "bit").map(col) :+
+        when(col("_kmin") === col("_kmax"), col("_kmin"))
+          .otherwise(raise_error(lit(
+            "bloomMerge: register frames built with different k"))).as("sk_k") :+
+        when(col("_mmin") === col("_mmax"), col("_mmin"))
+          .otherwise(raise_error(lit(
+            "bloomMerge: register frames built with different m"))).as("sk_m"): _*)
+
+  /** Membership probes: for each (key, value) probe row, `maybe_present`
+    * is true iff ALL k of its bits are set in the register frame. The
+    * guarantee is one-sided the safe way: a value that was EVER added
+    * reads true (no false negatives); an absent value reads true only on
+    * a k-fold bit collision. Registers join as a BROADCAST onto the probe
+    * stream (bounded by min(k·n, m) rows per key). The (k, m) build/probe
+    * mismatch guard works in both directions via the carried parameter
+    * columns, with the bit bound as a backstop — a mismatch would
+    * under-read set bits, manufacturing exactly the false negatives the
+    * filter exists to rule out. An empty register frame is the legitimate
+    * sketch of empty input: every probe correctly reads false. */
+  def bloomContains(registers: DataFrame, probes: DataFrame, keyCols: Seq[String],
+                    valueCol: String, k: Int = 4, m: Int = 1 << 16): DataFrame = {
+    val bounds = broadcast(registers.agg(
+      coalesce(max(col("bit")), lit(-1)).as("_maxb"),
+      coalesce(min(col("sk_k")), lit(k)).as("_kmin"),
+      coalesce(max(col("sk_k")), lit(k)).as("_kmax"),
+      coalesce(min(col("sk_m")), lit(m)).as("_mmin"),
+      coalesce(max(col("sk_m")), lit(m)).as("_mmax")))
+    probes.select(keyCols.map(col) :+ col(valueCol) :+
+        explode(bloomBits(valueCol, k, m)).as("bit"): _*)
+      .join(broadcast(registers.drop("sk_k", "sk_m")
+        .withColumn("_set", lit(1))), (keyCols :+ "bit").toSeq, "left_outer")
+      .crossJoin(bounds)
+      .select(keyCols.map(col) :+ col(valueCol) :+
+        when(col("_kmin") === k && col("_kmax") === k &&
+          col("_mmin") === m && col("_mmax") === m && col("_maxb") < m,
+          coalesce(col("_set"), lit(0)))
+          .otherwise(raise_error(lit(s"bloomContains: registers disagree with (k=$k, m=$m)" +
+            " — built with different parameters"))).as("_set"): _*)
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg((sum(col("_set")) === k).as("maybe_present"))
+  }
 }

@@ -184,6 +184,62 @@ private[queries] object LlmSketchQueries {
              |FROM hh h JOIN exact x USING (source, token)
              |ORDER BY h.source, h.token""".stripMargin)),
 
+    // Bloom membership filter (Bloom 1970) as a sparse register artifact:
+    // per-source filter built from the EVEN-doc half of the corpus, probed
+    // with every corpus token plus 20 guaranteed-absent literals.
+    // truly_present rides along so the one-sided guarantee is visible per
+    // row: maybe_present is true for EVERY truly-present token (no false
+    // negatives, the filter's contract), false for absent ones except
+    // k-fold bit collisions. All-md5 integer bit math — cross-engine exact.
+    QueryDef("q_bloom_filter",
+      (s, d) => {
+        val (k, m) = (4, 4096)
+        val toks = table(s, d, "documents").select(col("source"), col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+        val build = toks.where(col("doc_id") % 2 === 0)
+          .select("source", "token").distinct()
+        val regs = graft.llm.Sketches.bloomRegisters(build, Seq("source"), "token", k, m)
+        val probes = toks.select("source", "token").distinct()
+          .unionByName(table(s, d, "documents").select(col("source")).distinct()
+            .select(col("source"), explode(array((0 until 20).map(i =>
+              lit(s"absent_$i")): _*)).as("token")))
+        graft.llm.Sketches.bloomContains(regs, probes, Seq("source"), "token", k, m)
+          .join(build.withColumn("truly_present", lit(true)),
+            Seq("source", "token"), "left_outer")
+          .select(col("source"), col("token"), col("maybe_present"),
+            coalesce(col("truly_present"), lit(false)).as("truly_present"))
+          .orderBy(col("source"), col("token"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id, token
+             |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  WHERE token <> ''),
+             |build AS (
+             |  SELECT DISTINCT source, token FROM toks WHERE doc_id % 2 = 0),
+             |regs AS (
+             |  SELECT DISTINCT source,
+             |         ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 4096 AS bit
+             |  FROM build, unnest(range(0, 4)) AS rs(r)),
+             |probes AS (
+             |  SELECT DISTINCT source, token FROM toks
+             |  UNION
+             |  SELECT DISTINCT source, 'absent_' || i::VARCHAR AS token
+             |  FROM toks, unnest(range(0, 20)) AS t(i)),
+             |pb AS (
+             |  SELECT source, token, r,
+             |         ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 4096 AS bit
+             |  FROM probes, unnest(range(0, 4)) AS rs(r)),
+             |hit AS (
+             |  SELECT pb.source, pb.token, sum(coalesce(s.s, 0))::BIGINT AS nbits
+             |  FROM pb LEFT JOIN (SELECT source, bit, 1 AS s FROM regs) s
+             |    USING (source, bit)
+             |  GROUP BY 1, 2)
+             |SELECT h.source, h.token, h.nbits = 4 AS maybe_present,
+             |       (b.token IS NOT NULL) AS truly_present
+             |FROM hit h LEFT JOIN build b USING (source, token)
+             |ORDER BY h.source, h.token""".stripMargin)),
+
     // DDSketch-style quantile sketch (Masson et al. 2019), integer-exact
     // bitlen/linear-sub-bucket variant: per-source doc-length quantile
     // BOUNDS [q_lo, q_hi) from the mergeable register artifact, alongside

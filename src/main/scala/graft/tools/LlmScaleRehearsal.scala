@@ -542,6 +542,25 @@ object LlmScaleRehearsal {
       cmsRegs, hhCand, Seq("source"), "token", hhPhi)
     val hhDroppedTrue = hhExact
       .join(hhDecided, Seq("source", "token"), "left_anti").count()
+    // Bloom filter over the REAL corpus: every (source, token) that was
+    // added must probe back true (zero false negatives — the filter's
+    // contract), registers stay within min(k·n, m) per key, and the
+    // split-halves union-merge equals the whole-build frame row-for-row
+    val bloomBuild = srcToks.distinct().cache()
+    val bloomRegs = graft.llm.Sketches.bloomRegisters(bloomBuild, Seq("source"), "token")
+    val bloomRegRows = bloomRegs.count()
+    val bloomFalseNeg = graft.llm.Sketches.bloomContains(
+        bloomRegs, bloomBuild, Seq("source"), "token")
+      .where(!col("maybe_present")).count()
+    val bloomMergeDiff = graft.llm.Sketches.bloomMerge(
+        graft.llm.Sketches.bloomRegisters(
+          bloomBuild.where(crc32(col("token")) % 2 === 0), Seq("source"), "token"),
+        graft.llm.Sketches.bloomRegisters(
+          bloomBuild.where(crc32(col("token")) % 2 === 1), Seq("source"), "token"),
+        Seq("source"))
+      .unionByName(bloomRegs)
+      .groupBy(col("source"), col("bit"))
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
     // quantile sketch: same sketch discipline — one keyed exchange,
     // ≤ 64·s register rows per key, linear split-merge equals the whole
     // sketch, and the [lo, hi) bounds BRACKET the exact rank quantile for
@@ -624,6 +643,8 @@ object LlmScaleRehearsal {
         s""""cms_merge_mismatch_rows":$cmsMergeDiff,"cms_undercounts":$cmsUnder,""" +
         s""""hh_candidate_rows":$hhCandRows,"hh_exact_rows":$hhExactRows,""" +
         s""""hh_candidates_missed":$hhCandMissed,"hh_dropped_true":$hhDroppedTrue,""" +
+        s""""bloom_register_rows":$bloomRegRows,"bloom_false_negatives":$bloomFalseNeg,""" +
+        s""""bloom_merge_mismatch_rows":$bloomMergeDiff,""" +
         s""""quantile_register_exchanges":$qEx,"quantile_register_rows":$qRows,""" +
         s""""quantile_merge_mismatch_rows":$qMergeDiff,"quantile_out_of_bounds":$qOutOfBounds,""" +
         s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
@@ -764,6 +785,14 @@ object LlmScaleRehearsal {
     require(hhCandRows <= hhSources * 8 * math.ceil(1 / hhPhi).toLong,
       s"heavy-hitter candidate artifact unbounded: $hhCandRows rows " +
         s"for $hhSources sources x 8 shards at phi=$hhPhi")
+    require(bloomFalseNeg == 0,
+      s"Bloom filter produced $bloomFalseNeg false negatives — " +
+        "impossible for a correct filter")
+    require(bloomRegRows <= math.min(4L * bloomBuild.count(), (1L << 16) * hhSources),
+      s"Bloom registers unbounded: $bloomRegRows rows")
+    require(bloomMergeDiff == 0,
+      s"Bloom split-build union-merge diverged from the whole build: " +
+        s"$bloomMergeDiff mismatched register rows")
     require(qEx == 1, s"quantile register build must shuffle once: $qEx")
     require(qRows <= 64L * 16 * hllSources,
       s"quantile registers unbounded: $qRows rows for $hllSources sources")

@@ -588,6 +588,65 @@ class LlmSpec extends SparkSpec {
     assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
+  test("bloom filter: no false negatives ever, union merge, param guards, empty reads false") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    val added = (1 to 300).map(i => ("k", s"member_$i"))
+    val items = added.toDF("g", "v")
+    val regs = Sketches.bloomRegisters(items, Seq("g"), "v")
+    // every added value MUST read true — the filter's defining guarantee
+    val present = Sketches.bloomContains(regs, items.distinct(), Seq("g"), "v")
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(present.size == 300 && present.values.forall(identity))
+    // absent probes at this load factor (300·4 bits in 65536) read false
+    val absent = (1 to 300).map(i => ("k", s"other_$i")).toDF("g", "v")
+    val fp = Sketches.bloomContains(regs, absent, Seq("g"), "v")
+      .where(col("maybe_present")).count()
+    assert(fp <= 3, s"implausible false-positive count: $fp")
+    // registers are bounded and sparse
+    assert(regs.count() <= 4L * 300)
+    // merge is set union: two half-builds merge to EXACTLY the whole build
+    val h1 = items.where(col("v").substr(8, 10).cast("int") % 2 === 0)
+    val h2 = items.where(col("v").substr(8, 10).cast("int") % 2 === 1)
+    val mergedDiff = Sketches.bloomMerge(
+        Sketches.bloomRegisters(h1, Seq("g"), "v"),
+        Sketches.bloomRegisters(h2, Seq("g"), "v"), Seq("g"))
+      .unionByName(regs)
+      .groupBy(col("g"), col("bit"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    assert(mergedDiff == 0)
+    // re-appending a batch is harmless (idempotent union)
+    val reDiff = Sketches.bloomMerge(regs, Sketches.bloomRegisters(h1, Seq("g"), "v"),
+        Seq("g"))
+      .unionByName(regs).groupBy(col("g"), col("bit"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .where(col("n") =!= 2).count()
+    assert(reDiff == 0)
+    // (k, m) mismatch in EITHER direction must fail loudly — a silent
+    // mismatch manufactures false negatives
+    val wrongBig = intercept[Exception] {
+      Sketches.bloomContains(Sketches.bloomRegisters(items, Seq("g"), "v", m = 64),
+        items, Seq("g"), "v").collect()
+    }
+    assert(wrongBig.getMessage.contains("different parameters"), wrongBig.getMessage)
+    val wrongSmall = intercept[Exception] {
+      Sketches.bloomContains(regs, items, Seq("g"), "v", m = 64).collect()
+    }
+    assert(wrongSmall.getMessage.contains("different parameters"), wrongSmall.getMessage)
+    val wrongMerge = intercept[Exception] {
+      Sketches.bloomMerge(regs,
+        Sketches.bloomRegisters(items, Seq("g"), "v", m = 64), Seq("g")).collect()
+    }
+    assert(wrongMerge.getMessage.contains("different"), wrongMerge.getMessage)
+    // an empty register frame is the sketch of empty input: all-false, no guard trip
+    val emptyRegs = Sketches.bloomRegisters(
+      items.where(col("v") === "no-such"), Seq("g"), "v")
+    val emptyProbe = Sketches.bloomContains(emptyRegs, items.limit(5), Seq("g"), "v")
+      .select("maybe_present").as[Boolean].collect()
+    assert(emptyProbe.length == 5 && emptyProbe.forall(!_))
+  }
+
   test("heavy hitters: shard candidates miss no true hitter, sketch-only decision (seeded)") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
