@@ -427,6 +427,12 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       val to = new Path(rootPath, path)
       val srcFs = from.getFileSystem(hconf)
       fs.mkdirs(to.getParent)
+      // a crashed earlier attempt (copy done, manifest bump not) recomputes
+      // the same version and hence the same `to`; FileUtil.copy would then
+      // NEST the new copy inside the existing dir (checkDest redirects to
+      // to/<srcName> when the destination exists) alongside the partial
+      // files — delete the leftover first so retries overwrite cleanly
+      fs.delete(to, true)
       // recursive, cross-filesystem copy: src and dst may live on different
       // schemes (bootstrap a local index from an hdfs:// one, or vice versa)
       if (!FileUtil.copy(srcFs, from, fs, to, false, true, hconf))

@@ -31,15 +31,19 @@ case object MarkSpentInputs extends InputManagement
   * the identical end state (model-tested in IndexSpec), with strictly
   * fewer rows ever written than mark mode.
   *
-  * The spend MARKS always land, even for in-commit-dropped rows. Dropping
-  * a mark along with its row would be safe only if the row had never been
-  * committed before — but after a crash an OVERLAPPING batch may re-ingest
-  * a produce that an earlier batch already sealed (the INSERT OR IGNORE
-  * path), and losing its spend mark would leave that earlier copy visible
-  * as unspent forever. A mark whose row truly never landed simply dangles:
-  * [[graft.index.GraftIndex.reconcile]] left-joins marks onto inputs, so a
-  * dangling mark is invisible to every read, and the next pruneInputs /
-  * compact sweeps the delta entirely. */
+  * Dropping a row's spend MARK along with it is safe only if the row was
+  * never committed before — after a crash an OVERLAPPING batch may
+  * re-ingest a produce that an earlier batch already sealed (the INSERT
+  * OR IGNORE path), and losing its spend mark would leave that earlier
+  * copy visible as unspent forever. Overlap is decidable in O(1) from
+  * manifest stats: a batch whose min slot is beyond the committed
+  * checkpoint tip cannot re-deliver anything sealed (the steady-state
+  * forward case — marks of in-batch-dropped rows are dropped too, and the
+  * spends delta stays bounded by churn). A batch at or below the tip MAY
+  * overlap, so its marks all land; a mark whose row truly never landed
+  * simply dangles — [[graft.index.GraftIndex.reconcile]] left-joins marks
+  * onto inputs, so it is invisible to every read, and the next
+  * pruneInputs / compact sweeps the delta entirely. */
 final case class RemoveSpentInputs(longestRollback: Long, tipSlot: Long)
   extends InputManagement
 
@@ -60,16 +64,29 @@ object Indexer {
         // strict <, matching the reference's distanceToTip > unstableWindow
         val safe = m.spends.where(col("spent_at") < lit(tipSlot - longestRollback))
           .select("tx_id", "output_index")
-        // rows produced AND safely consumed within this batch never land.
-        // Their marks DO land regardless: an overlapping re-ingest may be
-        // re-producing a row an earlier batch already committed, and that
-        // copy still needs its spend (see the RemoveSpentInputs scaladoc);
-        // a mark whose row truly never landed dangles harmlessly until the
-        // next prune/compact empties the delta.
+        // rows produced AND safely consumed within this batch never land
         val removed = safe.join(m.produced.select("tx_id", "output_index"),
           Seq("tx_id", "output_index"), "left_semi")
+        // their marks drop with them ONLY when this batch provably cannot
+        // overlap sealed data (min batch slot beyond the committed tip —
+        // O(1) from manifest stats + one tiny agg over the batch's own
+        // checkpoints). A possibly-overlapping batch keeps every mark: a
+        // re-delivered produce may duplicate a row an earlier batch
+        // committed, and that copy still needs its spend (see the
+        // RemoveSpentInputs scaladoc; IndexSpec pins the regression).
+        val committedTip = ix.manifest.tables.getOrElse("checkpoints", Nil)
+          .flatMap(_.maxSlot).maxOption
+        val batchMin = m.checkpoints.agg(min(col("slot_no"))).head() match {
+          case r if r.isNullAt(0) => None
+          case r                  => Some(r.getLong(0))
+        }
+        val mayOverlap = (committedTip, batchMin) match {
+          case (Some(t), Some(b)) => b <= t
+          case _                  => false
+        }
         (m.produced.join(removed, Seq("tx_id", "output_index"), "left_anti"),
-          m.spends)
+          if (mayOverlap) m.spends
+          else m.spends.join(removed, Seq("tx_id", "output_index"), "left_anti"))
     }
     // ONE atomic manifest bump for the whole batch (the reference's
     // one-transaction-per-drain); the six segment writes run sequentially —

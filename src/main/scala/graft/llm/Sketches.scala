@@ -391,13 +391,10 @@ object Sketches {
     * must-not-fork reason: a forked derivation would read set bits as
     * absent, a FALSE NEGATIVE, the one thing a Bloom filter must never
     * produce. */
-  private def bloomBits(valueCol: String, k: Int, m: Int): Column = {
-    require(k >= 1 && k <= 4, s"md5 carves at most 4 disjoint 8-hex hashes, got k=$k")
-    require(m >= 2, s"need at least 2 bits, got m=$m")
-    val h = md5(col(valueCol).cast("string"))
-    array((0 until k).map(r =>
-      (conv(substring(h, r * 8 + 1, 8), 16, 10).cast("long") % m).cast("int")): _*)
-  }
+  private def bloomBits(valueCol: String, k: Int, m: Int): Column =
+    // literally the CMS carve — ONE shared derivation, so the must-not-fork
+    // property is structural: a future hash change cannot diverge the two
+    cmsBuckets(valueCol, d = k, w = m)
 
   /** Bloom MEMBERSHIP filter as a sparse register frame — the fourth
     * member of the sketch family (HLL = distinct, CMS = frequency,
@@ -468,6 +465,11 @@ object Sketches {
           .otherwise(raise_error(lit(s"bloomContains: registers disagree with (k=$k, m=$m)" +
             " — built with different parameters"))).as("_set"): _*)
       .groupBy((keyCols :+ valueCol).map(col): _*)
-      .agg((sum(col("_set")) === k).as("maybe_present"))
+      // min, not sum === k: "every bit present" must be insensitive to row
+      // multiplicity — duplicate probe rows (2k exploded rows) and register
+      // frames that were concatenated rather than bloomMerge'd (a set bit
+      // fanning out to several join rows) would both break a sum-based
+      // count and manufacture false negatives; min is immune to both
+      .agg((min(col("_set")) === 1).as("maybe_present"))
   }
 }

@@ -95,11 +95,29 @@ object CurationStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) empty
-    else try
-      spark.read.parquet(dir)
-        .where(col("batch_id") < beforeBatch).drop("batch_id")
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    if (!fs.exists(p)) return empty
+    // only schema-inference failure (a dir holding marker trees but no data
+    // files yet) reads as empty; any OTHER shape must fail LOUDLY — in
+    // particular a pre-batch_id flat layout from an older deployment, which
+    // a blanket catch would silently treat as an empty index, re-admitting
+    // every historical near-duplicate and then corrupting the dir with a
+    // mixed flat+partitioned layout
+    val raw =
+      try Some(spark.read.parquet(dir))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          None
+      }
+    raw match {
+      case None => empty
+      case Some(df) if !df.columns.contains("batch_id") =>
+        throw new IllegalStateException(
+          s"curation sink $dir has no batch_id partition layout — data from " +
+            "a pre-idempotent deployment must be migrated (rewrite it under " +
+            "a batch_id=<n> subtree below the next batch id) before resuming")
+      case Some(df) => df.where(col("batch_id") < beforeBatch).drop("batch_id")
+    }
   }
 
   /** The per-doc QUALITY GATES — text-pure, batching-independent:

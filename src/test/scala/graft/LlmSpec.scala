@@ -594,10 +594,17 @@ class LlmSpec extends SparkSpec {
     val added = (1 to 300).map(i => ("k", s"member_$i"))
     val items = added.toDF("g", "v")
     val regs = Sketches.bloomRegisters(items, Seq("g"), "v")
-    // every added value MUST read true — the filter's defining guarantee
+    // every added value MUST read true — the filter's defining guarantee —
+    // including under DUPLICATE probe rows and registers that were
+    // concatenated instead of bloomMerge'd (row multiplicity must never
+    // read as a missing bit)
     val present = Sketches.bloomContains(regs, items.distinct(), Seq("g"), "v")
       .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
     assert(present.size == 300 && present.values.forall(identity))
+    val dupProbePresent = Sketches.bloomContains(
+        regs.unionByName(regs), items.unionByName(items), Seq("g"), "v")
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(dupProbePresent.size == 300 && dupProbePresent.values.forall(identity))
     // absent probes at this load factor (300·4 bits in 65536) read false
     val absent = (1 to 300).map(i => ("k", s"other_$i")).toDF("g", "v")
     val fp = Sketches.bloomContains(regs, absent, Seq("g"), "v")
