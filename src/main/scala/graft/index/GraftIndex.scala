@@ -26,8 +26,12 @@ import java.nio.charset.StandardCharsets
   * a few partitions and rewriting the table.
   */
 final class GraftIndex(val spark: SparkSession, val root: String,
-                       val vacuumGraceMs: Long = GraftIndex.DefaultVacuumGraceMs) {
+                       val vacuumGraceMs: Long = GraftIndex.DefaultVacuumGraceMs,
+                       val manifestRetention: Int = 1) {
   import GraftIndex._
+
+  require(manifestRetention >= 1,
+    s"manifestRetention must be >= 1, got $manifestRetention")
 
   // All control-plane IO (manifest, vacuum bookkeeping, segment adoption)
   // goes through the Hadoop FileSystem resolved FROM the root path, so the
@@ -41,6 +45,56 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   fs.mkdirs(rootPath)
 
   def manifest: Manifest = Manifest.read(root, hconf).getOrElse(Manifest(0, Map.empty))
+
+  /** TIME TRAVEL (`manifestRetention` > 1): every commit also writes its
+    * manifest as `.manifest-v<version>.json` and keeps the newest
+    * `manifestRetention` versions; [[vacuum]] pins the union of their
+    * segments, so `tableAt(name, asOfVersion(v).get)` is a consistent
+    * historical snapshot until v falls out of retention. The default
+    * retention of 1 writes nothing extra — time travel is strictly
+    * opt-in, and disk == current manifest stays exact (the rehearsal's
+    * vacuum gate). Readers already pin a manifest per query; this merely
+    * keeps old manifests (and their segments) reachable on purpose. */
+  def asOfVersion(version: Long): Option[Manifest] = {
+    val cur = manifest
+    if (version == cur.version) Some(cur)
+    else {
+      val p = versionedManifestPath(version)
+      if (!fs.exists(p)) None
+      else Manifest.parse(new String(readBytes(fs, p), StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Versions currently readable via [[asOfVersion]] (newest first). */
+  def retainedVersions(): Seq[Long] =
+    (manifest.version +: listVersionedManifests().map(_._1)).distinct.sorted.reverse
+
+  private def versionedManifestPath(v: Long) =
+    new Path(rootPath, f".manifest-v$v%09d.json")
+
+  private def listVersionedManifests(): Seq[(Long, Path)] = {
+    val re = """\.manifest-v(\d{9})\.json""".r
+    try fs.listStatus(rootPath).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case re(v) => Some(v.toLong -> st.getPath)
+        case _     => None
+      }
+    }.toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  /** ONE commit: swap manifest.json, and under retention > 1 also record
+    * the versioned copy and drop versions past the window. Every mutation
+    * funnels through here. */
+  private def commitManifest(m: Manifest): Unit = {
+    if (manifestRetention > 1) {
+      writeBytes(fs, versionedManifestPath(m.version),
+        Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
+      listVersionedManifests().sortBy(-_._1).drop(manifestRetention)
+        .foreach { case (_, p) => fs.delete(p, false) }
+    }
+    Manifest.write(root, m, hconf)
+  }
 
   private def schemaOf(table: String) = table match {
     case "inputs"      => Schemas.inputsType
@@ -103,7 +157,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val seg = writeSegment(table, df, m.version + 1)
     if (seg.isEmpty) return // nothing written → no manifest bump
     val segs = liveSegments(table, m.tables.getOrElse(table, Nil) ++ seg)
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, segs)), hconf)
+    commitManifest(Manifest(m.version + 1, m.tables.updated(table, segs)))
   }
 
   /** Commit several table changes in ONE atomic manifest bump — the true
@@ -149,15 +203,15 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
       acc.updated(t, liveSegments(t, base ++ seg.toList))
     }
-    Manifest.write(root, Manifest(v, tables), hconf)
+    commitManifest(Manifest(v, tables))
   }
 
   /** Replace the full contents of a table with `df` (mutation rewrites). */
   def replace(table: String, df: DataFrame): Unit = {
     val m = manifest
     val seg = writeSegment(table, df, m.version + 1)
-    Manifest.write(root, Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, seg.toList))), hconf)
+    commitManifest(Manifest(m.version + 1,
+      m.tables.updated(table, liveSegments(table, seg.toList))))
   }
 
   /** Replace keeping the given existing segments and adding `df` as a new one
@@ -165,8 +219,8 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def replaceWith(table: String, kept: List[Segment], df: Option[DataFrame]): Unit = {
     val m = manifest
     val segs = kept ++ df.flatMap(writeSegment(table, _, m.version + 1)).toList
-    Manifest.write(root, Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, segs))), hconf)
+    commitManifest(Manifest(m.version + 1,
+      m.tables.updated(table, liveSegments(table, segs))))
   }
 
   /** Write one segment; None when the frame is empty (row count rides the
@@ -298,7 +352,14 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * the streaming drain; call directly for an immediate sweep.
     * Returns the number of directories deleted. */
   def vacuum(graceMs: Long): Int = {
-    val live = manifest.tables.valuesIterator.flatten.map(_.path).toSet
+    // live = the CURRENT manifest's segments, plus — under time-travel
+    // retention — every segment any retained versioned manifest still
+    // references: a historical snapshot must stay readable until its
+    // manifest ages out of the window (then its exclusive segments become
+    // ordinary vacuum candidates)
+    val live = (manifest +: listVersionedManifests().flatMap { case (_, p) =>
+        Manifest.parse(new String(readBytes(fs, p), StandardCharsets.UTF_8))
+      }).flatMap(_.tables.valuesIterator.flatten.map(_.path)).toSet
     val now = System.currentTimeMillis()
     def subdirs(p: Path): List[Path] =
       try fs.listStatus(p).iterator.filter(_.isDirectory).map(_.getPath).toList
@@ -439,7 +500,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
         throw new java.io.IOException(s"adoptSegments: copy $from -> $to failed")
       sg.copy(path = path)
     }
-    Manifest.write(root, Manifest(m.version + 1, m.tables.updated(table, adopted)), hconf)
+    commitManifest(Manifest(m.version + 1, m.tables.updated(table, adopted)))
   }
 
   /** Register the index as temp views (`<prefix>inputs` is the RECONCILED
@@ -508,8 +569,7 @@ object GraftIndex {
     /** Hand-rolled JSON — flat, fixed shape; avoids dragging a JSON library
       * into the public API. `spent` is absent for Unknown, null for
       * NoneSpent, a number for MaxAt (backward-compatible read). */
-    def write(root: String, m: Manifest,
-              conf: Configuration = activeHadoopConf()): Unit = {
+    def toJson(m: Manifest): String = {
       def segJson(s: Segment) = {
         val spent = s.spent match {
           case SpentStat.Unknown   => ""
@@ -521,7 +581,12 @@ object GraftIndex {
       val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
         s""""$t":[${segs.map(segJson).mkString(",")}]"""
       }.mkString(",")
-      val json = s"""{"version":${m.version},"tables":{$tables}}"""
+      s"""{"version":${m.version},"tables":{$tables}}"""
+    }
+
+    def write(root: String, m: Manifest,
+              conf: Configuration = activeHadoopConf()): Unit = {
+      val json = toJson(m)
       val dst = new Path(root, "manifest.json")
       val fs = dst.getFileSystem(conf)
       val tmp = new Path(root, s".manifest.tmp.${m.version}")
@@ -534,7 +599,10 @@ object GraftIndex {
       val p = new Path(root, "manifest.json")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None
-      val json = new String(readBytes(fs, p), StandardCharsets.UTF_8)
+      parse(new String(readBytes(fs, p), StandardCharsets.UTF_8))
+    }
+
+    def parse(json: String): Option[Manifest] = {
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
       val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?\}""".r

@@ -460,6 +460,46 @@ class IndexSpec extends SparkSpec {
     assert(visible(mark2).filter(_._4.isEmpty) == visible(rm2).filter(_._4.isEmpty))
   }
 
+  test("time travel: retained manifests pin snapshots, aging out releases them") {
+    val tt = new GraftIndex(spark, tmpDir("graft-ix-tt"),
+      vacuumGraceMs = 0L, manifestRetention = 3)
+    Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.take(4)), patterns)
+    val v1 = tt.manifest.version
+    val rows1 = tt.table("inputs").count()
+    Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.slice(4, 8)), patterns)
+    Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.slice(8, 12)), patterns)
+
+    // the v1 snapshot still reads EXACTLY batch 1 while current reads all
+    val m1 = tt.asOfVersion(v1)
+    assert(m1.isDefined)
+    assert(tt.tableAt("inputs", m1.get).count() == rows1)
+    assert(tt.table("inputs").count() > rows1)
+    assert(tt.retainedVersions().contains(v1))
+
+    // a compact + zero-grace vacuum must NOT break a retained snapshot:
+    // the rewritten-away segments are pinned by the retained manifests
+    val v3 = tt.manifest.version
+    val rows3 = tt.table("inputs").count()
+    tt.compact()
+    tt.vacuum(0L)
+    val m3 = tt.asOfVersion(v3)
+    assert(m3.isDefined)
+    assert(tt.tableAt("inputs", m3.get).count() == rows3,
+      "retained snapshot must survive compact + vacuum")
+
+    // three more commits age v3 past the retention window; its manifest
+    // file goes away and a second sweep may collect its exclusive segments
+    (1 to 3).foreach(_ =>
+      Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.take(1)), patterns))
+    assert(tt.asOfVersion(v3).isEmpty, "aged-out version must not resolve")
+    tt.vacuum(0L)
+    assert(tt.table("inputs").count() > 0) // current stays intact
+
+    // the DEFAULT retention of 1 writes no versioned manifests at all —
+    // time travel is strictly opt-in, disk == current manifest stays exact
+    assert(ix.retainedVersions() == Seq(ix.manifest.version))
+  }
+
   test("remove-spent-inputs mode: overlapping re-ingest still spends the earlier copy") {
     import graft.ingest.RemoveSpentInputs
     // Crash-recovery shape: batch 1 commits the produce of X; the resumed
