@@ -34,6 +34,29 @@ object Bench {
 
   private val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
 
+  /** Committed per-query artifact path — the bench must be SELF-EVIDENCING
+    * (round-8 lesson: the driver keeps only a truncated stdout tail, which
+    * dropped per-query numbers for 94 of 115 queries and left the
+    * round-over-round story resting on prose). The full JSON line is
+    * written to `bench/full_r<N>.json` (N inferred as 1 + the newest
+    * committed BENCH_r*.json, overridable via SPARK_GRAFT_BENCH_OUT) and
+    * mirrored at `bench/full_latest.json`; both live in-repo so the
+    * end-of-round commit preserves every query's number regardless of
+    * what survives in stdout. */
+  private def artifactPaths(): Seq[java.nio.file.Path] = {
+    sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => Seq(java.nio.file.Paths.get(p))
+      case None =>
+        val re = """BENCH_r(\d+)\.json""".r
+        val prior = Option(new java.io.File(".").list()).toSeq.flatten.collect {
+          case re(n) => n.toInt
+        }
+        val round = if (prior.isEmpty) 0 else prior.max + 1
+        Seq(java.nio.file.Paths.get("bench", f"full_r$round%02d.json"),
+          java.nio.file.Paths.get("bench", "full_latest.json"))
+    }
+  }
+
   /** Cached-RDD storage report (stderr, debug runs only): whether the shared
     * artifacts stayed fully cached or were evicted/spilled between the warm
     * pass and the timed section. */
@@ -164,7 +187,15 @@ object Bench {
       "the probe values, not the worst-run sum. New queries: q_heavy_hitters " +
       "~1.2s (3 corpus token passes by design: candidates/registers/exact-verify), " +
       "q_bloom_filter ~0.6s"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}"""
+    println(line)
+    artifactPaths().foreach { p =>
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] full per-query artifact: $p")
+      } catch { case e: Throwable => System.err.println(s"[bench] artifact write $p failed: $e") }
+    }
     spark.stop()
   }
 }

@@ -27,7 +27,8 @@ import java.nio.charset.StandardCharsets
   */
 final class GraftIndex(val spark: SparkSession, val root: String,
                        val vacuumGraceMs: Long = GraftIndex.DefaultVacuumGraceMs,
-                       val manifestRetention: Int = 1) {
+                       val manifestRetention: Int = 1,
+                       private val pin: Option[GraftIndex.Manifest] = None) {
   import GraftIndex._
 
   require(manifestRetention >= 1,
@@ -44,7 +45,21 @@ final class GraftIndex(val spark: SparkSession, val root: String,
 
   fs.mkdirs(rootPath)
 
-  def manifest: Manifest = Manifest.read(root, hconf).getOrElse(Manifest(0, Map.empty))
+  def manifest: Manifest =
+    pin.getOrElse(Manifest.read(root, hconf).getOrElse(Manifest(0, Map.empty)))
+
+  /** TIME TRAVEL ON THE QUERY SURFACE: a read-only facade of this index
+    * pinned to retained version `v` — every read path (`table`,
+    * `tableSlotRange`, `reconcile`/`inputsWithSpends`,
+    * `inputsForSpentRange`, and hence the whole FoldInputs/counts family)
+    * resolves against the pinned manifest instead of re-reading
+    * manifest.json, so the snapshot is immune to concurrent mutations,
+    * rollbacks and compactions of the live index (vacuum keeps the pinned
+    * segments alive while v stays in the retention window). Mutations and
+    * vacuum through the facade fail loudly. None when v has aged out. */
+  def asOf(version: Long): Option[GraftIndex] =
+    asOfVersion(version).map(m =>
+      new GraftIndex(spark, root, vacuumGraceMs, manifestRetention, Some(m)))
 
   /** TIME TRAVEL (`manifestRetention` > 1): every commit also writes its
     * manifest as `.manifest-v<version>.json` and keeps the newest
@@ -85,15 +100,27 @@ final class GraftIndex(val spark: SparkSession, val root: String,
 
   /** ONE commit: swap manifest.json, and under retention > 1 also record
     * the versioned copy and drop versions past the window. Every mutation
-    * funnels through here. */
+    * funnels through here.
+    *
+    * Ordering: the manifest.json rename IS the commit point, so the
+    * versioned time-travel copy is recorded only AFTER the swap succeeds
+    * (the segments are already durable by then, so post-swap ordering is
+    * safe) — a crash can never leave asOfVersion/retainedVersions exposing
+    * a snapshot that was never committed while manifest.json still points
+    * at the previous state. The drop-past-window prune then runs on EVERY
+    * commit, not just retention > 1 ones: reopening an index at the
+    * default retention of 1 after a retention > 1 period must retire the
+    * stale versioned manifests (and un-pin their segments from vacuum), or
+    * disk is never reclaimed and disabled snapshots stay readable. */
   private def commitManifest(m: Manifest): Unit = {
-    if (manifestRetention > 1) {
+    require(pin.isEmpty, "pinned snapshot is read-only — mutate through the live index")
+    Manifest.write(root, m, hconf)
+    if (manifestRetention > 1)
       writeBytes(fs, versionedManifestPath(m.version),
         Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
-      listVersionedManifests().sortBy(-_._1).drop(manifestRetention)
-        .foreach { case (_, p) => fs.delete(p, false) }
-    }
-    Manifest.write(root, m, hconf)
+    val keep = if (manifestRetention > 1) manifestRetention else 0
+    listVersionedManifests().sortBy(-_._1).drop(keep)
+      .foreach { case (_, p) => fs.delete(p, false) }
   }
 
   private def schemaOf(table: String) = table match {
@@ -352,6 +379,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * the streaming drain; call directly for an immediate sweep.
     * Returns the number of directories deleted. */
   def vacuum(graceMs: Long): Int = {
+    require(pin.isEmpty, "pinned snapshot is read-only — vacuum through the live index")
     // live = the CURRENT manifest's segments, plus — under time-travel
     // retention — every segment any retained versioned manifest still
     // references: a historical snapshot must stay readable until its

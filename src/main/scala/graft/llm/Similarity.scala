@@ -424,19 +424,34 @@ object Similarity {
     * manifest pointer instead (the discipline `GraftIndex.copyDatabase`
     * rehearses) and this function is the offline form. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
-    val tmp = indexDir + ".compacting"
-    spark.read.parquet(indexDir)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    // swap through the Hadoop FileSystem resolved from the path — works on
-    // any scheme the index might live on (file://, hdfs://, s3a://, ...),
+    // swaps go through the Hadoop FileSystem resolved from the path — works
+    // on any scheme the index might live on (file://, hdfs://, s3a://, ...),
     // where java.nio would only ever see the local disk
     val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    val src = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(dst, true)
+    // crash recovery: a previous attempt may have renamed the live dir
+    // aside without completing its swap — restore it before reading, and
+    // clear any stale half-written rewrite
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"compactIndex: crash recovery $old -> $indexDir failed")
+    fs.delete(src, true)
+    spark.read.parquet(indexDir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir + ".compacting")
+    // rename-aside swap, never delete-then-move: the live index is moved to
+    // `.old` (one rename), the rewrite moves into place (one rename), and
+    // only then is the old tree deleted — a crash at ANY point leaves the
+    // full index recoverable (at `.old` in the middle window, restored by
+    // the recovery step above), where the former delete+rename pair lost it
+    // permanently if the process died between the two
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"compactIndex: rename $indexDir -> $old failed")
     if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"compactIndex: rename $tmp -> $indexDir failed")
+      throw new java.io.IOException(s"compactIndex: rename $src -> $indexDir failed" +
+        s" (previous index preserved at $old)")
+    fs.delete(old, true)
   }
 
   /** The ADC distance tables as ONE broadcast row holding a DENSE double

@@ -38,6 +38,54 @@ object Sketches {
     require(p == 4 || p == 8 || p == 12,
       s"p must be 4, 8 or 12 (hex-digit bucket carve), got $p")
 
+  /** The ONE register-fold shape every sketch merge shares (and the
+    * curation telemetry's n-way folds reuse): group a register frame by
+    * (keys ++ the sketch's register coordinates), fold the value column
+    * with the sketch's merge law — bucket-wise max for HLL, counter-wise
+    * sum for the linear sketches, nothing for Bloom's set union — and
+    * verify every carried build-parameter column is CONSTANT within each
+    * colliding group (a mixed-parameter merge is a deployment bug and must
+    * fail loudly, not blend — the family's both-directions guard
+    * discipline). A fifth sketch gets the guard by construction instead of
+    * re-rolling it. Parameter columns are named `sk_<x>`; the error names
+    * the bare `<x>`. */
+  private[graft] def foldRegisters(regs: DataFrame, keyCols: Seq[String],
+                                   coordCols: Seq[String],
+                                   valueAgg: Option[(String, Column => Column)],
+                                   paramCols: Seq[String], ctx: String): DataFrame = {
+    val groupCols = (keyCols ++ coordCols).map(col)
+    val aggs = valueAgg.toSeq.map { case (c, f) => f(col(c)).as(c) } ++
+      paramCols.flatMap(p =>
+        Seq(min(col(p)).as(s"_${p}_min"), max(col(p)).as(s"_${p}_max")))
+    val guarded = paramCols.map { p =>
+      when(col(s"_${p}_min") === col(s"_${p}_max"), col(s"_${p}_min"))
+        .otherwise(raise_error(lit(
+          s"$ctx: register frames built with different ${p.stripPrefix("sk_")}")))
+        .as(p)
+    }
+    regs.groupBy(groupCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols ++ valueAgg.map(v => col(v._1)).toSeq ++ guarded: _*)
+  }
+
+  /** Exact integer form of `cnt >= phi·tot` — the heavy-hitter threshold
+    * (shared by [[frequentCandidates]], [[cmsHeavyHitters]] and the
+    * rehearsal's exact-verification gates, which MUST use the identical
+    * predicate or the gates can't see a boundary bug). `ceil(tot * phi)`
+    * in doubles inflates the cutoff by 1 exactly when phi·tot is integral
+    * but phi isn't representable (0.04·100 → 4.000000000000001 → ceil 5),
+    * silently excluding a value whose count EQUALS phi·tot — the boundary
+    * row the pigeonhole guarantee is stated over. Compare
+    * `cnt·S >= tot·round(phi·S)` in decimal arithmetic instead (S = 10⁹:
+    * phi is interpreted at 1e-9 granularity, and decimal(38,0) keeps the
+    * products exact far beyond any corpus size). */
+  private[graft] def atLeastPhiFraction(cnt: Column, tot: Column, phi: Double): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val scale = 1000000000L
+    cnt.cast(DecimalType(38, 0)) * lit(scale) >=
+      tot.cast(DecimalType(38, 0)) * lit(math.round(phi * scale))
+  }
+
   /** Per-key HLL register frame: (keys..., bucket, m_rho, sk_p) with one row
     * per NON-EMPTY bucket — empty buckets are implicit (the estimate counts
     * them as 2^0). `m_rho` is the max over the bucket's values of
@@ -69,15 +117,8 @@ object Sketches {
     * loudly); non-colliding mixed-p inputs survive the merge but are
     * caught by [[hllEstimate]]'s whole-frame check. */
   def hllMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
-    a.unionByName(b)
-      .groupBy((keyCols :+ "bucket").map(col): _*)
-      .agg(max(col("m_rho")).as("m_rho"),
-        min(col("sk_p")).as("_pmin"), max(col("sk_p")).as("_pmax"))
-      .select((keyCols :+ "bucket").map(col) :+ col("m_rho") :+
-        when(col("_pmin") === col("_pmax"), col("_pmin"))
-          .otherwise(raise_error(lit(
-            "hllMerge: register frames built with different p")))
-          .as("sk_p"): _*)
+    foldRegisters(a.unionByName(b), keyCols, Seq("bucket"),
+      Some("m_rho" -> max), Seq("sk_p"), "hllMerge")
 
   /** Raw HLL estimate per key from a register frame:
     * `est = α_m · m² / ((m − V) + Σ_hit 2^−M_j)` with V = buckets hit and
@@ -168,18 +209,8 @@ object Sketches {
     * loudly); non-colliding mixed-parameter inputs are caught by
     * [[cmsEstimate]]'s whole-frame check. */
   def cmsMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
-    a.unionByName(b)
-      .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        min(col("sk_d")).as("_dmin"), max(col("sk_d")).as("_dmax"),
-        min(col("sk_w")).as("_wmin"), max(col("sk_w")).as("_wmax"))
-      .select((keyCols :+ "row" :+ "col").map(col) :+ col("cnt") :+
-        when(col("_dmin") === col("_dmax"), col("_dmin"))
-          .otherwise(raise_error(lit(
-            "cmsMerge: register frames built with different d"))).as("sk_d") :+
-        when(col("_wmin") === col("_wmax"), col("_wmin"))
-          .otherwise(raise_error(lit(
-            "cmsMerge: register frames built with different w"))).as("sk_w"): _*)
+    foldRegisters(a.unionByName(b), keyCols, Seq("row", "col"),
+      Some("cnt" -> sum), Seq("sk_d", "sk_w"), "cmsMerge")
 
   /** CMS point estimates: for each (key, value) probe row, the min over
     * the d rows of its bucket counter (absent counters read 0). The
@@ -243,7 +274,12 @@ object Sketches {
       .agg(count(lit(1)).as("_cnt"))
     grp.withColumn("_tot", sum(col("_cnt"))
         .over(Window.partitionBy((keyCols :+ shardCol).map(col): _*)))
-      .where(col("_cnt") >= ceil(col("_tot") * phi))
+      // exact-integer threshold, NOT ceil(_tot * phi) in doubles: when
+      // phi·N is integral but phi isn't representable, the FP ceil lands
+      // one above and a value whose count exactly equals phi·N silently
+      // drops — breaking the no-false-negative pigeonhole guarantee on
+      // precisely its boundary case (see [[atLeastPhiFraction]])
+      .where(atLeastPhiFraction(col("_cnt"), col("_tot"), phi))
       .select((keyCols :+ valueCol).map(col): _*)
       .distinct()
   }
@@ -268,7 +304,8 @@ object Sketches {
       .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n_total"))
     cmsEstimate(registers, candidates, keyCols, valueCol, d, w)
       .join(broadcast(n), keyCols.toSeq)
-      .where(col("cms_est") >= ceil(col("n_total") * phi))
+      // same exact-integer boundary discipline as [[frequentCandidates]]
+      .where(atLeastPhiFraction(col("cms_est"), col("n_total"), phi))
   }
 
   /** DDSketch-style quantile registers (Masson, Lee & Rim 2019, "DDSketch:
@@ -319,14 +356,8 @@ object Sketches {
     * sketch of the concatenated input (linear, like [[cmsMerge]]); the
     * carried `sk_s` parameters are verified per colliding group. */
   def quantileMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
-    a.unionByName(b)
-      .groupBy((keyCols :+ "qb" :+ "sub").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        min(col("sk_s")).as("_smin"), max(col("sk_s")).as("_smax"))
-      .select((keyCols :+ "qb" :+ "sub").map(col) :+ col("cnt") :+
-        when(col("_smin") === col("_smax"), col("_smin"))
-          .otherwise(raise_error(lit(
-            "quantileMerge: register frames built with different s"))).as("sk_s"): _*)
+    foldRegisters(a.unionByName(b), keyCols, Seq("qb", "sub"),
+      Some("cnt" -> sum), Seq("sk_s"), "quantileMerge")
 
   /** Quantile estimates from a register frame: for each requested q, the
     * bucket holding the rank-⌈q·n⌉ value (ascending — the exact-rank
@@ -422,17 +453,8 @@ object Sketches {
     * (the sketch family's both-directions discipline): a (k, m) mismatch
     * would silently turn probes into false negatives. */
   def bloomMerge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
-    a.unionByName(b)
-      .groupBy((keyCols :+ "bit").map(col): _*)
-      .agg(min(col("sk_k")).as("_kmin"), max(col("sk_k")).as("_kmax"),
-        min(col("sk_m")).as("_mmin"), max(col("sk_m")).as("_mmax"))
-      .select((keyCols :+ "bit").map(col) :+
-        when(col("_kmin") === col("_kmax"), col("_kmin"))
-          .otherwise(raise_error(lit(
-            "bloomMerge: register frames built with different k"))).as("sk_k") :+
-        when(col("_mmin") === col("_mmax"), col("_mmin"))
-          .otherwise(raise_error(lit(
-            "bloomMerge: register frames built with different m"))).as("sk_m"): _*)
+    foldRegisters(a.unionByName(b), keyCols, Seq("bit"),
+      None, Seq("sk_k", "sk_m"), "bloomMerge")
 
   /** Membership probes: for each (key, value) probe row, `maybe_present`
     * is true iff ALL k of its bits are set in the register frame. The

@@ -157,7 +157,7 @@ private[queries] object LlmSketchQueries {
              |  SELECT DISTINCT source, token
              |  FROM (SELECT source, shard, token, cnt,
              |          sum(cnt) OVER (PARTITION BY source, shard) AS tot FROM grp)
-             |  WHERE cnt >= ceil(tot * 0.04)),
+             |  WHERE cnt::HUGEINT * 1000000000 >= tot::HUGEINT * 40000000),
              |regs AS (
              |  SELECT source, r, ('0x' || substr(md5(token), r * 8 + 1, 8))::BIGINT % 64 AS c,
              |         count(*)::BIGINT AS cnt
@@ -175,7 +175,7 @@ private[queries] object LlmSketchQueries {
              |hh AS (
              |  SELECT e.source, e.token, e.cms_est, n.n_total
              |  FROM est e JOIN n USING (source)
-             |  WHERE e.cms_est >= ceil(n.n_total * 0.04)),
+             |  WHERE e.cms_est::HUGEINT * 1000000000 >= n.n_total::HUGEINT * 40000000),
              |exact AS (
              |  SELECT source, token, count(*)::BIGINT AS n_exact
              |  FROM toks JOIN hh USING (source, token)

@@ -232,25 +232,14 @@ object CurationStream {
     * Returns (distinct-token estimate row, doc-length quantile bounds). */
   def corpusStats(spark: SparkSession, sinks: CurationSinks,
                   qs: Seq[Double] = Seq(0.5, 0.9)): (DataFrame, DataFrame) = {
-    // n-way register fold with the same per-group parameter guard the
-    // pairwise hllMerge/quantileMerge apply (a mixed-parameter append is
-    // a deployment bug and must fail loudly, not blend)
-    val hll = spark.read.parquet(sinks.statsDir + "/hll")
-      .groupBy(col("scope"), col("bucket"))
-      .agg(max(col("m_rho")).as("m_rho"),
-        min(col("sk_p")).as("_pmin"), max(col("sk_p")).as("_pmax"))
-      .select(col("scope"), col("bucket"), col("m_rho"),
-        when(col("_pmin") === col("_pmax"), col("_pmin"))
-          .otherwise(raise_error(lit(
-            "corpusStats: HLL registers appended with different p"))).as("sk_p"))
-    val qlen = spark.read.parquet(sinks.statsDir + "/qlen")
-      .groupBy(col("scope"), col("qb"), col("sub"))
-      .agg(sum(col("cnt")).as("cnt"),
-        min(col("sk_s")).as("_smin"), max(col("sk_s")).as("_smax"))
-      .select(col("scope"), col("qb"), col("sub"), col("cnt"),
-        when(col("_smin") === col("_smax"), col("_smin"))
-          .otherwise(raise_error(lit(
-            "corpusStats: quantile registers appended with different s"))).as("sk_s"))
+    // n-way register folds through the sketch family's ONE shared
+    // fold/guard shape ([[Sketches.foldRegisters]]): the per-batch appends
+    // reduce by each sketch's own merge law, and a mixed-parameter append
+    // fails loudly per colliding group instead of blending
+    val hll = Sketches.foldRegisters(spark.read.parquet(sinks.statsDir + "/hll"),
+      Seq("scope"), Seq("bucket"), Some("m_rho" -> max), Seq("sk_p"), "corpusStats")
+    val qlen = Sketches.foldRegisters(spark.read.parquet(sinks.statsDir + "/qlen"),
+      Seq("scope"), Seq("qb", "sub"), Some("cnt" -> sum), Seq("sk_s"), "corpusStats")
     (Sketches.hllEstimate(hll, Seq("scope")),
       Sketches.quantileEstimate(qlen, Seq("scope"), qs))
   }
@@ -269,18 +258,9 @@ object CurationStream {
     * guarded in-plan via the sk_phi column the appends carry. */
   def corpusHeavyHitters(spark: SparkSession, sinks: CurationSinks,
                          phi: Double): DataFrame = {
-    val regs = spark.read.parquet(sinks.statsDir + "/cms")
-      .groupBy(col("scope"), col("row"), col("col"))
-      .agg(sum(col("cnt")).as("cnt"),
-        min(col("sk_d")).as("_dmin"), max(col("sk_d")).as("_dmax"),
-        min(col("sk_w")).as("_wmin"), max(col("sk_w")).as("_wmax"))
-      .select(col("scope"), col("row"), col("col"), col("cnt"),
-        when(col("_dmin") === col("_dmax"), col("_dmin"))
-          .otherwise(raise_error(lit(
-            "corpusHeavyHitters: CMS registers appended with different d"))).as("sk_d"),
-        when(col("_wmin") === col("_wmax"), col("_wmin"))
-          .otherwise(raise_error(lit(
-            "corpusHeavyHitters: CMS registers appended with different w"))).as("sk_w"))
+    val regs = Sketches.foldRegisters(spark.read.parquet(sinks.statsDir + "/cms"),
+      Seq("scope"), Seq("row", "col"), Some("cnt" -> sum), Seq("sk_d", "sk_w"),
+      "corpusHeavyHitters")
     // the floor guard anchors on the token column itself (a value the plan
     // keeps) so column pruning can never optimize the raise_error away
     val cand = spark.read.parquet(sinks.statsDir + "/hhcand")
@@ -291,6 +271,92 @@ object CurationStream {
               " candidate floor — true hitters could be missing"))).as("token"))
       .distinct()
     graft.llm.Sketches.cmsHeavyHitters(regs, cand, Seq("scope"), "token", phi)
+  }
+
+  /** TELESCOPING SINK COMPACTION — the maintenance job that stops the
+    * curation sinks growing one `batch_id=<n>` partition per micro-batch
+    * forever (the small-files disease: at 10⁴–10⁵ batches the per-probe
+    * file listing and plan size degrade every [[readOrEmpty]] — the same
+    * problem the ANN index solves with [[Similarity.compactIndex]] and the
+    * kupo index with `GraftIndex.compact`, reference analogue SQLite.hs's
+    * post-copy compaction discipline). Folds every partition with
+    * `batch_id <= upTo` of every sink into ONE consolidated
+    * `batch_id=<upTo>` partition, rows verbatim (registers keep their
+    * linear/max merge laws untouched — they are NOT folded here, only
+    * re-filed), so every probe and telemetry fold reads exactly the same
+    * frame as before: a later batch's `batch_id < id` filter sees the
+    * consolidated partition iff it saw the originals.
+    *
+    * `upTo` MUST be strictly below any batch id that may still replay —
+    * with Structured Streaming that is every id except the current
+    * in-flight one (replays overwrite their own `batch_id=<id>` subtree;
+    * folding a replayable batch would leave its rows both in the
+    * consolidated partition and in the replay's fresh one).
+    *
+    * Crash discipline (per sink, offline-job contract like
+    * [[Similarity.compactIndex]]): the consolidated tree is written to a
+    * dot-prefixed dir (invisible to parquet listing), originals are
+    * renamed aside into a trash dir, ONE rename publishes the consolidated
+    * partition, then trash is deleted. A crash at any point leaves the
+    * data recoverable, and the next invocation self-heals: a leftover
+    * work dir means the publish never happened (originals restore from
+    * trash and the attempt restarts); trash without a work dir means it
+    * did (cleanup finishes). */
+  def compactSinks(spark: SparkSession, sinks: CurationSinks, upTo: Long): Unit = {
+    compactOne(spark, sinks.corpusDir, upTo, Nil)
+    compactOne(spark, sinks.sigDir, upTo, Nil)
+    compactOne(spark, sinks.vecDir, upTo, Seq("cell"))
+    compactOne(spark, sinks.idxDir, upTo, Seq("cell"))
+    Seq("/hll", "/qlen", "/cms", "/hhcand")
+      .foreach(s => compactOne(spark, sinks.statsDir + s, upTo, Nil))
+  }
+
+  private def compactOne(spark: SparkSession, dir: String, upTo: Long,
+                         partCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val work = new Path(root, s".compact-$upTo")
+    val trash = new Path(root, s".compact-$upTo.trash")
+    // self-heal a crashed earlier attempt: restore FIRST, then clear the
+    // work dir — originals in trash are authoritative until the publish
+    // rename (the only step that removes the work dir) has happened
+    if (fs.exists(work)) {
+      if (fs.exists(trash))
+        fs.listStatus(trash).foreach(st =>
+          fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+      fs.delete(trash, true)
+      fs.delete(work, true)
+    } else if (fs.exists(trash)) {
+      fs.delete(trash, true) // publish happened; finish the cleanup
+    }
+    val re = """batch_id=(\d+)""".r
+    val originals = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case re(n) if n.toLong <= upTo => Some(st.getPath)
+        case _                         => None
+      }
+    }
+    if (originals.size <= 1) return // already telescoped (idempotent)
+    val folded = spark.read.parquet(dir)
+      .where(col("batch_id") <= upTo).drop("batch_id")
+    // one task per partition value (or one file total for unpartitioned
+    // register/signature sinks) — the file-count bound the job exists for
+    val sized =
+      if (partCols.nonEmpty) folded.repartition(partCols.map(col): _*)
+      else folded.coalesce(1)
+    (if (partCols.nonEmpty) sized.write.partitionBy(partCols: _*) else sized.write)
+      .mode("overwrite").parquet(work.toString)
+    fs.mkdirs(trash)
+    originals.foreach { p =>
+      if (!fs.rename(p, new Path(trash, p.getName)))
+        throw new java.io.IOException(s"compactSinks: rename $p aside failed")
+    }
+    if (!fs.rename(work, new Path(root, s"batch_id=$upTo")))
+      throw new java.io.IOException(
+        s"compactSinks: publish $work -> $root/batch_id=$upTo failed (originals preserved in $trash)")
+    fs.delete(trash, true)
   }
 
   /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`

@@ -533,7 +533,10 @@ object LlmScaleRehearsal {
       .agg(count(lit(1)).as("n"))
       .withColumn("tot", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
-      .where(col("n") >= ceil(col("tot") * hhPhi))
+      // the exact set uses the SAME exact-integer threshold as the
+      // production predicate — a forked FP ceil here would blind the
+      // missed==0 gate to the boundary case the predicate exists to keep
+      .where(graft.llm.Sketches.atLeastPhiFraction(col("n"), col("tot"), hhPhi))
       .select("source", "token").cache()
     val hhExactRows = hhExact.count()
     val hhCandMissed = hhExact
