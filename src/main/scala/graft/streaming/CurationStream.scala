@@ -339,8 +339,16 @@ object CurationStream {
       }
     }
     if (originals.size <= 1) return // already telescoped (idempotent)
-    val folded = spark.read.parquet(dir)
-      .where(col("batch_id") <= upTo).drop("batch_id")
+    // a sink whose batches were all empty (marker trees, no data files) has
+    // nothing to fold — same schema-inference tolerance as readOrEmpty
+    val raw =
+      try spark.read.parquet(dir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return
+      }
+    val folded = raw.where(col("batch_id") <= upTo).drop("batch_id")
     // one task per partition value (or one file total for unpartitioned
     // register/signature sinks) — the file-count bound the job exists for
     val sized =

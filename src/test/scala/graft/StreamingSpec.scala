@@ -528,5 +528,78 @@ class StreamingSpec extends SparkSpec {
       docs.toDF("doc_id", "text", "embedding"), art)
       .queryExecution.executedPlan.toString
     assert(!refPlan.contains("CartesianProduct"), refPlan)
+
+    // ======== telescoping sink compaction ========
+    // sD replays split C (one doc per batch, ids 0..6), then folds batches
+    // <= 4; every probe surface must be indistinguishable from the
+    // uncompacted control, the stream must continue correctly THROUGH the
+    // consolidated partitions, and the partition count must actually drop
+    // (the whole point of the maintenance job).
+    def batchDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted
+    val sD = sinksIn("d")
+    docs.zipWithIndex.foreach { case (d, i) =>
+      CurationStream.curateBatch(Seq(d).toDF("doc_id", "text", "embedding"), art, sD, i.toLong)
+    }
+    assert(batchDirs(sD.sigDir).size == 7, batchDirs(sD.sigDir)) // one per batch
+    CurationStream.compactSinks(spark, sD, upTo = 4L)
+    // partition-count bound: batches 0..4 are ONE consolidated partition now
+    assert(batchDirs(sD.sigDir) == Seq("batch_id=4", "batch_id=5", "batch_id=6"),
+      batchDirs(sD.sigDir))
+    assert(batchDirs(sD.corpusDir) == Seq("batch_id=4", "batch_id=5", "batch_id=6"),
+      batchDirs(sD.corpusDir))
+    // net effect: identical to the uncompacted control on every surface
+    assert(corpusIds(sD) == expectSurvivors)
+    assert(spark.read.parquet(sD.sigDir).select("doc_id").as[Long].collect().toSet
+      == expectGatePassing)
+    assert(spark.read.parquet(sD.vecDir).select("vec_id").as[Long].collect().toSet
+      == expectGatePassing)
+    val (hllD, qlenD) = CurationStream.corpusStats(spark, sD)
+    assert(hllD.collect().toSeq == directHll.collect().toSeq)
+    assert(qlenD.orderBy("q").collect().toSeq == qlenB.orderBy("q").collect().toSeq)
+    val hhD = CurationStream.corpusHeavyHitters(spark, sD, hhPhi)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(trueHeavy.subsetOf(hhD.keySet), s"missed hitters: ${trueHeavy.diff(hhD.keySet)}")
+
+    // the stream continues THROUGH the consolidated partitions: a text dup
+    // of doc 10 must still be dropped (its probe now reads the folded
+    // signature index), a fresh doc survives — on BOTH the compacted run
+    // and the uncompacted control, identically
+    val more = Seq(
+      (17L, "good solid unique alpha passage about spark windows today",
+        Array(0f, 0f, 0f, 1f)),
+      (18L, "good wholly novel epsilon passage concerning catalyst rules",
+        Array(0f, 0f, -1f, 0f)))
+    CurationStream.curateBatch(more.toDF("doc_id", "text", "embedding"), art, sC, 7L)
+    CurationStream.curateBatch(more.toDF("doc_id", "text", "embedding"), art, sD, 7L)
+    assert(corpusIds(sC) == expectSurvivors + 18L, s"control: ${corpusIds(sC)}")
+    assert(corpusIds(sD) == corpusIds(sC), s"compacted run diverged: ${corpusIds(sD)}")
+
+    // idempotence: re-running the fold (and folding further) changes nothing
+    CurationStream.compactSinks(spark, sD, upTo = 4L)
+    CurationStream.compactSinks(spark, sD, upTo = 6L)
+    assert(batchDirs(sD.sigDir) == Seq("batch_id=6", "batch_id=7"), batchDirs(sD.sigDir))
+    assert(corpusIds(sD) == corpusIds(sC))
+    assert(CurationStream.corpusStats(spark, sD)._1.collect().toSeq
+      == CurationStream.corpusStats(spark, sC)._1.collect().toSeq)
+
+    // crash recovery: a leftover work dir (write done or partial, publish
+    // not) with originals renamed aside must restore and re-fold — the
+    // next compactSinks self-heals before folding
+    val sigRoot = new java.io.File(sD.sigDir)
+    val work = new java.io.File(sigRoot, ".compact-7")
+    val trash = new java.io.File(sigRoot, ".compact-7.trash")
+    assert(work.mkdir() && trash.mkdirs())
+    assert(new java.io.File(sigRoot, "batch_id=6")
+      .renameTo(new java.io.File(trash, "batch_id=6")))
+    CurationStream.compactSinks(spark, sD, upTo = 7L)
+    assert(batchDirs(sD.sigDir) == Seq("batch_id=7"), batchDirs(sD.sigDir))
+    assert(!work.exists() && !trash.exists())
+    // 17 is a dropped dup but GATE-PASSING, so its probe signature persists
+    // through every fold (the chain rule); 18 is fresh
+    assert(spark.read.parquet(sD.sigDir).select("doc_id").as[Long].collect().toSet
+      == expectGatePassing + 17L + 18L)
   }
 }
