@@ -566,6 +566,32 @@ object Similarity {
     * semi join's read stays bounded by the probed cells, and a serving
     * layer that wants row-group pruning can still materialize the ids —
     * the operator itself never does. */
+  /** MEASURED DEFAULT operating points for the composed two-stage
+    * retrieval, picked from the recall-vs-cost curve the rehearsal records
+    * and floor-gates every round (SCALE.md Appendix B): on both rehearsal
+    * scales the re-rank width c — not the probe count — is the recall
+    * lever (every nprobe row of the curve converges at each c; coverage
+    * ceiling is 1.0, cross-cell ADC drift is the limiter and the exact
+    * re-rank absorbs it). So the defaults probe a QUARTER of the cells
+    * (scan fraction stays 1/4 of the index at any scale) and spend the
+    * budget on the shortlist: BALANCED c = 5·k — curve point (2 of 8
+    * cells, c = 50) at k = 10: recall@10 0.9 sf0.01 / 0.6 sf0.1 — and
+    * CHEAP c = 2·k — curve point (2, 20): 0.7 / 0.3 — for callers pricing
+    * one narrower broadcast join over recall. Both points are gated one
+    * 0.1-step under measured in LlmScaleRehearsal, which also pins these
+    * helpers to the gated curve rows. */
+  def defaultNprobe(nCells: Int): Int = math.max(1, nCells / 4)
+  def defaultRerankWidth(k: Int): Int = 5 * k
+  def cheapRerankWidth(k: Int): Int = 2 * k
+
+  /** [[ivfPqTopKRerank]] at the documented default operating point:
+    * quarter-cell probe, c = 5·k shortlist (see [[defaultNprobe]]). */
+  def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                      embeddings: DataFrame, queryVecId: Long, k: Int,
+                      m: Int, subDim: Int): DataFrame =
+    ivfPqTopKRerank(encoded, centroids, codebook, embeddings, queryVecId, k,
+      defaultRerankWidth(k), defaultNprobe(centroids.count().toInt), m, subDim)
+
   def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
                       embeddings: DataFrame, queryVecId: Long, k: Int, c: Int,
                       nprobe: Int, m: Int, subDim: Int): DataFrame = {
@@ -590,6 +616,15 @@ object Similarity {
     * (query_id, vec_id, l2_dist) triples — the payload never shuffles and
     * no job touches the driver. Final distances and order are exact L2
     * within each query's shortlist; ties break on candidate vec_id. */
+  /** [[ivfPqKnnJoinRerank]] at the documented default operating point:
+    * quarter-cell probe, c = 5·k shortlist (see [[defaultNprobe]]). */
+  def ivfPqKnnJoinRerank(encoded: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame, queries: DataFrame,
+                         embeddings: DataFrame, k: Int,
+                         m: Int, subDim: Int): DataFrame =
+    ivfPqKnnJoinRerank(encoded, centroids, codebook, queries, embeddings, k,
+      defaultRerankWidth(k), defaultNprobe(centroids.count().toInt), m, subDim)
+
   def ivfPqKnnJoinRerank(encoded: DataFrame, centroids: DataFrame,
                          codebook: DataFrame, queries: DataFrame,
                          embeddings: DataFrame, k: Int, c: Int, nprobe: Int,

@@ -440,7 +440,19 @@ object TextAnalysis {
     * counts rather than post-merge recounts — the standard batched-BPE
     * trade. */
   def bpeTrain(docs: DataFrame, merges: Int,
-               textCol: String = "text", mergesPerRound: Int = 1): DataFrame = {
+               textCol: String = "text", mergesPerRound: Int = 1): DataFrame =
+    bpeTrainCounted(docs, merges, textCol, mergesPerRound)._1
+
+  /** [[bpeTrain]] plus the executed ROUND count — one round = one corpus
+    * pair-count job + one bounded collect, so rounds IS the trainer's job
+    * scaling contract: ⌈merges/mergesPerRound⌉ when the candidate supply
+    * lets every round fill (disjointness skips or a drained corpus can
+    * only add rounds, never hide them). Machine-checked in LlmSpec so a
+    * regression that quietly serializes the batched trainer back to
+    * one-merge-per-round fails a test instead of a 32k-job surprise. */
+  private[graft] def bpeTrainCounted(docs: DataFrame, merges: Int,
+                                     textCol: String = "text",
+                                     mergesPerRound: Int = 1): (DataFrame, Int) = {
     require(mergesPerRound >= 1, s"need mergesPerRound >= 1, got $mergesPerRound")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -450,8 +462,10 @@ object TextAnalysis {
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 0
+    var rounds = 0
     var done = false
     while (step < merges && !done) {
+      rounds += 1
       // over-fetch so disjointness skips can still fill the round (3x +
       // slack covers a worst-case chain of overlapping candidates)
       val top = words
@@ -484,7 +498,7 @@ object TextAnalysis {
         }
       }
     }
-    out.toSeq.toDF("step", "left", "right", "merged", "n")
+    (out.toSeq.toDF("step", "left", "right", "merged", "n"), rounds)
   }
 
   /** BPE encoding — the inference side of [[bpeTrain]]: apply a merge list

@@ -104,7 +104,56 @@ object KupoPipelineQueries {
         concat(lit("rdmr"), (col("l_orderkey") % 97).cast("string"))).as("spent_with"),
       (col("l_orderkey") / Schemas.BucketSize).cast("long").as("created_bucket"))
 
+  /** Normalized BLOCK frame derived from `orders` (the S4/S5/R11 read
+    * surface works on the block source, not the index): one tx per block,
+    * metadata on every third block as the wire's {"json": value} form —
+    * one int and one string label, so the metadatum_schema kernel's
+    * rendering is DuckDB-mirrorable byte for byte. */
+  private def derivedBlocks(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").select(
+      col("o_orderkey").as("slot_no"),
+      md5(col("o_orderkey").cast("string")).as("header_hash"),
+      array(struct(
+        txIdOf(col("o_orderkey")).as("id"),
+        when(col("o_orderkey") % 3 === 0,
+          map(
+            lit("674"),
+            concat(lit("{\"json\": "), (col("o_orderkey") % 100).cast("string"), lit("}")),
+            lit("721"),
+            concat(lit("{\"json\": \"w"), (col("o_orderkey") % 10).cast("string"), lit("\"}"))))
+          .as("metadata"))).as("txs"))
+
   private val cache = scala.collection.mutable.Map.empty[String, GraftIndex]
+
+  /** Index + retained snapshot version for the time-travel query: built
+    * once per sfDir with manifestRetention = 3, the cred7 slice of the
+    * derivation committed, the version CAPTURED, then a policy-pattern
+    * deleteInputs mutating the live state — so `asOf(version)` observably
+    * differs from the current manifest and the oracle checks the pinned
+    * snapshot, not the mutated head. */
+  private val asofCache = scala.collection.mutable.Map.empty[String, (GraftIndex, Long)]
+
+  private def snapshotIndex(s: SparkSession, dir: String): (GraftIndex, Long) = synchronized {
+    asofCache.getOrElseUpdate(dir, {
+      val ix = new GraftIndex(s,
+        java.nio.file.Files.createTempDirectory("graft-asof").toString,
+        manifestRetention = 3)
+      val inputs = derivedShelleyInputs(s, dir)
+        .where(graft.model.Pattern.MatchDelegation(cred7).toPredicate)
+        .cache()
+      val checkpoints = inputs.select(col("created_at").as("slot_no"))
+        .union(inputs.where(col("spent_at").isNotNull).select(col("spent_at")))
+        .distinct()
+        .select(col("slot_no"), md5(col("slot_no").cast("string")).as("header_hash"))
+      ix.replace("inputs", inputs)
+      ix.replace("checkpoints", checkpoints)
+      inputs.unpersist()
+      val snapVer = ix.manifest.version
+      graft.index.Mutations.deleteInputs(ix,
+        Set[graft.model.Pattern](graft.model.Pattern.MatchPolicyId(policy2)))
+      (ix, snapVer)
+    })
+  }
 
   private val lastCopyDir = new java.util.concurrent.atomic.AtomicReference[String]
 
@@ -155,10 +204,18 @@ object KupoPipelineQueries {
       .select(md5(concat(lit("s"), col("l_orderkey").cast("string"))).as("script_hash"))
       .distinct()
       .select(col("script_hash"), md5(col("script_hash")).as("script"))
+    // the ACTIVE PATTERN SET (R9's listing surface): one payment-credential
+    // pattern per distinct l_suppkey % 50 — data-derived so the oracle
+    // mirrors it relationally instead of hashing a constant
+    val patterns = li.select(
+        concat(lpad((col("l_suppkey") % 50).cast("string"), 56, "0"), lit("/*"))
+          .as("pattern"))
+      .distinct()
     ix.replace("inputs", inputs)
     ix.replace("checkpoints", checkpoints)
     ix.replace("binary_data", binaryData)
     ix.replace("scripts", scripts)
+    ix.replace("patterns", patterns)
     inputs.unpersist()
     ix
   }
@@ -532,6 +589,90 @@ object KupoPipelineQueries {
       Some(derivationSql +
         """SELECT transaction_id AS tx_id, output_index, policy_id
           |FROM inputs WHERE policy_id IS NOT NULL
-          |ORDER BY tx_id, output_index, policy_id""".stripMargin))
+          |ORDER BY tx_id, output_index, policy_id""".stripMargin)),
+
+    // S4 FetchBlock (FetchBlock.hs; the /metadata driver's block fetch):
+    // single-block point lookup against the normalized block source.
+    QueryDef("q_kupo_fetch_block",
+      (s, d) => {
+        val slot = table(s, d, "orders").agg(min("o_orderkey")).head().getLong(0)
+        graft.query.BlockQueries.fetchBlock(derivedBlocks(s, d), slot)
+          .select(col("slot_no"), col("header_hash"),
+            size(col("txs")).as("n_txs"),
+            col("txs").getItem(0).getField("id").as("first_tx"))
+      },
+      Some("""SELECT o_orderkey AS slot_no,
+             |       md5(CAST(o_orderkey AS VARCHAR)) AS header_hash,
+             |       CAST(1 AS INT) AS n_txs,
+             |       md5(CAST(o_orderkey AS VARCHAR)) || md5(CAST(o_orderkey AS VARCHAR)) AS first_tx
+             |FROM orders
+             |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin)),
+
+    // S5 FetchTip (FetchTip/{Node,Ogmios}.hs): the newest block point.
+    QueryDef("q_kupo_tip",
+      (s, d) => {
+        import s.implicits._
+        graft.query.BlockQueries.fetchTip(derivedBlocks(s, d))
+          .toSeq.toDF("slot_no", "header_hash")
+      },
+      Some("""SELECT max(o_orderkey) AS slot_no,
+             |       md5(CAST(max(o_orderkey) AS VARCHAR)) AS header_hash
+             |FROM orders""".stripMargin)),
+
+    // R9 GET /patterns (Http.hs:409-417): the active pattern listing.
+    QueryDef("q_kupo_list_patterns",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        import s.implicits._
+        graft.index.PatternManager.listPatterns(ix)
+          .map(_.toText).sorted.toDF("pattern")
+      },
+      Some("""SELECT DISTINCT lpad(CAST(l_suppkey % 50 AS VARCHAR), 56, '0') || '/*' AS pattern
+             |FROM lineitem ORDER BY pattern""".stripMargin)),
+
+    // R11 GET /metadata/{slot} (Http.hs:754-805): fold the block's txs and
+    // render each metadatum payload through the metadatum_schema kernel
+    // (metadataToJson, Metadata.hs:73-97) — int and string labels, both
+    // rendered byte-exactly by the DuckDB mirror.
+    QueryDef("q_kupo_metadata_by_slot",
+      (s, d) => {
+        val slot = table(s, d, "orders").where(col("o_orderkey") % 3 === 0)
+          .agg(min("o_orderkey")).head().getLong(0)
+        graft.query.BlockQueries.metadataBySlot(derivedBlocks(s, d), slot)
+      },
+      Some("""WITH sl AS (SELECT min(o_orderkey) AS s FROM orders WHERE o_orderkey % 3 = 0),
+             |tx AS (SELECT md5(CAST(s AS VARCHAR)) || md5(CAST(s AS VARCHAR)) AS transaction_id, s
+             |       FROM sl)
+             |SELECT transaction_id, label, payload, "schema" FROM (
+             |  SELECT transaction_id, '674' AS label,
+             |         '{"json": ' || CAST(s % 100 AS VARCHAR) || '}' AS payload,
+             |         '{"int":' || CAST(s % 100 AS VARCHAR) || '}' AS "schema"
+             |  FROM tx
+             |  UNION ALL
+             |  SELECT transaction_id, '721',
+             |         '{"json": "w' || CAST(s % 10 AS VARCHAR) || '"}',
+             |         '{"string":"w' || CAST(s % 10 AS VARCHAR) || '"}'
+             |  FROM tx)
+             |ORDER BY transaction_id, label""".stripMargin)),
+
+    // TIME TRAVEL on the query surface: FoldInputs over asOf(v) — the
+    // snapshot pinned BEFORE a policy-pattern deleteInputs mutated the
+    // live index, so the oracle (which mirrors the pre-delete state)
+    // passes only if the pin really reads the retained manifest.
+    QueryDef("q_kupo_asof",
+      (s, d) => {
+        val (ix, v) = snapshotIndex(s, d)
+        val pinned = ix.asOf(v).getOrElse(
+          sys.error(s"snapshot version $v aged out of retention"))
+        flat(FoldInputs(pinned, Api.MatchesQuery("*", order = Api.SortDirection.Asc)))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id, output_index, transaction_index, address, coins,
+           |       created_at AS created_slot,
+           |       md5(CAST(created_at AS VARCHAR)) AS created_hash
+           |FROM inputs
+           |WHERE address LIKE '01$cred7%'
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
+           |         address ASC, coins ASC""".stripMargin))
   )
 }

@@ -735,6 +735,21 @@ object LlmScaleRehearsal {
     }
     require(recallCurve.map(_._3).max >= rerankFloor,
       s"no curve operating point reaches the floor $rerankFloor: $recallCurveJson")
+    // the DOCUMENTED DEFAULTS of the composed search/re-rank entry points
+    // (Similarity.defaultNprobe/defaultRerankWidth/cheapRerankWidth:
+    // quarter-cell probe, c = 5k balanced / 2k cheap) must stay pinned to
+    // the gated curve rows AND hold their measured floors at both scales
+    // (balanced 0.9/0.6, cheap 0.7/0.3 — gates one 0.1-step under)
+    require(Similarity.defaultNprobe(8) == 2 &&
+      Similarity.defaultRerankWidth(10) == 50 &&
+      Similarity.cheapRerankWidth(10) == 20,
+      "default operating points drifted from the gated curve rows")
+    val defBalanced = recallCurve.find(p => p._1 == 2 && p._2 == 50).get._3
+    val defCheap = recallCurve.find(p => p._1 == 2 && p._2 == 20).get._3
+    require(defBalanced >= (if (big) 0.5 else 0.8),
+      s"balanced default (nprobe=2, c=5k) below floor: $defBalanced")
+    require(defCheap >= (if (big) 0.2 else 0.6),
+      s"cheap default (nprobe=2, c=2k) below floor: $defCheap")
     require(surprisalScans == 1 && !surprisalSmj,
       s"bigram surprisal must scan the corpus once with broadcast model " +
         s"joins: $surprisalScans scans, smj=$surprisalSmj\n$surprisalPlan")

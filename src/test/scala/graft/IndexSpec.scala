@@ -500,6 +500,42 @@ class IndexSpec extends SparkSpec {
     assert(ix.retainedVersions() == Seq(ix.manifest.version))
   }
 
+  test("time travel: a pinned asOf read is immune to a concurrent rollback") {
+    val tt = new GraftIndex(spark, tmpDir("graft-ix-asof"),
+      vacuumGraceMs = 0L, manifestRetention = 3)
+    Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.take(8)), patterns)
+    val v = tt.manifest.version
+    val pinned = tt.asOf(v).get
+    val before = pinned.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    assert(before.nonEmpty)
+
+    // rollback + vacuum mutate the LIVE index; the pinned facade must keep
+    // reading the exact pre-rollback state through its retained manifest
+    val cut = blocks(3).slot
+    Mutations.rollbackTo(tt, cut)
+    tt.vacuum(0L)
+    val liveRows = tt.inputsWithSpends.count()
+    assert(liveRows < before.size, "rollback must have removed rows from the live index")
+    val after = pinned.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "pinned snapshot diverged under a concurrent rollback")
+
+    // the pinned facade is READ-ONLY: mutations and vacuum fail loudly
+    // instead of committing against a historical manifest
+    intercept[IllegalArgumentException] {
+      pinned.replace("inputs", pinned.emptyOf("inputs"))
+    }
+    intercept[IllegalArgumentException] { pinned.vacuum(0L) }
+
+    // a version that ages out of retention stops resolving
+    (1 to 3).foreach(_ =>
+      Indexer.ingest(tt, FixtureChain.toDf(spark, blocks.take(1)), patterns))
+    assert(tt.asOf(v).isEmpty, "aged-out version must not resolve via asOf")
+  }
+
   test("remove-spent-inputs mode: overlapping re-ingest still spends the earlier copy") {
     import graft.ingest.RemoveSpentInputs
     // Crash-recovery shape: batch 1 commits the produce of X; the resumed

@@ -2028,6 +2028,22 @@ class LlmSpec extends SparkSpec {
     assert(batched.map(t => (t._2, t._3, t._4)).toSeq == seq1.toSeq)
   }
 
+  test("bpe training: the batched trainer's job count is pinned to ceil(merges/j)") {
+    import spark.implicits._
+    // six symbol-disjoint self-pair candidates (3 adjacencies each), so
+    // every round fills: rounds — one corpus count job each — must equal
+    // exactly ceil(merges / mergesPerRound), the scaling contract that
+    // makes a 32k-merge tokenizer 32k/j jobs instead of 32k
+    val d = Seq((1L, "aaaa bbbb cccc dddd eeee ffff")).toDF("doc_id", "text")
+    for ((j, expectRounds) <- Seq(1 -> 6, 2 -> 3, 3 -> 2, 4 -> 2, 6 -> 1)) {
+      val (df, rounds) = graft.llm.TextAnalysis.bpeTrainCounted(
+        d, merges = 6, mergesPerRound = j)
+      assert(rounds == expectRounds,
+        s"mergesPerRound=$j: expected $expectRounds rounds, got $rounds")
+      assert(df.count() == 6L, s"mergesPerRound=$j must still learn 6 merges")
+    }
+  }
+
   test("quality token curve: per-stratum equal-frequency bins, token mass, score range") {
     import spark.implicits._
     val d = Seq(
