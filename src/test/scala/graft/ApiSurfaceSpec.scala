@@ -63,6 +63,52 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("S10: streaming response emits the byte-exact JSON array incrementally") {
+    val ix = new GraftIndex(spark, tmpDir("graft-s10"))
+    Indexer.ingest(ix, blocksDf, Set[Pattern](Pattern.MatchAny(true)))
+    val res = FoldInputs(ix, Api.MatchesQuery("*", order = Api.SortDirection.Asc))
+
+    // golden equality: the streamed array is byte-identical to the
+    // collect-side join of the asJson rows
+    val expected = FoldInputs.asJson(res).collect().map(_.getString(0))
+    val sw = new java.io.StringWriter()
+    val n = graft.query.ResponseStream.writeJsonArray(res, sw)
+    assert(n == expected.length && n > 0)
+    assert(sw.toString == expected.mkString("[", ",", "]"))
+
+    // incremental fetch: on a many-partition result, pulling the FIRST row
+    // must not execute the whole response — toLocalIterator launches one
+    // per-partition fetch job as the consumer advances (the cursor shape
+    // the reference's chunked HTTP encoder streams from)
+    val wide = res.repartition(8)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def waitFor(cond: => Boolean): Boolean = {
+      var i = 0
+      while (!cond && i < 150) { Thread.sleep(20); i += 1 }
+      cond
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val it = graft.query.ResponseStream.jsonRows(wide)
+      assert(it.hasNext && it.next().startsWith("{"))
+      waitFor(jobs.get() >= 1)
+      val afterFirst = jobs.get()
+      assert(afterFirst < 8,
+        s"first pull executed $afterFirst jobs — the fetch is not incremental")
+      var drained = 1L
+      it.foreach(_ => drained += 1)
+      assert(drained == n)
+      assert(waitFor(jobs.get() > afterFirst),
+        "draining the iterator must launch further per-partition fetch jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("F8 golden: asJson byte-matches resultToJson on a hand-derived chain") {
     // expected strings derived by hand from the reference encoder
     // (resultToJson Pattern.hs:447-522, valueToJson Value.hs:60-99):
