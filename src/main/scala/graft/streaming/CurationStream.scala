@@ -369,14 +369,26 @@ object CurationStream {
 
   /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`
     * run to completion (availableNow) — the deployment shape; tests use
-    * MemoryStream + processAllAvailable through the same function. */
+    * MemoryStream + processAllAvailable through the same function.
+    *
+    * `compactEvery = Some(n)` makes the stream SELF-MAINTAINING: every n
+    * batches, [[compactSinks]] telescopes partitions `<= id − 1` before
+    * the batch's own work. Folding only STRICTLY-EARLIER batches keeps
+    * the replay contract intact — the engine replays at most the
+    * in-flight batch id, which is never folded; if the batch fails after
+    * its compaction ran, the replay re-runs a now-idempotent fold and
+    * then the batch itself, landing in exactly the same state. */
   def run(stream: DataFrame, art: CurationArtifacts, sinks: CurationSinks,
-          checkpointDir: String): Unit = {
+          checkpointDir: String, compactEvery: Option[Int] = None): Unit = {
+    compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // the engine-assigned id is stable across retries — the overwrite
         // key that makes the at-least-once replay idempotent
+        compactEvery.foreach { n =>
+          if (id > 0 && id % n == 0) compactSinks(batch.sparkSession, sinks, id - 1)
+        }
         curateBatch(batch, art, sinks, id); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

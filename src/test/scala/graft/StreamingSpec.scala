@@ -602,4 +602,72 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sD.sigDir).select("doc_id").as[Long].collect().toSet
       == expectGatePassing + 17L + 18L)
   }
+
+  test("curation stream self-maintains: compactEvery folds earlier partitions in-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.{CurationArtifacts, CurationSinks}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val benchGrams = graft.llm.Dedup.charGrams(
+      Seq((100L, "zebraquagga xylophone sample")).toDF("doc_id", "text"), 8)
+    val classifier = graft.llm.TextAnalysis.trainTextClassifier(
+      Seq((1L, "good nice great fine", true), (2L, "good great solid", true),
+        (3L, "bad ugly awful", false), (4L, "bad awful poor", false))
+        .toDF("doc_id", "text", "is_pos"),
+      col("is_pos")).localCheckpoint(true)
+    val centroids = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("centroid_id", "centroid").localCheckpoint(true)
+    val codebook = graft.llm.Similarity.pqCodebook(
+      Seq((1L, Array(0.1f, 0f, 0f, 0f)), (2L, Array(0f, 0.1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      Seq(1L -> 1, 2L -> 2), m = 2, subDim = 2).localCheckpoint(true)
+    val art = CurationArtifacts(benchGrams, classifier, centroids, codebook,
+      m = 2, subDim = 2, bands = 2, rowsPerBand = 2, shingle = 8,
+      semanticTau = 0.95)
+
+    // six clean survivors plus one exact text dup of doc 0 in the LAST
+    // batch — its drop verdict must route through partitions the in-stream
+    // compaction has already consolidated. Texts reuse the sibling test's
+    // proven classifier-positive, mutually-non-near-dup vocabulary;
+    // embeddings fan out at 0.4 rad steps (consecutive cos ≈ 0.92 < tau).
+    val texts = Seq(
+      "good solid unique alpha passage about spark windows today",
+      "good fresh other beta passage on join strategies tomorrow",
+      "good another gamma passage regarding shuffle plans",
+      "good entirely different delta passage with vectors galore",
+      "good wholly novel epsilon passage concerning catalyst rules",
+      "good solid catalyst vectors tomorrow regarding gamma rules")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t,
+        Array(math.cos(i * 0.4).toFloat, math.sin(i * 0.4).toFloat, 0f, 0f))
+    } :+ ((6L, texts.head, Array(0f, 0f, 1f, 0f)))
+
+    val base = tmpDir("graft-curation-auto")
+    val sinks = CurationSinks(s"$base/corpus", s"$base/sigs", s"$base/vecs",
+      s"$base/idx", s"$base/stats")
+    val ckpt = tmpDir("graft-curation-auto-ckpt")
+    val ms = MemoryStream[(Long, String, Array[Float])]
+    docs.foreach { d =>
+      ms.addData(Seq(d))
+      CurationStream.run(ms.toDF.toDF("doc_id", "text", "embedding"), art, sinks,
+        ckpt, compactEvery = Some(2))
+    }
+
+    // ids 0..6 ran; compaction fired at ids 2/4/6 folding <=1/<=3/<=5 — so
+    // at most the consolidated partition plus the batches since the last
+    // fold remain (vs 7 partitions unmaintained)
+    val dirs = Option(new java.io.File(sinks.sigDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(dirs == Seq("batch_id=5", "batch_id=6"), dirs)
+    // the dup in batch 6 was dropped via the consolidated probe index;
+    // everything else survived
+    val survivors = spark.read.parquet(sinks.corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == (0L to 5L).toSet, s"survivors: $survivors")
+    assert(spark.read.parquet(sinks.sigDir).select("doc_id").as[Long].collect().toSet
+      == (0L to 6L).toSet)
+  }
 }
