@@ -603,6 +603,76 @@ class StreamingSpec extends SparkSpec {
       == expectGatePassing + 17L + 18L)
   }
 
+  test("curation property: random splits with random compaction points equal one-shot") {
+    import graft.streaming.CurationStream
+    import graft.streaming.CurationStream.{CurationArtifacts, CurationSinks}
+    import spark.implicits._
+
+    val benchGrams = graft.llm.Dedup.charGrams(
+      Seq((100L, "zebraquagga xylophone sample")).toDF("doc_id", "text"), 8)
+    val classifier = graft.llm.TextAnalysis.trainTextClassifier(
+      Seq((1L, "good nice great fine", true), (2L, "good great solid", true),
+        (3L, "bad ugly awful", false), (4L, "bad awful poor", false))
+        .toDF("doc_id", "text", "is_pos"),
+      col("is_pos")).localCheckpoint(true)
+    val centroids = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("centroid_id", "centroid").localCheckpoint(true)
+    val codebook = graft.llm.Similarity.pqCodebook(
+      Seq((1L, Array(0.1f, 0f, 0f, 0f)), (2L, Array(0f, 0.1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      Seq(1L -> 1, 2L -> 2), m = 2, subDim = 2).localCheckpoint(true)
+    val art = CurationArtifacts(benchGrams, classifier, centroids, codebook,
+      m = 2, subDim = 2, bands = 2, rowsPerBand = 2, shingle = 8,
+      semanticTau = 0.95)
+    // the sibling test's corpus: survivors {10, 16}; 11/12 semantic chain,
+    // 13 text dup, 14 classifier-negative, 15 contaminated
+    val docs = Seq(
+      (10L, "good solid unique alpha passage about spark windows today",
+        Array(1f, 0f, 0f, 0f)),
+      (11L, "good fresh other beta passage on join strategies tomorrow",
+        Array(0.9563f, 0.2924f, 0f, 0f)),
+      (12L, "good another gamma passage regarding shuffle plans",
+        Array(0.8290f, 0.5592f, 0f, 0f)),
+      (13L, "good solid unique alpha passage about spark windows today",
+        Array(-1f, 0f, 0f, 0f)),
+      (14L, "bad ugly awful bad ugly awful totally", Array(-0.9f, 0.1f, 0f, 0f)),
+      (15L, "good text zebraquagga xylophone mention here",
+        Array(-0.8f, -0.2f, 0f, 0f)),
+      (16L, "good entirely different delta passage with vectors galore",
+        Array(0f, 0f, 1f, 0f)))
+    val refSurvivors = CurationStream.curateReference(
+        docs.toDF("doc_id", "text", "embedding"), art)
+      .select("doc_id").as[Long].collect().toSet
+
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // random split preserving id order: each gap is a batch boundary
+      // with probability 1/2; after each batch, fold up to its own id
+      // with probability 1/2 (safe here — ids only grow, nothing replays)
+      val batches = docs.foldLeft(Vector(Vector.empty[(Long, String, Array[Float])])) {
+        case (acc, d) =>
+          if (acc.last.nonEmpty && rnd.nextBoolean()) acc :+ Vector(d)
+          else acc.init :+ (acc.last :+ d)
+      }.filter(_.nonEmpty)
+      val base = tmpDir(s"graft-curation-prop-$seed")
+      val sinks = CurationSinks(s"$base/corpus", s"$base/sigs", s"$base/vecs",
+        s"$base/idx", s"$base/stats")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        CurationStream.curateBatch(b.toDF("doc_id", "text", "embedding"), art, sinks, i.toLong)
+        if (rnd.nextBoolean())
+          CurationStream.compactSinks(spark, sinks, upTo = i.toLong)
+      }
+      val got = spark.read.parquet(sinks.corpusDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == refSurvivors,
+        s"seed $seed (${batches.map(_.map(_._1))}): $got != $refSurvivors")
+      val sigs = spark.read.parquet(sinks.sigDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sigs == Set(10L, 11L, 12L, 13L, 16L), s"seed $seed sigs: $sigs")
+    }
+  }
+
   test("curation stream self-maintains: compactEvery folds earlier partitions in-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.CurationStream
