@@ -54,6 +54,20 @@ private[queries] object LlmArtifacts {
     tokensCache.getOrElseUpdate(d,
       graft.llm.Dedup.docTokens(spreadDocs(s, d)).cache())
   }
+
+  val srcTokensCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** (source, doc_id, token) whitespace token stream — the tokenize-once
+    * ingest artifact the sketch family (CMS / HLL / heavy hitters / Bloom)
+    * probes. Before this was shared, each sketch query re-exploded the
+    * corpus 2–3× per execution (registers + probes + exact ride-along);
+    * a deployment tokenizes once and persists, exactly like the shingle
+    * and signature artifacts above. */
+  def srcTokensOf(s: SparkSession, d: String): DataFrame = synchronized {
+    srcTokensCache.getOrElseUpdate(d,
+      spreadDocs(s, d).select(col("source"), col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("token")).cache())
+  }
   def sigsOf(s: SparkSession, d: String): DataFrame = synchronized {
     sigsCache.getOrElseUpdate(d,
       graft.llm.Dedup.minhashFromGrams(gramsOf(s, d), numHashes = 4).cache())

@@ -302,17 +302,24 @@ object CurationStream {
     * work dir means the publish never happened (originals restore from
     * trash and the attempt restarts); trash without a work dir means it
     * did (cleanup finishes). */
-  def compactSinks(spark: SparkSession, sinks: CurationSinks, upTo: Long): Unit = {
-    compactOne(spark, sinks.corpusDir, upTo, Nil)
-    compactOne(spark, sinks.sigDir, upTo, Nil)
-    compactOne(spark, sinks.vecDir, upTo, Seq("cell"))
-    compactOne(spark, sinks.idxDir, upTo, Seq("cell"))
+  def compactSinks(spark: SparkSession, sinks: CurationSinks, upTo: Long,
+                   corpusPartitions: Int = 1): Unit = {
+    require(corpusPartitions >= 1, s"corpusPartitions must be >= 1, got $corpusPartitions")
+    // the CORPUS holds the survivor documents themselves — at scale its
+    // consolidated partition must stay multi-file (size the parameter to
+    // ~rows/128MB); the signature/register sinks are sketch-sized by
+    // construction (bounded per batch by banding / 2^p / d·w / 64·s) and
+    // genuinely belong in one file each
+    compactOne(spark, sinks.corpusDir, upTo, Nil, corpusPartitions)
+    compactOne(spark, sinks.sigDir, upTo, Nil, 1)
+    compactOne(spark, sinks.vecDir, upTo, Seq("cell"), 1)
+    compactOne(spark, sinks.idxDir, upTo, Seq("cell"), 1)
     Seq("/hll", "/qlen", "/cms", "/hhcand")
-      .foreach(s => compactOne(spark, sinks.statsDir + s, upTo, Nil))
+      .foreach(s => compactOne(spark, sinks.statsDir + s, upTo, Nil, 1))
   }
 
   private def compactOne(spark: SparkSession, dir: String, upTo: Long,
-                         partCols: Seq[String]): Unit = {
+                         partCols: Seq[String], nParts: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -349,11 +356,12 @@ object CurationStream {
           return
       }
     val folded = raw.where(col("batch_id") <= upTo).drop("batch_id")
-    // one task per partition value (or one file total for unpartitioned
-    // register/signature sinks) — the file-count bound the job exists for
+    // one task per partition value (or nParts files for unpartitioned
+    // sinks) — the file-count bound the job exists for
     val sized =
       if (partCols.nonEmpty) folded.repartition(partCols.map(col): _*)
-      else folded.coalesce(1)
+      else if (nParts == 1) folded.coalesce(1)
+      else folded.repartition(nParts)
     (if (partCols.nonEmpty) sized.write.partitionBy(partCols: _*) else sized.write)
       .mode("overwrite").parquet(work.toString)
     fs.mkdirs(trash)
