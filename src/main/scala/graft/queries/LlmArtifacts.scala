@@ -55,19 +55,15 @@ private[queries] object LlmArtifacts {
       graft.llm.Dedup.docTokens(spreadDocs(s, d)).cache())
   }
 
-  val srcTokensCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** (source, doc_id, token) whitespace token stream — the tokenize-once
-    * ingest artifact the sketch family (CMS / HLL / heavy hitters / Bloom)
-    * probes. Before this was shared, each sketch query re-exploded the
-    * corpus 2–3× per execution (registers + probes + exact ride-along);
-    * a deployment tokenizes once and persists, exactly like the shingle
-    * and signature artifacts above. */
-  def srcTokensOf(s: SparkSession, d: String): DataFrame = synchronized {
-    srcTokensCache.getOrElseUpdate(d,
-      spreadDocs(s, d).select(col("source"), col("doc_id"),
-        explode(filter(split(col("text"), " "), t => t =!= "")).as("token")).cache())
-  }
+  // NOTE (r9, measured): sharing a CACHED (source, doc_id, token) explode
+  // across the sketch queries was tried and REVERTED — feeding the
+  // register aggregates from an InMemoryTableScan measured ~2× slower
+  // than re-running the codegen'd explode over the compressed parquet
+  // (q_heavy_hitters 1.20 → 2.54 s, q_bloom_filter 0.61 → 1.71 s at
+  // sf0.1): the explode is cheap inside one whole-stage-codegen span,
+  // while the cache breaks the span and pays block decompression per
+  // pass. The shingle/signature caches above earn their keep because
+  // their BUILDS are expensive (hashing, banding), not the scan.
   def sigsOf(s: SparkSession, d: String): DataFrame = synchronized {
     sigsCache.getOrElseUpdate(d,
       graft.llm.Dedup.minhashFromGrams(gramsOf(s, d), numHashes = 4).cache())

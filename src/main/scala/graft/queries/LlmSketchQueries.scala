@@ -20,7 +20,8 @@ private[queries] object LlmSketchQueries {
     // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.
     QueryDef("q_cms_counts",
       (s, d) => {
-        val toks = srcTokensOf(s, d).select("source", "token")
+        val toks = table(s, d, "documents").select(col("source"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
         val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
         val probeToks = toks.groupBy(col("token"))
           .agg(count(lit(1)).as("n_global"))
@@ -79,7 +80,8 @@ private[queries] object LlmSketchQueries {
     // estimate is an ordered register fold, bit-identical in any engine.
     QueryDef("q_hll_distinct",
       (s, d) => {
-        val toks = srcTokensOf(s, d).select("source", "token")
+        val toks = table(s, d, "documents").select(col("source"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
         val est = graft.llm.Sketches.hllEstimate(
           graft.llm.Sketches.hllRegisters(toks, Seq("source"), "token", p = 8),
           Seq("source"), p = 8)
@@ -126,8 +128,9 @@ private[queries] object LlmSketchQueries {
     QueryDef("q_heavy_hitters",
       (s, d) => {
         val phi = 0.04
-        val toks = srcTokensOf(s, d).select(col("source"),
-          (col("doc_id") % 4).as("shard"), col("token"))
+        val toks = table(s, d, "documents").select(col("source"),
+          (col("doc_id") % 4).as("shard"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
         val cand = graft.llm.Sketches.frequentCandidates(
           toks, Seq("source"), "token", "shard", phi)
         val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
@@ -191,7 +194,8 @@ private[queries] object LlmSketchQueries {
     QueryDef("q_bloom_filter",
       (s, d) => {
         val (k, m) = (4, 4096)
-        val toks = srcTokensOf(s, d)
+        val toks = table(s, d, "documents").select(col("source"), col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
         val build = toks.where(col("doc_id") % 2 === 0)
           .select("source", "token").distinct()
         val regs = graft.llm.Sketches.bloomRegisters(build, Seq("source"), "token", k, m)

@@ -134,7 +134,10 @@ class ReorgPropertySpec extends SparkSpec {
     test(s"random forward/rollback/GC sequence matches the model (seed=$seed)") {
       val gen = new Gen(seed)
       val model = new Model
-      val ix = new GraftIndex(spark, tmpDir(s"graft-prop-$seed"))
+      // retention > 1 so every reorg can ALSO assert the time-travel
+      // contract: a snapshot pinned immediately before the rollback must
+      // read the exact pre-rollback state afterwards
+      val ix = new GraftIndex(spark, tmpDir(s"graft-prop-$seed"), manifestRetention = 4)
       val patterns = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
       val rnd = new scala.util.Random(seed * 7)
 
@@ -149,10 +152,16 @@ class ReorgPropertySpec extends SparkSpec {
             // compacts first, so rollback must un-bake spent marks from
             // inputs (the round-1 U5 bug path: compact → rollback)
             if (r == 7) ix.compact()
+            val pinned = ix.asOf(ix.manifest.version)
+            val pinnedBefore = pinned.map(engineState)
             val target = math.max(0L, gen.slot - (1 + rnd.nextInt(8)))
             Mutations.rollbackTo(ix, target)
             model.rollback(target)
             gen.rollbackTo(target)
+            pinned.zip(pinnedBefore).foreach { case (p, st) =>
+              assert(engineState(p) == st,
+                s"pinned snapshot diverged under rollback at step $step (seed=$seed)")
+            }
           case 8 => // GC spent rows outside the safe zone
             val k = 5L + rnd.nextInt(10)
             Mutations.pruneInputs(ix, k)
