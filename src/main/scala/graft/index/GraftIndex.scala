@@ -252,8 +252,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
 
   /** Write one segment; None when the frame is empty (row count rides the
     * same write-action Observation as the slot stats — no extra job). */
-  private def writeSegment(table: String, df: DataFrame, version: Long): Option[Segment] = {
-    val path = f"$table/seg-$version%06d"
+  private def writeSegment(table: String, df: DataFrame, version: Long): Option[Segment] =
+    writeSegmentAt(table, df, f"$table/seg-$version%06d")
+
+  private def writeSegmentAt(table: String, df: DataFrame, path: String): Option[Segment] = {
     val out = df.select(schemaOf(table).fieldNames.map(col): _*)
     // inputs segments are clustered by slot bucket and sorted by created_at:
     // parquet row-group min/max stats + manifest segment stats then give
@@ -271,7 +273,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // rollback point even in segments whose created_at stats look untouched
     // (the reference's UPDATE … SET spent_at = NULL WHERE spent_at > s,
     // /root/reference/src/Kupo/App/Database/SQLite.hs:1057-1059)
-    val obs = org.apache.spark.sql.Observation(f"stats-$table-$version%06d")
+    val obs = org.apache.spark.sql.Observation(s"stats-${path.replace('/', '-')}")
     val aggs = Seq(count(lit(1)).as("cnt")) ++
       statColumn(table).toSeq.flatMap(c => Seq(min(col(c)).as("mn"), max(col(c)).as("mx"))) ++
       (if (table == "inputs") Seq(max(col("spent_at")).as("sp")) else Nil)
@@ -288,7 +290,56 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       else Option(row("sp").asInstanceOf[java.lang.Long])
         .map(sp => SpentStat.MaxAt(sp.toLong): SpentStat)
         .getOrElse(SpentStat.NoneSpent)
-    Some(Segment(path, stats.map(_._1), stats.map(_._2), spent))
+    Some(Segment(path, stats.map(_._1), stats.map(_._2), spent,
+      Some(row("cnt").asInstanceOf[java.lang.Long].toLong)))
+  }
+
+  /** Telescoping SEGMENT compaction — the LSM-tiering analogue for the
+    * kupo index (the twin of the curation sinks' `compactSinks` and the
+    * ANN index's one-file-per-cell rewrite). Streaming ingest appends one
+    * segment per table per micro-batch, and before this the only remedies
+    * were FULL rewrites (`compact()`, which also dedups PKs) or the
+    * spends-targeted `compactSpends()` — at 10⁴–10⁵ batches the manifest
+    * and the scan's file opens grow without bound while full rewrites get
+    * ever more expensive. This merges segments VERBATIM (no PK dedup, no
+    * reconcile — pure re-filing) until at most `maxSegments` remain,
+    * choosing at each step the ADJACENT-IN-SLOT-ORDER pair with the
+    * smallest combined row count: young small runs fold cheaply and
+    * often, big old runs are rarely touched — bounded write
+    * amplification, the classic tiering trade. Slot/spent stats
+    * recompute on the merged writes (riding the write action), so range
+    * pruning and rollback's segment surgery stay exact; the dereferenced
+    * dirs become ordinary vacuum candidates. One atomic manifest bump.
+    * Returns segments eliminated. Pre-`rows`-stat manifests treat unknown
+    * sizes as large (merged last, conservatively). */
+  def compactSegments(tableName: String, maxSegments: Int): Int = {
+    require(pin.isEmpty, "pinned snapshot is read-only — compact through the live index")
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    val m = manifest
+    val segs = m.tables.getOrElse(tableName, Nil)
+    if (segs.size <= maxSegments) return 0
+    val unknown = Long.MaxValue / 4 // legacy no-rows segments merge last
+    def rowsOf(run: Vector[Segment]): Long = run.map(_.rows.getOrElse(unknown)).sum
+    var runs = segs.sortBy(s => (s.minSlot.getOrElse(Long.MinValue), s.path))
+      .map(Vector(_)).toVector
+    while (runs.size > maxSegments) {
+      val i = (0 until runs.size - 1).minBy(j => rowsOf(runs(j)) + rowsOf(runs(j + 1)))
+      runs = runs.patch(i, Seq(runs(i) ++ runs(i + 1)), 2)
+    }
+    val v = m.version + 1
+    var part = 0
+    val merged = runs.flatMap { run =>
+      if (run.size == 1) run
+      else {
+        part += 1
+        val df = spark.read.schema(schemaOf(tableName))
+          .parquet(run.map(s => s"$root/${s.path}"): _*)
+        writeSegmentAt(tableName, df, f"$tableName/merge-$v%06d-$part%03d").toVector
+      }
+    }
+    commitManifest(Manifest(v,
+      m.tables.updated(tableName, liveSegments(tableName, merged.toList))))
+    segs.size - merged.size
   }
 
   /** Reconcile an inputs scan with the spends delta (merge-on-read).
@@ -560,7 +611,8 @@ object GraftIndex {
   }
 
   final case class Segment(path: String, minSlot: Option[Long], maxSlot: Option[Long],
-                           spent: SpentStat = SpentStat.Unknown)
+                           spent: SpentStat = SpentStat.Unknown,
+                           rows: Option[Long] = None)
   final case class Manifest(version: Long, tables: Map[String, List[Segment]])
 
   /** Hadoop Configuration for callers that don't thread one through: the
@@ -596,7 +648,8 @@ object GraftIndex {
   object Manifest {
     /** Hand-rolled JSON — flat, fixed shape; avoids dragging a JSON library
       * into the public API. `spent` is absent for Unknown, null for
-      * NoneSpent, a number for MaxAt (backward-compatible read). */
+      * NoneSpent, a number for MaxAt; `rows` (the tiering size stat) is
+      * absent when unknown (both backward-compatible reads). */
     def toJson(m: Manifest): String = {
       def segJson(s: Segment) = {
         val spent = s.spent match {
@@ -604,7 +657,8 @@ object GraftIndex {
           case SpentStat.NoneSpent => ""","spent":null"""
           case SpentStat.MaxAt(v)  => s""","spent":$v"""
         }
-        s"""{"path":"${s.path}","min":${s.minSlot.getOrElse("null")},"max":${s.maxSlot.getOrElse("null")}$spent}"""
+        val rows = s.rows.map(r => s""","rows":$r""").getOrElse("")
+        s"""{"path":"${s.path}","min":${s.minSlot.getOrElse("null")},"max":${s.maxSlot.getOrElse("null")}$spent$rows}"""
       }
       val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
         s""""$t":[${segs.map(segJson).mkString(",")}]"""
@@ -633,7 +687,7 @@ object GraftIndex {
     def parse(json: String): Option[Manifest] = {
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
-      val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?\}""".r
+      val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?(?:,"rows":(\d+))?\}""".r
       val tables = tableRe.findAllMatchIn(json).map { tm =>
         val segs = segRe.findAllMatchIn(tm.group(2)).map { sm =>
           def opt(s: String) = if (s == "null") None else Some(s.toLong)
@@ -642,7 +696,8 @@ object GraftIndex {
             case Some("null") => SpentStat.NoneSpent
             case Some(v)      => SpentStat.MaxAt(v.toLong)
           }
-          Segment(sm.group(1), opt(sm.group(2)), opt(sm.group(3)), spent)
+          Segment(sm.group(1), opt(sm.group(2)), opt(sm.group(3)), spent,
+            Option(sm.group(5)).map(_.toLong))
         }.toList
         tm.group(1) -> segs
       }.toMap

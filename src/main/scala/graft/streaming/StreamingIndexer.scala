@@ -49,7 +49,8 @@ object StreamingIndexer {
     * (monotone per-envelope chain order within the batch); it is used
     * directly and nothing is re-read. */
   def processBatch(ix: GraftIndex, raw: DataFrame, patterns: Set[Pattern],
-                   rewrite: Column => Column = identity): Unit = {
+                   rewrite: Column => Column = identity,
+                   maxSegmentsPerTable: Option[Int] = None): Unit = {
     val env = BlockReader.parseEnvelope(rewritten(raw, rewrite)).cache()
     try {
       val rollbackPoints = BlockReader.rollbacks(env).collect()
@@ -62,8 +63,14 @@ object StreamingIndexer {
           fallbackTarget = rollbackPoints.map(_.getLong(0)).min)
       }
     } finally env.unpersist()
-    // the drain loop is the long-running writer: sweep dereferenced segment
-    // dirs (one directory listing per batch) or the disk grows forever
+    // post-drain maintenance, the long-running writer's duty: optionally
+    // bound per-table segment growth by verbatim tiering (each micro-batch
+    // appends one segment per touched table — unmaintained, scans open
+    // ever more files), then sweep dereferenced segment dirs (one
+    // directory listing per batch) or the disk grows forever
+    maxSegmentsPerTable.foreach { n =>
+      ix.manifest.tables.keysIterator.foreach(t => ix.compactSegments(t, n))
+    }
     ix.vacuum(ix.vacuumGraceMs)
     ()
   }
@@ -148,13 +155,14 @@ object StreamingIndexer {
   def start(spark: SparkSession, inputDir: String, ix: GraftIndex,
             patterns: Set[Pattern],
             trigger: Trigger = Trigger.AvailableNow(),
-            rewrite: Column => Column = identity): StreamingQuery = {
+            rewrite: Column => Column = identity,
+            maxSegmentsPerTable: Option[Int] = None): StreamingQuery = {
     spark.readStream
       .text(inputDir)
       .withColumnRenamed("value", "raw")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(ix, batch, patterns, rewrite)
+        processBatch(ix, batch, patterns, rewrite, maxSegmentsPerTable)
       }
       .option("checkpointLocation", s"${ix.root}/_stream_checkpoint")
       .trigger(trigger)
@@ -164,8 +172,10 @@ object StreamingIndexer {
   /** Drain everything currently pending and wait for completion. */
   def runAvailableNow(spark: SparkSession, inputDir: String, ix: GraftIndex,
                       patterns: Set[Pattern],
-                      rewrite: Column => Column = identity): Unit = {
-    val q = start(spark, inputDir, ix, patterns, rewrite = rewrite)
+                      rewrite: Column => Column = identity,
+                      maxSegmentsPerTable: Option[Int] = None): Unit = {
+    val q = start(spark, inputDir, ix, patterns, rewrite = rewrite,
+      maxSegmentsPerTable = maxSegmentsPerTable)
     q.awaitTermination()
   }
 }

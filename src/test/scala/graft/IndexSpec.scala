@@ -500,6 +500,58 @@ class IndexSpec extends SparkSpec {
     assert(ix.retainedVersions() == Seq(ix.manifest.version))
   }
 
+  test("segment tiering: compactSegments bounds the count, preserves content and stats") {
+    import GraftIndex.Manifest
+    val ix = new GraftIndex(spark, tmpDir("graft-ix-tier"), vacuumGraceMs = 0L)
+    blocks.take(8).foreach(b =>
+      Indexer.ingest(ix, FixtureChain.toDf(spark, Seq(b)), patterns))
+    assert(ix.manifest.tables("inputs").size == 8)
+    def content() = ix.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    val before = content()
+
+    val removed = ix.compactSegments("inputs", maxSegments = 2)
+    val tiered = ix.manifest.tables("inputs")
+    assert(removed == 6 && tiered.size == 2, s"$removed removed, ${tiered.size} left")
+    assert(content() == before, "tiering must re-file rows verbatim")
+    // stats recomputed on the merged writes: every segment carries slot
+    // bounds and a row count, and the counts sum to the table
+    assert(tiered.forall(s => s.minSlot.isDefined && s.maxSlot.isDefined && s.rows.isDefined))
+    assert(tiered.flatMap(_.rows).sum == before.size.toLong)
+    // the manifest JSON round-trips the new rows stat
+    assert(Manifest.parse(Manifest.toJson(ix.manifest)).contains(ix.manifest))
+    // range pruning stays exact through merged segments
+    val (lo, hi) = (blocks(2).slot, blocks(5).slot)
+    assert(ix.tableSlotRange("inputs", Some(lo), Some(hi))
+      .where(col("created_at").between(lo, hi)).count()
+      == before.count(r => { val c = r(2).asInstanceOf[Long]; c >= lo && c <= hi }))
+
+    // tiering policy: small young runs fold, big old runs stay untouched —
+    // four more single-block appends then a re-tier must merge among the
+    // newcomers (and possibly the smaller old run) while the LARGEST
+    // segment survives verbatim, path and all
+    val biggest = tiered.maxBy(_.rows.get).path
+    blocks.slice(8, 12).foreach(b =>
+      Indexer.ingest(ix, FixtureChain.toDf(spark, Seq(b)), patterns))
+    assert(ix.manifest.tables("inputs").size == 6)
+    val beforeRetier = content()
+    ix.compactSegments("inputs", maxSegments = 3)
+    val after = ix.manifest.tables("inputs")
+    assert(after.size == 3)
+    assert(after.exists(_.path == biggest),
+      s"largest segment must survive tiering untouched: $biggest not in ${after.map(_.path)}")
+    assert(content() == beforeRetier, "re-tiering must re-file rows verbatim")
+
+    // dereferenced merge inputs are ordinary vacuum candidates
+    ix.vacuum(0L)
+    val onDisk = new java.io.File(ix.root, "inputs").listFiles().count(_.isDirectory)
+    assert(onDisk == 3, s"disk dirs $onDisk != manifest 3")
+    // below the bound: a no-op, no manifest bump
+    val v = ix.manifest.version
+    assert(ix.compactSegments("inputs", 8) == 0 && ix.manifest.version == v)
+  }
+
   test("time travel: a pinned asOf read is immune to a concurrent rollback") {
     val tt = new GraftIndex(spark, tmpDir("graft-ix-asof"),
       vacuumGraceMs = 0L, manifestRetention = 3)

@@ -166,8 +166,12 @@ class ReorgPropertySpec extends SparkSpec {
             val k = 5L + rnd.nextInt(10)
             Mutations.pruneInputs(ix, k)
             model.prune(k)
-          case 9 =>
-            if (rnd.nextBoolean()) ix.compact() else ix.compactSpends()
+          case 9 => // maintenance: full compaction, spends fold, or tiering
+            rnd.nextInt(3) match {
+              case 0 => ix.compact()
+              case 1 => ix.compactSpends()
+              case 2 => ix.compactSegments("inputs", maxSegments = 3)
+            }
         }
         if (step % 3 == 2) { // compare state every few mutations
           assert(engineState(ix) == model.state, s"divergence at step $step (seed=$seed)")

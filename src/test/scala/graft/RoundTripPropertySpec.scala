@@ -92,8 +92,9 @@ class RoundTripPropertySpec extends AnyFunSuite {
     id <- Gen.choose(0, 999999)
     stats <- Gen.option(Gen.zip(Gen.choose(0L, 1L << 40), Gen.choose(0L, 1L << 40)))
     spent <- genSpent
+    rows <- Gen.option(Gen.choose(0L, 1L << 50))
   } yield Segment(f"inputs/seg-$id%06d", stats.map(s => math.min(s._1, s._2)),
-    stats.map(s => math.max(s._1, s._2)), spent)
+    stats.map(s => math.max(s._1, s._2)), spent, rows)
 
   test("manifest: JSON round-trips segments, stats, and spent stats") {
     val genManifest = for {

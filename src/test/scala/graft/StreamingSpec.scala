@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSpec {
     assert(ix.table("inputs").count() == 5)
   }
 
+  test("streaming drain self-maintains: maxSegmentsPerTable tiers segments between batches") {
+    val in = tmpDir("graft-stream-tier-in")
+    val ix = new GraftIndex(spark, tmpDir("graft-stream-tier-ix"), vacuumGraceMs = 0L)
+    val ctl = new GraftIndex(spark, tmpDir("graft-stream-tier-ctl"))
+    val inCtl = tmpDir("graft-stream-tier-ctl-in")
+    val patterns = Set[Pattern](Pattern.MatchAny(includingBootstrap = true))
+
+    // eight single-block batches plus a mid-stream reorg; the maintained
+    // index must never exceed the segment bound and must answer exactly
+    // like the unmaintained control
+    val feed = (1 to 4).map(i => Seq(fwd(i * 10L, 2))) ++
+      Seq(Seq(rollback(30), fwd(31, 1))) ++
+      (5 to 8).map(i => Seq(fwd(i * 10L, 1)))
+    feed.zipWithIndex.foreach { case (lines, i) =>
+      writeFile(in, f"$i%03d.jsonl", lines)
+      StreamingIndexer.runAvailableNow(spark, in, ix, patterns,
+        maxSegmentsPerTable = Some(2))
+      assert(ix.manifest.tables.forall(_._2.size <= 2),
+        s"batch $i: ${ix.manifest.tables.map { case (t, s) => t -> s.size }}")
+      writeFile(inCtl, f"$i%03d.jsonl", lines)
+      StreamingIndexer.runAvailableNow(spark, inCtl, ctl, patterns)
+    }
+    def state(i: GraftIndex) = i.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    assert(state(ix) == state(ctl), "maintained index diverged from the control")
+    assert(ctl.manifest.tables("inputs").size > 2) // the bound did real work
+    // zero-grace vacuum ran inside the drain: disk == manifest
+    val onDisk = new java.io.File(ix.root, "inputs").listFiles().count(_.isDirectory)
+    assert(onDisk == ix.manifest.tables("inputs").size, s"disk $onDisk")
+  }
+
   test("forward→rollback→forward in one batch applies in chain order (net effect)") {
     val in = tmpDir("graft-stream-reorg-in")
     val ix = new GraftIndex(spark, tmpDir("graft-stream-reorg-ix"))
