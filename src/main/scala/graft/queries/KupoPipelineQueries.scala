@@ -125,6 +125,29 @@ object KupoPipelineQueries {
 
   private val cache = scala.collection.mutable.Map.empty[String, GraftIndex]
 
+  /** Index for the segment-tiering query: the Shelley derivation ingested
+    * as FOUR micro-batch appends (disjoint created_at % 4 slices → four
+    * segments), then `compactSegments` tiers them to two and vacuum
+    * reclaims the merge inputs — the oracle passes only if the verbatim
+    * re-filing lost and duplicated nothing, spends included. */
+  private val tieredCache = scala.collection.mutable.Map.empty[String, GraftIndex]
+
+  private def tieredIndex(s: SparkSession, dir: String): GraftIndex = synchronized {
+    tieredCache.getOrElseUpdate(dir, {
+      val ix = new GraftIndex(s,
+        java.nio.file.Files.createTempDirectory("graft-tier").toString,
+        vacuumGraceMs = 0L)
+      val inputs = derivedShelleyInputs(s, dir).cache()
+      (0 until 4).foreach(k =>
+        ix.append("inputs", inputs.where(col("created_at") % 4 === k)))
+      inputs.unpersist()
+      require(ix.manifest.tables("inputs").size == 4)
+      ix.compactSegments("inputs", maxSegments = 2)
+      ix.vacuum(0L)
+      ix
+    })
+  }
+
   /** Index + retained snapshot version for the time-travel query: built
     * once per sfDir with manifestRetention = 3, the cred7 slice of the
     * derivation committed, the version CAPTURED, then a policy-pattern
@@ -654,6 +677,27 @@ object KupoPipelineQueries {
              |         '{"string":"w' || CAST(s % 10 AS VARCHAR) || '"}'
              |  FROM tx)
              |ORDER BY transaction_id, label""".stripMargin)),
+
+    // U7 segment tiering end-to-end: four micro-batch appends tiered to
+    // two segments by smallest-pair verbatim merges, then scanned — the
+    // oracle (the plain derivation) passes only if the re-filing neither
+    // lost nor duplicated a row, spend marks included.
+    QueryDef("q_kupo_tiered_scan",
+      (s, d) => {
+        val ix = tieredIndex(s, d)
+        ix.table("inputs")
+          .select(col("tx_id").as("transaction_id"), col("output_index"),
+            col("address"), col("value.coins").cast("long").as("coins"),
+            col("created_at"), coalesce(col("spent_at"), lit(-1L)).as("spent_slot"))
+          .orderBy(col("created_at"), col("transaction_id"), col("output_index"),
+            col("address"), col("coins"), col("spent_slot"))
+      },
+      Some(derivationSql +
+        """SELECT transaction_id, output_index, address, coins, created_at,
+          |       coalesce(spent_at, -1) AS spent_slot
+          |FROM inputs WHERE address NOT LIKE '00%'
+          |ORDER BY created_at, transaction_id, output_index, address, coins,
+          |         spent_slot""".stripMargin)),
 
     // TIME TRAVEL on the query surface: FoldInputs over asOf(v) — the
     // snapshot pinned BEFORE a policy-pattern deleteInputs mutated the

@@ -46,6 +46,13 @@ object Demo {
     println("   spent>60 rows: " + ix.inputsWithSpends
       .where(org.apache.spark.sql.functions.col("spent_at") > 60).count())
 
+    // U7 tiering: verbatim segment merges under a count bound
+    val preTier = FoldInputs.countInputs(ix, "*")
+    val tiered = ix.compactSegments("inputs", maxSegments = 2)
+    println(s"== compactSegments(inputs, 2): removed $tiered segments, " +
+      s"${ix.manifest.tables("inputs").size} remain, " +
+      s"rows ${FoldInputs.countInputs(ix, "*")} (was $preTier)")
+
     // probe: invalid pattern text
     try FoldInputs(ix, Api.MatchesQuery("zz/not-a-pattern"))
     catch { case e: IllegalArgumentException => println("== probe invalid pattern -> " + e.getMessage) }

@@ -80,19 +80,50 @@ object ScaleRehearsal {
     }
     val manifestDirs = ix.manifest.tables("inputs").size
 
+    // (e) segment TIERING at streaming scale: bound the (post-compaction)
+    // segment set to 6, verbatim. Content must be bit-stable, the bound
+    // must hold, a range scan must STILL prune through the merged stats,
+    // and vacuum must reclaim every dereferenced merge input.
+    val preTierRows = ix.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    val tierRemoved = ix.compactSegments("inputs", maxSegments = 6)
+    val tieredSegs = ix.manifest.tables("inputs").size
+    val tieredSame = ix.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet == preTierRows
+    val tieredFullFiles = ix.table("inputs").inputFiles.length
+    val tieredRangeFiles = ix.tableSlotRange("inputs", Some(3010L), Some(3400L))
+      .inputFiles.length
+    ix.vacuum(0L)
+    val tieredDiskDirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, "inputs"))
+      try s.count().toInt finally s.close()
+    }
+
     println(
       s"""{"rows":$totalRows,"append_segments":$appendSegs,"full_scan_files_pre":$fullFilesA,""" +
         s""""range_scan_files":$rangeFiles,"range_overlapping_segments":$rangeSegs,""" +
         s""""segments_after_compact_spends":$compactedSegs,"full_scan_files_post":$fullFilesB,""" +
         s""""spent_scan_files":$spentFiles,"spent_eligible_segments":$spentSegs,""" +
         s""""reconcile_broadcast":$broadcastJoin,"reconcile_shuffle_exchanges":$shuffleExchanges,""" +
-        s""""disk_segment_dirs":$diskDirs,"manifest_segment_dirs":$manifestDirs}""")
+        s""""disk_segment_dirs":$diskDirs,"manifest_segment_dirs":$manifestDirs,""" +
+        s""""tier_removed":$tierRemoved,"tiered_segments":$tieredSegs,""" +
+        s""""tiered_range_files":$tieredRangeFiles,"tiered_full_files":$tieredFullFiles,""" +
+        s""""tiered_disk_dirs":$tieredDiskDirs}""")
 
     // hard gates so a regression fails loudly wherever this main runs
     require(rangeFiles < fullFilesA / 4, s"range pruning weak: $rangeFiles vs $fullFilesA")
     require(spentFiles < fullFilesB, s"spent pruning inert: $spentFiles vs $fullFilesB")
     require(broadcastJoin && shuffleExchanges == 0, "reconcile must broadcast, not shuffle")
     require(diskDirs == manifestDirs, s"vacuum leak: $diskDirs vs $manifestDirs")
+    require(tieredSegs <= 6 && tierRemoved > 0,
+      s"tiering inert: $tieredSegs segments after removing $tierRemoved")
+    require(tieredSame, "tiering must re-file rows verbatim")
+    require(tieredRangeFiles < tieredFullFiles,
+      s"tiered range scan stopped pruning: $tieredRangeFiles vs $tieredFullFiles")
+    require(tieredDiskDirs == tieredSegs,
+      s"tiering vacuum leak: $tieredDiskDirs vs $tieredSegs")
     spark.stop()
   }
 }
