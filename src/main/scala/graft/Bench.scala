@@ -178,10 +178,11 @@ object Bench {
       "median 0.95x vs the r8 tail (which came from the slow 65.9s run of r8's " +
       "56.4/62.6/65.9s same-code spread); no common query regressed beyond the " +
       "documented shingle/explode family swing (+-0.2-0.5s, r6/r7/r8 postmortems). " +
-      "Five new queries this round cost ~1.0s total (q_kupo_fetch_block 0.23, " +
+      "Six new queries this round cost ~1.3s total (q_kupo_fetch_block 0.23, " +
       "q_kupo_tip 0.18, q_kupo_list_patterns 0.05, q_kupo_metadata_by_slot 0.26, " +
-      "q_kupo_asof 0.25 - the asof read pays one pinned-manifest fetch, no extra " +
-      "scan). Structural changes (exact-integer phi thresholds, foldRegisters " +
+      "q_kupo_asof 0.25 - one pinned-manifest fetch, no extra scan - and " +
+      "q_kupo_tiered_scan, a plain scan over a tiering-compacted index). " +
+      "Structural changes (exact-integer phi thresholds, foldRegisters " +
       "refactor, commitManifest ordering) are plan-shape-neutral: sketch queries " +
       "within noise of r8 (q_heavy_hitters 1.20 vs ~1.2, q_bloom_filter 0.61 vs " +
       "~0.6). SCALE.md Appendix D carries the full r7/r8->r9 comparison table."

@@ -585,7 +585,9 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   /** Register the index as temp views (`<prefix>inputs` is the RECONCILED
     * fact table; side tables verbatim), pinned to the CURRENT manifest —
     * a snapshot-isolated SQL surface: `spark.sql("SELECT … FROM g_inputs")`.
-    * Re-register to see later writes. */
+    * Re-register to see later writes. On a pinned [[asOf]] facade the
+    * views expose that historical snapshot — time travel for plain SQL
+    * (`ix.asOf(v).foreach(_.createOrReplaceViews("v3_"))`). */
   def createOrReplaceViews(prefix: String = "g_"): Unit = {
     val m = manifest
     reconcile(tableAt("inputs", m)).createOrReplaceTempView(s"${prefix}inputs")
