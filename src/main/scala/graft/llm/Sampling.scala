@@ -317,4 +317,53 @@ object Sampling {
       .withColumn("bin", expr(s"CAST(start_offset DIV $capacity AS BIGINT)"))
       .select(col(idCol), col(streamCol), col("n_tokens"), col("start_offset"), col("bin"))
   }
+
+  /** Deterministic train/val split labels: `train` iff the salted hash
+    * bucket falls under `trainThreshold` (two lowercase hex digits, e.g.
+    * "cc" ≈ 80%), else `val` — the [[hashBucket]] discipline, so the split
+    * is reproducible from the salt alone on any engine. Pure map. */
+  def splitAssign(docs: DataFrame, trainThreshold: String = "cc",
+                  idCol: String = "doc_id", salt: String = "split"): DataFrame =
+    docs.select(col(idCol),
+      when(hashBucket(col(idCol), salt) < lit(trainThreshold), lit("train"))
+        .otherwise(lit("val")).as("split"))
+
+  /** SPLIT-LEAKAGE AUDIT — the internal twin of benchmark
+    * decontamination: a val doc with a NEAR-DUPLICATE in train is leaked
+    * signal (the model effectively trains on the eval row), and external
+    * decontamination cannot see it because both docs live in the corpus.
+    * Joins the (already ~linear, banding-bounded) candidate-pair artifact
+    * against the split labels and keeps pairs that STRADDLE the split.
+    * Scale shape: two equi-joins on the doc id over the pair frame — the
+    * corpus itself is never re-read or re-shingled. */
+  def splitLeakage(splits: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame =
+    pairs
+      .join(splits.select(col(idCol).as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col(idCol).as("doc_b"), col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+
+  /** Quarantine the leaked side: every `val` doc appearing in a
+    * straddling pair is relabeled `quarantined` (excluded from BOTH
+    * splits). DROPPING — rather than re-assigning to train — is the rule
+    * that CLOSES in one pass: a removal can never create a new straddling
+    * pair, whereas moving a val doc into train can chain-leak through its
+    * other val neighbors. One anti-join-shaped pass; audit-clean
+    * afterwards by construction ([[splitLeakage]] over the result is
+    * empty, gated in LlmSpec). */
+  def quarantineLeakedVal(splits: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val leakedVal = splitLeakage(splits, pairs, idCol)
+      .select(explode(array(
+        struct(col("doc_a").as("id"), col("split_a").as("s")),
+        struct(col("doc_b").as("id"), col("split_b").as("s")))).as("x"))
+      .where(col("x.s") === "val")
+      .select(col("x.id").as(idCol))
+      .distinct()
+    splits.join(leakedVal.withColumn("_leaked", lit(1)), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("split") === "val" && col("_leaked").isNotNull, lit("quarantined"))
+          .otherwise(col("split")).as("split"))
+  }
 }

@@ -59,6 +59,31 @@ private[queries] object LlmDedupQueries {
               |$bandsDuckSql
               |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Train/val SPLIT-LEAKAGE audit — the internal twin of benchmark
+    // decontamination: deterministic salted-hash split labels, then the
+    // banding-bounded candidate pairs that STRADDLE the split (a val doc
+    // near-duplicated in train is leaked eval signal; external decontam
+    // cannot see it). The corpus is never re-shingled — two id equi-joins
+    // over the persisted pair artifact.
+    QueryDef("q_split_leakage",
+      (s, d) => graft.llm.Sampling.splitLeakage(
+          graft.llm.Sampling.splitAssign(table(s, d, "documents")),
+          pairsOf(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $sigsWideDuckSql,
+              |$bandsDuckSql,
+              |splits AS (
+              |  SELECT doc_id,
+              |         CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              |              THEN 'train' ELSE 'val' END AS split
+              |  FROM documents)
+              |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+              |FROM pairs p
+              |JOIN splits sa ON sa.doc_id = p.doc_a
+              |JOIN splits sb ON sb.doc_id = p.doc_b
+              |WHERE sa.split <> sb.split
+              |ORDER BY p.doc_a, p.doc_b""".stripMargin)),
+
     // Token-Jaccard on the LSH candidates: |A∩B| plus set sizes (exact ints;
     // the ratio is downstream arithmetic).
     QueryDef("q_jaccard_lsh",

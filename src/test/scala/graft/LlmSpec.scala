@@ -1303,6 +1303,38 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("split leakage: straddling pairs flagged; quarantine closes in one pass") {
+    import graft.llm.Sampling
+    import spark.implicits._
+    // hand-labeled splits + a crafted pair artifact: (1,2) and (3,4)
+    // straddle, (2,3) is val-internal, (1,4) train-internal
+    val splits = Seq((1L, "train"), (2L, "val"), (3L, "val"), (4L, "train"))
+      .toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val leaks = Sampling.splitLeakage(splits, pairs)
+      .orderBy("doc_a").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(leaks.toSeq == Seq((1L, 2L), (3L, 4L)))
+
+    // quarantine DROPS the leaked val side (2 and 3): re-assignment to
+    // train could chain-leak, removal cannot — the audit over the
+    // surviving train/val labels is empty in one pass
+    val post = Sampling.quarantineLeakedVal(splits, pairs)
+    assert(post.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "train", 2L -> "quarantined", 3L -> "quarantined", 4L -> "train"))
+    assert(Sampling.splitLeakage(
+      post.where(col("split") =!= "quarantined"), pairs).count() == 0)
+
+    // splitAssign is a deterministic pure map with both labels present
+    val docs = (0 until 256).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val assigned = Sampling.splitAssign(docs)
+    assert(assigned.collect().toSeq == Sampling.splitAssign(docs).collect().toSeq)
+    val bySplit = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val") && bySplit("train") > bySplit("val"))
+    assert(!Sampling.splitAssign(docs).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+  }
+
   test("stratified sampling: deterministic, stratum-scoped, rate-proportional") {
     import graft.llm.Sampling
     import spark.implicits._
