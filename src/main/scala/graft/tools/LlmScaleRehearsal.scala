@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *       the gram, only the per-doc count aggregation shuffles;
   *   (d) LSH candidate-pair generation grows LINEARLY in corpus replicas —
   *       salted replicas keep shingle spaces disjoint, so doubling the
-  *       corpus must ~double (never ~quadruple) the candidate pairs.
+  *       corpus must ~double (never ~quadruple) the candidate pairs;
+  *   (d2) the train/val split-leakage audit is two id equi-joins over the
+  *       pair artifact (labels map-only, corpus never re-shingled) and the
+  *       quarantine CLOSES in one pass — the residual audit is empty.
   * Prints one JSON line; numbers recorded in SCALE.md's appendix.
   * Run: `sbt "runMain graft.tools.LlmScaleRehearsal"`. */
 object LlmScaleRehearsal {
@@ -265,6 +268,34 @@ object LlmScaleRehearsal {
         bands = 2, rowsPerBand = 2).count()
     val pairs1 = pairCount(replicas(1))
     val pairs2 = pairCount(replicas(2))
+
+    // ---- (d2) split-leakage audit: map-only labels, pair-frame-only
+    // audit, one-pass quarantine closure ----
+    // the audit must scale as two id equi-joins over the (already linear)
+    // candidate-pair artifact: label assignment shuffles nothing, the
+    // audit never re-shingles the corpus (no Generate in its plan once the
+    // pair artifact is materialized), and dropping the leaked val side
+    // closes in ONE pass — the residual audit over surviving labels is
+    // empty at any corpus size, not just on the unit fixture
+    val splitLabels = graft.llm.Sampling.splitAssign(docs)
+    val splitEx = hashExchanges(splitLabels)
+    val realPairs = Dedup.lshCandidatePairs(
+      Dedup.minhashFromGrams(Dedup.charGrams(docs, n = 8), numHashes = 4),
+      bands = 2, rowsPerBand = 2).cache()
+    val splitPairsTotal = realPairs.count()
+    val leak = graft.llm.Sampling.splitLeakage(splitLabels, realPairs)
+    val splitLeakPairs = leak.count()
+    // InMemoryTableScan prints the CACHED build lineage (incl. the shingle
+    // explodes), so compare Generate counts against the artifact's own
+    // plan string: the audit itself must add zero
+    def generates(df: DataFrame): Int =
+      "Generate".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val leakGenerates = generates(leak) - generates(realPairs)
+    val postSplit = graft.llm.Sampling.quarantineLeakedVal(splitLabels, realPairs)
+    val splitQuarantined = postSplit.where(col("split") === "quarantined").count()
+    val splitResidual = graft.llm.Sampling.splitLeakage(
+      postSplit.where(col("split") =!= "quarantined"), realPairs).count()
+    realPairs.unpersist()
 
     // ---- (i) perceptual-hash near-dup: map-only fingerprint, banded join ----
     // dHash is one map pass over the grid (no exchange before the self-join);
@@ -622,6 +653,9 @@ object LlmScaleRehearsal {
         s""""ivfpq_trained_rerank_recall":$rerankRecall,""" +
         s""""ivfpq_index_files_full":$idxFilesFull,"ivfpq_index_files_probed":$idxFilesProbed,""" +
         s""""lsh_pairs_1x":$pairs1,"lsh_pairs_2x":$pairs2,""" +
+        s""""split_exchanges":$splitEx,"split_pairs_total":$splitPairsTotal,""" +
+        s""""split_leak_pairs":$splitLeakPairs,"split_quarantined":$splitQuarantined,""" +
+        s""""split_residual_leaks":$splitResidual,""" +
         s""""dhash_exchanges":$dhashEx,"dhash_cross_product":$imgCross,""" +
         s""""dhash_pairs_banded":$imgPairCount,"dhash_pairs_brute":$imgBrute,""" +
         s""""dhash_candidates":$imgCandidates,"dhash_all_pairs":$imgAllPairs,""" +
@@ -663,6 +697,20 @@ object LlmScaleRehearsal {
       s"decontam must broadcast-probe, not shuffle-join: $decontamShuffleJoins")
     require(pairs2 <= 3 * pairs1 && pairs2 >= pairs1,
       s"LSH pair growth not linear: $pairs1 -> $pairs2")
+    require(splitEx == 0,
+      s"split label assignment must be a pure map: $splitEx exchanges")
+    require(splitLeakPairs > 0 && splitLeakPairs <= splitPairsTotal,
+      s"split-leakage audit degenerate: $splitLeakPairs straddling of " +
+        s"$splitPairsTotal candidate pairs")
+    require(leakGenerates <= 0,
+      s"split-leakage audit re-shingled the corpus: $leakGenerates Generate " +
+        "nodes beyond the pair artifact's own cached lineage")
+    require(splitQuarantined > 0 && splitQuarantined <= splitLeakPairs,
+      s"quarantine count out of range: $splitQuarantined for " +
+        s"$splitLeakPairs straddling pairs (exactly one val side each)")
+    require(splitResidual == 0,
+      s"quarantine failed to close in one pass: $splitResidual residual " +
+        "straddling pairs over the surviving train/val labels")
     require(dhashEx == 0, s"dHash fingerprint must be map-only: $dhashEx exchanges")
     require(!imgCross, s"banded Hamming retrieval must not cross-product:\n$imgPlan")
     require(imgPairCount == imgBrute,
