@@ -328,6 +328,38 @@ object Sampling {
       when(hashBucket(col(idCol), salt) < lit(trainThreshold), lit("train"))
         .otherwise(lit("val")).as("split"))
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the dataloader's global training
+    * order: every doc gets a DENSE position 0..n−1, the rank of its
+    * salted hash (tie-broken by id), reproducible from the epoch number
+    * alone on any engine. The naive form — `row_number()` over an
+    * unpartitioned window — moves the whole corpus to ONE partition;
+    * this is the scale-correct decomposition of a global dense rank:
+    *   1. prefix-shard by the hash's first hex char (16 RANGE buckets —
+    *      lexicographic on lowercase hex, so shard order == key order);
+    *   2. count per shard (16 rows), prefix-sum offsets on that tiny
+    *      frame (its single-partition window is 16 rows, not the corpus);
+    *   3. broadcast the offsets back and rank WITHIN each shard:
+    *      `position = shard offset + within-shard rank − 1`.
+    * The corpus is touched by exactly two shard-keyed exchanges (the
+    * count and the rank) and one broadcast join — no single-partition
+    * stage ever sees payload rows. Epochs are cheap: a new salt is a new
+    * permutation, nothing is stored. */
+  def epochOrder(docs: DataFrame, epoch: Int = 0,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("_shard"))
+    val offsets = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_shard", "_offset")
+    keyed.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("position", col("_offset") + row_number().over(
+        Window.partitionBy(col("_shard")).orderBy(col("_k"), col(idCol))).cast("long") - 1L)
+      .select(col(idCol), col("position"))
+  }
+
   /** SPLIT-LEAKAGE AUDIT — the internal twin of benchmark
     * decontamination: a val doc with a NEAR-DUPLICATE in train is leaked
     * signal (the model effectively trains on the eval row), and external

@@ -132,6 +132,20 @@ private[queries] object LlmSamplingQueries {
              |    ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id)::BIGINT AS pos
              |FROM documents ORDER BY shard, pos""".stripMargin)),
 
+    // Deterministic EPOCH SHUFFLE: globally dense training positions
+    // 0..n-1 = rank of the salted hash, computed WITHOUT an unpartitioned
+    // window — 16 hash-prefix range shards, tiny prefix-sum offsets
+    // broadcast back, rank within shard. The oracle states the spec
+    // directly as the naive global row_number; values must agree exactly.
+    QueryDef("q_epoch_shuffle",
+      (s, d) => graft.llm.Sampling.epochOrder(table(s, d, "documents"), epoch = 3)
+        .orderBy(col("position")),
+      Some("""SELECT doc_id,
+             |  (row_number() OVER (
+             |     ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |   - 1)::BIGINT AS position
+             |FROM documents ORDER BY position""".stripMargin)),
+
     // Mix design in tokens: fill each source's 500-token budget in
     // quality-score order (boundary doc kept — the budget is a coverage
     // floor). One stratum-keyed exchange; exact integer running sums.

@@ -1335,6 +1335,45 @@ class LlmSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("epoch shuffle: dense global rank equals the naive window, no corpus single-partition stage") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val ord = Sampling.epochOrder(docs, epoch = 1).cache()
+    // dense 0..n-1
+    val n = ord.count()
+    assert(n == 500)
+    assert(ord.agg(min("position"), max("position"), countDistinct("position"))
+      .as[(Long, Long, Long)].head() == (0L, 499L, 500L))
+    // exactly the naive unpartitioned-window spec (the thing we refuse to
+    // run at scale), tie-broken identically
+    val naive = docs.select(col("doc_id"),
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("naive_pos",
+        row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long") - 1L)
+      .select("doc_id", "naive_pos")
+    assert(ord.join(naive, Seq("doc_id"))
+      .where(col("position") =!= col("naive_pos")).count() == 0)
+    // a new epoch is a different permutation; the same epoch is stable
+    assert(Sampling.epochOrder(docs, epoch = 2)
+      .withColumnRenamed("position", "pos2").join(ord, Seq("doc_id"))
+      .where(col("pos2") =!= col("position")).count() > 0)
+    assert(Sampling.epochOrder(docs, epoch = 1)
+      .withColumnRenamed("position", "pos1").join(ord, Seq("doc_id"))
+      .where(col("pos1") =!= col("position")).count() == 0)
+    // scale shape: the ONLY single-partition exchange is the 16-row offsets
+    // frame — the corpus rides shard-keyed exchanges plus one broadcast join
+    // (AQE's toString repeats every node in its "Initial Plan" section, so
+    // count within the final plan only)
+    val plan = Sampling.epochOrder(docs, epoch = 1)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    ord.unpersist()
+  }
+
   test("stratified sampling: deterministic, stratum-scoped, rate-proportional") {
     import graft.llm.Sampling
     import spark.implicits._
