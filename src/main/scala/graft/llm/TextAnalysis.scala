@@ -865,4 +865,38 @@ object TextAnalysis {
       // (occurrences + distinct), not three times
       .withColumn("keep", (col("n_hits") === 0).cast("int"))
   }
+
+  /** DATA CARD — the per-source corpus report every training-data release
+    * ships: docs, whitespace tokens, docs passing the [[qualityScore]]
+    * ≥ 0.5 bar, docs whose EXACT content (md5 of the text) appears more
+    * than once ANYWHERE in the corpus (cross-source duplication counts —
+    * a doc duplicated from another source is still duplicated), and
+    * distinct contents within the source. Every metric is an integer
+    * (per-doc double compares only, no cross-row float accumulation), so
+    * the report hash-matches any engine.
+    *
+    * Scale shape: per-doc metrics fold FIRST into (content, source)
+    * groups — one exchange keyed by the content hash — so the global
+    * duplication window and everything after it runs over distinct
+    * contents, not docs (the corpus payload is touched once). Then one
+    * content-keyed window for the global copy count and the final
+    * source rollup. Three exchanges total, none carrying text. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val perContent = docs
+      .select(col("source"), md5(col("text")).as("h"),
+        size(filter(toks, t => t =!= "")).cast("long").as("n_tok"),
+        when(qualityScore(col("text")) >= 0.5, 1L).otherwise(0L).as("q_ok"))
+      .groupBy("h", "source")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"), sum("q_ok").as("qok"))
+    perContent
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("h"))))
+      .groupBy("source").agg(
+        sum("n").as("n_docs"),
+        sum("tok").as("n_tokens"),
+        sum("qok").as("n_quality_docs"),
+        sum(when(col("tot") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+        count(lit(1)).as("n_distinct_contents"))
+  }
 }

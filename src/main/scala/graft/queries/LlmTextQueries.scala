@@ -50,6 +50,34 @@ private[queries] object LlmTextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Per-source DATA CARD: docs / tokens / quality passes / globally
+    // duplicated docs / distinct contents — all integers (per-doc double
+    // compares only), folded content-first so the dup window runs over
+    // distinct contents, never docs.
+    QueryDef("q_data_card",
+      (s, d) => graft.llm.TextAnalysis.dataCard(table(s, d, "documents"))
+        .orderBy(col("source")),
+      Some("""WITH per AS (
+             |  SELECT source, md5(text) AS h,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             |      AS n_tok,
+             |    CASE WHEN ((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |           / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)
+             |         + CASE WHEN len(list_filter(string_split(text,' '),
+             |                        x -> x IN ('the','and','of'))) > 0 THEN 1.0 ELSE 0.0 END
+             |         + CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END
+             |        ) / 3.0) >= 0.5 THEN 1 ELSE 0 END AS q_ok
+             |  FROM documents),
+             |tot AS (SELECT h, count(*) AS tot FROM per GROUP BY h)
+             |SELECT source,
+             |  count(*)::BIGINT AS n_docs,
+             |  sum(n_tok)::BIGINT AS n_tokens,
+             |  sum(q_ok)::BIGINT AS n_quality_docs,
+             |  sum(CASE WHEN tot > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+             |  count(DISTINCT h)::BIGINT AS n_distinct_contents
+             |FROM per JOIN tot USING (h)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Text quality signals: counts only (exact integers — no float ratios in
     // the compare surface; downstream can derive any ratio).
     QueryDef("q_text_stats",

@@ -1335,6 +1335,36 @@ class LlmSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("data card: integer metrics match hand counts; dup window runs over contents, payload never shuffles") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    // src A: two copies of the same content (one dup pair), one quality doc
+    // src B: one copy of A's content (cross-source dup!), one unique junk doc
+    val good = "the quick brown fox jumps over the lazy dog today fine"
+    val docs = Seq(
+      (1L, "A", good), (2L, "A", good), (3L, "A", "x y"),
+      (4L, "B", good), (5L, "B", "zz zz zz")).toDF("doc_id", "source", "text")
+    val card = TextAnalysis.dataCard(docs).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // A: 3 docs, 11+11+2 tokens, 2 quality (good has stopword+length+uniq
+    // ratio 10/11 -> (0.909+1+1)/3 = 0.97; "x y" is short, no stopword,
+    // ratio 1 -> 0.33), 2 dup docs (both copies of good; its content
+    // appears 3x globally), 2 distinct contents
+    assert(card(0) == ("A", 3L, 24L, 2L, 2L, 2L))
+    // B: 2 docs, 11+3 tokens, 1 quality, 1 dup doc (the cross-source copy
+    // counts), 2 distinct contents
+    assert(card(1) == ("B", 2L, 14L, 1L, 1L, 2L))
+    // scale shape: three exchanges in the final plan — (h, source) fold,
+    // the content window, the source rollup — and none of them carries the
+    // text payload (it dies in the first partial aggregate)
+    val plan = TextAnalysis.dataCard(docs).queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    assert(exchanges.length == 3, plan)
+    assert(exchanges.forall(!_.contains("text")), exchanges.mkString("\n"))
+  }
+
   test("epoch shuffle: dense global rank equals the naive window, no corpus single-partition stage") {
     import graft.llm.Sampling
     import org.apache.spark.sql.expressions.Window
