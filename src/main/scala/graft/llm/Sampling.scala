@@ -360,6 +360,35 @@ object Sampling {
       .select(col(idCol), col("position"))
   }
 
+  /** RESUMABLE SLICE of an [[epochOrder]] — the dataloader restart path:
+    * rows with position ∈ [from, until), WITHOUT ranking the whole
+    * corpus. The shard offsets (16 rows, computed from a count-only
+    * pass) tell exactly which shards intersect the slice, so the rank
+    * window runs over intersecting shards only — resuming at 99% of an
+    * epoch ranks ~1/16 of the corpus, not all of it. Same positions as
+    * filtering the full [[epochOrder]] (gated in LlmSpec). */
+  def epochSlice(docs: DataFrame, from: Long, until: Long, epoch: Int = 0,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(from >= 0 && until >= from, s"bad slice [$from, $until)")
+    val k = md5(concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("_shard"))
+    val offsets = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // a shard spans positions [_offset, _offset + _n) — keep only
+      // shards intersecting the slice; everything else is pruned BEFORE
+      // the rank window ever sees a row
+      .where(col("_offset") < until && col("_offset") + col("_n") > from)
+      .select("_shard", "_offset")
+    keyed.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("position", col("_offset") + row_number().over(
+        Window.partitionBy(col("_shard")).orderBy(col("_k"), col(idCol))).cast("long") - 1L)
+      .where(col("position") >= from && col("position") < until)
+      .select(col(idCol), col("position"))
+  }
+
   /** SPLIT-LEAKAGE AUDIT — the internal twin of benchmark
     * decontamination: a val doc with a NEAR-DUPLICATE in train is leaked
     * signal (the model effectively trains on the eval row), and external

@@ -146,6 +146,24 @@ private[queries] object LlmSamplingQueries {
              |   - 1)::BIGINT AS position
              |FROM documents ORDER BY position""".stripMargin)),
 
+    // Resumable slice of the epoch order: positions [100, 150) without
+    // ranking the whole corpus — shard offsets prune non-intersecting
+    // shards before the rank window. The oracle is the naive global
+    // rank filtered; values must agree exactly.
+    QueryDef("q_epoch_slice",
+      (s, d) => graft.llm.Sampling.epochSlice(
+          table(s, d, "documents"), from = 100L, until = 150L, epoch = 3)
+        .orderBy(col("position")),
+      Some("""WITH ord AS (
+             |  SELECT doc_id,
+             |    (row_number() OVER (
+             |       ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |     - 1)::BIGINT AS position
+             |  FROM documents)
+             |SELECT doc_id, position FROM ord
+             |WHERE position >= 100 AND position < 150
+             |ORDER BY position""".stripMargin)),
+
     // Mix design in tokens: fill each source's 500-token budget in
     // quality-score order (boundary doc kept — the budget is a coverage
     // floor). One stratum-keyed exchange; exact integer running sums.

@@ -1401,6 +1401,31 @@ class LlmSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // sparse shards (17 docs leave hex prefixes unpopulated): offsets are
+    // computed from actual counts, so density still holds
+    val few = (0 until 17).map(i => (i.toLong, "y")).toDF("doc_id", "text")
+    assert(Sampling.epochOrder(few, epoch = 1)
+      .agg(min("position"), max("position"), countDistinct("position"))
+      .as[(Long, Long, Long)].head() == (0L, 16L, 17L))
+
+    // resumable slice: identical to filtering the full order, and the
+    // rank window only ever sees the shards intersecting the slice
+    val slice = Sampling.epochSlice(docs, from = 200L, until = 250L, epoch = 1)
+    val expected = ord.where(col("position") >= 200 && col("position") < 250)
+    assert(slice.count() == 50)
+    assert(slice.withColumnRenamed("position", "p").join(expected, Seq("doc_id"))
+      .where(col("p") =!= col("position")).count() == 0)
+    // shard pruning is real: a 50/500 slice lives in a strict subset of
+    // the 16 shards (those are the only rows the rank window sees — the
+    // offsets frame is filtered to intersecting shards before the join)
+    val shardsHit = slice
+      .select(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))), 1, 1))
+      .distinct().count()
+    assert(shardsHit < 16, s"slice of 50/500 should not touch all 16 shards")
+    // boundary slices: first row, and a slice running past the end
+    assert(Sampling.epochSlice(docs, 0L, 1L, epoch = 1)
+      .select("position").as[Long].collect().toSeq == Seq(0L))
+    assert(Sampling.epochSlice(docs, 490L, 9999L, epoch = 1).count() == 10)
     ord.unpersist()
   }
 
