@@ -352,6 +352,22 @@ object KupoPipelineQueries {
         s"""SELECT count(*) AS n FROM inputs
            |WHERE address LIKE '01%' AND address LIKE '%${"0" * 55 + "3"}'""".stripMargin)),
 
+    // BEYOND REFERENCE: unspent balance per payment credential under the
+    // Shelley wildcard — one credential-keyed partial aggregate (kupo can
+    // only answer this by paging /matches?unspent client-side).
+    QueryDef("q_kupo_balance_by_payment",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        FoldInputs.balanceByPayment(ix, "*/*").orderBy(col("payment_credential"))
+      },
+      Some(derivationSql +
+        """SELECT substr(address, length(address) - 55) AS payment_credential,
+          |       count(*)::BIGINT AS n_utxos,
+          |       CAST(sum(coins) AS BIGINT) AS lovelace
+          |FROM inputs
+          |WHERE address NOT LIKE '00%' AND spent_at IS NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P9 MatchPolicyId: GET /matches/{policy}.* — map-key membership pushed
     // into the scan (the reference needs a policies-table join here).
     QueryDef("q_kupo_policy",

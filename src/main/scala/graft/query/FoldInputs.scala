@@ -265,6 +265,19 @@ object FoldInputs {
       .select(col("tx_id"), col("output_index"),
         explode(map_keys(col("value.assets"))).as("policy_id"))
 
+  /** BEYOND REFERENCE — aggregated unspent balance per payment credential
+    * under a pattern: UTxO count and total lovelace. Kupo answers this only
+    * client-side (page through /matches?unspent and sum); at index scale
+    * it's one credential-keyed partial aggregate — the payload folds
+    * map-side, only (credential, count, sum) rows shuffle. The credential
+    * is the virtual `substr(address, -56)` column (db/v2.1.0/001.sql:5). */
+  def balanceByPayment(ix: GraftIndex, patternText: String): DataFrame =
+    ix.inputsWithSpends
+      .where(patternOf(patternText).toPredicate && col("spent_at").isNull)
+      .groupBy(substring(col("address"), -56, 56).as("payment_credential"))
+      .agg(count(lit(1)).as("n_utxos"),
+        sum(col("value.coins")).cast("long").as("lovelace"))
+
   /** R4/R5 point lookups. */
   def getBinaryData(ix: GraftIndex, hashHex: String): Option[String] =
     ix.table("binary_data").where(col("binary_data_hash") === hashHex)

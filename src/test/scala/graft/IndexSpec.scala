@@ -188,6 +188,21 @@ class IndexSpec extends SparkSpec {
     assert(FoldInputs.countPolicies(ix, "*/*") == wantPolicies.map(_._3).size)
   }
 
+  test("balanceByPayment: unspent lovelace + utxo count per credential match the model") {
+    val want = model.filter(_.spentAt.isEmpty)
+      .groupBy(r => r.address.takeRight(56))
+      .map { case (cred, rs) => cred -> (rs.size.toLong, rs.map(_.coins).sum) }
+    val got = FoldInputs.balanceByPayment(ix, "*/*").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // credential-keyed partial aggregate: map-side combine before the one
+    // exchange — the payload never shuffles
+    val plan = FoldInputs.balanceByPayment(ix, "*/*")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("policies side table agrees with the value map") {
     val viaTable = ix.table("policies").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
