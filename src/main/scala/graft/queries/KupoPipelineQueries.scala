@@ -368,6 +368,22 @@ object KupoPipelineQueries {
           |WHERE address NOT LIKE '00%' AND spent_at IS NULL
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BEYOND REFERENCE: per-policy holder distribution over live UTxOs —
+    // asset map exploded in-scan, one policy-keyed exact aggregate.
+    QueryDef("q_kupo_holders_by_policy",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        FoldInputs.holdersByPolicy(ix, "*").orderBy(col("policy_id"))
+      },
+      Some(derivationSql +
+        """SELECT policy_id,
+          |       count(*)::BIGINT AS n_utxos,
+          |       count(DISTINCT substr(address, length(address) - 55))::BIGINT
+          |         AS n_holders
+          |FROM inputs
+          |WHERE policy_id IS NOT NULL AND spent_at IS NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P9 MatchPolicyId: GET /matches/{policy}.* — map-key membership pushed
     // into the scan (the reference needs a policies-table join here).
     QueryDef("q_kupo_policy",

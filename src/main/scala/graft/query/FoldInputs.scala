@@ -278,6 +278,21 @@ object FoldInputs {
       .agg(count(lit(1)).as("n_utxos"),
         sum(col("value.coins")).cast("long").as("lovelace"))
 
+  /** BEYOND REFERENCE — token-holder distribution: per policy carried by
+    * an unspent matching output, the live UTxO count and the number of
+    * DISTINCT payment credentials holding it. The asset map explodes
+    * in-scan (no policies-table join), then one policy-keyed aggregate;
+    * countDistinct rewrites to a two-level exact aggregate, both levels
+    * partial — the payload never shuffles. */
+  def holdersByPolicy(ix: GraftIndex, patternText: String): DataFrame =
+    ix.inputsWithSpends
+      .where(patternOf(patternText).toPredicate && col("spent_at").isNull)
+      .select(explode(map_keys(col("value.assets"))).as("policy_id"),
+        substring(col("address"), -56, 56).as("cred"))
+      .groupBy("policy_id")
+      .agg(count(lit(1)).as("n_utxos"),
+        countDistinct(col("cred")).as("n_holders"))
+
   /** R4/R5 point lookups. */
   def getBinaryData(ix: GraftIndex, hashHex: String): Option[String] =
     ix.table("binary_data").where(col("binary_data_hash") === hashHex)

@@ -203,6 +203,16 @@ class IndexSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("holdersByPolicy: live utxo count + distinct credentials per policy match the model") {
+    val live = model.filter(_.spentAt.isEmpty)
+    val want = live.flatMap(r => r.assets.keys.map(p => (p, r.address.takeRight(56))))
+      .groupBy(_._1)
+      .map { case (p, xs) => p -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+    val got = FoldInputs.holdersByPolicy(ix, "*").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("policies side table agrees with the value map") {
     val viaTable = ix.table("policies").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
