@@ -29,6 +29,35 @@ private[queries] object LlmEventQueries {
              |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
              |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)),
 
+    // Bucketed point-in-interval join: clicks inside a 4-hour window
+    // after each error of the same user. A plain BETWEEN join plans as a
+    // nested-loop; the bucket decomposition makes it an equi-join on
+    // (user, bucket) + residual filter — shuffle-hash-joinable at scale.
+    QueryDef("q_interval_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val err = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            col("ts").as("lo"), (col("ts") + 14400000000000L).as("hi"))
+        val clk = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("t"))
+        graft.streaming.EventStreams.pointInIntervalJoin(
+            clk, err, Seq("user_id"), "t", "lo", "hi", bucketWidth = 14400000000000L)
+          .select(col("user_id"), col("err_id"), col("click_id"))
+          .orderBy(col("user_id"), col("err_id"), col("click_id"))
+      },
+      Some("""WITH err AS (
+             |  SELECT user_id, event_id AS err_id, epoch_ns(ts) AS lo,
+             |         epoch_ns(ts) + 14400000000000 AS hi
+             |  FROM events WHERE event_type = 'error'),
+             |clk AS (
+             |  SELECT user_id, event_id AS click_id, epoch_ns(ts) AS t
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, e.err_id, c.click_id
+             |FROM clk c JOIN err e
+             |  ON c.user_id = e.user_id AND c.t >= e.lo AND c.t <= e.hi
+             |ORDER BY c.user_id, e.err_id, c.click_id""".stripMargin)),
+
     // Gap-based sessionization: a session breaks after 30 min of user
     // inactivity — lag + running sum windows, then a per-session rollup.
     // The window partitions by user_id: one shuffle, then all window work is

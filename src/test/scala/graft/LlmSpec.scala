@@ -1335,6 +1335,36 @@ class LlmSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("interval join: equals the naive range join, plans as an equi-join, span guard fails loudly") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map(i => (i.toLong % 5, i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("k", "pid", "t")
+    val ivs = (0 until 60).map { i =>
+      val lo = rnd.nextInt(9500).toLong
+      (i.toLong % 5, i.toLong, lo, lo + rnd.nextInt(500).toLong)
+    }.toDF("k", "iid", "lo", "hi")
+    val got = EventStreams.pointInIntervalJoin(pts, ivs, Seq("k"), "t", "lo", "hi",
+        bucketWidth = 500L)
+      .select("k", "pid", "iid").as[(Long, Long, Long)].collect().toSet
+    val want = pts.as("p").join(ivs.as("i"),
+        $"p.k" === $"i.k" && $"p.t" >= $"i.lo" && $"p.t" <= $"i.hi")
+      .select($"p.k", $"p.pid", $"i.iid").as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // plan shape: equi-join on (k, bucket) — never a nested loop or
+    // cartesian product (what the naive BETWEEN condition plans as)
+    val plan = EventStreams.pointInIntervalJoin(pts, ivs, Seq("k"), "t", "lo", "hi", 500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // an interval spanning more buckets than allowed fails loudly in-plan
+    val wide = Seq((1L, 1L, 0L, 10000L)).toDF("k", "iid", "lo", "hi")
+    val e = intercept[Exception] {
+      EventStreams.pointInIntervalJoin(pts, wide, Seq("k"), "t", "lo", "hi", 500L).count()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("data card: integer metrics match hand counts; dup window runs over contents, payload never shuffles") {
     import graft.llm.TextAnalysis
     import spark.implicits._
