@@ -58,6 +58,24 @@ private[queries] object LlmEventQueries {
              |  ON c.user_id = e.user_id AND c.t >= e.lo AND c.t <= e.hi
              |ORDER BY c.user_id, e.err_id, c.click_id""".stripMargin)),
 
+    // Cohort retention at daily granularity: users bucketed by first-seen
+    // day, distinct actives per (cohort, day offset). The raw stream
+    // collapses in two user-keyed partial aggregates before the join.
+    QueryDef("q_retention_cohorts",
+      (s, d) => graft.streaming.EventStreams.retentionCohorts(
+          table(s, d, "events"), periodNanos = 86400000000000L)
+        .orderBy(col("cohort"), col("period_offset")),
+      Some("""WITH fs AS (
+             |  SELECT user_id, min(epoch_ns(ts)) // 86400000000000 AS cohort
+             |  FROM events GROUP BY user_id),
+             |act AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS period
+             |  FROM events)
+             |SELECT fs.cohort, act.period - fs.cohort AS period_offset,
+             |       count(DISTINCT act.user_id)::BIGINT AS n_active
+             |FROM act JOIN fs ON act.user_id = fs.user_id
+             |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin)),
+
     // Gap-based sessionization: a session breaks after 30 min of user
     // inactivity — lag + running sum windows, then a per-session rollup.
     // The window partitions by user_id: one shuffle, then all window work is

@@ -255,6 +255,34 @@ object EventStreams {
       .drop("_b")
   }
 
+  /** COHORT RETENTION — the product-analytics staple: users grouped by
+    * first-seen period (their cohort), then for each (cohort, period
+    * offset) the number of DISTINCT cohort members active in that period.
+    * `periodNanos` is the cohort/activity granularity (a week, a day).
+    *
+    * Scale shape: first-seen is one user-keyed min-aggregate; activity
+    * dedups to (user, period) rows — both partial-aggregated map-side, so
+    * the raw stream collapses before anything joins. The join is
+    * user-keyed and co-partitioned with the aggregates feeding it; the
+    * final rollup carries (cohort, offset, user) rows only. All metrics
+    * integer-exact. */
+  def retentionCohorts(events: DataFrame, periodNanos: Long,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    require(periodNanos > 0, s"periodNanos must be positive: $periodNanos")
+    // `div` (integer division), NOT `/`: the latter routes through double,
+    // whose 53-bit mantissa cannot hold epoch nanos — a boundary timestamp
+    // could land in the wrong period
+    val cohorts = events.groupBy(col(userCol))
+      .agg(expr(s"min($tsCol) div $periodNanos").as("cohort"))
+    val activity = events
+      .select(col(userCol), expr(s"$tsCol div $periodNanos").as("period"))
+      .distinct()
+    activity.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+
   /** Per-user conversion funnel `fromType` → `toType`: for each user with at
     * least one `fromType` event, the earliest such timestamp and the
     * earliest `toType` timestamp AT OR AFTER it (null if the user never

@@ -1335,6 +1335,27 @@ class LlmSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("retention cohorts: hand-built matrix matches; stream collapses before the join") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    // period = 10: user 1 first seen period 0, active 0 and 2; user 2 first
+    // seen 0, active 0 only (3 raw events); user 3 first seen 2, active 2, 3
+    val ev = Seq(
+      (1L, 5L), (1L, 25L),
+      (2L, 7L), (2L, 8L), (2L, 9L),
+      (3L, 21L), (3L, 29L), (3L, 35L)).toDF("user_id", "ts")
+    val got = EventStreams.retentionCohorts(ev, periodNanos = 10L)
+      .orderBy("cohort", "period_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 2L, 1L), (2L, 0L, 1L), (2L, 1L, 1L)))
+    // plan: every exchange keys on the user (aggregates + join) or the
+    // final (cohort, offset) rollup — the raw stream never shuffles twice
+    val plan = EventStreams.retentionCohorts(ev, 10L)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("interval join: equals the naive range join, plans as an equi-join, span guard fails loudly") {
     import graft.streaming.EventStreams
     import spark.implicits._
