@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   * oracle can mirror them exactly. */
 object Dedup {
 
+  /** CORPUS SNAPSHOT DIFF — release governance: per doc id, whether it
+    * was `added`, `removed`, `changed`, or `unchanged` between snapshot
+    * `a` and snapshot `b` (the datasheet delta between two corpus
+    * versions; compose with the index's `asOfVersion` time travel to
+    * diff retained snapshots in place). Only (id, content-hash)
+    * projections join — one id-keyed full-outer join, the text payload
+    * never moves. */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    a.select(col(idCol), md5(col(textCol)).as("_ha"))
+      .join(b.select(col(idCol), md5(col(textCol)).as("_hb")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") =!= col("_hb"), "changed")
+          .otherwise("unchanged").as("status"))
+
   /** Exact dedup: one shuffle on md5(text). Survivor = min id. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))

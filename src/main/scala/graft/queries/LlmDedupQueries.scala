@@ -59,6 +59,36 @@ private[queries] object LlmDedupQueries {
               |$bandsDuckSql
               |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Corpus snapshot diff — release governance: snapshot B derives from
+    // the documents table (every 7th doc edited, every 11th dropped, a
+    // synthetic tail added), and the diff labels each id
+    // added/removed/changed/unchanged from (id, hash) projections alone.
+    QueryDef("q_corpus_diff",
+      (s, d) => {
+        val a = table(s, d, "documents")
+        val b = a.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(a.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.llm.Dedup.corpusDiff(a, b).orderBy(col("doc_id"))
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+             |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             |       CASE WHEN a.h IS NULL THEN 'added'
+             |            WHEN b.h IS NULL THEN 'removed'
+             |            WHEN a.h <> b.h THEN 'changed'
+             |            ELSE 'unchanged' END AS status
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Train/val SPLIT-LEAKAGE audit — the internal twin of benchmark
     // decontamination: deterministic salted-hash split labels, then the
     // banding-bounded candidate pairs that STRADDLE the split (a val doc

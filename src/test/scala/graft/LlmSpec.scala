@@ -1335,6 +1335,20 @@ class LlmSpec extends SparkSpec {
       .contains("Exchange"))
   }
 
+  test("corpus diff: four statuses from hash projections only") {
+    import graft.llm.Dedup
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((1L, "x"), (2L, "y2"), (4L, "w")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // only (id, hash) projections reach the join: the scan schema carries
+    // no text column on either side
+    val plan = Dedup.corpusDiff(a, b).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("retention cohorts: hand-built matrix matches; stream collapses before the join") {
     import graft.streaming.EventStreams
     import spark.implicits._
