@@ -899,4 +899,33 @@ object TextAnalysis {
         sum(when(col("tot") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
         count(lit(1)).as("n_distinct_contents"))
   }
+
+  /** CORPUS DRIFT — the statistical companion to `Dedup.corpusDiff`: the
+    * k terms whose unigram probability moved most between snapshot `a`
+    * and snapshot `b` (release governance: "what changed in the data mix,
+    * not just which rows"). The shift score is the cross-multiplied
+    * integer |cnt_a·N_b − cnt_b·N_a| — exactly |p_a − p_b|·N_a·N_b with
+    * no floating point, so it is totally ordered and engine-portable.
+    * Shape: one explode+count per snapshot (map-side combined to
+    * vocabulary size), a vocab-sized full-outer join, two broadcast
+    * 1-row totals, then a distributed TakeOrdered top-k — the corpus
+    * payload is scanned once per side and nothing downstream exceeds
+    * |vocab|. */
+  def corpusDrift(a: DataFrame, b: DataFrame, k: Int = 50,
+                  textCol: String = "text"): DataFrame = {
+    def termCounts(df: DataFrame, out: String) = df
+      .select(explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+    val ca = termCounts(a, "cnt_a")
+    val cb = termCounts(b, "cnt_b")
+    val na = ca.agg(sum(col("cnt_a")).as("n_a"))
+    val nb = cb.agg(sum(col("cnt_b")).as("n_b"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")).as("shift"))
+      .orderBy(col("shift").desc, col("term").asc)
+      .limit(k)
+  }
 }

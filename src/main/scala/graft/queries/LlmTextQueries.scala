@@ -78,6 +78,38 @@ private[queries] object LlmTextQueries {
              |FROM per JOIN tot USING (h)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Corpus drift — the statistical companion to q_corpus_diff (same
+    // snapshot-B derivation): the 50 terms whose unigram probability moved
+    // most between versions, ranked by the cross-multiplied integer shift
+    // |cnt_a*N_b - cnt_b*N_a| so the compare surface stays float-free.
+    QueryDef("q_corpus_drift",
+      (s, d) => {
+        val a = table(s, d, "documents")
+        val b = a.where(col("doc_id") % 11 =!= 0)
+          .select(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+          .unionByName(a.where(col("doc_id") % 13 === 0).select(col("text")))
+        TextAnalysis.corpusDrift(a.select(col("text")), b, k = 50)
+      },
+      Some("""WITH bdocs AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT text FROM documents WHERE doc_id % 13 = 0),
+             |ta AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |       FROM documents),
+             |tb AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             |       FROM bdocs),
+             |ca AS (SELECT term, count(*)::BIGINT AS cnt_a FROM ta GROUP BY 1),
+             |cb AS (SELECT term, count(*)::BIGINT AS cnt_b FROM tb GROUP BY 1),
+             |j AS (SELECT term, COALESCE(cnt_a, 0)::BIGINT AS cnt_a,
+             |             COALESCE(cnt_b, 0)::BIGINT AS cnt_b
+             |      FROM ca FULL OUTER JOIN cb USING (term))
+             |SELECT term, cnt_a, cnt_b,
+             |       abs(cnt_a * (SELECT sum(cnt_b) FROM cb)
+             |         - cnt_b * (SELECT sum(cnt_a) FROM ca))::BIGINT AS shift
+             |FROM j ORDER BY shift DESC, term ASC LIMIT 50""".stripMargin)),
+
     // Text quality signals: counts only (exact integers — no float ratios in
     // the compare surface; downstream can derive any ratio).
     QueryDef("q_text_stats",

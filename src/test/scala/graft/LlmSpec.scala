@@ -1349,6 +1349,23 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("corpus drift: integer cross-multiplied shift ranks moved terms first") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    // a: 4 tokens (x x y z), b: 4 tokens (x y y w) -> N_a = N_b = 4.
+    // shift = |cnt_a*4 - cnt_b*4|: x=4, y=4, z=4, w=4 ... make asymmetric:
+    val a = Seq("x x y z").toDF("text")
+    val b = Seq("x y y y").toDF("text")
+    val got = TextAnalysis.corpusDrift(a, b, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // N_a=4, N_b=4: shifts -> x: |2*4-1*4|=4, y: |1*4-3*4|=8, z: |1*4-0|=4, w absent
+    assert(got.toList == List(("y", 1L, 3L, 8L), ("x", 2L, 1L, 4L), ("z", 1L, 0L, 4L)))
+    // the vocab-sized totals are broadcast, never shuffled with the join
+    val plan = TextAnalysis.corpusDrift(a, b, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("retention cohorts: hand-built matrix matches; stream collapses before the join") {
     import graft.streaming.EventStreams
     import spark.implicits._
