@@ -178,14 +178,21 @@ object Bench {
       "median 0.95x vs the r8 tail (which came from the slow 65.9s run of r8's " +
       "56.4/62.6/65.9s same-code spread); no common query regressed beyond the " +
       "documented shingle/explode family swing (+-0.2-0.5s, r6/r7/r8 postmortems). " +
-      "Six new queries this round cost ~1.3s total (q_kupo_fetch_block 0.23, " +
-      "q_kupo_tip 0.18, q_kupo_list_patterns 0.05, q_kupo_metadata_by_slot 0.26, " +
-      "q_kupo_asof 0.25 - one pinned-manifest fetch, no extra scan - and " +
-      "q_kupo_tiered_scan, a plain scan over a tiering-compacted index). " +
-      "Structural changes (exact-integer phi thresholds, foldRegisters " +
-      "refactor, commitManifest ordering) are plan-shape-neutral: sketch queries " +
-      "within noise of r8 (q_heavy_hitters 1.20 vs ~1.2, q_bloom_filter 0.61 vs " +
-      "~0.6). SCALE.md Appendix D carries the full r7/r8->r9 comparison table."
+      "Sixteen queries added across the round cost ~6.1s combined: the oracle-" +
+      "residue/time-travel six (~2.0s: q_kupo_fetch_block 0.26, q_kupo_tip 0.19, " +
+      "q_kupo_list_patterns 0.06, q_kupo_metadata_by_slot 0.30, q_kupo_asof 0.26 " +
+      "- one pinned-manifest fetch, no extra scan - q_kupo_tiered_scan 0.91, a " +
+      "plain scan over a tiering-compacted index), the tail eight (~3.5s: " +
+      "balance/holders aggregates 0.84/0.52, data card 0.41, cohort retention " +
+      "0.39, epoch shuffle+slice 0.27+0.26, interval join 0.34, split leakage " +
+      "0.50; shapes in SCALE.md D.3/D.4), and the governance pair (~0.6s: " +
+      "q_corpus_diff 0.26 - hash-projection-only full-outer join - " +
+      "q_corpus_drift 0.33, vocab-sized join + broadcast totals + distributed " +
+      "top-k). Structural changes (exact-integer phi " +
+      "thresholds, foldRegisters refactor, commitManifest ordering) are " +
+      "plan-shape-neutral: sketch queries within noise of r8 (q_heavy_hitters " +
+      "1.20 vs ~1.2, q_bloom_filter 0.61 vs ~0.6). SCALE.md Appendix D carries " +
+      "the full r7/r8->r9 comparison table."
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}"""
     println(line)
     artifactPaths().foreach { p =>

@@ -1343,8 +1343,18 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.corpusDiff(a, b).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
-    // only (id, hash) projections reach the join: the scan schema carries
-    // no text column on either side
+    // only (id, hash) projections reach the join: each join input's output
+    // is exactly (doc_id, hash) — the text payload never crosses the shuffle
+    val opt = Dedup.corpusDiff(a, b).queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val names = side.output.map(_.name).toSet
+        assert(!names.contains("text"), s"text leaked into join input: $names")
+        assert(names.size == 2 && names.contains("doc_id"), names.toString)
+      }
+    }
     val plan = Dedup.corpusDiff(a, b).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
