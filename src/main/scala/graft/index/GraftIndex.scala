@@ -319,7 +319,12 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val segs = m.tables.getOrElse(tableName, Nil)
     if (segs.size <= maxSegments) return 0
     val unknown = Long.MaxValue / 4 // legacy no-rows segments merge last
-    def rowsOf(run: Vector[Segment]): Long = run.map(_.rows.getOrElse(unknown)).sum
+    // SATURATING sum: a run holding several unknown-size sentinels must
+    // stay "huge", not wrap negative — an overflow here would invert the
+    // smallest-pair policy into repeatedly rewriting the LARGEST legacy
+    // runs (unbounded write amplification on pre-`rows` manifests)
+    def rowsOf(run: Vector[Segment]): Long =
+      run.foldLeft(0L)((a, s) => math.min(unknown, a + s.rows.getOrElse(unknown)))
     var runs = segs.sortBy(s => (s.minSlot.getOrElse(Long.MinValue), s.path))
       .map(Vector(_)).toVector
     while (runs.size > maxSegments) {

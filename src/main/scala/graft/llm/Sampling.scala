@@ -345,20 +345,8 @@ object Sampling {
     * stage ever sees payload rows. Epochs are cheap: a new salt is a new
     * permutation, nothing is stored. */
   def epochOrder(docs: DataFrame, epoch: Int = 0,
-                 idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = md5(concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
-    val keyed = docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("_shard"))
-    val offsets = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
-      .withColumn("_offset", coalesce(sum(col("_n")).over(
-        Window.orderBy(col("_shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_shard", "_offset")
-    keyed.join(broadcast(offsets), Seq("_shard"))
-      .withColumn("position", col("_offset") + row_number().over(
-        Window.partitionBy(col("_shard")).orderBy(col("_k"), col(idCol))).cast("long") - 1L)
-      .select(col(idCol), col("position"))
-  }
+                 idCol: String = "doc_id"): DataFrame =
+    shardRanked(docs, epoch, idCol, slice = None)
 
   /** RESUMABLE SLICE of an [[epochOrder]] — the dataloader restart path:
     * rows with position ∈ [from, until), WITHOUT ranking the whole
@@ -369,23 +357,33 @@ object Sampling {
     * filtering the full [[epochOrder]] (gated in LlmSpec). */
   def epochSlice(docs: DataFrame, from: Long, until: Long, epoch: Int = 0,
                  idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(from >= 0 && until >= from, s"bad slice [$from, $until)")
+    shardRanked(docs, epoch, idCol, slice = Some((from, until)))
+      .where(col("position") >= from && col("position") < until)
+  }
+
+  /** The shared shard-decomposed global rank behind [[epochOrder]] and
+    * [[epochSlice]] — ONE implementation so the shard key, the offset
+    * prefix-sum, and the (hash, id) tie-break can never silently diverge
+    * between the full order and its resumable slice. */
+  private def shardRanked(docs: DataFrame, epoch: Int, idCol: String,
+                          slice: Option[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = md5(concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
     val keyed = docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("_shard"))
-    val offsets = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
+    val counted = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
       .withColumn("_offset", coalesce(sum(col("_n")).over(
         Window.orderBy(col("_shard"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // a shard spans positions [_offset, _offset + _n) — keep only
-      // shards intersecting the slice; everything else is pruned BEFORE
-      // the rank window ever sees a row
-      .where(col("_offset") < until && col("_offset") + col("_n") > from)
-      .select("_shard", "_offset")
+    // a shard spans positions [_offset, _offset + _n) — for a slice, keep
+    // only intersecting shards; everything else is pruned BEFORE the rank
+    // window ever sees a row
+    val offsets = slice.fold(counted) { case (from, until) =>
+        counted.where(col("_offset") < until && col("_offset") + col("_n") > from)
+      }.select("_shard", "_offset")
     keyed.join(broadcast(offsets), Seq("_shard"))
       .withColumn("position", col("_offset") + row_number().over(
         Window.partitionBy(col("_shard")).orderBy(col("_k"), col(idCol))).cast("long") - 1L)
-      .where(col("position") >= from && col("position") < until)
       .select(col(idCol), col("position"))
   }
 

@@ -436,6 +436,12 @@ object Similarity {
     // clear any stale half-written rewrite
     if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
       throw new java.io.IOException(s"compactIndex: crash recovery $old -> $indexDir failed")
+    // the other crash window: publish succeeded but the old tree was never
+    // deleted (dst AND old both exist). The live index is authoritative;
+    // a stale `.old` left in place would wedge every later swap (renaming
+    // dst aside targets an existing dir), so finish the interrupted cleanup
+    if (fs.exists(dst) && fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compactIndex: stale $old cleanup failed")
     fs.delete(src, true)
     spark.read.parquet(indexDir)
       .repartition(col("cell"))
@@ -584,13 +590,29 @@ object Similarity {
   def defaultRerankWidth(k: Int): Int = 5 * k
   def cheapRerankWidth(k: Int): Int = 2 * k
 
+  /** The cell count is a fixed property of a trained index, but the
+    * default-operating-point overloads would otherwise schedule one
+    * (tiny) count job PER LOOKUP on the serving path. Memoized by the
+    * centroid frame's analyzed plan (structural equality: re-reading the
+    * same path hits; weak keys so dropped frames don't pin memory).
+    * Retraining to a DIFFERENT cell count behind the same path should
+    * route through the explicit-nprobe overloads or a fresh session —
+    * though even a stale nprobe only moves the recall/cost point, never
+    * correctness (the re-rank stays exact). */
+  private val nCellsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Integer]())
+  private def nCellsOf(centroids: DataFrame): Int =
+    nCellsCache.computeIfAbsent(centroids.queryExecution.analyzed,
+      _ => centroids.count().toInt)
+
   /** [[ivfPqTopKRerank]] at the documented default operating point:
     * quarter-cell probe, c = 5·k shortlist (see [[defaultNprobe]]). */
   def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
                       embeddings: DataFrame, queryVecId: Long, k: Int,
                       m: Int, subDim: Int): DataFrame =
     ivfPqTopKRerank(encoded, centroids, codebook, embeddings, queryVecId, k,
-      defaultRerankWidth(k), defaultNprobe(centroids.count().toInt), m, subDim)
+      defaultRerankWidth(k), defaultNprobe(nCellsOf(centroids)), m, subDim)
 
   def ivfPqTopKRerank(encoded: DataFrame, centroids: DataFrame, codebook: DataFrame,
                       embeddings: DataFrame, queryVecId: Long, k: Int, c: Int,
@@ -623,7 +645,7 @@ object Similarity {
                          embeddings: DataFrame, k: Int,
                          m: Int, subDim: Int): DataFrame =
     ivfPqKnnJoinRerank(encoded, centroids, codebook, queries, embeddings, k,
-      defaultRerankWidth(k), defaultNprobe(centroids.count().toInt), m, subDim)
+      defaultRerankWidth(k), defaultNprobe(nCellsOf(centroids)), m, subDim)
 
   def ivfPqKnnJoinRerank(encoded: DataFrame, centroids: DataFrame,
                          codebook: DataFrame, queries: DataFrame,

@@ -279,13 +279,17 @@ object CurationStream {
     * file listing and plan size degrade every [[readOrEmpty]] — the same
     * problem the ANN index solves with [[Similarity.compactIndex]] and the
     * kupo index with `GraftIndex.compact`, reference analogue SQLite.hs's
-    * post-copy compaction discipline). Folds every partition with
-    * `batch_id <= upTo` of every sink into ONE consolidated
-    * `batch_id=<upTo>` partition, rows verbatim (registers keep their
-    * linear/max merge laws untouched — they are NOT folded here, only
-    * re-filed), so every probe and telemetry fold reads exactly the same
-    * frame as before: a later batch's `batch_id < id` filter sees the
-    * consolidated partition iff it saw the originals.
+    * post-copy compaction discipline). Folds the partitions with
+    * `batch_id <= upTo` of every sink down to at most `maxRuns`
+    * consolidated partitions (default 1: ONE `batch_id=<max folded id>`
+    * partition — the offline one-shot shape; the streaming cadence passes
+    * maxRuns > 1 for tiered, bounded-write-amplification maintenance),
+    * rows verbatim (registers keep their linear/max merge laws untouched
+    * — they are NOT folded here, only re-filed), so every probe and
+    * telemetry fold reads exactly the same frame as before: runs are
+    * contiguous in id and file under their max id, so a later batch's
+    * `batch_id < id` filter sees the consolidated partitions iff it saw
+    * the originals.
     *
     * `upTo` MUST be strictly below any batch id that may still replay —
     * with Structured Streaming that is every id except the current
@@ -298,80 +302,148 @@ object CurationStream {
     * dot-prefixed dir (invisible to parquet listing), originals are
     * renamed aside into a trash dir, ONE rename publishes the consolidated
     * partition, then trash is deleted. A crash at any point leaves the
-    * data recoverable, and the next invocation self-heals: a leftover
-    * work dir means the publish never happened (originals restore from
-    * trash and the attempt restarts); trash without a work dir means it
-    * did (cleanup finishes). */
+    * data recoverable, and the next invocation self-heals EVERY stale
+    * attempt, whatever its fold point was ([[healCrashedAttempts]]): a
+    * leftover work dir means the publish never happened (originals
+    * restore from trash and the attempt restarts); trash without a work
+    * dir means it did (cleanup finishes). */
   def compactSinks(spark: SparkSession, sinks: CurationSinks, upTo: Long,
-                   corpusPartitions: Int = 1): Unit = {
+                   corpusPartitions: Int = 1, maxRuns: Int = 1): Unit = {
     require(corpusPartitions >= 1, s"corpusPartitions must be >= 1, got $corpusPartitions")
+    require(maxRuns >= 1, s"maxRuns must be >= 1, got $maxRuns")
     // the CORPUS holds the survivor documents themselves — at scale its
     // consolidated partition must stay multi-file (size the parameter to
     // ~rows/128MB); the signature/register sinks are sketch-sized by
     // construction (bounded per batch by banding / 2^p / d·w / 64·s) and
     // genuinely belong in one file each
-    compactOne(spark, sinks.corpusDir, upTo, Nil, corpusPartitions)
-    compactOne(spark, sinks.sigDir, upTo, Nil, 1)
-    compactOne(spark, sinks.vecDir, upTo, Seq("cell"), 1)
-    compactOne(spark, sinks.idxDir, upTo, Seq("cell"), 1)
+    compactOne(spark, sinks.corpusDir, upTo, Nil, corpusPartitions, maxRuns)
+    compactOne(spark, sinks.sigDir, upTo, Nil, 1, maxRuns)
+    compactOne(spark, sinks.vecDir, upTo, Seq("cell"), 1, maxRuns)
+    compactOne(spark, sinks.idxDir, upTo, Seq("cell"), 1, maxRuns)
     Seq("/hll", "/qlen", "/cms", "/hhcand")
-      .foreach(s => compactOne(spark, sinks.statsDir + s, upTo, Nil, 1))
+      .foreach(s => compactOne(spark, sinks.statsDir + s, upTo, Nil, 1, maxRuns))
   }
 
-  private def compactOne(spark: SparkSession, dir: String, upTo: Long,
-                         partCols: Seq[String], nParts: Int): Unit = {
+  /** Self-heal EVERY crashed earlier attempt, whatever its upTo was: a
+    * leftover work dir means that attempt's publish never happened —
+    * originals in its trash are authoritative and restore; trash without
+    * a work dir means the publish DID happen and only the cleanup was
+    * interrupted. Keying recovery to the current upTo alone would strand
+    * rows renamed aside by a crashed attempt at a DIFFERENT fold point
+    * (dot-prefixed dirs are invisible to parquet listing — silent loss;
+    * the streaming cadence never reuses an upTo, so that was the common
+    * case, not the rare one). */
+  private def healCrashedAttempts(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val attempt = """\.compact-(\d+)""".r
+    val ids = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap {
+      st => st.getPath.getName match {
+        case attempt(n)              => Some(n.toLong)
+        case s if s.startsWith(".compact-") && s.endsWith(".trash") =>
+          attempt.findFirstMatchIn(s).map(_.group(1).toLong)
+        case _                       => None
+      }
+    }.distinct
+    ids.foreach { id =>
+      val work = new Path(root, s".compact-$id")
+      val trash = new Path(root, s".compact-$id.trash")
+      if (fs.exists(work)) {
+        if (fs.exists(trash))
+          fs.listStatus(trash).foreach(st =>
+            fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+        fs.delete(trash, true)
+        fs.delete(work, true)
+      } else if (fs.exists(trash)) {
+        fs.delete(trash, true) // publish happened; finish the cleanup
+      }
+    }
+  }
+
+  private[graft] def compactOne(spark: SparkSession, dir: String, upTo: Long,
+                         partCols: Seq[String], nParts: Int,
+                         maxRuns: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
-    val work = new Path(root, s".compact-$upTo")
-    val trash = new Path(root, s".compact-$upTo.trash")
-    // self-heal a crashed earlier attempt: restore FIRST, then clear the
-    // work dir — originals in trash are authoritative until the publish
-    // rename (the only step that removes the work dir) has happened
-    if (fs.exists(work)) {
-      if (fs.exists(trash))
-        fs.listStatus(trash).foreach(st =>
-          fs.rename(st.getPath, new Path(root, st.getPath.getName)))
-      fs.delete(trash, true)
-      fs.delete(work, true)
-    } else if (fs.exists(trash)) {
-      fs.delete(trash, true) // publish happened; finish the cleanup
-    }
+    healCrashedAttempts(fs, root)
     val re = """batch_id=(\d+)""".r
     val originals = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
       st.getPath.getName match {
-        case re(n) if n.toLong <= upTo => Some(st.getPath)
+        case re(n) if n.toLong <= upTo => Some(n.toLong -> st.getPath)
         case _                         => None
       }
+    }.sortBy(_._1)
+    if (originals.size <= math.max(maxRuns, 1)) return // already telescoped (idempotent)
+    // TIERING (maxRuns > 1): the same smallest-adjacent-pair policy as
+    // GraftIndex.compactSegments — partitions sorted by id fold into runs
+    // until at most maxRuns remain, always merging the cheapest adjacent
+    // pair by byte size. Young small partitions fold often, a big old
+    // consolidated run is rarely touched: amortized O(log B) rewrites per
+    // row instead of the O(B/cadence) a refold-everything policy costs at
+    // streaming scale. maxRuns == 1 is the degenerate full fold (the
+    // offline one-shot shape the explicit API defaults to).
+    def sizeOf(p: Path): Long = fs.getContentSummary(p).getLength
+    var runs: Vector[Vector[(Long, Path, Long)]] =
+      originals.map { case (id, p) => Vector((id, p, sizeOf(p))) }.toVector
+    while (runs.size > maxRuns) {
+      val i = (0 until runs.size - 1)
+        .minBy(j => runs(j).map(_._3).sum + runs(j + 1).map(_._3).sum)
+      runs = runs.patch(i, Seq(runs(i) ++ runs(i + 1)), 2)
     }
-    if (originals.size <= 1) return // already telescoped (idempotent)
-    // a sink whose batches were all empty (marker trees, no data files) has
-    // nothing to fold — same schema-inference tolerance as readOrEmpty
-    val raw =
-      try spark.read.parquet(dir)
+    // each multi-partition run folds through its own atomic work/trash
+    // cycle into `batch_id=<run max id>` — ids in a run are contiguous, so
+    // any later probe's `batch_id < id` filter (id > upTo always) sees
+    // exactly the same rows before and after; a crash between runs leaves
+    // every run either folded or untouched, and healCrashedAttempts
+    // finishes the in-flight one next time
+    runs.filter(_.size > 1).foreach { run =>
+      foldRun(spark, fs, root, run.map(_._2), run.map(_._1).max, partCols, nParts)
+    }
+  }
+
+  private def foldRun(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path,
+                      sources: Seq[org.apache.hadoop.fs.Path], target: Long,
+                      partCols: Seq[String], nParts: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val work = new Path(root, s".compact-$target")
+    val trash = new Path(root, s".compact-$target.trash")
+    // a run whose batches were all empty (marker trees, no data files) has
+    // nothing to fold with Spark — re-file as a pure rename: publish an
+    // empty marker under the run's max id (same read surface as before).
+    // basePath pins partition discovery to the sink root so the per-run
+    // subtree read sees the same (batch_id, cell, ...) layout a whole-tree
+    // read would — without it Spark refuses mixed partition depths
+    val folded =
+      try Some(spark.read.option("basePath", root.toString)
+        .parquet(sources.map(_.toString): _*).drop("batch_id"))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
-          return
+          None
       }
-    val folded = raw.where(col("batch_id") <= upTo).drop("batch_id")
-    // one task per partition value (or nParts files for unpartitioned
-    // sinks) — the file-count bound the job exists for
-    val sized =
-      if (partCols.nonEmpty) folded.repartition(partCols.map(col): _*)
-      else if (nParts == 1) folded.coalesce(1)
-      else folded.repartition(nParts)
-    (if (partCols.nonEmpty) sized.write.partitionBy(partCols: _*) else sized.write)
-      .mode("overwrite").parquet(work.toString)
+    folded match {
+      case Some(df) =>
+        // one task per partition value (or nParts files for unpartitioned
+        // sinks) — the file-count bound the job exists for
+        val sized =
+          if (partCols.nonEmpty) df.repartition(partCols.map(col): _*)
+          else if (nParts == 1) df.coalesce(1)
+          else df.repartition(nParts)
+        (if (partCols.nonEmpty) sized.write.partitionBy(partCols: _*) else sized.write)
+          .mode("overwrite").parquet(work.toString)
+      case None => fs.mkdirs(work) // empty marker tree
+    }
     fs.mkdirs(trash)
-    originals.foreach { p =>
+    sources.foreach { p =>
       if (!fs.rename(p, new Path(trash, p.getName)))
         throw new java.io.IOException(s"compactSinks: rename $p aside failed")
     }
-    if (!fs.rename(work, new Path(root, s"batch_id=$upTo")))
+    if (!fs.rename(work, new Path(root, s"batch_id=$target")))
       throw new java.io.IOException(
-        s"compactSinks: publish $work -> $root/batch_id=$upTo failed (originals preserved in $trash)")
+        s"compactSinks: publish $work -> $root/batch_id=$target failed (originals preserved in $trash)")
     fs.delete(trash, true)
   }
 
@@ -381,13 +453,21 @@ object CurationStream {
     *
     * `compactEvery = Some(n)` makes the stream SELF-MAINTAINING: every n
     * batches, [[compactSinks]] telescopes partitions `<= id − 1` before
-    * the batch's own work. Folding only STRICTLY-EARLIER batches keeps
-    * the replay contract intact — the engine replays at most the
-    * in-flight batch id, which is never folded; if the batch fails after
-    * its compaction ran, the replay re-runs a now-idempotent fold and
-    * then the batch itself, landing in exactly the same state. */
+    * the batch's own work — TIERED (`compactMaxRuns` runs, default 8),
+    * not a full refold: a refold-everything cadence rewrites all
+    * accumulated rows every n batches (O(B²/n) cumulative write volume
+    * at the 10⁴–10⁵-batch scale this job exists for), while the tiered
+    * policy folds young small partitions often and touches the big old
+    * runs rarely — amortized O(log B) rewrites per row, the same trade
+    * `GraftIndex.compactSegments` makes for the kupo index. Folding only
+    * STRICTLY-EARLIER batches keeps the replay contract intact — the
+    * engine replays at most the in-flight batch id, which is never
+    * folded; if the batch fails after its compaction ran, the replay
+    * re-runs a now-idempotent fold and then the batch itself, landing in
+    * exactly the same state. */
   def run(stream: DataFrame, art: CurationArtifacts, sinks: CurationSinks,
-          checkpointDir: String, compactEvery: Option[Int] = None): Unit = {
+          checkpointDir: String, compactEvery: Option[Int] = None,
+          compactMaxRuns: Int = 8): Unit = {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -395,7 +475,8 @@ object CurationStream {
         // the engine-assigned id is stable across retries — the overwrite
         // key that makes the at-least-once replay idempotent
         compactEvery.foreach { n =>
-          if (id > 0 && id % n == 0) compactSinks(batch.sparkSession, sinks, id - 1)
+          if (id > 0 && id % n == 0)
+            compactSinks(batch.sparkSession, sinks, id - 1, maxRuns = compactMaxRuns)
         }
         curateBatch(batch, art, sinks, id); ()
       }

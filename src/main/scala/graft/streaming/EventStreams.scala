@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -236,8 +236,19 @@ object EventStreams {
                           maxBucketsPerInterval: Int = 4): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     require(maxBucketsPerInterval >= 1, s"bad maxBucketsPerInterval")
-    val loB = floor(col(loCol) / bucketWidth).cast("long")
-    val hiB = floor(col(hiCol) / bucketWidth).cast("long")
+    // exact integer FLOOR division — `/` routes through double, and above
+    // 2^53 (epoch nanos are ~2^60) values near a bucket boundary land in
+    // the neighbouring bucket. Matches are still found either way (long→
+    // double and x/w are monotone, so loB <= ptB <= hiB survives rounding)
+    // but the bucket key then deviates from the documented floor(t/W) and
+    // the ⌈len/W⌉+1 span accounting the fail-loud guard enforces; exact
+    // integers close that drift (same discipline retentionCohorts
+    // documents). Subtracting pmod first makes the dividend exactly
+    // divisible, so `div` equals floor — for negative timestamps too.
+    def bucketOf(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val loB = bucketOf(loCol)
+    val hiB = bucketOf(hiCol)
     val iv = intervals
       .withColumn("_nb", hiB - loB + 1L)
       .withColumn("_b", explode(sequence(loB,
@@ -249,7 +260,7 @@ object EventStreams {
             "the interval")).cast("long"))
           .otherwise(hiB))))
       .drop("_nb")
-    val pt = points.withColumn("_b", floor(col(tCol) / bucketWidth).cast("long"))
+    val pt = points.withColumn("_b", bucketOf(tCol))
     pt.join(iv, keyCols :+ "_b")
       .where(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("_b")

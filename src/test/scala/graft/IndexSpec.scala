@@ -577,6 +577,42 @@ class IndexSpec extends SparkSpec {
     assert(ix.compactSegments("inputs", 8) == 0 && ix.manifest.version == v)
   }
 
+  test("segment tiering: a legacy manifest with unknown row counts tiers without overflow") {
+    import GraftIndex.Manifest
+    // pre-`rows` manifests carry no row stats; the unknown-size sentinel is
+    // Long.MaxValue/4 and a run accumulating 5+ of them must SATURATE, not
+    // wrap negative (a wrapped sum inverts the smallest-pair policy into
+    // repeatedly rewriting the largest legacy runs). 12 unknown segments
+    // down to 2 drives runs straight through that regime.
+    val root = tmpDir("graft-ix-legacy-tier")
+    val ix = new GraftIndex(spark, root, vacuumGraceMs = 0L)
+    blocks.take(12).foreach(b =>
+      Indexer.ingest(ix, FixtureChain.toDf(spark, Seq(b)), patterns))
+    def content(i: GraftIndex) = i.inputsWithSpends
+      .select("tx_id", "output_index", "created_at", "spent_at")
+      .collect().map(_.toSeq).toSet
+    val before = content(ix)
+    // doctor the manifest into the legacy shape: same segments, rows = None
+    val legacy = ix.manifest.copy(tables =
+      ix.manifest.tables.map { case (t, segs) => t -> segs.map(_.copy(rows = None)) })
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "manifest.json"), Manifest.toJson(legacy))
+    // drop the checksum sidecar the Hadoop local FS keeps — the doctored
+    // write above bypassed it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, ".manifest.json.crc"))
+    val ix2 = new GraftIndex(spark, root, vacuumGraceMs = 0L)
+    assert(ix2.manifest.tables("inputs").forall(_.rows.isEmpty))
+    val removed = ix2.compactSegments("inputs", maxSegments = 2)
+    val tiered = ix2.manifest.tables("inputs")
+    assert(removed == 10 && tiered.size == 2, s"$removed removed, ${tiered.size} left")
+    assert(content(ix2) == before, "legacy tiering must re-file rows verbatim")
+    // merged writes recompute the stats the legacy manifest lacked; a run
+    // left as a verbatim singleton legitimately keeps its unknown size
+    assert(tiered.exists(s => s.rows.isDefined && s.minSlot.isDefined),
+      tiered.toString)
+  }
+
   test("time travel: a pinned asOf read is immune to a concurrent rollback") {
     val tt = new GraftIndex(spark, tmpDir("graft-ix-asof"),
       vacuumGraceMs = 0L, manifestRetention = 3)

@@ -1427,6 +1427,34 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage != null || e.getCause != null)
   }
 
+  test("interval join: exact at epoch-nano magnitudes (above double's 2^53 range)") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    // timestamps ~2^62 with a width small enough that the BUCKET ids
+    // themselves exceed double's 2^53 exact range: double bucketing drifts
+    // off floor(t/W) on most values here (verified by the probe below),
+    // and the join must still equal the naive range join exactly
+    val w = 101L
+    val base = 1L << 62
+    val drift = (0 until 10000).iterator.map(i => base + i.toLong)
+      .find(t => math.floor(t.toDouble / w).toLong != Math.floorDiv(t, w))
+    assert(drift.nonEmpty, "no double-drift candidate found — widen the search")
+    val rnd = new scala.util.Random(11)
+    val ts = (drift.get +: (0 until 50).map(_ => base + math.abs(rnd.nextLong()) % (8 * w)))
+    val pts = ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }.toDF("k", "pid", "t")
+    val ivs = (0 until 20).map { i =>
+      val lo = base + math.abs(rnd.nextLong()) % (8 * w)
+      (1L, i.toLong, lo, lo + math.abs(rnd.nextLong()) % (2 * w))
+    }.toDF("k", "iid", "lo", "hi")
+    val got = EventStreams.pointInIntervalJoin(pts, ivs, Seq("k"), "t", "lo", "hi", w,
+        maxBucketsPerInterval = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = pts.as("p").join(ivs.as("i"),
+        $"p.k" === $"i.k" && $"p.t" >= $"i.lo" && $"p.t" <= $"i.hi")
+      .select($"p.pid", $"i.iid").as[(Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
   test("data card: integer metrics match hand counts; dup window runs over contents, payload never shuffles") {
     import graft.llm.TextAnalysis
     import spark.implicits._

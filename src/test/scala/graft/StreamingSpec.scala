@@ -304,6 +304,16 @@ class StreamingSpec extends SparkSpec {
       assert(filesIn(1) == 1 && filesIn(2) == 1)
       assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
         .collect().map(_.toSeq).toSet == batchRows)
+      // crash window: publish succeeded but the old tree was never deleted
+      // (live dir AND `.old` both exist) — the next compaction must clear
+      // the stale `.old` and succeed rather than wedge on the rename-aside
+      val staleOld = java.nio.file.Paths.get(idxDir + ".old")
+      java.nio.file.Files.createDirectories(staleOld)
+      java.nio.file.Files.writeString(staleOld.resolve("stale.txt"), "stale")
+      Similarity.compactIndex(spark, idxDir)
+      assert(!java.nio.file.Files.exists(staleOld), "stale .old not cleaned")
+      assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
+        .collect().map(_.toSeq).toSet == batchRows)
     } finally {
       val p = java.nio.file.Paths.get(idxDir)
       val walk = java.nio.file.Files.walk(p)
@@ -755,15 +765,17 @@ class StreamingSpec extends SparkSpec {
     docs.foreach { d =>
       ms.addData(Seq(d))
       CurationStream.run(ms.toDF.toDF("doc_id", "text", "embedding"), art, sinks,
-        ckpt, compactEvery = Some(2))
+        ckpt, compactEvery = Some(2), compactMaxRuns = 2)
     }
 
-    // ids 0..6 ran; compaction fired at ids 2/4/6 folding <=1/<=3/<=5 — so
-    // at most the consolidated partition plus the batches since the last
-    // fold remain (vs 7 partitions unmaintained)
+    // ids 0..6 ran; TIERED compaction fired at ids 2/4/6 folding <=1/<=3/
+    // <=5 down to at most 2 runs each time — so at most compactMaxRuns
+    // consolidated runs plus the batches since the last fold remain (vs 7
+    // partitions unmaintained), and the fold never rewrites the whole
+    // history (the bounded-write-amplification contract)
     val dirs = Option(new java.io.File(sinks.sigDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
-    assert(dirs == Seq("batch_id=5", "batch_id=6"), dirs)
+    assert(dirs.size <= 4 && dirs.contains("batch_id=6"), dirs)
     // the dup in batch 6 was dropped via the consolidated probe index;
     // everything else survived
     val survivors = spark.read.parquet(sinks.corpusDir)
@@ -771,5 +783,52 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == (0L to 5L).toSet, s"survivors: $survivors")
     assert(spark.read.parquet(sinks.sigDir).select("doc_id").as[Long].collect().toSet
       == (0L to 6L).toSet)
+  }
+
+  test("tiered sink compaction: maxRuns bounds partitions, heals stale attempts from ANY fold point") {
+    import graft.streaming.CurationStream
+    import spark.implicits._
+    val dir = tmpDir("graft-tiered-compact")
+    def write(id: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/batch_id=$id")
+    val all = (0L until 10L).map(i => i -> Seq((i, s"row$i")))
+    all.foreach { case (id, rows) => write(id, rows) }
+    def dirs(): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted
+    assert(dirs().size == 10)
+
+    // a crashed earlier attempt at a DIFFERENT fold point (upTo=3): its
+    // work dir exists and batch_id=2 was already renamed into its trash —
+    // those rows are invisible to parquet listing until healed. The old
+    // recovery keyed on the CURRENT upTo only and would have lost them.
+    val root = new java.io.File(dir)
+    val work = new java.io.File(root, ".compact-3")
+    val trash = new java.io.File(root, ".compact-3.trash")
+    assert(work.mkdir() && trash.mkdirs())
+    assert(new java.io.File(root, "batch_id=2")
+      .renameTo(new java.io.File(trash, "batch_id=2")))
+    assert(spark.read.parquet(dir).count() == 9) // stranded
+
+    CurationStream.compactOne(spark, dir, upTo = 8L, Nil, 1, maxRuns = 3)
+    assert(!work.exists() && !trash.exists(), "stale attempt not healed")
+    // ids 0..8 folded into at most 3 contiguous runs (plus untouched 9)
+    val after = dirs()
+    assert(after.size == 4 && after.contains("batch_id=9"), after.toString)
+    // every row survived, including the one stranded in the stale trash
+    val got = spark.read.parquet(dir).select("doc_id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == all.flatMap(_._2).toSet, got.toString)
+    // idempotent: re-running at the same bound changes nothing
+    CurationStream.compactOne(spark, dir, upTo = 8L, Nil, 1, maxRuns = 3)
+    assert(dirs() == after)
+    // tightening the bound to 1 gives the offline full fold: one
+    // consolidated partition under the max folded id
+    CurationStream.compactOne(spark, dir, upTo = 9L, Nil, 1, maxRuns = 1)
+    assert(dirs() == Seq("batch_id=9"), dirs().toString)
+    assert(spark.read.parquet(dir).select("doc_id", "v")
+      .as[(Long, String)].collect().toSet == all.flatMap(_._2).toSet)
   }
 }
