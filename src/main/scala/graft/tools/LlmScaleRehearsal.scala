@@ -638,6 +638,32 @@ object LlmScaleRehearsal {
         math.abs(corrected - r.getLong(2)) / r.getLong(2).toDouble
       }.max
 
+    // ---- (k) corpus governance: diff joins hashes only; drift stays
+    // vocab-sized with broadcast totals and a distributed top-k ----
+    // the diff's full-outer join must carry (id, hash) projections ONLY —
+    // the text payload never crossing the exchange is what makes a corpus
+    // diff affordable at 100 TB; the drift's global ordering must plan as
+    // TakeOrdered (never a single-partition sort of the vocabulary)
+    val govB = docs.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val govDiff = Dedup.corpusDiff(docs, govB)
+    val diffJoinsHashOnly = govDiff.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.forall(j => Seq(j.left, j.right)
+      .forall(s => !s.output.map(_.name).contains("text")))
+    val diffCounts = govDiff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val govDrift = graft.llm.TextAnalysis.corpusDrift(
+      docs.select("text"), govB.select("text"), k = 50)
+    val driftPlan = govDrift.queryExecution.executedPlan.toString
+    val driftTakeOrdered = driftPlan.contains("TakeOrderedAndProject")
+    val driftCross = driftPlan.contains("CartesianProduct")
+    val driftRows = govDrift.count()
+
     println(
       s"""{"assign_hash_exchanges":$cellsEx,"bucket_hash_exchanges":$bucketsEx,""" +
         s""""pq_encode_hash_exchanges":$encodeEx,"ivfpq_encode_hash_exchanges":$ivfPqEncodeEx,""" +
@@ -686,7 +712,22 @@ object LlmScaleRehearsal {
         s""""quantile_merge_mismatch_rows":$qMergeDiff,"quantile_out_of_bounds":$qOutOfBounds,""" +
         s""""asof_exchanges":$asofEx,"asof_join_operators":$asofJoins,""" +
         s""""bm25_take_ordered":$bm25TakeOrdered,""" +
+        s""""diff_joins_hash_only":$diffJoinsHashOnly,""" +
+        s""""diff_added":${diffCounts.getOrElse("added", 0L)},""" +
+        s""""diff_removed":${diffCounts.getOrElse("removed", 0L)},""" +
+        s""""diff_changed":${diffCounts.getOrElse("changed", 0L)},""" +
+        s""""diff_unchanged":${diffCounts.getOrElse("unchanged", 0L)},""" +
+        s""""drift_take_ordered":$driftTakeOrdered,"drift_rows":$driftRows,""" +
         s""""recall_curve":$recallCurveJson}""")
+
+    require(diffJoinsHashOnly, "corpusDiff: the text payload crossed a join input")
+    require(Seq("added", "removed", "changed", "unchanged")
+      .forall(s => diffCounts.getOrElse(s, 0L) > 0L),
+      s"corpusDiff rehearsal degenerate — a status class is empty: $diffCounts")
+    // rows = min(k, |vocab|): the synthetic corpus vocabulary can be
+    // smaller than k at small scales
+    require(driftTakeOrdered && !driftCross && driftRows > 0L && driftRows <= 50L,
+      s"corpusDrift: takeOrdered=$driftTakeOrdered cross=$driftCross rows=$driftRows")
 
     require(cellsEx == 0 && bucketsEx == 0 && encodeEx == 0 && ivfPqEncodeEx == 0,
       s"assignment/encode must be map-only: $cellsEx/$bucketsEx/$encodeEx/$ivfPqEncodeEx")
