@@ -325,12 +325,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // runs (unbounded write amplification on pre-`rows` manifests)
     def rowsOf(run: Vector[Segment]): Long =
       run.foldLeft(0L)((a, s) => math.min(unknown, a + s.rows.getOrElse(unknown)))
-    var runs = segs.sortBy(s => (s.minSlot.getOrElse(Long.MinValue), s.path))
-      .map(Vector(_)).toVector
-    while (runs.size > maxSegments) {
-      val i = (0 until runs.size - 1).minBy(j => rowsOf(runs(j)) + rowsOf(runs(j + 1)))
-      runs = runs.patch(i, Seq(runs(i) ++ runs(i + 1)), 2)
-    }
+    val runs = GraftIndex.tierAdjacent(
+      segs.sortBy(s => (s.minSlot.getOrElse(Long.MinValue), s.path))
+        .map(Vector(_)).toVector,
+      rowsOf, maxSegments)
     val v = m.version + 1
     var part = 0
     val merged = runs.flatMap { run =>
@@ -621,6 +619,27 @@ object GraftIndex {
                            spent: SpentStat = SpentStat.Unknown,
                            rows: Option[Long] = None)
   final case class Manifest(version: Long, tables: Map[String, List[Segment]])
+
+  /** Smallest-adjacent-pair tiering: fold `runs` until at most `max`
+    * remain, at each step merging the adjacent pair with the lowest
+    * combined weight — young small runs fold cheaply and often, big old
+    * runs are rarely touched (bounded write amplification, the classic
+    * LSM trade). ONE implementation shared by [[GraftIndex.compactSegments]]
+    * and `CurationStream.compactOne` so the policy (adjacency, weighting,
+    * tie-break by lowest index) cannot silently fork between the index and
+    * the streaming sinks. `weight` must not overflow when two run weights
+    * are summed (compactSegments saturates its unknown-size sentinel at
+    * Long.MaxValue/4 for exactly this reason). */
+  private[graft] def tierAdjacent[A](runs0: Vector[Vector[A]],
+                                     weight: Vector[A] => Long,
+                                     max: Int): Vector[Vector[A]] = {
+    var runs = runs0
+    while (runs.size > max) {
+      val i = (0 until runs.size - 1).minBy(j => weight(runs(j)) + weight(runs(j + 1)))
+      runs = runs.patch(i, Seq(runs(i) ++ runs(i + 1)), 2)
+    }
+    runs
+  }
 
   /** Hadoop Configuration for callers that don't thread one through: the
     * active Spark session's (so scheme credentials configured on the

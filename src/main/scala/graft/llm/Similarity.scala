@@ -593,18 +593,27 @@ object Similarity {
   /** The cell count is a fixed property of a trained index, but the
     * default-operating-point overloads would otherwise schedule one
     * (tiny) count job PER LOOKUP on the serving path. Memoized by the
-    * centroid frame's analyzed plan (structural equality: re-reading the
-    * same path hits; weak keys so dropped frames don't pin memory).
-    * Retraining to a DIFFERENT cell count behind the same path should
-    * route through the explicit-nprobe overloads or a fresh session —
-    * though even a stale nprobe only moves the recall/cost point, never
-    * correctness (the re-rank stays exact). */
+    * centroid frame's CANONICALIZED analyzed plan — canonicalization
+    * normalizes the fresh ExprIds every `spark.read` mints, so separate
+    * reads of the same path actually hit; weak keys so dropped frames
+    * don't pin memory. The count job runs OUTSIDE the map's mutex (a
+    * losing racer recomputes a constant — cheap — instead of every
+    * concurrent lookup blocking behind one cold count). Retraining to a
+    * DIFFERENT cell count behind the same path should route through the
+    * explicit-nprobe overloads or a fresh session — though even a stale
+    * nprobe only moves the recall/cost point, never correctness (the
+    * re-rank stays exact). */
   private val nCellsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.lang.Integer]())
-  private def nCellsOf(centroids: DataFrame): Int =
-    nCellsCache.computeIfAbsent(centroids.queryExecution.analyzed,
-      _ => centroids.count().toInt)
+  private def nCellsOf(centroids: DataFrame): Int = {
+    val key = centroids.queryExecution.analyzed.canonicalized
+    Option(nCellsCache.get(key)).map(_.intValue).getOrElse {
+      val n = centroids.count().toInt
+      nCellsCache.putIfAbsent(key, n)
+      n
+    }
+  }
 
   /** [[ivfPqTopKRerank]] at the documented default operating point:
     * quarter-cell probe, c = 5·k shortlist (see [[defaultNprobe]]). */

@@ -350,8 +350,16 @@ object CurationStream {
       val trash = new Path(root, s".compact-$id.trash")
       if (fs.exists(work)) {
         if (fs.exists(trash))
-          fs.listStatus(trash).foreach(st =>
-            fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+          fs.listStatus(trash).foreach { st =>
+            // a failed restore rename must ABORT, never fall through to the
+            // trash delete below — Hadoop rename returns false instead of
+            // throwing (e.g. destination recreated externally), and deleting
+            // the trash then would destroy the only copy of those rows
+            if (!fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+              throw new java.io.IOException(
+                s"compactSinks: healing restore ${st.getPath} -> $root failed; " +
+                  "trash preserved for manual recovery")
+          }
         fs.delete(trash, true)
         fs.delete(work, true)
       } else if (fs.exists(trash)) {
@@ -385,13 +393,10 @@ object CurationStream {
     // streaming scale. maxRuns == 1 is the degenerate full fold (the
     // offline one-shot shape the explicit API defaults to).
     def sizeOf(p: Path): Long = fs.getContentSummary(p).getLength
-    var runs: Vector[Vector[(Long, Path, Long)]] =
-      originals.map { case (id, p) => Vector((id, p, sizeOf(p))) }.toVector
-    while (runs.size > maxRuns) {
-      val i = (0 until runs.size - 1)
-        .minBy(j => runs(j).map(_._3).sum + runs(j + 1).map(_._3).sum)
-      runs = runs.patch(i, Seq(runs(i) ++ runs(i + 1)), 2)
-    }
+    val runs = graft.index.GraftIndex.tierAdjacent(
+      originals.map { case (id, p) => Vector((id, p, sizeOf(p))) }.toVector,
+      (run: Vector[(Long, Path, Long)]) => run.map(_._3).sum,
+      maxRuns)
     // each multi-partition run folds through its own atomic work/trash
     // cycle into `batch_id=<run max id>` — ids in a run are contiguous, so
     // any later probe's `batch_id < id` filter (id > upTo always) sees
@@ -469,6 +474,8 @@ object CurationStream {
           checkpointDir: String, compactEvery: Option[Int] = None,
           compactMaxRuns: Int = 8): Unit = {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
+    // fail FAST, not on the first cadence firing mid-stream
+    require(compactMaxRuns >= 1, s"compactMaxRuns must be >= 1, got $compactMaxRuns")
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -243,10 +243,15 @@ object EventStreams {
     // but the bucket key then deviates from the documented floor(t/W) and
     // the ⌈len/W⌉+1 span accounting the fail-loud guard enforces; exact
     // integers close that drift (same discipline retentionCohorts
-    // documents). Subtracting pmod first makes the dividend exactly
-    // divisible, so `div` equals floor — for negative timestamps too.
-    def bucketOf(name: String): Column =
-      expr(s"(`$name` - pmod(`$name`, ${bucketWidth}L)) div ${bucketWidth}L")
+    // documents). floor = truncating `div` minus one when the remainder is
+    // negative — overflow-free over the FULL long domain (a pmod-subtract
+    // formulation would wrap within bucketWidth of Long.MinValue). Column
+    // names are backtick-escaped before interpolation into expr().
+    def bucketOf(rawName: String): Column = {
+      val name = rawName.replace("`", "``")
+      expr(s"(`$name` div ${bucketWidth}L) - " +
+        s"(CASE WHEN `$name` % ${bucketWidth}L < 0 THEN 1L ELSE 0L END)")
+    }
     val loB = bucketOf(loCol)
     val hiB = bucketOf(hiCol)
     val iv = intervals

@@ -1173,6 +1173,21 @@ class LlmSpec extends SparkSpec {
     val rr = Similarity.ivfPqTopKRerank(cached, centroids, cb, emb,
       queryVecId = 9L, k = 4, c = 4, nprobe = 2, m = 2, subDim = 2).collect()
     assert(rr.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // the default-operating-point overload == the explicit form at
+    // (defaultNprobe(nCells), defaultRerankWidth(k)); calling it twice
+    // exercises the memoized cell count (a second call must not change
+    // the result — and with a canonicalized key, not even re-count)
+    val defExplicit = Similarity.ivfPqTopKRerank(cached, centroids, cb, emb,
+      queryVecId = 9L, k = 2,
+      c = Similarity.defaultRerankWidth(2),
+      nprobe = Similarity.defaultNprobe(centroids.count().toInt),
+      m = 2, subDim = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    (1 to 2).foreach { _ =>
+      val d = Similarity.ivfPqTopKRerank(cached, centroids, cb, emb,
+        queryVecId = 9L, k = 2, m = 2, subDim = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(d == defExplicit, s"$d != $defExplicit")
+    }
     assert(rr(0).getDouble(1) == 0.0)
     assert(math.abs(rr(2).getDouble(1) - 8.84) < 1e-5) // exact, not the 8.0 ADC
     // a one-query batch equals the single-query variant, ADC scores included
@@ -1453,6 +1468,13 @@ class LlmSpec extends SparkSpec {
         $"p.k" === $"i.k" && $"p.t" >= $"i.lo" && $"p.t" <= $"i.hi")
       .select($"p.pid", $"i.iid").as[(Long, Long)].collect().toSet
     assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+    // the FULL long domain: timestamps within bucketWidth of Long.MinValue
+    // (a pmod-subtract floor formulation wraps there and drops the pair)
+    val ptsMin = Seq((1L, 1L, Long.MinValue + 5L)).toDF("k", "pid", "t")
+    val ivsMin = Seq((1L, 9L, Long.MinValue, Long.MinValue + 50L))
+      .toDF("k", "iid", "lo", "hi")
+    assert(EventStreams.pointInIntervalJoin(ptsMin, ivsMin, Seq("k"), "t", "lo", "hi", w)
+      .select("pid", "iid").as[(Long, Long)].collect().toList == List((1L, 9L)))
   }
 
   test("data card: integer metrics match hand counts; dup window runs over contents, payload never shuffles") {
