@@ -598,9 +598,13 @@ private[queries] object LlmTextQueries {
              |       WHERE term IN ('hash', 'spark', 'window') GROUP BY 1),
              |ts AS (
              |  SELECT tf.doc_id, tf.term,
+             |         -- ::DOUBLE on every literal: DuckDB's bare 1.2/0.75 are
+             |         -- DECIMAL, whose exact intermediates diverge from Spark's
+             |         -- double arithmetic by 1 ulp at sf0.1 magnitudes
              |         (length(bin(n_docs)) - length(bin(df.df)))::DOUBLE *
-             |           (tf.tf * (1.2 + 1.0)) /
-             |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+             |           (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+             |           (tf.tf + 1.2::DOUBLE *
+             |             (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / stats.avgdl)) AS term_score
              |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
              |SELECT doc_id,
              |       list_reduce(list_prepend(0.0, list(term_score ORDER BY term)),
