@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text analysis for training-data curation: language-ID, quality scoring,
   * token counting, document fingerprinting. All built from codegen'd
@@ -906,6 +907,12 @@ object TextAnalysis {
     * not just which rows"). The shift score is the cross-multiplied
     * integer |cnt_a·N_b − cnt_b·N_a| — exactly |p_a − p_b|·N_a·N_b with
     * no floating point, so it is totally ordered and engine-portable.
+    * The multiply runs in Decimal(38,0), not LongType: a product of two
+    * longs reaches ~8.5e37 (< 10^38, so Decimal(38,0) always holds it,
+    * and since cnt ≤ N on each side the difference magnitude is bounded
+    * by N_a·N_b, also in range), whereas LongType would silently wrap
+    * past ~3e9 tokens per snapshot and corrupt the top-k ordering —
+    * the same discipline as [[Sketches.atLeastPhiFraction]].
     * Shape: one explode+count per snapshot (map-side combined to
     * vocabulary size), a vocab-sized full-outer join, two broadcast
     * 1-row totals, then a distributed TakeOrdered top-k — the corpus
@@ -924,7 +931,9 @@ object TextAnalysis {
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("term"), col("cnt_a"), col("cnt_b"),
-        abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")).as("shift"))
+        abs(col("cnt_a").cast(DecimalType(19, 0)) * col("n_b").cast(DecimalType(19, 0))
+          - col("cnt_b").cast(DecimalType(19, 0)) * col("n_a").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("shift"))
       .orderBy(col("shift").desc, col("term").asc)
       .limit(k)
   }

@@ -106,8 +106,9 @@ private[queries] object LlmTextQueries {
              |             COALESCE(cnt_b, 0)::BIGINT AS cnt_b
              |      FROM ca FULL OUTER JOIN cb USING (term))
              |SELECT term, cnt_a, cnt_b,
-             |       abs(cnt_a * (SELECT sum(cnt_b) FROM cb)
-             |         - cnt_b * (SELECT sum(cnt_a) FROM ca))::BIGINT AS shift
+             |       abs(cnt_a::HUGEINT * (SELECT sum(cnt_b) FROM cb)::HUGEINT
+             |         - cnt_b::HUGEINT * (SELECT sum(cnt_a) FROM ca)::HUGEINT)
+             |         ::DECIMAL(38,0) AS shift
              |FROM j ORDER BY shift DESC, term ASC LIMIT 50""".stripMargin)),
 
     // Text quality signals: counts only (exact integers — no float ratios in

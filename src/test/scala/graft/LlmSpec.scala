@@ -1381,8 +1381,14 @@ class LlmSpec extends SparkSpec {
     // shift = |cnt_a*4 - cnt_b*4|: x=4, y=4, z=4, w=4 ... make asymmetric:
     val a = Seq("x x y z").toDF("text")
     val b = Seq("x y y y").toDF("text")
-    val got = TextAnalysis.corpusDrift(a, b, k = 10).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val drifted = TextAnalysis.corpusDrift(a, b, k = 10)
+    // overflow-proof score: the cross-multiply runs in Decimal(38,0), not
+    // LongType (which wraps past ~3e9 tokens/snapshot and corrupts the top-k)
+    assert(drifted.schema("shift").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0), drifted.schema.treeString)
+    val got = drifted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact()))
     // N_a=4, N_b=4: shifts -> x: |2*4-1*4|=4, y: |1*4-3*4|=8, z: |1*4-0|=4, w absent
     assert(got.toList == List(("y", 1L, 3L, 8L), ("x", 2L, 1L, 4L), ("z", 1L, 0L, 4L)))
     // the vocab-sized totals are broadcast, never shuffled with the join
