@@ -132,19 +132,42 @@ object Bench {
     // (/root/reference/benchmarks/README.md:41-42), so the comparable
     // number is steady-state, not first-execution-with-JIT; best-of-3
     // additionally sheds transient co-tenant spikes
+    //
+    // DRIFT ATTRIBUTION (four rounds of hand-reconstructed load-window
+    // analysis motivated this): a fixed single-thread CPU probe is
+    // interleaved every `probeEvery` queries, and every query records its
+    // wall-clock offset, GC delta, and per-run times. A slow query whose
+    // nearest probes are inflated sits in a host-load window; clean probes
+    // around a slow query mean the engine changed. Contiguous slow blocks
+    // are visible directly from the wall offsets.
+    val probeEvery = 15
     val gcTimedStart = gcMillis()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val gc0 = gcMillis()
-      val times = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      if (debug) System.err.println(
-        f"[bench-debug] $name best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} gcDelta=${gcMillis() - gc0}ms")
-      name -> times.min
+    val wallStart = System.nanoTime()
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    def takeProbe(idx: Int): Unit = {
+      val off = (System.nanoTime() - wallStart) / 1e9
+      probes += ((idx, off, probeSingle()))
     }
+    takeProbe(0)
+    case class QRes(name: String, best: Double, runs: Seq[Double],
+                    gcMs: Long, tOff: Double)
+    val detail = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
+        if (idx > 0 && idx % probeEvery == 0) takeProbe(idx)
+        val gc0 = gcMillis()
+        val tOff = (System.nanoTime() - wallStart) / 1e9
+        val times = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (debug) System.err.println(
+          f"[bench-debug] $name best=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")} gcDelta=${gcMillis() - gc0}ms")
+        QRes(name, times.min, times, gcMillis() - gc0, tOff)
+    }
+    takeProbe(detail.size)
+    val results = detail.map(q => q.name -> q.best)
 
     dumpStorage(spark, "after-timed")
 
@@ -167,33 +190,24 @@ object Bench {
     // contention in that one run, invisible to the CPU spin probes.
     val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
     val gcSec = (gcMillis() - gcTimedStart) / 1e3
-    // Dated, round-tagged findings — historical analysis, NOT claims about
-    // THIS run (refresh or drop the tag when the analysis goes stale; the
-    // full narrative lives in SCALE.md next to the recorded runs).
-    val notes = "[r9 analysis, 2026-08] The bench is now SELF-EVIDENCING: the full " +
-      "per-query JSON is committed at bench/full_r<N>.json every run (r8's driver " +
-      "artifact kept a truncated stdout tail - 20 of 115 queries - leaving the " +
-      "round story on prose). r8 host-drift hypothesis CONFIRMED per query: on " +
-      "r8's visible slice the r9 in-round run (probes 0.38/0.42s, clean) measures " +
-      "median 0.95x vs the r8 tail (which came from the slow 65.9s run of r8's " +
-      "56.4/62.6/65.9s same-code spread); no common query regressed beyond the " +
-      "documented shingle/explode family swing (+-0.2-0.5s, r6/r7/r8 postmortems). " +
-      "Sixteen queries added across the round cost ~6.1s combined: the oracle-" +
-      "residue/time-travel six (~2.0s: q_kupo_fetch_block 0.26, q_kupo_tip 0.19, " +
-      "q_kupo_list_patterns 0.06, q_kupo_metadata_by_slot 0.30, q_kupo_asof 0.26 " +
-      "- one pinned-manifest fetch, no extra scan - q_kupo_tiered_scan 0.91, a " +
-      "plain scan over a tiering-compacted index), the tail eight (~3.5s: " +
-      "balance/holders aggregates 0.84/0.52, data card 0.41, cohort retention " +
-      "0.39, epoch shuffle+slice 0.27+0.26, interval join 0.34, split leakage " +
-      "0.50; shapes in SCALE.md D.3/D.4), and the governance pair (~0.6s: " +
-      "q_corpus_diff 0.26 - hash-projection-only full-outer join - " +
-      "q_corpus_drift 0.33, vocab-sized join + broadcast totals + distributed " +
-      "top-k). Structural changes (exact-integer phi " +
-      "thresholds, foldRegisters refactor, commitManifest ordering) are " +
-      "plan-shape-neutral: sketch queries within noise of r8 (q_heavy_hitters " +
-      "1.20 vs ~1.2, q_bloom_filter 0.61 vs ~0.6). SCALE.md Appendix D carries " +
-      "the full r7/r8->r9 comparison table."
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"notes":"$notes"}"""
+    // Self-describing, round-agnostic notes: per-round narrative analysis
+    // lives in SCALE.md next to the recorded runs, never hardcoded here
+    // (the r10 artifact shipped carrying r9's prose — this field now only
+    // explains how to read the drift-attribution fields of THIS run).
+    val notes = "Drift attribution is in-band: probes = interleaved fixed " +
+      "single-thread CPU spins [query_idx, wall_off_sec, probe_sec] taken " +
+      "every " + probeEvery + " queries plus both endpoints; query_detail = " +
+      "per-query {best, runs(3), gc_ms, t_off}. Classify a slow query by its " +
+      "surrounding probes: inflated probes = host-load window (expect a " +
+      "CONTIGUOUS t_off block of movers), clean probes + slow query = engine " +
+      "change. Compare rounds on the common query set by median ratio, never " +
+      "raw totals (documented +-15% host drift). Narrative history: SCALE.md."
+    val probesJson = probes.map { case (i, off, p) =>
+      f"""[$i,$off%.1f,$p%.3f]""" }.mkString("[", ",", "]")
+    val detailJson = detail.map { q =>
+      f""""${q.name}":{"best":${q.best}%.3f,"runs":[${q.runs.map(t => f"$t%.3f").mkString(",")}],"gc_ms":${q.gcMs},"t_off":${q.tOff}%.1f}"""
+    }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f,"probes":$probesJson,"query_detail":$detailJson,"notes":"$notes"}"""
     println(line)
     artifactPaths().foreach { p =>
       try {

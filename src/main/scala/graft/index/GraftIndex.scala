@@ -45,8 +45,55 @@ final class GraftIndex(val spark: SparkSession, val root: String,
 
   fs.mkdirs(rootPath)
 
+  // fail loudly AT OPEN on a future schema (the reference's
+  // UnexpectedUserVersion, SQLite.hs:1246-1259): an index written by a
+  // newer library cannot be read, mutated, or migrated by this one. An
+  // OLDER schema is openable — but only [[migrate]] will run; every read
+  // and mutation fails loudly until it does (reads can't silently
+  // null-fill their way past a real layout change).
+  require(manifest.schemaVersion <= CurrentSchemaVersion,
+    s"index at $root has schema v${manifest.schemaVersion}, newer than this " +
+      s"library's v$CurrentSchemaVersion — upgrade the library, not the index")
+
   def manifest: Manifest =
     pin.getOrElse(Manifest.read(root, hconf).getOrElse(Manifest(0, Map.empty)))
+
+  private def requireCurrentSchema(m: Manifest, op: String): Unit =
+    require(m.schemaVersion == CurrentSchemaVersion,
+      s"index at $root has schema v${m.schemaVersion} but this library " +
+        s"expects v$CurrentSchemaVersion — run migrate() before $op")
+
+  /** Run every pending schema migration, oldest first — the Spark analogue
+    * of the reference's `runMigrations` (SQLite.hs:1261-1295): a LINEAR
+    * numbered chain, one atomic commit per step (their one-transaction-
+    * per-migration). Each step rewrites only its affected tables, segment
+    * by segment, preserving segmentation (slot/spent/row stats recompute
+    * on the write action, so pruning and rollback surgery stay exact);
+    * untouched tables keep their segments verbatim. The manifest swap is
+    * the commit point — a crash mid-step leaves the old manifest intact
+    * and the half-written segments as ordinary vacuum orphans. Returns the
+    * number of migrations applied (0 = already current, the reference's
+    * DatabaseNoMigrationNeeded). */
+  def migrate(): Int = {
+    require(pin.isEmpty, "pinned snapshot is read-only — migrate the live index")
+    var m = manifest
+    val pending = migrations.filter(_.to > m.schemaVersion).sortBy(_.to)
+    pending.foreach { mig =>
+      val v = m.version + 1
+      val tables = mig.tables.foldLeft(m.tables) { (acc, t) =>
+        val migrated = acc.getOrElse(t, Nil).zipWithIndex.flatMap { case (s, i) =>
+          // read with the file's OWN schema (not schemaOf: the whole point
+          // is that the old layout differs), rewrite, re-stat on the write
+          val df = mig.rewrite(t, spark.read.parquet(s"$root/${s.path}"))
+          writeSegmentAt(t, df, f"$t/mig${mig.to}%02d-$v%06d-$i%04d").toList
+        }
+        acc.updated(t, liveSegments(t, migrated))
+      }
+      m = Manifest(v, tables, mig.to)
+      commitManifestUnchecked(m)
+    }
+    pending.size
+  }
 
   /** TIME TRAVEL ON THE QUERY SURFACE: a read-only facade of this index
     * pinned to retained version `v` — every read path (`table`,
@@ -113,6 +160,14 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * stale versioned manifests (and un-pin their segments from vacuum), or
     * disk is never reclaimed and disabled snapshots stay readable. */
   private def commitManifest(m: Manifest): Unit = {
+    // mutating an unmigrated index is forbidden — the new manifest's
+    // default schemaVersion would otherwise silently claim the data is
+    // current without the migration ever running
+    requireCurrentSchema(manifest, "mutating")
+    commitManifestUnchecked(m)
+  }
+
+  private def commitManifestUnchecked(m: Manifest): Unit = {
     require(pin.isEmpty, "pinned snapshot is read-only — mutate through the live index")
     Manifest.write(root, m, hconf)
     if (manifestRetention > 1)
@@ -145,6 +200,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def table(name: String): DataFrame = tableAt(name, manifest)
 
   def tableAt(name: String, m: Manifest): DataFrame = {
+    requireCurrentSchema(m, s"reading $name")
     val segs = m.tables.getOrElse(name, Nil)
     if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
@@ -156,6 +212,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * [lo,hi] are opened (file-level pruning on top of parquet row-group stats). */
   def tableSlotRange(name: String, lo: Option[Long], hi: Option[Long]): DataFrame = {
     val m = manifest
+    requireCurrentSchema(m, s"reading $name")
     val segs = m.tables.getOrElse(name, Nil).filter { s =>
       val okLo = (s.maxSlot, lo) match { case (Some(mx), Some(l)) => mx >= l; case _ => true }
       val okHi = (s.minSlot, hi) match { case (Some(mn), Some(h)) => mn <= h; case _ => true }
@@ -475,9 +532,8 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     if (m.isEmpty) { fs.delete(vacuumPendingPath, false); () }
     else {
       val json = m.toSeq.sorted.map { case (p, t) => s""""$p":$t""" }.mkString("{", ",", "}")
-      val tmp = new Path(rootPath, ".vacuum-pending.tmp")
-      GraftIndex.writeBytes(fs, tmp, json.getBytes(StandardCharsets.UTF_8))
-      GraftIndex.renameOverwrite(hconf, fs, tmp, vacuumPendingPath)
+      AtomicSwap.publishFile(hconf, fs, new Path(rootPath, ".vacuum-pending.tmp"),
+        vacuumPendingPath, json.getBytes(StandardCharsets.UTF_8))
     }
 
   /** PARTIAL compaction: fold the spends delta into ONLY the segments that
@@ -618,7 +674,52 @@ object GraftIndex {
   final case class Segment(path: String, minSlot: Option[Long], maxSlot: Option[Long],
                            spent: SpentStat = SpentStat.Unknown,
                            rows: Option[Long] = None)
-  final case class Manifest(version: Long, tables: Map[String, List[Segment]])
+
+  /** `schemaVersion` is the LAYOUT version (the reference's SQLite
+    * `user_version`), orthogonal to `version` (the commit counter).
+    * Manifests written before the field existed parse as v2 — the schema
+    * was already at today's shape when versioning was introduced, so
+    * absence means current-as-of-then, never "ancient". */
+  final case class Manifest(version: Long, tables: Map[String, List[Segment]],
+                            schemaVersion: Int = CurrentSchemaVersion)
+
+  /** The schema version this library reads and writes. v1 = the pre-
+    * spend-column inputs layout (the reference before db/v2.10.0); v2 =
+    * current (spent_by/spent_with on inputs, db/v2.10.0/001.sql). */
+  val CurrentSchemaVersion: Int = 2
+
+  /** One step of the linear migration chain (the reference's numbered
+    * `migrations` list, SQLite.hs:1280-1295): `to` is the schema version
+    * the step produces; `rewrite` transforms each affected table's frame
+    * (applied segment-by-segment by [[GraftIndex.migrate]]). */
+  final case class SchemaMigration(to: Int, description: String,
+                                   tables: Set[String],
+                                   rewrite: (String, DataFrame) => DataFrame)
+
+  /** Conform a frame to `schema`: missing columns become typed nulls,
+    * present ones cast; output in schema order — the generic add-columns
+    * migration body (and the guard that writeSegmentAt's strict select
+    * can't throw on an old layout). */
+  private def conformTo(schema: org.apache.spark.sql.types.StructType,
+                        df: DataFrame): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(schema.fields.toSeq.map { f =>
+      have.get(f.name) match {
+        // catalogString ignores nullability — a cast would fail outright
+        // on any target with NOT NULL nested fields (structs can't cast
+        // nullable→non-null), and same-type columns need no cast anyway
+        case Some(t) if t.catalogString == f.dataType.catalogString => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  private[index] val migrations: List[SchemaMigration] = List(
+    SchemaMigration(2,
+      "add spent_by/spent_with to inputs (reference db/v2.10.0/001.sql)",
+      Set("inputs"),
+      (_, df) => conformTo(graft.Schemas.inputsType, df)))
 
   /** Smallest-adjacent-pair tiering: fold `runs` until at most `max`
     * remain, at each step merging the adjacent pair with the lowest
@@ -689,17 +790,15 @@ object GraftIndex {
       val tables = m.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
         s""""$t":[${segs.map(segJson).mkString(",")}]"""
       }.mkString(",")
-      s"""{"version":${m.version},"tables":{$tables}}"""
+      s"""{"version":${m.version},"schema_version":${m.schemaVersion},"tables":{$tables}}"""
     }
 
     def write(root: String, m: Manifest,
               conf: Configuration = activeHadoopConf()): Unit = {
-      val json = toJson(m)
       val dst = new Path(root, "manifest.json")
-      val fs = dst.getFileSystem(conf)
-      val tmp = new Path(root, s".manifest.tmp.${m.version}")
-      writeBytes(fs, tmp, json.getBytes(StandardCharsets.UTF_8))
-      renameOverwrite(conf, fs, tmp, dst)
+      AtomicSwap.publishFile(conf, dst.getFileSystem(conf),
+        new Path(root, s".manifest.tmp.${m.version}"), dst,
+        toJson(m).getBytes(StandardCharsets.UTF_8))
     }
 
     def read(root: String,
@@ -711,7 +810,10 @@ object GraftIndex {
     }
 
     def parse(json: String): Option[Manifest] = {
+      // the leading quote keeps this from matching inside "schema_version"
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+      val schemaVersion = """"schema_version":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(CurrentSchemaVersion)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
       val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?(?:,"rows":(\d+))?\}""".r
       val tables = tableRe.findAllMatchIn(json).map { tm =>
@@ -727,7 +829,7 @@ object GraftIndex {
         }.toList
         tm.group(1) -> segs
       }.toMap
-      Some(Manifest(version, tables))
+      Some(Manifest(version, tables, schemaVersion))
     }
   }
 }

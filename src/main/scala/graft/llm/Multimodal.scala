@@ -6,10 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata. The Spark-side plumbing — schema, partitioning, batch
-  * shape, frame expansion — is real and tested; the codec step itself is a
-  * STUB (no media libraries in this container): `StubCodec.decode` derives a
-  * deterministic fake feature vector from the payload bytes, and is the one
-  * function a deployment swaps for a JNI/ffmpeg/JPEG decoder.
+  * shape, frame expansion — is real and tested. IMAGE decode is REAL:
+  * [[ImageIoCodec]] round-trips PNG through the JDK's `javax.imageio`
+  * (encode a grayscale raster to actual PNG bytes, decode arbitrary PNG
+  * payloads back to a pixel grid) — see [[decodeGrayGrid]]. Audio/video
+  * remain a STUB (no media libraries in this container): `StubCodec.decode`
+  * derives a deterministic fake feature vector from the payload bytes, and
+  * is the one function a deployment swaps for a JNI/ffmpeg decoder.
   *
   * Scale notes: payloads never pass through a shuffle — every operator here
   * is a per-partition map; the only wide operation a media pipeline needs
@@ -84,6 +87,87 @@ object Multimodal {
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hash, feats)
       }
     }
+  }
+
+  /** REAL image codec on the JDK's `javax.imageio` — no external media
+    * library. Grayscale-only by design: the perceptual pipeline (dHash,
+    * near-dup banding) consumes a single luminance channel, and TYPE_BYTE_GRAY
+    * keeps the raster→grid mapping exact (no colorspace round-off to drift
+    * the hash between encode and decode). */
+  object ImageIoCodec {
+    /** Encode a row-major w×h grid of gray levels (each 0..255, enforced —
+      * an out-of-range level would wrap through the byte raster and silently
+      * corrupt the perceptual hash) into actual PNG bytes. */
+    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(px.length == w * h, s"grid ${px.length} != $w x $h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < px.length) {
+        require(px(i) >= 0 && px(i) <= 255, s"gray level out of range: ${px(i)}")
+        raster.setSample(i % w, i / w, 0, px(i)); i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+      bos.toByteArray
+    }
+
+    /** Decode PNG bytes back to (w, h, row-major gray grid). Fails loudly on
+      * undecodable payloads — a training pipeline must quarantine, not
+      * silently skip, corrupt assets. Non-gray inputs are converted through
+      * the AWT gray colorspace first (band 0 of a gray raster IS luminance). */
+    def decodeGrayPng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img0 != null, "undecodable image payload")
+      val img =
+        if (img0.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img0
+        else {
+          val g = new java.awt.image.BufferedImage(
+            img0.getWidth, img0.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gfx = g.createGraphics()
+          try gfx.drawImage(img0, 0, 0, null) finally gfx.dispose()
+          g
+        }
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) { px(i) = raster.getSample(i % w, i / w, 0); i += 1 }
+      (w, h, px)
+    }
+  }
+
+  final case class PngAsset(media_id: Long, payload: Array[Byte])
+  final case class GrayGrid(media_id: Long, w: Int, h: Int, px: Array[Int])
+
+  /** Encode (id, row-major gray grid) rows into REAL PNG payloads — the
+    * test-fixture producer and the write-side of an image sink. Same
+    * mapPartitions batch shape as [[extractFeatures]]. */
+  def encodePngGrid(grid: DataFrame, w: Int, h: Int,
+                    idCol: String = "vec_id", pxCol: String = "px")
+                   (implicit spark: SparkSession): Dataset[PngAsset] = {
+    import spark.implicits._
+    grid.select(col(idCol).cast("long"), col(pxCol))
+      .as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, px) =>
+        PngAsset(id, ImageIoCodec.encodeGrayPng(px, w, h))
+      })
+  }
+
+  /** REAL decode: PNG payload bytes → (id, w, h, pixel grid), via
+    * `javax.imageio` inside the documented mapPartitions swap point (the
+    * reader-plugin registry initializes once per JVM; per-partition init
+    * is where a heavier codec would open its context). Feed the result to
+    * [[dHash]] for perceptual near-dup — the full image pipeline with no
+    * stub in the path. Payloads reach here WITHOUT crossing a shuffle. */
+  def decodeGrayGrid(media: Dataset[PngAsset])
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { a =>
+      val (w, h, px) = ImageIoCodec.decodeGrayPng(a.payload)
+      GrayGrid(a.media_id, w, h, px)
+    }).toDF()
   }
 
   /** Quantize a float vector into a grayscale pixel grid: each component is

@@ -323,10 +323,15 @@ object Sampling {
     * "cc" ≈ 80%), else `val` — the [[hashBucket]] discipline, so the split
     * is reproducible from the salt alone on any engine. Pure map. */
   def splitAssign(docs: DataFrame, trainThreshold: String = "cc",
-                  idCol: String = "doc_id", salt: String = "split"): DataFrame =
+                  idCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    // the threshold compares LEXICOGRAPHICALLY against a two-lowercase-hex
+    // bucket — "CC", "c", or "0xcc" would silently misclassify every row
+    require(trainThreshold.matches("[0-9a-f]{2}"),
+      s"trainThreshold must be two lowercase hex digits (e.g. \"cc\"): '$trainThreshold'")
     docs.select(col(idCol),
       when(hashBucket(col(idCol), salt) < lit(trainThreshold), lit("train"))
         .otherwise(lit("val")).as("split"))
+  }
 
   /** DETERMINISTIC EPOCH SHUFFLE — the dataloader's global training
     * order: every doc gets a DENSE position 0..n−1, the rank of its

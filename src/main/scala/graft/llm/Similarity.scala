@@ -419,45 +419,28 @@ object Similarity {
     * swap the rewritten tree in. Rows are bit-identical, only the file
     * layout changes; the ANN twin of the kupo index's optimize/vacuum.
     *
-    * The swap is delete-then-move, NOT atomic — same contract as a
-    * filesystem-level vacuum; a deployment doing live reads swaps a
-    * manifest pointer instead (the discipline `GraftIndex.copyDatabase`
-    * rehearses) and this function is the offline form. */
+    * The swap runs the shared [[graft.index.AtomicSwap]] work/trash
+    * discipline — the SAME crash-recovery rules as the kupo manifest commit
+    * and the curation sinks' folds, not a private variant: the rewrite
+    * stages in `.compacting`, the live tree renames aside into
+    * `.compacting.trash`, one rename publishes, the trash deletes; a crash
+    * at any point heals on the next invocation (work dir surviving ⇒
+    * restore the original, trash alone ⇒ finish the cleanup). A deployment
+    * doing live reads swaps a manifest pointer instead (the discipline
+    * `GraftIndex.copyDatabase` rehearses); this is the offline form. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
     // swaps go through the Hadoop FileSystem resolved from the path — works
     // on any scheme the index might live on (file://, hdfs://, s3a://, ...),
     // where java.nio would only ever see the local disk
     val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val old = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    val src = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    val work = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    val trash = new org.apache.hadoop.fs.Path(indexDir + ".compacting.trash")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    // crash recovery: a previous attempt may have renamed the live dir
-    // aside without completing its swap — restore it before reading, and
-    // clear any stale half-written rewrite
-    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
-      throw new java.io.IOException(s"compactIndex: crash recovery $old -> $indexDir failed")
-    // the other crash window: publish succeeded but the old tree was never
-    // deleted (dst AND old both exist). The live index is authoritative;
-    // a stale `.old` left in place would wedge every later swap (renaming
-    // dst aside targets an existing dir), so finish the interrupted cleanup
-    if (fs.exists(dst) && fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"compactIndex: stale $old cleanup failed")
-    fs.delete(src, true)
+    graft.index.AtomicSwap.heal(fs, work, trash, dst.getParent, "compactIndex")
     spark.read.parquet(indexDir)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir + ".compacting")
-    // rename-aside swap, never delete-then-move: the live index is moved to
-    // `.old` (one rename), the rewrite moves into place (one rename), and
-    // only then is the old tree deleted — a crash at ANY point leaves the
-    // full index recoverable (at `.old` in the middle window, restored by
-    // the recovery step above), where the former delete+rename pair lost it
-    // permanently if the process died between the two
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"compactIndex: rename $indexDir -> $old failed")
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"compactIndex: rename $src -> $indexDir failed" +
-        s" (previous index preserved at $old)")
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy("cell").parquet(work.toString)
+    graft.index.AtomicSwap.publishDir(fs, work, dst, trash, Seq(dst), "compactIndex")
   }
 
   /** The ADC distance tables as ONE broadcast row holding a DENSE double
@@ -602,11 +585,21 @@ object Similarity {
     * DIFFERENT cell count behind the same path should route through the
     * explicit-nprobe overloads or a fresh session — though even a stale
     * nprobe only moves the recall/cost point, never correctness (the
-    * re-rank stays exact). */
+    * re-rank stays exact) — but a server that retrains in place should
+    * call [[invalidateCellCounts]] after publishing the new centroids. */
   private val nCellsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.lang.Integer]())
-  private def nCellsOf(centroids: DataFrame): Int = {
+
+  /** Drop every memoized cell count. The invalidation hook for the one
+    * staleness case the memo admits: retraining to a different cell count
+    * behind the SAME centroid path within one session (same canonicalized
+    * scan plan → the memo would keep serving the old count, a recall/cost
+    * drift, never a correctness one). Call it after publishing retrained
+    * centroids; there is no per-frame variant because the canonicalized
+    * key is not addressable from outside. */
+  def invalidateCellCounts(): Unit = nCellsCache.clear()
+  private[graft] def nCellsOf(centroids: DataFrame): Int = {
     val key = centroids.queryExecution.analyzed.canonicalized
     Option(nCellsCache.get(key)).map(_.intValue).getOrElse {
       val n = centroids.count().toInt

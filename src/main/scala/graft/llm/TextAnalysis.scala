@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Text analysis for training-data curation: language-ID, quality scoring,
   * token counting, document fingerprinting. All built from codegen'd
@@ -913,6 +913,11 @@ object TextAnalysis {
     * by N_a·N_b, also in range), whereas LongType would silently wrap
     * past ~3e9 tokens per snapshot and corrupt the top-k ordering —
     * the same discipline as [[Sketches.atLeastPhiFraction]].
+    * The published `shift` column stays LongType (the stable public
+    * schema): a fail-loud in-plan guard raises if the decimal exceeds
+    * Long range (≥ ~3e9 tokens on both sides simultaneously) instead of
+    * silently wrapping — at that corpus size callers should shard the
+    * snapshots or consume the decimal directly.
     * Shape: one explode+count per snapshot (map-side combined to
     * vocabulary size), a vocab-sized full-outer join, two broadcast
     * 1-row totals, then a distributed TakeOrdered top-k — the corpus
@@ -927,13 +932,20 @@ object TextAnalysis {
     val cb = termCounts(b, "cnt_b")
     val na = ca.agg(sum(col("cnt_a")).as("n_a"))
     val nb = cb.agg(sum(col("cnt_b")).as("n_b"))
+    val shiftDec =
+      abs(col("cnt_a").cast(DecimalType(19, 0)) * col("n_b").cast(DecimalType(19, 0))
+        - col("cnt_b").cast(DecimalType(19, 0)) * col("n_a").cast(DecimalType(19, 0)))
+    val guarded = when(
+      shiftDec > lit(Long.MaxValue).cast(DecimalType(38, 0)),
+      raise_error(concat(
+        lit("corpusDrift: shift exceeds Long range for term "), col("term"),
+        lit(" — shard the snapshots or consume the Decimal score directly")))
+        .cast(LongType))
+      .otherwise(shiftDec.cast(LongType))
     ca.join(cb, Seq("term"), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-      .select(col("term"), col("cnt_a"), col("cnt_b"),
-        abs(col("cnt_a").cast(DecimalType(19, 0)) * col("n_b").cast(DecimalType(19, 0))
-          - col("cnt_b").cast(DecimalType(19, 0)) * col("n_a").cast(DecimalType(19, 0)))
-          .cast(DecimalType(38, 0)).as("shift"))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), guarded.as("shift"))
       .orderBy(col("shift").desc, col("term").asc)
       .limit(k)
   }

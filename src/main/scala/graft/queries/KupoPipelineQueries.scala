@@ -178,6 +178,41 @@ object KupoPipelineQueries {
     })
   }
 
+  /** Index for the schema-migration query: the Shelley derivation written
+    * at the CURRENT schema, then DOWN-CONVERTED to schema v1 (every inputs
+    * segment rewritten without spent_by/spent_with — the reference's
+    * pre-db/v2.10.0 layout — and the manifest stamped schema_version 1),
+    * then `migrate()` run to bring it back. The scan passes its oracle
+    * only if the migrated data is byte-faithful on every surviving column
+    * AND the provenance columns really round-tripped through the v1 hole
+    * (they must read NULL — scanning the unmigrated source would leak the
+    * original 'rdmr…' values and hash-mismatch). */
+  private val migratedCache = scala.collection.mutable.Map.empty[String, GraftIndex]
+
+  private def migratedIndex(s: SparkSession, dir: String): GraftIndex = synchronized {
+    migratedCache.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-mig").toString
+      val ix = new GraftIndex(s, root, vacuumGraceMs = 0L)
+      ix.replace("inputs", derivedShelleyInputs(s, dir))
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val m0 = ix.manifest
+      m0.tables("inputs").foreach { seg =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/${seg.path}")
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/${seg.path}.v1tmp")
+        s.read.parquet(p.toString).drop("spent_by", "spent_with")
+          .write.parquet(tmp.toString)
+        fs.delete(p, true)
+        require(fs.rename(tmp, p), s"down-convert rename failed for ${seg.path}")
+      }
+      GraftIndex.Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+      val old = new GraftIndex(s, root)
+      require(old.migrate() == 1, "expected exactly one pending migration")
+      old.vacuum(0L)
+      old
+    })
+  }
+
   private val lastCopyDir = new java.util.concurrent.atomic.AtomicReference[String]
 
   /** Temp dir for a copyDatabase bootstrap, deleting ONLY the immediately
@@ -731,6 +766,30 @@ object KupoPipelineQueries {
           |ORDER BY created_at, transaction_id, output_index, address, coins,
           |         spent_slot""".stripMargin)),
 
+    // SCHEMA MIGRATION end-to-end: a down-converted v1 index (no spend
+    // provenance columns) migrated back to the current schema, scanned.
+    // spent_with must read NULL for every row — the unmigrated source has
+    // 'rdmr…' values, so a leak hash-mismatches — while every v1-surviving
+    // column (spent_at included) is byte-faithful to the derivation.
+    QueryDef("q_kupo_migrated_scan",
+      (s, d) => {
+        val ix = migratedIndex(s, d)
+        ix.table("inputs")
+          .select(col("tx_id").as("transaction_id"), col("output_index"),
+            col("address"), col("value.coins").cast("long").as("coins"),
+            col("created_at"), coalesce(col("spent_at"), lit(-1L)).as("spent_slot"),
+            col("spent_with"))
+          .orderBy(col("created_at"), col("transaction_id"), col("output_index"),
+            col("address"), col("coins"), col("spent_slot"))
+      },
+      Some(derivationSql +
+        """SELECT transaction_id, output_index, address, coins, created_at,
+          |       coalesce(spent_at, -1) AS spent_slot,
+          |       CAST(NULL AS VARCHAR) AS spent_with
+          |FROM inputs WHERE address NOT LIKE '00%'
+          |ORDER BY created_at, transaction_id, output_index, address, coins,
+          |         spent_slot""".stripMargin)),
+
     // TIME TRAVEL on the query surface: FoldInputs over asOf(v) — the
     // snapshot pinned BEFORE a policy-pattern deleteInputs mutated the
     // live index, so the oracle (which mirrors the pre-delete state)
@@ -749,6 +808,39 @@ object KupoPipelineQueries {
            |FROM inputs
            |WHERE address LIKE '01$cred7%'
            |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
-           |         address ASC, coins ASC""".stripMargin))
+           |         address ASC, coins ASC""".stripMargin)),
+
+    // GOVERNANCE × STORAGE: corpusDiff over two PINNED MANIFEST VERSIONS of
+    // one live index — snapshot v_a (pre-delete, via asOf) against the
+    // current head (post policy-pattern deleteInputs). The deleted rows
+    // must read `removed` and everything else `unchanged`; a diff computed
+    // against anything but the retained v_a manifest (e.g. the mutated
+    // head on both sides) collapses to all-unchanged and hash-mismatches.
+    QueryDef("q_corpus_diff_versions",
+      (s, d) => {
+        val (ix, v) = snapshotIndex(s, d)
+        val pre = ix.asOf(v).getOrElse(
+          sys.error(s"snapshot version $v aged out of retention"))
+        // the testdata derivation has duplicate (tx, output_index) pairs, so
+        // the diff id must carry the full identity (address+coins) and
+        // DISTINCT collapses exact twins — corpusDiff's contract is unique
+        // ids, same as the documents table it normally governs
+        def docs(i: GraftIndex) = i.table("inputs").select(
+          concat_ws(":", col("tx_id"), col("output_index").cast("string"),
+            col("address"), col("value.coins").cast("string")).as("doc_id"),
+          concat(col("address"), lit("|"), col("value.coins").cast("string")).as("text"))
+          .distinct()
+        graft.llm.Dedup.corpusDiff(docs(pre), docs(ix))
+          .orderBy(col("doc_id"))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id || ':' || CAST(output_index AS VARCHAR)
+           |         || ':' || address || ':' || CAST(coins AS VARCHAR) AS doc_id,
+           |       CASE WHEN bool_and(coalesce(policy_id, '') = '$policy2')
+           |            THEN 'removed' ELSE 'unchanged' END AS status
+           |FROM inputs
+           |WHERE address LIKE '01$cred7%'
+           |GROUP BY 1
+           |ORDER BY doc_id""".stripMargin))
   )
 }

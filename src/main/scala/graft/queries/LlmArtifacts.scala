@@ -124,6 +124,26 @@ private[queries] object LlmArtifacts {
         table(s, d, "embeddings"), "vec_id", "embedding"), w = 8, h = 8).cache())
   }
 
+  val decodedDhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** dHash fingerprints computed from REAL PNG bytes: the grayscale grids
+    * are encoded to actual PNG payloads and decoded back through
+    * `javax.imageio` (Multimodal.ImageIoCodec) before hashing — no stub
+    * anywhere in the path. Materialized for the same CollapseProject
+    * reason as [[dhashOf]], and because the encode+decode round-trip
+    * should run once, not once per banded join reference. */
+  def decodedDhashOf(s: SparkSession, d: String): DataFrame = synchronized {
+    decodedDhashCache.getOrElseUpdate(d, {
+      implicit val sp: SparkSession = s
+      val grids = graft.llm.Multimodal.grayscaleGrid(
+        table(s, d, "embeddings"), "vec_id", "embedding")
+      val png = graft.llm.Multimodal.encodePngGrid(grids, w = 8, h = 8)
+      val decoded = graft.llm.Multimodal.decodeGrayGrid(png)
+      graft.llm.Multimodal.dHash(decoded, w = 8, h = 8,
+        idCol = "media_id", pxCol = "px").cache()
+    })
+  }
+
   /** Per-doc winnowing fingerprints (k=8, w=4) — cached artifact shared by
     * the fingerprint report and the overlap-pairing query (the explode +
     * per-doc window is the expensive part; both queries read the result). */

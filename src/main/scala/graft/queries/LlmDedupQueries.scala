@@ -219,6 +219,39 @@ private[queries] object LlmDedupQueries {
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // The SAME perceptual pipeline with a REAL codec in the path: the grids
+    // are encoded to actual PNG bytes and decoded back through the JDK's
+    // javax.imageio (Multimodal.ImageIoCodec) before hashing — Spark
+    // decodes real image payloads while DuckDB reads the pre-extracted
+    // pixel grids (the embeddings). Any encode/decode corruption (wrong
+    // raster mapping, colorspace drift, off-by-one row order) changes a
+    // dhash and hash-mismatches against q_image_neardup's oracle.
+    QueryDef("q_image_decode_neardup",
+      (s, d) => {
+        Dedup.bandedHammingPairs(decodedDhashOf(s, d), bits = 56, bandBits = 4,
+            maxHamming = 13, idCol = "media_id", hashCol = "dhash")
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("hamming"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH px AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, v ->
+             |           CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
+             |  FROM embeddings),
+             |h AS (
+             |  SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(0, 56), i ->
+             |           CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
+             |                     < p[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]
+             |                THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+             |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+             |  FROM px)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.vec_id < b.vec_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // Window-function survivor pick: rank within each content group, keep
     // rank 1 — the one-pass dedup shape when whole rows must survive.
     QueryDef("q_dedup_window",

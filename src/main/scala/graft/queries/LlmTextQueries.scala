@@ -108,7 +108,7 @@ private[queries] object LlmTextQueries {
              |SELECT term, cnt_a, cnt_b,
              |       abs(cnt_a::HUGEINT * (SELECT sum(cnt_b) FROM cb)::HUGEINT
              |         - cnt_b::HUGEINT * (SELECT sum(cnt_a) FROM ca)::HUGEINT)
-             |         ::DECIMAL(38,0) AS shift
+             |         ::BIGINT AS shift
              |FROM j ORDER BY shift DESC, term ASC LIMIT 50""".stripMargin)),
 
     // Text quality signals: counts only (exact integers — no float ratios in

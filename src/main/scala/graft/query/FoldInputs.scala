@@ -304,27 +304,35 @@ object FoldInputs {
 
   /** R6 listCheckpointsDesc — logarithmically-spaced recent checkpoints
     * (SQLite.hs:722-733,1005-1010): for each offset, the nearest checkpoint at
-    * or after (tip − offset); dedup; desc. ~40 conditional `min(when(...))`
+    * or after (tip − offset); dedup; desc. ~70 conditional `min(when(...))`
     * aggregates in ONE map-side-combined pass — the round-1 non-equi join
     * multiplied the checkpoints table by the offset count (≈40× row blowup,
     * 400M intermediate rows at mainnet's 10M checkpoints) to produce an
-    * 11-row answer. Then one `isin` point lookup resolves header hashes
-    * (pushed to the scan). */
+    * 11-row answer.
+    *
+    * ONE lazy plan, no driver round-trips: the offset list is the STATIC
+    * 0..10 ++ 20·2^k series capped at Long range (the data-dependent
+    * `takeWhile(_ <= tip)` becomes the in-plan `tip − off >= 0` gate —
+    * same target set, since off <= tip ⟺ tip − off >= 0), the tip is a
+    * broadcast 1-row aggregate instead of a `.head()`, and the selected
+    * slots broadcast-join back for header hashes instead of an `isin`
+    * built on the driver. An empty table falls through naturally (null
+    * tip → all mins null → empty join) — no early-return collect. */
   def listCheckpointsDesc(ix: GraftIndex): DataFrame = {
     val cp = ix.table("checkpoints")
-    val tip = cp.agg(max("slot_no")).head()
-    if (tip.isNullAt(0)) return cp.limit(0)
-    val tipSlot = tip.getLong(0)
-    val offsets = (0L to 10L) ++ Iterator.iterate(20L)(_ * 2).takeWhile(_ <= tipSlot).toSeq
-    val targets = offsets.map(tipSlot - _).distinct.filter(_ >= 0)
-    val minCols = targets.zipWithIndex.map { case (t, i) =>
-      min(when(col("slot_no") >= t, col("slot_no"))).as(s"m$i")
+    val offsets = (0L to 10L) ++
+      Iterator.iterate(20L)(_ * 2).takeWhile(o => o > 0 && o <= Long.MaxValue / 2).toSeq
+    val tip = cp.agg(max("slot_no").as("_tip"))
+    val minCols = offsets.zipWithIndex.map { case (off, i) =>
+      min(when(col("_tip") - off >= 0 && col("slot_no") >= col("_tip") - off,
+        col("slot_no"))).as(s"m$i")
     }
-    val row = cp.agg(minCols.head, minCols.tail: _*).head()
-    val slots = targets.indices
-      .flatMap(i => if (row.isNullAt(i)) None else Some(row.getLong(i)))
-      .distinct
-    cp.where(col("slot_no").isInCollection(slots))
+    val slots = cp.crossJoin(broadcast(tip))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(explode(array(offsets.indices.map(i => col(s"m$i")): _*)).as("slot_no"))
+      .where(col("slot_no").isNotNull)
+      .distinct()
+    cp.join(broadcast(slots), Seq("slot_no"))
       .select(col("slot_no"), col("header_hash"))
       .dropDuplicates("slot_no") // re-ingested batches can duplicate rows
       .orderBy(col("slot_no").desc)

@@ -346,25 +346,8 @@ object CurationStream {
       }
     }.distinct
     ids.foreach { id =>
-      val work = new Path(root, s".compact-$id")
-      val trash = new Path(root, s".compact-$id.trash")
-      if (fs.exists(work)) {
-        if (fs.exists(trash))
-          fs.listStatus(trash).foreach { st =>
-            // a failed restore rename must ABORT, never fall through to the
-            // trash delete below — Hadoop rename returns false instead of
-            // throwing (e.g. destination recreated externally), and deleting
-            // the trash then would destroy the only copy of those rows
-            if (!fs.rename(st.getPath, new Path(root, st.getPath.getName)))
-              throw new java.io.IOException(
-                s"compactSinks: healing restore ${st.getPath} -> $root failed; " +
-                  "trash preserved for manual recovery")
-          }
-        fs.delete(trash, true)
-        fs.delete(work, true)
-      } else if (fs.exists(trash)) {
-        fs.delete(trash, true) // publish happened; finish the cleanup
-      }
+      graft.index.AtomicSwap.heal(fs, new Path(root, s".compact-$id"),
+        new Path(root, s".compact-$id.trash"), root, "compactSinks")
     }
   }
 
@@ -441,15 +424,8 @@ object CurationStream {
           .mode("overwrite").parquet(work.toString)
       case None => fs.mkdirs(work) // empty marker tree
     }
-    fs.mkdirs(trash)
-    sources.foreach { p =>
-      if (!fs.rename(p, new Path(trash, p.getName)))
-        throw new java.io.IOException(s"compactSinks: rename $p aside failed")
-    }
-    if (!fs.rename(work, new Path(root, s"batch_id=$target")))
-      throw new java.io.IOException(
-        s"compactSinks: publish $work -> $root/batch_id=$target failed (originals preserved in $trash)")
-    fs.delete(trash, true)
+    graft.index.AtomicSwap.publishDir(fs, work, new Path(root, s"batch_id=$target"),
+      trash, sources, "compactSinks")
   }
 
   /** Wire [[curateBatch]] under a streaming source: one `foreachBatch`
@@ -472,10 +448,15 @@ object CurationStream {
     * exactly the same state. */
   def run(stream: DataFrame, art: CurationArtifacts, sinks: CurationSinks,
           checkpointDir: String, compactEvery: Option[Int] = None,
-          compactMaxRuns: Int = 8): Unit = {
+          compactMaxRuns: Int = 8, corpusPartitions: Int = 1): Unit = {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery must be >= 1, got $n"))
     // fail FAST, not on the first cadence firing mid-stream
     require(compactMaxRuns >= 1, s"compactMaxRuns must be >= 1, got $compactMaxRuns")
+    // corpusPartitions bounds the file count of each folded corpus run; the
+    // default 1 fits tests and small sinks, but at scale the biggest run is
+    // most of the corpus — a deployment MUST size this so one folded run's
+    // partition fits an executor (it threads straight into compactSinks)
+    require(corpusPartitions >= 1, s"corpusPartitions must be >= 1, got $corpusPartitions")
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -483,7 +464,8 @@ object CurationStream {
         // key that makes the at-least-once replay idempotent
         compactEvery.foreach { n =>
           if (id > 0 && id % n == 0)
-            compactSinks(batch.sparkSession, sinks, id - 1, maxRuns = compactMaxRuns)
+            compactSinks(batch.sparkSession, sinks, id - 1,
+              corpusPartitions = corpusPartitions, maxRuns = compactMaxRuns)
         }
         curateBatch(batch, art, sinks, id); ()
       }

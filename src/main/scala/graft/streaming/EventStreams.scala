@@ -256,8 +256,17 @@ object EventStreams {
     val hiB = bucketOf(hiCol)
     val iv = intervals
       .withColumn("_nb", hiB - loB + 1L)
+      // the inverted check must come FIRST and must gate the sequence stop
+      // value: sequence(lo, hi) with hi < lo generates a DESCENDING
+      // sequence (implicit step −1), so an interval with hi far below lo
+      // would materialize a huge bucket list before any span check — and
+      // its negative _nb sails under the `> maxBucketsPerInterval` test
       .withColumn("_b", explode(sequence(loB,
-        when(col("_nb") > maxBucketsPerInterval,
+        when(col("_nb") < 1L,
+          raise_error(concat(lit("inverted interval (hi < lo) in column pair ("),
+            lit(s"$loCol, $hiCol) — fix or filter the interval bounds")))
+            .cast("long"))
+        .when(col("_nb") > maxBucketsPerInterval,
           // the message avoids the substring "Join" — plan-shape gates
           // scan the physical plan text for join operators by that token
           raise_error(lit(s"interval spans more than $maxBucketsPerInterval " +

@@ -685,4 +685,70 @@ class IndexSpec extends SparkSpec {
       .where(col("tx_id") === FixtureChain.hex32(9102) && col("output_index") === 0)
       .count() == 0L, "pruneInputs must collect the overlap-spent row")
   }
+
+  test("schema migration: v1 fails loudly until migrate(), rollback+vacuum survive the boundary") {
+    import GraftIndex.{CurrentSchemaVersion, Manifest}
+    val ix2 = freshIndex()
+    val root = ix2.root
+    val before = ix2.inputsWithSpends
+      .select("tx_id", "output_index", "spent_at").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+    // DOWN-CONVERT to schema v1: rewrite every inputs segment without the
+    // spend provenance columns (the pre-db/v2.10.0 layout) and declare
+    // schema_version 1 in the manifest — a faithful old-library index
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val m0 = ix2.manifest
+    m0.tables("inputs").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/${s.path}")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${s.path}.v1tmp")
+      spark.read.parquet(p.toString).drop("spent_by", "spent_with")
+        .write.parquet(tmp.toString)
+      fs.delete(p, true)
+      assert(fs.rename(tmp, p))
+    }
+    Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+
+    // open: allowed (so migrate() can run), but reads and mutations fail
+    // loudly with a run-migrate message — no silent null-filled reads
+    val reopened = new GraftIndex(spark, root)
+    assert(reopened.manifest.schemaVersion == 1)
+    val er = intercept[IllegalArgumentException](reopened.table("inputs"))
+    assert(er.getMessage.contains("migrate"), er.getMessage)
+    val em = intercept[IllegalArgumentException](
+      reopened.replace("patterns", ix2.emptyOf("patterns")))
+    assert(em.getMessage.contains("migrate"), em.getMessage)
+
+    // migrate: one pending step, idempotent after
+    assert(reopened.migrate() == 1)
+    assert(reopened.migrate() == 0)
+    assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
+    // spend provenance was merge-on-read (spends delta untouched), so the
+    // reconciled view is IDENTICAL to the pre-down-convert index
+    val after = reopened.inputsWithSpends
+      .select("tx_id", "output_index", "spent_at").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(after == before)
+
+    // the migration boundary must not break the mutation machinery:
+    // rollback's segment surgery (stats were recomputed on the migrated
+    // writes) and vacuum (old v1 dirs are dereferenced orphans now)
+    val deleted = reopened.vacuum(0L)
+    assert(deleted >= 1, s"expected the down-converted segments collected, got $deleted")
+    assert(reopened.inputsWithSpends.count() == before.size)
+    Mutations.rollbackTo(reopened, 60L)
+    val live = reopened.inputsWithSpends
+    assert(live.where(col("created_at") > 60L).count() == 0)
+    assert(live.where(col("spent_at") > 60L).count() == 0)
+    val modelAfter = runModel(blocks.filter(_.slot <= 60L), patterns)
+    assert(live.count() == modelAfter.size)
+
+    // a FUTURE schema fails at open — upgrade the library, not the index
+    Manifest.write(root, reopened.manifest.copy(schemaVersion = CurrentSchemaVersion + 1), conf)
+    val ef = intercept[IllegalArgumentException](new GraftIndex(spark, root))
+    assert(ef.getMessage.contains("newer"), ef.getMessage)
+  }
 }

@@ -167,6 +167,27 @@ class LlmSpec extends SparkSpec {
     assert(top.contains(1L) && !top.contains(2L)) // cell 1 not probed
   }
 
+  test("cell-count memo: path re-reads hit, retrain-in-place invalidates") {
+    val dir = java.nio.file.Files.createTempDirectory("ncells").toString
+    Seq((0L, Array(1.0f)), (1L, Array(0.0f)))
+      .toDF("centroid_id", "centroid").write.mode("overwrite").parquet(dir)
+    Similarity.invalidateCellCounts() // isolate from other tests' entries
+    // hold the FIRST frame for the whole test: the memo is weak-keyed on
+    // its canonicalized plan, so without a strong reference a GC between
+    // the two lookups evicts the entry and the staleness assertion flakes
+    val first = spark.read.parquet(dir)
+    assert(Similarity.nCellsOf(first) == 2)
+    // retrain IN PLACE behind the same path: a separate spark.read mints
+    // fresh ExprIds but canonicalization collapses them to the same key,
+    // so the memo serves the stale 2 until the documented hook runs
+    Seq((0L, Array(1.0f)), (1L, Array(0.0f)), (2L, Array(0.5f)))
+      .toDF("centroid_id", "centroid").write.mode("overwrite").parquet(dir)
+    assert(Similarity.nCellsOf(spark.read.parquet(dir)) == 2)
+    Similarity.invalidateCellCounts()
+    assert(Similarity.nCellsOf(spark.read.parquet(dir)) == 3)
+    assert(first.columns.nonEmpty) // keep `first` reachable to the end
+  }
+
   test("L2 IVF: euclidean assignment and probe rank by distance") {
     import spark.implicits._
     val centroids = Seq(
@@ -973,6 +994,41 @@ class LlmSpec extends SparkSpec {
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
   }
 
+  test("ImageIoCodec: PNG round-trip exact, non-gray converts, garbage fails loudly") {
+    import Multimodal._
+    // distributed round-trip: grid → real PNG bytes → javax.imageio decode →
+    // identical grid, through the mapPartitions plumbing end to end
+    val grids = Seq(
+      (1L, Array.tabulate(64)(i => (i * 4) % 256)),
+      (2L, Array.fill(64)(0)),
+      (3L, Array.tabulate(64)(i => 255 - (i % 256)))).toDF("vec_id", "px")
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val png = encodePngGrid(grids, w = 8, h = 8)
+    val payloads = png.collect().sortBy(_.media_id)
+    // real PNGs: magic bytes present, distinct content distinct bytes
+    assert(payloads.forall(p => (p.payload(1) & 0xff) == 'P'.toInt &&
+      (p.payload(2) & 0xff) == 'N'.toInt && (p.payload(3) & 0xff) == 'G'.toInt))
+    val back = decodeGrayGrid(png).orderBy("media_id")
+      .select("media_id", "w", "h", "px")
+      .as[(Long, Int, Int, Array[Int])].collect()
+    val want = grids.orderBy("vec_id").as[(Long, Array[Int])].collect()
+    back.zip(want).foreach { case ((id, w, h, px), (wid, wpx)) =>
+      assert(id == wid && w == 8 && h == 8 && px.sameElements(wpx))
+    }
+    // non-gray PNG decodes through the gray conversion (band 0 = luminance)
+    val rgb = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xffffff); rgb.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val (w2, h2, px2) = ImageIoCodec.decodeGrayPng(bos.toByteArray)
+    assert(w2 == 2 && h2 == 2 && px2(0) == 255 && px2(3) == 0)
+    // corrupt payloads fail loudly — quarantine, never silently skip
+    val eg = intercept[Exception](ImageIoCodec.decodeGrayPng(Array[Byte](1, 2, 3)))
+    assert(eg.getMessage.contains("undecodable"), eg.getMessage)
+    val eo = intercept[Exception](ImageIoCodec.encodeGrayPng(Array(300, 0, 0, 0), 2, 2))
+    assert(eo.getMessage.contains("out of range"), eo.getMessage)
+  }
+
   test("dHash: gradient bits exact, near-dup retrieval lossless, no cross product") {
     import spark.implicits._
     // strictly increasing grid → every adjacent comparison true → all 56 bits
@@ -1348,6 +1404,14 @@ class LlmSpec extends SparkSpec {
     assert(bySplit.keySet == Set("train", "val") && bySplit("train") > bySplit("val"))
     assert(!Sampling.splitAssign(docs).queryExecution.executedPlan.toString
       .contains("Exchange"))
+    // the threshold format is validated up-front: anything but two
+    // lowercase hex digits would silently compare wrong lexicographically
+    Seq("CC", "c", "0xcc", "zz", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Sampling.splitAssign(docs, trainThreshold = bad)
+      }
+      assert(e.getMessage.contains("lowercase hex"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("corpus diff: four statuses from hash projections only") {
@@ -1382,13 +1446,15 @@ class LlmSpec extends SparkSpec {
     val a = Seq("x x y z").toDF("text")
     val b = Seq("x y y y").toDF("text")
     val drifted = TextAnalysis.corpusDrift(a, b, k = 10)
-    // overflow-proof score: the cross-multiply runs in Decimal(38,0), not
-    // LongType (which wraps past ~3e9 tokens/snapshot and corrupts the top-k)
+    // overflow-proof score: the cross-multiply runs in Decimal(38,0) (LongType
+    // wraps past ~3e9 tokens/snapshot and corrupts the top-k), but the
+    // published column is the stable LongType schema with a fail-loud guard
     assert(drifted.schema("shift").dataType ==
-      org.apache.spark.sql.types.DecimalType(38, 0), drifted.schema.treeString)
+      org.apache.spark.sql.types.LongType, drifted.schema.treeString)
+    val planStr = drifted.queryExecution.analyzed.toString.toLowerCase
+    assert(planStr.contains("raise_error"), planStr)
     val got = drifted.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).longValueExact()))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // N_a=4, N_b=4: shifts -> x: |2*4-1*4|=4, y: |1*4-3*4|=8, z: |1*4-0|=4, w absent
     assert(got.toList == List(("y", 1L, 3L, 8L), ("x", 2L, 1L, 4L), ("z", 1L, 0L, 4L)))
     // the vocab-sized totals are broadcast, never shuffled with the join
@@ -1446,6 +1512,18 @@ class LlmSpec extends SparkSpec {
       EventStreams.pointInIntervalJoin(pts, wide, Seq("k"), "t", "lo", "hi", 500L).count()
     }
     assert(e.getMessage != null || e.getCause != null)
+    // an INVERTED interval (hi < lo) fails loudly BEFORE the bucket
+    // sequence: sequence(lo, hi) with hi < lo generates a descending list
+    // (implicit step −1), so a deeply-inverted interval would otherwise
+    // materialize a huge bucket explosion under a negative span the
+    // max-span check can't see
+    val inverted = Seq((1L, 1L, 5000L, -4000000000L)).toDF("k", "iid", "lo", "hi")
+    val ei = intercept[Exception] {
+      EventStreams.pointInIntervalJoin(pts, inverted, Seq("k"), "t", "lo", "hi", 500L).count()
+    }
+    val msg = Option(ei.getMessage).getOrElse("") +
+      Option(ei.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("inverted interval"), msg)
   }
 
   test("interval join: exact at epoch-nano magnitudes (above double's 2^53 range)") {

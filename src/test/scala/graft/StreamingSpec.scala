@@ -304,16 +304,32 @@ class StreamingSpec extends SparkSpec {
       assert(filesIn(1) == 1 && filesIn(2) == 1)
       assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
         .collect().map(_.toSeq).toSet == batchRows)
-      // crash window: publish succeeded but the old tree was never deleted
-      // (live dir AND `.old` both exist) — the next compaction must clear
-      // the stale `.old` and succeed rather than wedge on the rename-aside
-      val staleOld = java.nio.file.Paths.get(idxDir + ".old")
-      java.nio.file.Files.createDirectories(staleOld)
-      java.nio.file.Files.writeString(staleOld.resolve("stale.txt"), "stale")
+      // crash window A: publish succeeded but the trash was never deleted
+      // (live dir AND trash both exist) — the next compaction's heal must
+      // clear the stale trash and succeed (shared AtomicSwap discipline)
+      val staleTrash = java.nio.file.Paths.get(idxDir + ".compacting.trash")
+      java.nio.file.Files.createDirectories(staleTrash)
+      java.nio.file.Files.writeString(staleTrash.resolve("stale.txt"), "stale")
       Similarity.compactIndex(spark, idxDir)
-      assert(!java.nio.file.Files.exists(staleOld), "stale .old not cleaned")
+      assert(!java.nio.file.Files.exists(staleTrash), "stale trash not cleaned")
       assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
         .collect().map(_.toSeq).toSet == batchRows)
+      // crash window B: the live tree was renamed aside but the publish
+      // never happened (work + trash survive, live dir GONE) — heal must
+      // restore the original from trash before the rewrite reads it
+      val fs = new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dstP = new org.apache.hadoop.fs.Path(idxDir)
+      val workP = new org.apache.hadoop.fs.Path(idxDir + ".compacting")
+      val trashP = new org.apache.hadoop.fs.Path(idxDir + ".compacting.trash")
+      fs.mkdirs(workP)
+      fs.mkdirs(trashP)
+      assert(fs.rename(dstP, new org.apache.hadoop.fs.Path(trashP, dstP.getName)))
+      Similarity.compactIndex(spark, idxDir)
+      assert(!fs.exists(workP) && !fs.exists(trashP))
+      assert(spark.read.parquet(idxDir).select("vec_id", "cell", "c0", "c1")
+        .collect().map(_.toSeq).toSet == batchRows,
+        "mid-swap crash must heal losslessly")
     } finally {
       val p = java.nio.file.Paths.get(idxDir)
       val walk = java.nio.file.Files.walk(p)
@@ -765,8 +781,19 @@ class StreamingSpec extends SparkSpec {
     docs.foreach { d =>
       ms.addData(Seq(d))
       CurationStream.run(ms.toDF.toDF("doc_id", "text", "embedding"), art, sinks,
-        ckpt, compactEvery = Some(2), compactMaxRuns = 2)
+        ckpt, compactEvery = Some(2), compactMaxRuns = 2, corpusPartitions = 2)
     }
+
+    // corpusPartitions threads from run() into the in-stream fold: every
+    // consolidated corpus run was written with repartition(2), so no run
+    // directory holds more than 2 data files (the single-file rewrite of
+    // the biggest run was the scale hazard this parameter closes)
+    Option(new java.io.File(sinks.corpusDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).foreach { d =>
+        val files = Option(d.listFiles()).toSeq.flatten
+          .count(_.getName.endsWith(".parquet"))
+        assert(files <= 2, s"${d.getName}: $files parquet files")
+      }
 
     // ids 0..6 ran; TIERED compaction fired at ids 2/4/6 folding <=1/<=3/
     // <=5 down to at most 2 runs each time — so at most compactMaxRuns
