@@ -53,6 +53,32 @@ object Demo {
       s"${ix.manifest.tables("inputs").size} remain, " +
       s"rows ${FoldInputs.countInputs(ix, "*")} (was $preTier)")
 
+    // U8 schema migration: down-convert inputs to the pre-v2.10.0 layout
+    // (drop spent_by/spent_with, stamp schema_version 1), prove reads fail
+    // loudly, migrate back, prove the reconciled view is intact
+    {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(ix.root).getFileSystem(conf)
+      val m0 = ix.manifest
+      m0.tables("inputs").foreach { s =>
+        val p = new Path(s"${ix.root}/${s.path}")
+        val tmp = new Path(s"${ix.root}/${s.path}.v1tmp")
+        spark.read.parquet(p.toString).drop("spent_by", "spent_with")
+          .write.parquet(tmp.toString)
+        fs.delete(p, true); require(fs.rename(tmp, p))
+      }
+      graft.index.GraftIndex.Manifest.write(ix.root, m0.copy(schemaVersion = 1), conf)
+      val reopened = new graft.index.GraftIndex(spark, ix.root)
+      val blocked =
+        try { reopened.table("inputs"); "NOT BLOCKED (bug)" }
+        catch { case e: IllegalArgumentException => e.getMessage.take(60) + "..." }
+      println("== probe unmigrated read -> " + blocked)
+      val applied = reopened.migrate()
+      println(s"== migrate(): $applied step(s), schema now v${reopened.manifest.schemaVersion}, " +
+        s"rows ${FoldInputs.countInputs(reopened, "*")}")
+    }
+
     // probe: invalid pattern text
     try FoldInputs(ix, Api.MatchesQuery("zz/not-a-pattern"))
     catch { case e: IllegalArgumentException => println("== probe invalid pattern -> " + e.getMessage) }
