@@ -534,6 +534,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
+  /** [[benchmarkOverlap]] for benchmarks TOO BIG to broadcast exactly —
+    * the Bloom-prefiltered two-phase decontamination. Same EXACT output
+    * (the Bloom never false-negatives, and the exact verify join kills its
+    * false positives), different scale shape: what broadcasts is the
+    * benchmark's Bloom REGISTER frame (bounded by min(k·|bench|, m) rows —
+    * a few MB at m = 2^24 regardless of benchmark size) plus the verified
+    * hit set (bounded by |bench ∩ corpus vocab| + the FP sliver), never the
+    * full benchmark gram set. The corpus gram stream itself is touched by
+    * one map-side-combined vocabulary distinct, one map-only Bloom probe
+    * over that vocabulary, and the same single-pass probe+count as the
+    * exact form — it never shuffles on the gram against the benchmark.
+    * Same (id, gram)-distinct PRECONDITION on `corpusGrams`. */
+  def benchmarkOverlapPrefiltered(corpusGrams: DataFrame, benchGrams: DataFrame,
+                                  idCol: String = "doc_id",
+                                  k: Int = 4, m: Int = 1 << 16): DataFrame = {
+    val benchDistinct = benchGrams.select(col("gram")).distinct()
+    val regs = Sketches.bloomRegisters(benchDistinct, Nil, "gram", k, m)
+    // vocabulary-sized probe: the corpus distinct is Zipf-bounded and
+    // map-side-combined; only maybe-present grams reach the verify join
+    val candidates = Sketches.bloomContains(
+        regs, corpusGrams.select(col("gram")).distinct(), Nil, "gram", k, m)
+      .where(col("maybe_present")).select(col("gram"))
+    // exact verify: candidates ⋈ benchmark kills the FP sliver — at scale
+    // this join carries |candidates| rows, not the corpus and not the
+    // benchmark's full width on the probe side
+    val verified = broadcast(
+      candidates.join(benchDistinct, Seq("gram"), "left_semi")
+        .withColumn("hit", lit(1)))
+    corpusGrams.join(verified, Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+  }
+
   /** INCREMENTAL SemDeDup pairing — semantic near-dup candidates of an
     * ingest BATCH against the already-indexed corpus, without ever
     * re-pairing the corpus with itself (the [[crossSetCandidates]]

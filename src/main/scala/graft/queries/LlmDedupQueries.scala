@@ -352,6 +352,33 @@ private[queries] object LlmDedupQueries {
              |FROM c LEFT JOIN b USING (gram)
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination — the benchmark-too-big-to-
+    // broadcast shape: the benchmark grams ship as a Bloom REGISTER frame
+    // (bounded by min(k·n, m) rows whatever the benchmark size), the
+    // corpus vocabulary probes it map-only, and only the maybe-present
+    // sliver reaches the exact verify join. Output is EXACTLY the exact
+    // decontam (no false negatives by construction, false positives
+    // killed by the verify), so the oracle is the plain n-gram join —
+    // any Bloom bit-carve error surfaces as a hash mismatch.
+    QueryDef("q_bloom_decontam",
+      (s, d) => {
+        val grams = gramsOf(s, d)
+        Dedup.benchmarkOverlapPrefiltered(
+            grams.where(col("doc_id") % 20 =!= 0),
+            grams.where(col("doc_id") % 20 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, substr(text, i, 8) AS gram
+             |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 2))) AS i
+             |        FROM documents)),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+             |c AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+             |SELECT c.doc_id, count(*) AS n_grams,
+             |       CAST(count(b.gram) AS BIGINT) AS n_contaminated
+             |FROM c LEFT JOIN b USING (gram)
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
     // First-occurrence novelty: per doc, distinct shingles and how many
     // occur in no lower-id doc — the ingest-order novelty curve. No
     // corpus×corpus gram join: min-doc per gram re-aggregates by that doc,

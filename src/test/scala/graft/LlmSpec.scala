@@ -1762,6 +1762,26 @@ class LlmSpec extends SparkSpec {
     assert(r(0).getLong(2) == benchGramCount)
     assert(r(0).getLong(1) > r(0).getLong(2)) // plus its own extra grams
     assert(r(1).getLong(2) == 0L && r(1).getLong(1) > 0L)
+
+    // the Bloom-prefiltered two-phase form is EXACTLY equal (no false
+    // negatives by construction, FPs killed by the verify join) — probe a
+    // deliberately tiny m so collisions are plentiful and the verify path
+    // is genuinely exercised, not vacuously clean
+    val exact = Dedup.benchmarkOverlap(Dedup.charGrams(corpus), Dedup.charGrams(bench))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Seq(1 << 16, 64, 8).foreach { m =>
+      val pre = Dedup.benchmarkOverlapPrefiltered(
+          Dedup.charGrams(corpus), Dedup.charGrams(bench), k = 4, m = m)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(pre == exact, s"m=$m diverged: $pre vs $exact")
+    }
+    // plan shape: the corpus side never SortMergeJoins against the
+    // benchmark — the register probe and the verified-hit probe are both
+    // broadcast, so the gram stream crosses no gram-keyed exchange
+    val plan = Dedup.benchmarkOverlapPrefiltered(
+        Dedup.charGrams(corpus), Dedup.charGrams(bench))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
   test("kmeans-trained IVF: pure clusters, stable assignment, nprobe=1 recall") {
