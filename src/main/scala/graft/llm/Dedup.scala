@@ -556,11 +556,14 @@ object Dedup {
     val candidates = Sketches.bloomContains(
         regs, corpusGrams.select(col("gram")).distinct(), Nil, "gram", k, m)
       .where(col("maybe_present")).select(col("gram"))
-    // exact verify: candidates ⋈ benchmark kills the FP sliver — at scale
-    // this join carries |candidates| rows, not the corpus and not the
-    // benchmark's full width on the probe side
+    // exact verify: candidates ∩ benchmark kills the FP sliver. The
+    // CANDIDATES side broadcasts (bounded by |bench ∩ corpus vocab| + the
+    // FP sliver) and the benchmark STREAMS map-only past it — the naive
+    // orientation (candidates left-semi benchmark) would build on the
+    // benchmark, which by this operator's premise exceeds broadcast, and
+    // planned as a SortMergeJoin at sf0.1 (caught by the rehearsal gate)
     val verified = broadcast(
-      candidates.join(benchDistinct, Seq("gram"), "left_semi")
+      benchDistinct.join(broadcast(candidates), Seq("gram"), "left_semi")
         .withColumn("hit", lit(1)))
     corpusGrams.join(verified, Seq("gram"), "left_outer")
       .groupBy(col(idCol))

@@ -92,6 +92,18 @@ object LlmScaleRehearsal {
     val decontamShuffleJoins =
       "SortMergeJoin".r.findAllIn(decontamPlan).length +
         "ShuffledHashJoin".r.findAllIn(decontamPlan).length
+    // the Bloom-prefiltered form (benchmark too big to broadcast exactly)
+    // must satisfy the SAME no-shuffle-join gate at both scales, and its
+    // output must equal the exact form — the no-false-negatives contract
+    // measured on real-scale data, not just the unit fixture
+    val preOverlap = Dedup.benchmarkOverlapPrefiltered(
+      grams.where(col("doc_id") % 25 =!= 0), grams.where(col("doc_id") % 25 === 0))
+    val prePlan = preOverlap.queryExecution.executedPlan.toString
+    val preShuffleJoins =
+      "SortMergeJoin".r.findAllIn(prePlan).length +
+        "ShuffledHashJoin".r.findAllIn(prePlan).length
+    val preEqualsExact = preOverlap.unionByName(overlap).distinct().count() ==
+      overlap.count()
 
     // ---- (e) ADC recall vs exact L2 — approximation QUALITY, measured ----
     // 4 codewords × 4 subspaces is a deliberately tiny codebook; the gate
@@ -672,6 +684,7 @@ object LlmScaleRehearsal {
         s""""ivfpq_scans_payload":$ivfPqReadsPayload,""" +
         s""""ivfpq_candidate_scan":"${ivfPqScan.replace("\"", "")}",""" +
         s""""decontam_broadcast":$decontamBroadcast,"decontam_shuffle_joins":$decontamShuffleJoins,""" +
+        s""""bloom_decontam_shuffle_joins":$preShuffleJoins,"bloom_decontam_equals_exact":$preEqualsExact,""" +
         s""""adc_recall_at_10":$recall,"adc_recall_at_10_trained":$trainedRecall,""" +
         s""""ivfpq_m":$pqM,"ivfpq_recall_at_10":$ivfPqRecall,"ivf_nprobe_ceiling":$ivfCeiling,""" +
         s""""ivfpq_trained_coarse_recall":$trainedPipeRecall,""" +
@@ -736,6 +749,10 @@ object LlmScaleRehearsal {
       s"IVF-PQ candidate scan must read only cell+code columns: $ivfPqScan")
     require(decontamBroadcast && decontamShuffleJoins == 0,
       s"decontam must broadcast-probe, not shuffle-join: $decontamShuffleJoins")
+    require(preShuffleJoins == 0,
+      s"bloom-prefiltered decontam must not shuffle-join: $preShuffleJoins")
+    require(preEqualsExact,
+      "bloom-prefiltered decontam diverged from the exact form (false negative?)")
     require(pairs2 <= 3 * pairs1 && pairs2 >= pairs1,
       s"LSH pair growth not linear: $pairs1 -> $pairs2")
     require(splitEx == 0,
