@@ -74,10 +74,19 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * and the half-written segments as ordinary vacuum orphans. Returns the
     * number of migrations applied (0 = already current, the reference's
     * DatabaseNoMigrationNeeded). */
-  def migrate(): Int = {
+  def migrate(): Int = migrateWith(migrations)
+
+  /** [[migrate]] against an explicit chain — test seam for multi-step and
+    * crash-resume scenarios (the production registry has one step today;
+    * the loop, the per-step commit, and mid-chain resume must not regress
+    * when step two arrives). `upTo` caps the run (a crashed-mid-chain
+    * simulation): steps with `to` beyond it are left pending, exactly as a
+    * crash between commits would. */
+  private[graft] def migrateWith(chain: List[SchemaMigration],
+                                 upTo: Int = Int.MaxValue): Int = {
     require(pin.isEmpty, "pinned snapshot is read-only — migrate the live index")
     var m = manifest
-    val pending = migrations.filter(_.to > m.schemaVersion).sortBy(_.to)
+    val pending = chain.filter(g => g.to > m.schemaVersion && g.to <= upTo).sortBy(_.to)
     pending.foreach { mig =>
       val v = m.version + 1
       val tables = mig.tables.foldLeft(m.tables) { (acc, t) =>
@@ -715,7 +724,7 @@ object GraftIndex {
     }: _*)
   }
 
-  private[index] val migrations: List[SchemaMigration] = List(
+  private[graft] val migrations: List[SchemaMigration] = List(
     SchemaMigration(2,
       "add spent_by/spent_with to inputs (reference db/v2.10.0/001.sql)",
       Set("inputs"),

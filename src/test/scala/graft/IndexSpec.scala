@@ -751,4 +751,40 @@ class IndexSpec extends SparkSpec {
     val ef = intercept[IllegalArgumentException](new GraftIndex(spark, root))
     assert(ef.getMessage.contains("newer"), ef.getMessage)
   }
+
+  test("schema migration: multi-step chain runs oldest-first and resumes mid-chain") {
+    import GraftIndex.{CurrentSchemaVersion, Manifest, SchemaMigration}
+    val ix2 = freshIndex()
+    val root = ix2.root
+    val rows = ix2.table("inputs").count()
+    val conf = spark.sessionState.newHadoopConf()
+    // declare the index two steps behind: schema v0, with a 2-step chain
+    // (v1 = re-file checkpoints verbatim; v2 = the real inputs add-columns)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val m0 = ix2.manifest
+    m0.tables("inputs").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/${s.path}")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${s.path}.v0tmp")
+      spark.read.parquet(p.toString).drop("spent_by", "spent_with")
+        .write.parquet(tmp.toString)
+      fs.delete(p, true)
+      assert(fs.rename(tmp, p))
+    }
+    Manifest.write(root, m0.copy(schemaVersion = 0), conf)
+    val chain = List(
+      SchemaMigration(1, "re-file checkpoints (test)", Set("checkpoints"), (_, df) => df),
+      GraftIndex.migrations.find(_.to == 2).get)
+    val reopened = new GraftIndex(spark, root)
+    // crash simulation: only step 1 lands — schema advances to v1, reads
+    // STAY blocked (v1 != current), and the commit counter moved once
+    assert(reopened.migrateWith(chain, upTo = 1) == 1)
+    assert(reopened.manifest.schemaVersion == 1)
+    intercept[IllegalArgumentException](reopened.table("inputs"))
+    // resume: only the remaining step runs (oldest-first filter skips v1)
+    assert(reopened.migrateWith(chain) == 1)
+    assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
+    assert(reopened.table("inputs").count() == rows)
+    assert(reopened.table("checkpoints").count() > 0)
+    assert(reopened.migrateWith(chain) == 0) // idempotent when current
+  }
 }
