@@ -60,8 +60,14 @@ final class GraftIndex(val spark: SparkSession, val root: String,
 
   private def requireCurrentSchema(m: Manifest, op: String): Unit =
     require(m.schemaVersion == CurrentSchemaVersion,
-      s"index at $root has schema v${m.schemaVersion} but this library " +
-        s"expects v$CurrentSchemaVersion — run migrate() before $op")
+      if (pin.isDefined)
+        s"pinned snapshot v${m.version} of $root predates schema " +
+          s"v$CurrentSchemaVersion (it is v${m.schemaVersion}) — historical " +
+          s"snapshots cannot be migrated in place; read them with the " +
+          s"library version that wrote them"
+      else
+        s"index at $root has schema v${m.schemaVersion} but this library " +
+          s"expects v$CurrentSchemaVersion — run migrate() before $op")
 
   /** Run every pending schema migration, oldest first — the Spark analogue
     * of the reference's `runMigrations` (SQLite.hs:1261-1295): a LINEAR
@@ -73,7 +79,13 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * the commit point — a crash mid-step leaves the old manifest intact
     * and the half-written segments as ordinary vacuum orphans. Returns the
     * number of migrations applied (0 = already current, the reference's
-    * DatabaseNoMigrationNeeded). */
+    * DatabaseNoMigrationNeeded).
+    *
+    * Under `manifestRetention` > 1, pre-migration snapshots stay PINNED
+    * (their segments survive vacuum) until they age out of the window —
+    * but reading one fails loudly with the pinned-snapshot message: a
+    * historical manifest references the OLD layout and cannot be migrated
+    * in place without rewriting history. */
   def migrate(): Int = migrateWith(migrations)
 
   /** [[migrate]] against an explicit chain — test seam for multi-step and

@@ -752,6 +752,66 @@ class IndexSpec extends SparkSpec {
     assert(ef.getMessage.contains("newer"), ef.getMessage)
   }
 
+  test("schema migration: retained pre-migration snapshots stay pinned, fail loudly, age out") {
+    import GraftIndex.Manifest
+    import org.apache.hadoop.fs.Path
+    val ix2 = new GraftIndex(spark, tmpDir("graft-mig-tt"),
+      vacuumGraceMs = 0L, manifestRetention = 3)
+    blocks.grouped(6).foreach { batch =>
+      Indexer.ingest(ix2, FixtureChain.toDf(spark, batch), patterns)
+    }
+    val root = ix2.root
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    // down-convert the WHOLE history to v1: segments in place, the live
+    // manifest, AND every retained versioned copy (a real v1-born index
+    // would have written them all as v1 in the first place)
+    val m0 = ix2.manifest
+    val oldSegs = m0.tables("inputs").map(_.path)
+    oldSegs.foreach { sp =>
+      val p = new Path(s"$root/$sp"); val tmp = new Path(s"$root/$sp.v1tmp")
+      spark.read.parquet(p.toString).drop("spent_by", "spent_with")
+        .write.parquet(tmp.toString)
+      fs.delete(p, true); assert(fs.rename(tmp, p))
+    }
+    Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+    fs.listStatus(new Path(root)).filter(_.getPath.getName.matches("""\.manifest-v\d+\.json"""))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val out = fs.create(st.getPath, true)
+        try out.write(json.replace("\"schema_version\":2", "\"schema_version\":1")
+          .getBytes("UTF-8")) finally out.close()
+      }
+
+    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 3)
+    val vPre = reopened.manifest.version
+    assert(reopened.migrate() == 1)
+    assert(reopened.inputsWithSpends.count() > 0) // current reads green
+
+    // the pre-migration snapshot still RESOLVES (retention pins it) but a
+    // read through it fails loudly with the pinned-snapshot wording — a
+    // historical manifest references the old layout and can't migrate
+    val pinned = reopened.asOf(vPre)
+    assert(pinned.isDefined, s"version $vPre should still be retained")
+    val ep = intercept[IllegalArgumentException](pinned.get.table("inputs"))
+    assert(ep.getMessage.contains("historical"), ep.getMessage)
+
+    // vacuum must NOT reclaim the old-layout segments while the retained
+    // manifests still pin them
+    reopened.vacuum(0L)
+    assert(oldSegs.forall(sp => fs.exists(new Path(s"$root/$sp"))),
+      "pinned pre-migration segments must survive vacuum")
+    // age the snapshot out of the retention window; then vacuum reclaims
+    (1 to 3).foreach(_ =>
+      Indexer.ingest(reopened, FixtureChain.toDf(spark, blocks.take(1)), patterns))
+    assert(reopened.asOfVersion(vPre).isEmpty, "aged-out version must not resolve")
+    reopened.vacuum(0L)
+    assert(oldSegs.forall(sp => !fs.exists(new Path(s"$root/$sp"))),
+      "aged-out pre-migration segments must be reclaimed")
+    assert(reopened.inputsWithSpends.count() > 0)
+  }
+
   test("schema migration: multi-step chain runs oldest-first and resumes mid-chain") {
     import GraftIndex.{CurrentSchemaVersion, Manifest, SchemaMigration}
     val ix2 = freshIndex()
