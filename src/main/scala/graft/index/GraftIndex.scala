@@ -210,6 +210,20 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     case other         => sys.error(s"unknown table: $other")
   }
 
+  /** Hash-keyed point-lookup columns per table: these get parquet bloom
+    * filters at segment write (see writeSegmentAt). Only uniformly-random
+    * keys qualify — blooming a clustered column (created_at) or a
+    * low-cardinality one (pattern text) would spend file bytes on what
+    * min/max stats or dictionary pages already answer. */
+  private def bloomColumns(table: String): Seq[String] = table match {
+    case "inputs"      => Seq("tx_id")
+    case "spends"      => Seq("tx_id")
+    case "binary_data" => Seq("binary_data_hash")
+    case "scripts"     => Seq("script_hash")
+    case "policies"    => Seq("tx_id")
+    case _             => Nil
+  }
+
   /** Slot-stat column used for segment pruning, if the table has one. */
   private def statColumn(table: String): Option[String] = table match {
     case "inputs"      => Some("created_at")
@@ -355,8 +369,26 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val aggs = Seq(count(lit(1)).as("cnt")) ++
       statColumn(table).toSeq.flatMap(c => Seq(min(col(c)).as("mn"), max(col(c)).as("mx"))) ++
       (if (table == "inputs") Seq(max(col("spent_at")).as("sp")) else Nil)
-    clustered.observe(obs, aggs.head, aggs.tail: _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/$path")
+    // PARQUET BLOOM FILTERS on the hash-keyed lookup columns — the B-tree
+    // analogue for point lookups (the reference's ix_inputs_output_reference,
+    // db/v1.0.0/002.sql). Slot clustering makes min/max stats prune RANGE
+    // scans, but an equality on a uniformly-random md5/blake2b key matches
+    // every row group's [min,max] — without blooms, R4/R5/outref/txid point
+    // lookups read the whole table at 100 TB. The reader applies them
+    // automatically to pushed equality predicates (row-group skip).
+    // Dictionary encoding is turned OFF for exactly these columns: parquet
+    // suppresses the bloom when a chunk stays fully dictionary-encoded
+    // (the dictionary already answers membership exactly), which makes the
+    // filter's presence depend on data volume — and unique random hashes
+    // don't dictionary-compress at scale anyway (the encoder falls back to
+    // plain mid-chunk and keeps the useless dictionary page).
+    val writer = bloomColumns(table).foldLeft(
+      clustered.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode(SaveMode.Overwrite)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    writer.parquet(s"$root/$path")
     val row: Map[String, Any] = obs.get
     if (row("cnt").asInstanceOf[java.lang.Long] == 0L) return None
     val stats = statColumn(table).flatMap { _ =>

@@ -752,6 +752,56 @@ class IndexSpec extends SparkSpec {
     assert(ef.getMessage.contains("newer"), ef.getMessage)
   }
 
+  test("segment files carry parquet bloom filters on the hash-keyed lookup columns") {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(ix.root).getFileSystem(conf)
+    def bloomOffsets(table: String, column: String): Seq[Long] = {
+      // side tables may be empty for this fixture (M9: empty batches
+      // register no segments) — inputs is asserted non-empty below
+      val segs = ix.manifest.tables.getOrElse(table, Nil).map(_.path)
+      segs.flatMap { sp =>
+        fs.listStatus(new Path(s"${ix.root}/$sp")).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .flatMap { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getFooter.getBlocks.asScala.toSeq.map { rg =>
+              rg.getColumns.asScala.find(_.getPath.toDotString == column)
+                .map(_.getBloomFilterOffset).getOrElse(-1L)
+            } finally r.close()
+          }
+      }
+    }
+    // every inputs/binary_data/scripts row group has a bloom on its
+    // point-lookup key — the B-tree analogue for equality predicates on
+    // uniformly-random hashes, where min/max stats can never prune
+    assert(bloomOffsets("inputs", "tx_id").nonEmpty)
+    Seq("inputs" -> "tx_id", "binary_data" -> "binary_data_hash",
+      "scripts" -> "script_hash").foreach { case (t, c) =>
+      val offs = bloomOffsets(t, c)
+      assert(offs.forall(_ > 0), s"$t.$c bloom offsets: $offs")
+    }
+    // and a clustered column does NOT get one (min/max stats own ranges)
+    val segs = ix.manifest.tables("inputs").map(_.path)
+    val createdOffs = segs.flatMap { sp =>
+      fs.listStatus(new Path(s"${ix.root}/$sp")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).flatMap { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getFooter.getBlocks.asScala.toSeq.map { rg =>
+            rg.getColumns.asScala.find(_.getPath.toDotString == "created_at")
+              .map(_.getBloomFilterOffset).getOrElse(-1L)
+          } finally r.close()
+        }
+    }
+    assert(createdOffs.forall(_ <= 0), s"created_at should have no bloom: $createdOffs")
+    // the point lookup still answers correctly through the bloomed files
+    val any = ix.table("inputs").select("tx_id").head().getString(0)
+    assert(ix.table("inputs").where(col("tx_id") === any).count() >= 1)
+  }
+
   test("schema migration: retained pre-migration snapshots stay pinned, fail loudly, age out") {
     import GraftIndex.Manifest
     import org.apache.hadoop.fs.Path
