@@ -6,13 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata. The Spark-side plumbing — schema, partitioning, batch
-  * shape, frame expansion — is real and tested. IMAGE decode is REAL:
-  * [[ImageIoCodec]] round-trips PNG through the JDK's `javax.imageio`
-  * (encode a grayscale raster to actual PNG bytes, decode arbitrary PNG
-  * payloads back to a pixel grid) — see [[decodeGrayGrid]]. Audio/video
-  * remain a STUB (no media libraries in this container): `StubCodec.decode`
-  * derives a deterministic fake feature vector from the payload bytes, and
-  * is the one function a deployment swaps for a JNI/ffmpeg decoder.
+  * shape, frame expansion — is real and tested. IMAGE decode is REAL for
+  * every container the JDK ships a reader for (PNG, JPEG, BMP, GIF):
+  * [[ImageIoCodec]] encodes grayscale rasters to actual format bytes and
+  * decodes arbitrary payloads back to a pixel grid by container sniffing —
+  * see [[decodeGrayGrid]]. Only audio/video remain a STUB (no ffmpeg/JNI
+  * in this container): `StubCodec.decode` derives a deterministic fake
+  * feature vector from the payload bytes, and is the one function a
+  * deployment swaps for a real media decoder.
   *
   * Scale notes: payloads never pass through a shuffle — every operator here
   * is a per-partition map; the only wide operation a media pipeline needs
@@ -55,11 +56,13 @@ object Multimodal {
       .groupBy(col("content_hash"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** THE STUB: a real deployment replaces this object with a codec binding.
-    * Deterministic fake decode — features are carved from md5 of the payload
-    * so tests and oracles can reproduce them. */
+  /** THE STUB — AUDIO/VIDEO ONLY: a real deployment replaces this object
+    * with an ffmpeg/JNI codec binding. Deterministic fake decode — features
+    * are carved from md5 of the payload so tests and oracles can reproduce
+    * them. Image kinds never route here: [[ImageIoCodec]] decodes
+    * PNG/JPEG/BMP/GIF for real through the JDK. */
   object StubCodec {
-    /** ??? in spirit — the decode itself cannot be real in this container. */
+    /** ??? in spirit — audio/video decode cannot be real in this container. */
     def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(dim) { i =>
@@ -74,14 +77,25 @@ object Multimodal {
 
   /** Feature extraction with the mapPartitions batch shape: per-partition
     * init happens once (the `md` allocation stands in for codec/GPU setup),
-    * then rows stream through. Swap StubCodec.decode for the real thing. */
+    * then rows stream through. Dispatch happens ON KIND inside the swap
+    * point: `image` payloads decode FOR REAL through [[ImageIoCodec]]
+    * (container-sniffed — PNG/JPEG/BMP/GIF), with features = the leading
+    * `dim` gray levels scaled to [0,1); an undecodable image payload fails
+    * the task loudly (quarantine upstream, never silently skip). Audio and
+    * video route to [[StubCodec]] — the one branch a deployment swaps for
+    * an ffmpeg binding. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // real decoder: open codec context here, once per partition
       rows.map { r =>
-        val feats = StubCodec.decode(r.kind, r.payload, dim)
+        val feats = r.kind match {
+          case "image" =>
+            val (_, _, px) = ImageIoCodec.decodeGray(r.payload)
+            Array.tabulate(dim)(i => if (i < px.length) px(i) / 256f else 0f)
+          case _ => StubCodec.decode(r.kind, r.payload, dim)
+        }
         val md = java.security.MessageDigest.getInstance("MD5")
         val hash = md.digest(r.payload).map("%02x".format(_)).mkString
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hash, feats)
@@ -93,12 +107,24 @@ object Multimodal {
     * library. Grayscale-only by design: the perceptual pipeline (dHash,
     * near-dup banding) consumes a single luminance channel, and TYPE_BYTE_GRAY
     * keeps the raster→grid mapping exact (no colorspace round-off to drift
-    * the hash between encode and decode). */
+    * the hash between encode and decode). Covers every container the JDK
+    * ships a reader for — PNG, JPEG, BMP, GIF; decode sniffs the container
+    * from the payload bytes, so one decode path serves mixed corpora. */
   object ImageIoCodec {
+    /** Formats whose gray round-trip is BIT-EXACT (probed: a TYPE_BYTE_GRAY
+      * raster survives encode+decode with zero error; GIF returns an
+      * indexed raster whose gray conversion is exact). JPEG is NOT here —
+      * lossy by construction, tolerance-gate its round-trips instead. */
+    val LosslessFormats: Set[String] = Set("png", "bmp", "gif")
+
     /** Encode a row-major w×h grid of gray levels (each 0..255, enforced —
       * an out-of-range level would wrap through the byte raster and silently
-      * corrupt the perceptual hash) into actual PNG bytes. */
-    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      * corrupt the perceptual hash) into actual image bytes in `format`
+      * (png | bmp | gif | jpg). JPEG writes at quality 1.0 — near-unity
+      * quantization keeps the gray DCT error within a few levels, but it is
+      * still lossy: perceptual-exact pipelines use a [[LosslessFormats]]
+      * container. */
+    def encodeGray(px: Array[Int], w: Int, h: Int, format: String): Array[Byte] = {
       require(px.length == w * h, s"grid ${px.length} != $w x $h")
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -109,15 +135,39 @@ object Multimodal {
         raster.setSample(i % w, i / w, 0, px(i)); i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+      format.toLowerCase match {
+        case f if LosslessFormats(f) =>
+          require(javax.imageio.ImageIO.write(img, f, bos), s"no $f writer")
+        case "jpg" | "jpeg" =>
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+          val p = wr.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            wr.setOutput(ios)
+            wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          } finally { ios.close(); wr.dispose() }
+        case other => sys.error(s"unsupported image format: $other")
+      }
       bos.toByteArray
     }
 
-    /** Decode PNG bytes back to (w, h, row-major gray grid). Fails loudly on
-      * undecodable payloads — a training pipeline must quarantine, not
-      * silently skip, corrupt assets. Non-gray inputs are converted through
-      * the AWT gray colorspace first (band 0 of a gray raster IS luminance). */
-    def decodeGrayPng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    /** PNG form of [[encodeGray]] (the original fixture producer). */
+    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] =
+      encodeGray(px, w, h, "png")
+
+    /** Back-compat alias for [[decodeGray]] — the decode always sniffed the
+      * container, so it was never PNG-specific. */
+    def decodeGrayPng(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+      decodeGray(bytes)
+
+    /** Decode image bytes (container sniffed: PNG/JPEG/BMP/GIF) back to
+      * (w, h, row-major gray grid). Fails loudly on undecodable payloads —
+      * a training pipeline must quarantine, not silently skip, corrupt
+      * assets. Non-gray inputs are converted through the AWT gray
+      * colorspace first (band 0 of a gray raster IS luminance). */
+    def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
       val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img0 != null, "undecodable image payload")
       val img =
@@ -141,31 +191,42 @@ object Multimodal {
   final case class PngAsset(media_id: Long, payload: Array[Byte])
   final case class GrayGrid(media_id: Long, w: Int, h: Int, px: Array[Int])
 
-  /** Encode (id, row-major gray grid) rows into REAL PNG payloads — the
-    * test-fixture producer and the write-side of an image sink. Same
+  /** Encode (id, row-major gray grid) rows into REAL image payloads — the
+    * test-fixture producer and the write-side of an image sink. `format`
+    * picks the container PER ROW from the id (a corpus is rarely one
+    * format; the constant function gives the single-format form). Same
     * mapPartitions batch shape as [[extractFeatures]]. */
-  def encodePngGrid(grid: DataFrame, w: Int, h: Int,
-                    idCol: String = "vec_id", pxCol: String = "px")
-                   (implicit spark: SparkSession): Dataset[PngAsset] = {
+  def encodeGrayGridAssets(grid: DataFrame, w: Int, h: Int,
+                           format: Long => String,
+                           idCol: String = "vec_id", pxCol: String = "px")
+                          (implicit spark: SparkSession): Dataset[PngAsset] = {
     import spark.implicits._
     grid.select(col(idCol).cast("long"), col(pxCol))
       .as[(Long, Array[Int])]
       .mapPartitions(_.map { case (id, px) =>
-        PngAsset(id, ImageIoCodec.encodeGrayPng(px, w, h))
+        PngAsset(id, ImageIoCodec.encodeGray(px, w, h, format(id)))
       })
   }
 
-  /** REAL decode: PNG payload bytes → (id, w, h, pixel grid), via
-    * `javax.imageio` inside the documented mapPartitions swap point (the
-    * reader-plugin registry initializes once per JVM; per-partition init
-    * is where a heavier codec would open its context). Feed the result to
-    * [[dHash]] for perceptual near-dup — the full image pipeline with no
-    * stub in the path. Payloads reach here WITHOUT crossing a shuffle. */
+  /** PNG-only form of [[encodeGrayGridAssets]] (the original producer). */
+  def encodePngGrid(grid: DataFrame, w: Int, h: Int,
+                    idCol: String = "vec_id", pxCol: String = "px")
+                   (implicit spark: SparkSession): Dataset[PngAsset] =
+    encodeGrayGridAssets(grid, w, h, _ => "png", idCol, pxCol)
+
+  /** REAL decode: image payload bytes (container SNIFFED per row — a mixed
+    * PNG/JPEG/BMP/GIF corpus decodes through this one path) → (id, w, h,
+    * pixel grid), via `javax.imageio` inside the documented mapPartitions
+    * swap point (the reader-plugin registry initializes once per JVM;
+    * per-partition init is where a heavier codec would open its context).
+    * Feed the result to [[dHash]] for perceptual near-dup — the full image
+    * pipeline with no stub in the path. Payloads reach here WITHOUT
+    * crossing a shuffle. */
   def decodeGrayGrid(media: Dataset[PngAsset])
                     (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { a =>
-      val (w, h, px) = ImageIoCodec.decodeGrayPng(a.payload)
+      val (w, h, px) = ImageIoCodec.decodeGray(a.payload)
       GrayGrid(a.media_id, w, h, px)
     }).toDF()
   }

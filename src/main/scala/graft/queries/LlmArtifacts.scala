@@ -144,6 +144,28 @@ private[queries] object LlmArtifacts {
     })
   }
 
+  val mixedDecodedDhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** [[decodedDhashOf]] over a MIXED-CONTAINER corpus: each grid encodes
+    * into png / bmp / gif by vec_id % 3 and decodes back through the ONE
+    * sniffing decode path — three real JDK codecs in a single pipeline.
+    * All three containers are gray-lossless (ImageIoCodec.LosslessFormats),
+    * so the fingerprints must equal the pure-grid derivation exactly; any
+    * per-format corruption (BMP row order, GIF palette quantization drift)
+    * hash-mismatches the oracle. */
+  def mixedDecodedDhashOf(s: SparkSession, d: String): DataFrame = synchronized {
+    mixedDecodedDhashCache.getOrElseUpdate(d, {
+      implicit val sp: SparkSession = s
+      val grids = graft.llm.Multimodal.grayscaleGrid(
+        table(s, d, "embeddings"), "vec_id", "embedding")
+      val mixed = graft.llm.Multimodal.encodeGrayGridAssets(grids, w = 8, h = 8,
+        format = id => (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" })
+      val decoded = graft.llm.Multimodal.decodeGrayGrid(mixed)
+      graft.llm.Multimodal.dHash(decoded, w = 8, h = 8,
+        idCol = "media_id", pxCol = "px").cache()
+    })
+  }
+
   /** Per-doc winnowing fingerprints (k=8, w=4) — cached artifact shared by
     * the fingerprint report and the overlap-pairing query (the explode +
     * per-doc window is the expensive part; both queries read the result). */

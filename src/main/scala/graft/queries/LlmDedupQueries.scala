@@ -174,8 +174,9 @@ private[queries] object LlmDedupQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Multimodal plumbing (metadata side): opaque-bytes length + a
-    // deterministic md5-derived feature — the decode itself is stubbed in
-    // graft.llm.Multimodal (no media libs in this container).
+    // deterministic md5-derived content key. (Image decode itself is REAL
+    // via javax.imageio — see the decode queries below; only audio/video
+    // remain stubbed in graft.llm.Multimodal.)
     QueryDef("q_multimodal_meta",
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
@@ -251,6 +252,65 @@ private[queries] object LlmDedupQueries {
              |FROM h a JOIN h b ON a.vec_id < b.vec_id
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // MIXED-CONTAINER decode: the same perceptual pipeline over a corpus
+    // whose payloads are png / bmp / gif by vec_id % 3 — three real JDK
+    // codecs behind the ONE container-sniffing decode path. All three are
+    // gray-lossless, so the result must be IDENTICAL to the pure-grid
+    // oracle; a per-format decode defect (BMP row order, GIF palette
+    // drift) hash-mismatches exactly like a PNG one would.
+    QueryDef("q_image_mixed_decode_neardup",
+      (s, d) => {
+        Dedup.bandedHammingPairs(mixedDecodedDhashOf(s, d), bits = 56, bandBits = 4,
+            maxHamming = 13, idCol = "media_id", hashCol = "dhash")
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("hamming"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH px AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, v ->
+             |           CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
+             |  FROM embeddings),
+             |h AS (
+             |  SELECT vec_id,
+             |         CAST(list_sum(list_transform(range(0, 56), i ->
+             |           CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
+             |                     < p[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]
+             |                THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+             |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+             |  FROM px)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.vec_id < b.vec_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 13
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // JPEG — the one LOSSY JDK codec — gated by reconstruction tolerance
+    // instead of bit-exactness: encode every grid at quality 1.0, decode,
+    // and require max |decoded − source| ≤ 8 gray levels per image (probed
+    // headroom: ≤ 2 on 8×8 gray blocks at q=1.0; a colorspace/row-order
+    // defect blows through 8 immediately, so the boolean is a real decode
+    // gate even though DuckDB never sees JPEG bytes). Dimensions are exact
+    // regardless of lossiness. The join is an equi-join on the id — never
+    // a cross product; at scale both sides partition by id.
+    QueryDef("q_image_jpeg_roundtrip",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val grids = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val jpg = graft.llm.Multimodal.encodeGrayGridAssets(grids, w = 8, h = 8,
+          format = _ => "jpg")
+        val decoded = graft.llm.Multimodal.decodeGrayGrid(jpg)
+        decoded.join(
+            grids.select(col("vec_id").as("media_id"), col("px").as("src_px")),
+            Seq("media_id"))
+          .select(col("media_id").as("vec_id"), col("w"), col("h"),
+            (expr("array_max(zip_with(px, src_px, (a, b) -> abs(a - b)))") <= lit(8))
+              .as("within_tol"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, 8 AS w, 8 AS h, TRUE AS within_tol
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // Window-function survivor pick: rank within each content group, keep
     // rank 1 — the one-pass dedup shape when whole rows must survive.

@@ -972,26 +972,81 @@ class LlmSpec extends SparkSpec {
     assert(nb == 5L) // a , b c .
   }
 
-  test("multimodal: byte stats, dedup, stub decode, frame sampling, resize") {
+  test("multimodal: byte stats, dedup, kind-dispatched decode, frame sampling, resize") {
     import Multimodal._
+    // image rows carry REAL PNG payloads: extractFeatures dispatches on
+    // kind and decodes them through javax.imageio, not the stub
+    val pngPx = Array.tabulate(64)(i => (i * 3) % 256)
+    val png = ImageIoCodec.encodeGrayPng(pngPx, 8, 8)
     val media = Seq(
-      MediaRow(1L, "image", Array[Byte](1, 2, 3), MediaMeta(Some(800), Some(600), None, None)),
-      MediaRow(2L, "image", Array[Byte](1, 2, 3), MediaMeta(Some(800), Some(600), None, None)),
+      MediaRow(1L, "image", png, MediaMeta(Some(800), Some(600), None, None)),
+      MediaRow(2L, "image", png, MediaMeta(Some(800), Some(600), None, None)),
       MediaRow(3L, "video", Array[Byte](9, 9), MediaMeta(Some(320), Some(240), Some(2500), None))
     ).toDS()
     val stats = byteStats(media.toDF()).orderBy("media_id").collect()
-    assert(stats(0).getLong(2) == 3L && stats(0).getString(3) == stats(1).getString(3))
+    assert(stats(0).getLong(2) == png.length.toLong &&
+      stats(0).getString(3) == stats(1).getString(3))
     val dd = dedupExact(media.toDF()).collect()
     assert(dd.length == 2 && dd.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
     val feats = extractFeatures(media, dim = 4)(spark).collect().sortBy(_.media_id)
     assert(feats(0).features.length == 4)
-    assert(feats(0).features.sameElements(feats(1).features)) // deterministic stub
-    assert(!feats(0).features.sameElements(feats(2).features))
+    // real decode: features are the leading gray levels scaled to [0,1)
+    assert(feats(0).features.sameElements(Array(0f, 3 / 256f, 6 / 256f, 9 / 256f)))
+    assert(feats(0).features.sameElements(feats(1).features))
+    assert(!feats(0).features.sameElements(feats(2).features)) // video = stub path
+    // an undecodable image payload fails the job loudly — quarantine, never skip
+    val bad = Seq(MediaRow(9L, "image", Array[Byte](1, 2, 3),
+      MediaMeta(None, None, None, None))).toDS()
+    intercept[Exception](extractFeatures(bad, dim = 4)(spark).collect())
     val frames = frameSample(media.toDF(), everyMs = 1000).collect()
     assert(frames.length == 3) // 0, 1000, 2000 for the 2500ms video
     val rs = resizePlan(media.toDF(), maxSide = 400).orderBy("media_id").collect()
     assert(rs(0).getInt(4) == 400 && rs(0).getInt(5) == 300)
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
+  }
+
+  test("ImageIoCodec: bmp/gif lossless, jpeg tolerance-bounded, all formats fail loudly on garbage") {
+    import Multimodal._
+    import spark.implicits._
+    val px = Array.tabulate(64)(i => (i * 37 + (i * i % 13) * 11) % 256)
+    // bmp/gif: BIT-EXACT gray round-trips (the LosslessFormats contract)
+    for (fmt <- Seq("bmp", "gif")) {
+      val bytes = ImageIoCodec.encodeGray(px, 8, 8, fmt)
+      val (w, h, back) = ImageIoCodec.decodeGray(bytes)
+      assert(w == 8 && h == 8 && back.sameElements(px), s"$fmt round-trip not exact")
+    }
+    // real container magic per format
+    assert(new String(ImageIoCodec.encodeGray(px, 8, 8, "bmp").take(2), "US-ASCII") == "BM")
+    assert(new String(ImageIoCodec.encodeGray(px, 8, 8, "gif").take(4), "US-ASCII") == "GIF8")
+    val jb = ImageIoCodec.encodeGray(px, 8, 8, "jpg")
+    assert((jb(0) & 0xff) == 0xff && (jb(1) & 0xff) == 0xd8) // JPEG SOI
+    // jpeg is lossy by contract (NOT in LosslessFormats) but q=1.0 keeps
+    // the gray DCT error within a few levels — the q_image_jpeg_roundtrip
+    // tolerance of 8 needs real headroom here
+    val (jw, jh, jback) = ImageIoCodec.decodeGray(jb)
+    val maxerr = jback.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(jw == 8 && jh == 8, s"jpeg dims $jw x $jh")
+    assert(maxerr <= 8, s"jpeg q=1.0 maxerr $maxerr exceeds the gate tolerance")
+    // TRUNCATED payloads fail loudly in every container — the reader
+    // claims the magic then hits EOF; nothing silently yields a raster
+    for (fmt <- Seq("png", "bmp", "gif", "jpg")) {
+      val full = ImageIoCodec.encodeGray(px, 8, 8, fmt)
+      intercept[Exception](ImageIoCodec.decodeGray(full.take(9)))
+    }
+    intercept[Exception](ImageIoCodec.encodeGray(px, 8, 8, "tiff"))
+    // the DISTRIBUTED mixed-container path: png/bmp/gif by id, one sniffing
+    // decode — grids come back exactly, regardless of container
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val grids = (0L until 6L).map(id =>
+      (id, Array.tabulate(64)(i => ((i + id.toInt * 7) * 5) % 256))).toDF("vec_id", "px")
+    val mixed = encodeGrayGridAssets(grids, w = 8, h = 8,
+      format = id => (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" })
+    val back = decodeGrayGrid(mixed).orderBy("media_id")
+      .select("media_id", "px").as[(Long, Array[Int])].collect()
+    val want = grids.orderBy("vec_id").as[(Long, Array[Int])].collect()
+    back.zip(want).foreach { case ((id, got), (wid, exp)) =>
+      assert(id == wid && got.sameElements(exp), s"mixed decode drifted for id $id")
+    }
   }
 
   test("ImageIoCodec: PNG round-trip exact, non-gray converts, garbage fails loudly") {
