@@ -436,6 +436,16 @@ object Similarity {
     val work = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
     val trash = new org.apache.hadoop.fs.Path(indexDir + ".compacting.trash")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    // LEGACY heal (one release): the pre-AtomicSwap revision of this method
+    // renamed the live tree aside to `<indexDir>.old` before publishing —
+    // an index that crashed mid-swap under THAT code has its data stranded
+    // at `.old` with `indexDir` missing, a layout the shared heal below
+    // does not recognize. Restore it first; once no `.old` dirs remain in
+    // the wild this block can be dropped.
+    val legacyOld = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    if (!fs.exists(dst) && fs.exists(legacyOld))
+      require(fs.rename(legacyOld, dst),
+        s"compactIndex: legacy recovery rename $legacyOld -> $dst failed")
     graft.index.AtomicSwap.heal(fs, work, trash, dst.getParent, "compactIndex")
     spark.read.parquet(indexDir)
       .repartition(col("cell"))

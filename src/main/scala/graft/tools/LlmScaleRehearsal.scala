@@ -102,8 +102,14 @@ object LlmScaleRehearsal {
     val preShuffleJoins =
       "SortMergeJoin".r.findAllIn(prePlan).length +
         "ShuffledHashJoin".r.findAllIn(prePlan).length
-    val preEqualsExact = preOverlap.unionByName(overlap).distinct().count() ==
-      overlap.count()
+    // TRUE set equality, not a subset test: the union-distinct count alone
+    // passes whenever preOverlap ⊆ overlap — an empty or row-dropping
+    // prefiltered result would sail through. Pinning preOverlap's own
+    // count to the exact count closes both directions (rows match exactly
+    // in both frames: same doc_id/gram pairs).
+    val preEqualsExact =
+      preOverlap.count() == overlap.count() &&
+        preOverlap.unionByName(overlap).distinct().count() == overlap.count()
 
     // ---- (e) ADC recall vs exact L2 — approximation QUALITY, measured ----
     // 4 codewords × 4 subspaces is a deliberately tiny codebook; the gate
