@@ -88,10 +88,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * in place without rewriting history. */
   def migrate(): Int = migrateWith(migrations)
 
-  /** [[migrate]] against an explicit chain — test seam for multi-step and
-    * crash-resume scenarios (the production registry has one step today;
-    * the loop, the per-step commit, and mid-chain resume must not regress
-    * when step two arrives). `upTo` caps the run (a crashed-mid-chain
+  /** [[migrate]] against an explicit chain — test seam for synthetic-step
+    * and crash-resume scenarios (the production registry is the two-step
+    * v2/v3 chain; the loop, the per-step commit, and mid-chain resume must
+    * not regress as it grows). `upTo` caps the run (a crashed-mid-chain
     * simulation): steps with `to` beyond it are left pending, exactly as a
     * crash between commits would. */
   private[graft] def migrateWith(chain: List[SchemaMigration],
@@ -99,6 +99,18 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     require(pin.isEmpty, "pinned snapshot is read-only — migrate the live index")
     var m = manifest
     val pending = chain.filter(g => g.to > m.schemaVersion && g.to <= upTo).sortBy(_.to)
+    // the pending steps must form a CONTIGUOUS run starting right after the
+    // index's version — the positional analogue of the reference's
+    // `drop currentVersion migrations` (SQLite.hs:1261-1295), which cannot
+    // gap by construction. A registry missing an intermediate step (index
+    // at v0, chain holding only the v2 step) must fail loudly here, not
+    // silently skip the hole and stamp the final version anyway.
+    pending.zipWithIndex.foreach { case (g, i) =>
+      require(g.to == m.schemaVersion + 1 + i,
+        s"migration chain gap: index at schema v${m.schemaVersion}, next " +
+          s"pending step produces v${g.to} but v${m.schemaVersion + 1 + i} " +
+          s"is missing from the registry — refusing to skip a layout change")
+    }
     pending.foreach { mig =>
       val v = m.version + 1
       val tables = mig.tables.foldLeft(m.tables) { (acc, t) =>
@@ -211,7 +223,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   }
 
   /** Hash-keyed point-lookup columns per table: these get parquet bloom
-    * filters at segment write (see writeSegmentAt). Only uniformly-random
+    * filters at segment write (see writeSegmentAt), with dictionary
+    * encoding OFF — the keys are unique-per-row random hashes, so a
+    * dictionary never wins and parquet would suppress the bloom on any
+    * chunk that stayed fully dictionary-encoded. Only uniformly-random
     * keys qualify — blooming a clustered column (created_at) or a
     * low-cardinality one (pattern text) would spend file bytes on what
     * min/max stats or dictionary pages already answer. */
@@ -222,6 +237,27 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     case "scripts"     => Seq("script_hash")
     case "policies"    => Seq("tx_id")
     case _             => Nil
+  }
+
+  /** The ADDRESS-DIMENSION secondary indexes — the analogue of the
+    * reference's `inputsByAddress` / `inputsByPaymentCredential` /
+    * `policiesByPolicyId` (SQLite.hs:1159-1190): equality-probed by the
+    * P3/P4/P9 pattern family, high-cardinality credential hex, but — unlike
+    * the tx/datum/script hashes above — heavily REPEATED (one address
+    * receives many outputs), so dictionary encoding stays ON. The two
+    * mechanisms compose instead of competing: a chunk that stays fully
+    * dictionary-encoded is already exactly row-group-skippable (parquet's
+    * dictionary filter tests equality against the dictionary page, and the
+    * bloom is suppressed as redundant); a chunk whose values overflow the
+    * dictionary falls back to plain mid-chunk and THEN carries the bloom —
+    * which is precisely the 100 TB regime, where a segment's address count
+    * exceeds any dictionary. Either way an exact-address point query opens
+    * only the row groups that can match. (P5's address PREFIX queries keep
+    * using the within-partition address sort + min/max stats instead.) */
+  private def bloomDictColumns(table: String): Seq[String] = table match {
+    case "inputs"   => Seq("address", "payment_credential")
+    case "policies" => Seq("policy_id")
+    case _          => Nil
   }
 
   /** Slot-stat column used for segment pruning, if the table has one. */
@@ -382,11 +418,17 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // filter's presence depend on data volume — and unique random hashes
     // don't dictionary-compress at scale anyway (the encoder falls back to
     // plain mid-chunk and keeps the useless dictionary page).
-    val writer = bloomColumns(table).foldLeft(
+    val hashBloomed = bloomColumns(table).foldLeft(
       clustered.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    // address-dimension secondary keys: bloom ON, dictionary LEFT ON — see
+    // bloomDictColumns for why the pair composes (dict filter serves
+    // fully-dict chunks, the bloom serves plain-fallback chunks at scale)
+    val writer = bloomDictColumns(table).foldLeft(hashBloomed) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(s"$root/$path")
     val row: Map[String, Any] = obs.get
@@ -738,8 +780,17 @@ object GraftIndex {
 
   /** The schema version this library reads and writes. v1 = the pre-
     * spend-column inputs layout (the reference before db/v2.10.0); v2 =
-    * current (spent_by/spent_with on inputs, db/v2.10.0/001.sql). */
-  val CurrentSchemaVersion: Int = 2
+    * spent_by/spent_with on inputs (db/v2.10.0/001.sql); v3 = current —
+    * every inputs/policies segment guarantees the ADDRESS-DIMENSION
+    * point-lookup indexes (bloom-or-full-dictionary row groups on
+    * address/payment_credential/policy_id; see [[bloomDictColumns]]), the
+    * analogue of the reference's index-creating migrations
+    * (inputsByAddress et al., SQLite.hs:1159-1190). A layout version is
+    * the right tool even though the ROW schema is unchanged: v2 segments
+    * read fine but point-probe like a table scan at 100 TB, and the only
+    * way to know every file carries the index is to have rewritten them
+    * under one versioned commit. */
+  val CurrentSchemaVersion: Int = 3
 
   /** One step of the linear migration chain (the reference's numbered
     * `migrations` list, SQLite.hs:1280-1295): `to` is the schema version
@@ -772,7 +823,26 @@ object GraftIndex {
     SchemaMigration(2,
       "add spent_by/spent_with to inputs (reference db/v2.10.0/001.sql)",
       Set("inputs"),
-      (_, df) => conformTo(graft.Schemas.inputsType, df)))
+      (_, df) => conformTo(graft.Schemas.inputsType, df)),
+    SchemaMigration(3,
+      "backfill address-dimension secondary indexes on inputs/policies " +
+        "(blooms on address/payment_credential/policy_id — the reference's " +
+        "inputsByAddress/inputsByPaymentCredential/policiesByPolicyId, " +
+        "SQLite.hs:1159-1190)",
+      Set("inputs", "policies"),
+      // identity on ROWS: the layout change is file-level — writeSegmentAt
+      // (which every migration rewrite funnels through) emits the bloom
+      // options for segments written at this version, so the rewrite alone
+      // is the backfill
+      (_, df) => df))
+
+  // registry invariant, checked at class-load: the production chain is a
+  // LINEAR run 2..CurrentSchemaVersion — a gapped or short registry would
+  // otherwise surface only when some user's migrate() hits the contiguity
+  // guard (or worse, stops below current and every read stays blocked)
+  require(migrations.map(_.to) == (2 to CurrentSchemaVersion).toList,
+    s"migration registry must be the contiguous chain 2..$CurrentSchemaVersion, " +
+      s"got ${migrations.map(_.to)}")
 
   /** Smallest-adjacent-pair tiering: fold `runs` until at most `max`
     * remain, at each step merging the adjacent pair with the lowest
@@ -865,8 +935,16 @@ object GraftIndex {
     def parse(json: String): Option[Manifest] = {
       // the leading quote keeps this from matching inside "schema_version"
       val version = """"version":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+      // FROZEN at 2, not CurrentSchemaVersion: a manifest without the field
+      // was written when the layout was v2, and that fact does not change
+      // when this library moves on — defaulting to the moving constant
+      // would make every pre-field manifest parse as already-current after
+      // a bump, migrate() a no-op, and tableAt silently null-fill the old
+      // layout (the exact silent-read failure U8 exists to block). The
+      // case-class default stays CurrentSchemaVersion: that one is for
+      // newly CONSTRUCTED manifests.
       val schemaVersion = """"schema_version":(\d+)""".r.findFirstMatchIn(json)
-        .map(_.group(1).toInt).getOrElse(CurrentSchemaVersion)
+        .map(_.group(1).toInt).getOrElse(2)
       val tableRe = """"([a-z_]+)":\[([^\]]*)\]""".r
       val segRe = """\{"path":"([^"]+)","min":(null|-?\d+),"max":(null|-?\d+)(?:,"spent":(null|-?\d+))?(?:,"rows":(\d+))?\}""".r
       val tables = tableRe.findAllMatchIn(json).map { tm =>

@@ -182,7 +182,9 @@ object KupoPipelineQueries {
     * at the CURRENT schema, then DOWN-CONVERTED to schema v1 (every inputs
     * segment rewritten without spent_by/spent_with — the reference's
     * pre-db/v2.10.0 layout — and the manifest stamped schema_version 1),
-    * then `migrate()` run to bring it back. The scan passes its oracle
+    * then `migrate()` run to bring it back through the full TWO-STEP
+    * production chain (v2 spend columns, v3 address-bloom backfill).
+    * The scan passes its oracle
     * only if the migrated data is byte-faithful on every surviving column
     * AND the provenance columns really round-tripped through the v1 hole
     * (they must read NULL — scanning the unmigrated source would leak the
@@ -207,7 +209,10 @@ object KupoPipelineQueries {
       }
       GraftIndex.Manifest.write(root, m0.copy(schemaVersion = 1), conf)
       val old = new GraftIndex(s, root)
-      require(old.migrate() == 1, "expected exactly one pending migration")
+      // the v1→v3 DOUBLE HOP through the production registry: add the
+      // spend-provenance columns (v2), then the address-bloom backfill
+      // rewrite (v3) — one committed manifest per step
+      require(old.migrate() == 2, "expected the two-step v1->v3 chain")
       old.vacuum(0L)
       old
     })

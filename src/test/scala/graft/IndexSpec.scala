@@ -721,8 +721,9 @@ class IndexSpec extends SparkSpec {
       reopened.replace("patterns", ix2.emptyOf("patterns")))
     assert(em.getMessage.contains("migrate"), em.getMessage)
 
-    // migrate: one pending step, idempotent after
-    assert(reopened.migrate() == 1)
+    // migrate: the v1→v3 DOUBLE HOP (add spend columns, then the address-
+    // bloom backfill), idempotent after
+    assert(reopened.migrate() == 2)
     assert(reopened.migrate() == 0)
     assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
     // spend provenance was merge-on-read (spends delta untouched), so the
@@ -797,9 +798,91 @@ class IndexSpec extends SparkSpec {
         }
     }
     assert(createdOffs.forall(_ <= 0), s"created_at should have no bloom: $createdOffs")
+    // ADDRESS-DIMENSION secondary keys (the reference's inputsByAddress /
+    // inputsByPaymentCredential / policiesByPolicyId, SQLite.hs:1159-1190):
+    // dictionary stays ON, so the invariant is either/or per row group —
+    // a bloom filter present, OR every data page dictionary-encoded (then
+    // parquet suppresses the bloom as redundant and the dictionary filter
+    // does the skipping). A row group with NEITHER would make an exact-
+    // address probe read it unconditionally at scale.
+    def skippable(table: String, column: String): Seq[Boolean] = {
+      val segs = ix.manifest.tables.getOrElse(table, Nil).map(_.path)
+      segs.flatMap { sp =>
+        fs.listStatus(new Path(s"${ix.root}/$sp")).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .flatMap { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getFooter.getBlocks.asScala.toSeq.flatMap { rg =>
+              rg.getColumns.asScala.find(_.getPath.toDotString == column).map { c =>
+                c.getBloomFilterOffset > 0 ||
+                  (c.getEncodingStats != null && !c.getEncodingStats.hasNonDictionaryEncodedPages)
+              }
+            } finally r.close()
+          }
+      }
+    }
+    Seq("inputs" -> "address", "inputs" -> "payment_credential",
+      "policies" -> "policy_id").foreach { case (t, c) =>
+      val flags = skippable(t, c)
+      assert(flags.forall(identity),
+        s"$t.$c has a row group with neither bloom nor full-dictionary encoding: $flags")
+    }
+    assert(skippable("inputs", "address").nonEmpty)
     // the point lookup still answers correctly through the bloomed files
     val any = ix.table("inputs").select("tx_id").head().getString(0)
     assert(ix.table("inputs").where(col("tx_id") === any).count() >= 1)
+  }
+
+  test("address-dimension point lookups skip row groups (dictionary or bloom)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(ix.root).getFileSystem(conf)
+    // one real inputs segment file, as written by writeSegmentAt
+    val file = ix.manifest.tables("inputs").map(_.path).flatMap { sp =>
+      fs.listStatus(new Path(s"${ix.root}/$sp")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    }.head
+    // the SAME row-group filter stack Spark's vectorized reader runs
+    // (stats + dictionary + bloom), applied at footer-read time
+    def rowGroupsMatching(column: String, value: String): Int = {
+      val pred = FilterApi.eq(FilterApi.binaryColumn(column), Binary.fromString(value))
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(FilterCompat.get(pred))
+        .useStatsFilter(true).useDictionaryFilter(true).useBloomFilter(true)
+        .build()
+      val r = new org.apache.parquet.hadoop.ParquetFileReader(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf), opts)
+      try r.getRowGroups.size() finally r.close()
+    }
+    def probeKeys(column: String): (String, String) = {
+      val vals = spark.read.parquet(file.toString).select(column)
+        .where(col(column).isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(vals.length >= 2, s"fixture needs >= 2 distinct $column values in one file")
+      // an ABSENT key lexically BETWEEN two present ones: row-group min/max
+      // stats can never prune it — only the dictionary page (fully-dict
+      // chunk) or the bloom filter (plain chunk) can. Fixed-length hex
+      // values mean vals(0)+"00" sorts strictly between vals(0) and vals(1).
+      (vals(0), vals(0) + "00")
+    }
+    // address + payment_credential: small fixture chunks stay fully
+    // dictionary-encoded, so the skip here exercises the dictionary path;
+    // at scale plain-fallback chunks exercise the bloom the same way
+    Seq("address", "payment_credential").foreach { c =>
+      val (present, absent) = probeKeys(c)
+      assert(rowGroupsMatching(c, present) >= 1, s"present $c must keep its row group")
+      assert(rowGroupsMatching(c, absent) == 0, s"absent mid-range $c must skip every row group")
+    }
+    // tx_id: dictionary encoding is OFF for the hash keys, so ONLY the
+    // bloom can skip — this isolates the bloom path end to end
+    val (presentTx, absentTx) = probeKeys("tx_id")
+    assert(rowGroupsMatching("tx_id", presentTx) >= 1)
+    assert(rowGroupsMatching("tx_id", absentTx) == 0,
+      "absent mid-range tx_id must be bloom-skipped")
   }
 
   test("schema migration: retained pre-migration snapshots stay pinned, fail loudly, age out") {
@@ -830,13 +913,13 @@ class IndexSpec extends SparkSpec {
         val in = fs.open(st.getPath)
         val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val out = fs.create(st.getPath, true)
-        try out.write(json.replace("\"schema_version\":2", "\"schema_version\":1")
+        try out.write(json.replaceAll("\"schema_version\":\\d+", "\"schema_version\":1")
           .getBytes("UTF-8")) finally out.close()
       }
 
     val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 3)
     val vPre = reopened.manifest.version
-    assert(reopened.migrate() == 1)
+    assert(reopened.migrate() == 2)
     assert(reopened.inputsWithSpends.count() > 0) // current reads green
 
     // the pre-migration snapshot still RESOLVES (retention pins it) but a
@@ -881,20 +964,30 @@ class IndexSpec extends SparkSpec {
       assert(fs.rename(tmp, p))
     }
     Manifest.write(root, m0.copy(schemaVersion = 0), conf)
-    val chain = List(
-      SchemaMigration(1, "re-file checkpoints (test)", Set("checkpoints"), (_, df) => df),
-      GraftIndex.migrations.find(_.to == 2).get)
+    val chain =
+      SchemaMigration(1, "re-file checkpoints (test)", Set("checkpoints"), (_, df) => df) ::
+        GraftIndex.migrations
     val reopened = new GraftIndex(spark, root)
     // crash simulation: only step 1 lands — schema advances to v1, reads
     // STAY blocked (v1 != current), and the commit counter moved once
     assert(reopened.migrateWith(chain, upTo = 1) == 1)
     assert(reopened.manifest.schemaVersion == 1)
     intercept[IllegalArgumentException](reopened.table("inputs"))
-    // resume: only the remaining step runs (oldest-first filter skips v1)
-    assert(reopened.migrateWith(chain) == 1)
+    // resume: only the remaining steps run (oldest-first filter skips v1)
+    assert(reopened.migrateWith(chain) == CurrentSchemaVersion - 1)
     assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
     assert(reopened.table("inputs").count() == rows)
     assert(reopened.table("checkpoints").count() > 0)
     assert(reopened.migrateWith(chain) == 0) // idempotent when current
+    // a GAPPED registry fails loudly instead of skipping the hole: stamp
+    // the index back two steps and offer a chain missing the middle step
+    Manifest.write(root, reopened.manifest.copy(schemaVersion = 1), conf)
+    val gapped = new GraftIndex(spark, root)
+    val eg = intercept[IllegalArgumentException](
+      gapped.migrateWith(GraftIndex.migrations.filterNot(_.to == 2)))
+    assert(eg.getMessage.contains("gap"), eg.getMessage)
+    assert(gapped.manifest.schemaVersion == 1, "a gapped chain must apply nothing")
+    // restore to current so later suites reading this fixture stay green
+    assert(gapped.migrateWith(GraftIndex.migrations) == CurrentSchemaVersion - 1)
   }
 }
