@@ -177,6 +177,63 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // ROUND-OVER-ROUND ADJUDICATION, in-band (the benchmarks/stats.hs
+    // spirit): compare this run against the newest committed
+    // bench/full_r*.json on the COMMON query set. Whole-run totals drift
+    // ±15% with host load, so the median ratio is the run-level scale
+    // factor and each query's ratio is NORMALIZED by it — a normalized
+    // mover ≥1.5× is an engine change, not drift. Emitted into the
+    // artifact so the next reader adjudicates from the file alone.
+    val vsPrev: Option[String] = {
+      val re = """full_r(\d+)\.json""".r
+      // never adjudicate against the file THIS run writes — a re-run would
+      // otherwise compare against its own previous attempt, not the prior
+      // round's committed record
+      val own = artifactPaths().map(_.toString).toSet
+      val prev = Option(new java.io.File("bench").list()).toSeq.flatten
+        .collect { case n @ re(d) if !own.contains(s"bench/$n") => (d.toInt, n) }
+        .sorted.lastOption
+      prev.flatMap { case (_, name) =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("bench", name)), java.nio.charset.StandardCharsets.UTF_8)
+          // same SCALE FACTOR only (compare path basenames — the dirs may
+          // differ): a local sf0.01 shakedown against the committed sf0.1
+          // record would emit confidently-wrong cross-scale ratios
+          val prevSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+            .map(m => new java.io.File(m.group(1)).getName)
+          val curSf = new java.io.File(sfDir).getName
+          // the flat "queries" map ends at the first '}' after its start —
+          // no nested objects inside it (query_detail's nested maps come later)
+          val start = txt.indexOf("\"queries\":{")
+          val end = txt.indexOf('}', start)
+          val pairs = """"([^"]+)":([0-9.]+)""".r
+            .findAllMatchIn(txt.substring(start + 10, end + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val common = results.filter { case (k, _) => pairs.contains(k) }
+          if (!prevSf.contains(curSf) || common.size < 5) None
+          else {
+            val ratios = common.map { case (k, v) => k -> v / math.max(pairs(k), 1e-4) }
+            val sortedR = ratios.map(_._2).sorted
+            val median = sortedR(sortedR.size / 2)
+            val movers = ratios
+              .map { case (k, r) => (k, r / median) }
+              .filter { case (_, nr) => nr >= 1.5 || nr <= 1.0 / 1.5 }
+              .sortBy { case (_, nr) => -math.abs(math.log(nr)) }
+              .take(10)
+              .map { case (k, nr) =>
+                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f}""" }
+              .mkString("{", ",", "}")
+            Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"movers":$movers}""")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] vs_prev against $name failed: $e"); None }
+      }
+    }
+    val vsPrevField = vsPrev.map(j => s""","vs_prev":$j""").getOrElse("")
+    val vsPrevMedian = vsPrev.flatMap(j =>
+      """"median_ratio":([0-9.]+)""".r.findFirstMatchIn(j).map(_.group(1)))
     val calibration =
       f"""{"single_thread_sec":$stPre%.3f,"parallel_sec":$mtPre%.3f,""" +
         f""""single_thread_sec_post":$stPost%.3f,"parallel_sec_post":$mtPost%.3f,""" +
@@ -208,14 +265,24 @@ object Bench {
       f""""${q.name}":{"best":${q.best}%.3f,"runs":[${q.runs.map(t => f"$t%.3f").mkString(",")}],"gc_ms":${q.gcMs},"t_off":${q.tOff}%.1f}"""
     }.mkString("{", ",", "}")
     val core = f""""metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calibration,"gc_sec":$gcSec%.3f,"storage_mb":$storageMb%.1f"""
-    val line = s"""{$core,"probes":$probesJson,"query_detail":$detailJson,"notes":"$notes"}"""
-    // stdout gets the COMPACT contract line (metric/value/queries/
-    // calibration): the driver keeps only a truncated stdout tail, and the
-    // full line with per-query drift detail (~16 KB and growing) has
-    // out-truncated it two rounds running (BENCH_r9/r10 `parsed: null`).
-    // The committed artifact below carries the full record.
-    println(s"""{$core,"full_artifact":"bench/full_latest.json"}""")
-    artifactPaths().foreach { p =>
+    val line = s"""{$core$vsPrevField,"probes":$probesJson,"query_detail":$detailJson,"notes":"$notes"}"""
+    val paths = artifactPaths()
+    // stdout gets a TINY contract line — total + the six BASELINE.md-
+    // comparable headline shapes only, NEVER the 135-entry per-query map:
+    // the driver keeps a truncated stdout tail and even the "compact"
+    // line with the full map (~3.5 KB) out-truncated it three rounds
+    // running (BENCH_r9/r10/r11 `parsed: null`). Everything else lives in
+    // the committed artifact, whose REAL path (not a hardcoded mirror
+    // name: under SPARK_GRAFT_BENCH_OUT only the override is written)
+    // rides along in full_artifact.
+    val headline = Seq("q_kupo_resolve_hashes", "q_kupo_fold_inputs",
+      "q_kupo_policy", "q_kupo_asset_residual", "q_kupo_count_by_payment",
+      "q_kupo_outref")
+    val headlineQs = results.filter(r => headline.contains(r._1))
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val vsPrevSummary = vsPrevMedian.map(m => s""","vs_prev_median_ratio":$m""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir","queries":$headlineQs$vsPrevSummary,"full_artifact":"${paths.head}"}""")
+    paths.foreach { p =>
       try {
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.write(p, (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
