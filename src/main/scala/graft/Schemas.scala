@@ -113,11 +113,21 @@ object Schemas {
     StructField("pattern", StringType, nullable = false)
   ))
 
-  /** Denormalized (output, policy) side index (db/v2.1.0/002.sql:10-20). */
+  /** Denormalized (output, policy) side index (db/v2.1.0/002.sql:10-20),
+    * plus the creation slot (schema v4): the reference's policiesByPolicyId
+    * B-tree answers "which outputs carry policy P" directly; the Spark
+    * analogue answers "which SLOT WINDOW carries policy P" from this table
+    * (a bloom-served two-long aggregate) and then prunes `inputs` segments
+    * with it — the slot column is what makes the side table composable
+    * with the slot-clustered fact layout. INVARIANT: this table is a
+    * superset of the asset-carrying live inputs (every ingest/backfill
+    * writes it; mutations may leave stale rows, which only WIDEN the
+    * window — never a missing row, which would wrongly prune). */
   val policiesType: StructType = StructType(Seq(
     StructField("tx_id", StringType, nullable = false),
     StructField("output_index", IntegerType, nullable = false),
-    StructField("policy_id", StringType, nullable = false)
+    StructField("policy_id", StringType, nullable = false),
+    StructField("created_at", LongType, nullable = false)
   ))
 
   /** Slots per physical partition bucket of `inputs`. */

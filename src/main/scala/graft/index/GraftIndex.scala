@@ -113,13 +113,37 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     }
     pending.foreach { mig =>
       val v = m.version + 1
-      val tables = mig.tables.foldLeft(m.tables) { (acc, t) =>
-        val migrated = acc.getOrElse(t, Nil).zipWithIndex.flatMap { case (s, i) =>
-          // read with the file's OWN schema (not schemaOf: the whole point
-          // is that the old layout differs), rewrite, re-stat on the write
-          val df = mig.rewrite(t, spark.read.parquet(s"$root/${s.path}"))
-          writeSegmentAt(t, df, f"$t/mig${mig.to}%02d-$v%06d-$i%04d").toList
+      // backfill reader: sibling tables at the IN-FLIGHT manifest (tables
+      // this step's `tables` set does not own are exactly as the previous
+      // committed step left them), each file read with its OWN schema — a
+      // later step may still owe those tables a rewrite, so a backfill must
+      // select only the columns every layout carries
+      val mNow = m
+      val readTable: String => DataFrame = name =>
+        mNow.tables.getOrElse(name, Nil) match {
+          case Nil  => emptyOf(name)
+          case segs => spark.read.parquet(segs.map(s => s"$root/${s.path}"): _*)
         }
+      val tables = mig.tables.foldLeft(m.tables) { (acc, t) =>
+        val existing = acc.getOrElse(t, Nil)
+        val migrated =
+          if (mig.wholeTable) {
+            // ONE rewrite job over the union of segments: backfill joins
+            // scan their joined side once, not once per segment. The output
+            // lands as one segment; stats recompute on the write and
+            // compaction re-tiers later appends as usual.
+            if (existing.isEmpty) Nil
+            else {
+              val union = spark.read.parquet(existing.map(s => s"$root/${s.path}"): _*)
+              writeSegmentAt(t, mig.rewrite(readTable, t, union),
+                f"$t/mig${mig.to}%02d-$v%06d-0000").toList
+            }
+          } else existing.zipWithIndex.flatMap { case (s, i) =>
+            // read with the file's OWN schema (not schemaOf: the whole point
+            // is that the old layout differs), rewrite, re-stat on the write
+            val df = mig.rewrite(readTable, t, spark.read.parquet(s"$root/${s.path}"))
+            writeSegmentAt(t, df, f"$t/mig${mig.to}%02d-$v%06d-$i%04d").toList
+          }
         acc.updated(t, liveSegments(t, migrated))
       }
       m = Manifest(v, tables, mig.to)
@@ -265,6 +289,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     case "inputs"      => Some("created_at")
     case "spends"      => Some("spent_at")
     case "checkpoints" => Some("slot_no")
+    case "policies"    => Some("created_at") // schema v4: slot-window source
     case _             => None
   }
 
@@ -274,7 +299,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     requireCurrentSchema(m, s"reading $name")
     val segs = m.tables.getOrElse(name, Nil)
     if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
+      emptyOf(name) // LocalRelation: zero-stat, so joins against it broadcast
     else
       spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
   }
@@ -290,7 +315,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       okLo && okHi
     }
     if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(name))
+      emptyOf(name) // LocalRelation: zero-stat, so joins against it broadcast
     else
       spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
   }
@@ -394,6 +419,11 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       if (table == "inputs")
         out.repartition(col("created_bucket"))
           .sortWithinPartitions(col("created_at"), col("address"))
+      else if (table == "policies")
+        // slot-sorted within whatever partitioning the producer chose: no
+        // extra shuffle, but row-group min/max stats on created_at line up
+        // for slot-scoped scans of the side table
+        out.sortWithinPartitions(col("created_at"), col("policy_id"))
       else out
     // segment min/max stats ride along with the write action (Observation) —
     // no second read-the-parquet-back job per segment. inputs additionally
@@ -547,8 +577,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       }
     }
     if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schemaOf("inputs"))
+      emptyOf("inputs") // LocalRelation: zero-stat, so joins against it broadcast
     else
       spark.read.schema(schemaOf("inputs")).parquet(segs.map(s => s"$root/${s.path}"): _*)
   }
@@ -700,8 +729,15 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     lo < ranges.length && ranges(lo)._1 <= mx
   }
 
+  /** LocalRelation-backed (NOT an empty RDD): an RDD-backed frame has no
+    * stats and reports `defaultSizeInBytes`, so the static planner treats a
+    * provably EMPTY side table as an un-broadcastable giant and plans a
+    * sort-merge join against it (AQE rescues it at runtime, but the plan
+    * shape gates read static plans). A LocalRelation knows it holds zero
+    * rows and broadcasts. */
   def emptyOf(table: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schemaOf(table))
 
   /** Adopt another index's segments for `table` verbatim: file-level copy of
     * the segment directories plus manifest registration with the SAME stats
@@ -780,25 +816,34 @@ object GraftIndex {
 
   /** The schema version this library reads and writes. v1 = the pre-
     * spend-column inputs layout (the reference before db/v2.10.0); v2 =
-    * spent_by/spent_with on inputs (db/v2.10.0/001.sql); v3 = current —
-    * every inputs/policies segment guarantees the ADDRESS-DIMENSION
-    * point-lookup indexes (bloom-or-full-dictionary row groups on
-    * address/payment_credential/policy_id; see [[bloomDictColumns]]), the
-    * analogue of the reference's index-creating migrations
-    * (inputsByAddress et al., SQLite.hs:1159-1190). A layout version is
-    * the right tool even though the ROW schema is unchanged: v2 segments
-    * read fine but point-probe like a table scan at 100 TB, and the only
-    * way to know every file carries the index is to have rewritten them
-    * under one versioned commit. */
-  val CurrentSchemaVersion: Int = 3
+    * spent_by/spent_with on inputs (db/v2.10.0/001.sql); v3 = every
+    * inputs/policies segment guarantees the ADDRESS-DIMENSION point-lookup
+    * indexes (bloom-or-full-dictionary row groups on address/
+    * payment_credential/policy_id; see [[bloomDictColumns]]), the analogue
+    * of the reference's index-creating migrations (inputsByAddress et al.,
+    * SQLite.hs:1159-1190) — a layout version even though the ROW schema is
+    * unchanged: v2 segments read fine but point-probe like a table scan at
+    * 100 TB, and the only way to know every file carries the index is to
+    * have rewritten them under one versioned commit; v4 = current —
+    * policies carries created_at ([[graft.Schemas.policiesType]]),
+    * backfilled from inputs, so policy queries can derive a slot window
+    * and prune inputs SEGMENTS (the Spark answer to scanning the
+    * policiesByPolicyId B-tree). */
+  val CurrentSchemaVersion: Int = 4
 
   /** One step of the linear migration chain (the reference's numbered
     * `migrations` list, SQLite.hs:1280-1295): `to` is the schema version
-    * the step produces; `rewrite` transforms each affected table's frame
-    * (applied segment-by-segment by [[GraftIndex.migrate]]). */
+    * the step produces; `rewrite` receives a READER over sibling tables at
+    * the in-flight manifest (each file read with its own schema — a later
+    * step may still owe those tables a rewrite), the table name, and the
+    * rows being rewritten. Per-segment steps run once per segment;
+    * `wholeTable = true` steps run ONCE over the union of the table's
+    * segments — the shape for backfill JOINS, where a per-segment loop
+    * would re-scan the joined side once per segment. */
   final case class SchemaMigration(to: Int, description: String,
                                    tables: Set[String],
-                                   rewrite: (String, DataFrame) => DataFrame)
+                                   rewrite: (String => DataFrame, String, DataFrame) => DataFrame,
+                                   wholeTable: Boolean = false)
 
   /** Conform a frame to `schema`: missing columns become typed nulls,
     * present ones cast; output in schema order — the generic add-columns
@@ -823,18 +868,41 @@ object GraftIndex {
     SchemaMigration(2,
       "add spent_by/spent_with to inputs (reference db/v2.10.0/001.sql)",
       Set("inputs"),
-      (_, df) => conformTo(graft.Schemas.inputsType, df)),
+      (_, _, df) => conformTo(graft.Schemas.inputsType, df)),
     SchemaMigration(3,
       "backfill address-dimension secondary indexes on inputs/policies " +
         "(blooms on address/payment_credential/policy_id — the reference's " +
         "inputsByAddress/inputsByPaymentCredential/policiesByPolicyId, " +
         "SQLite.hs:1159-1190)",
       Set("inputs", "policies"),
-      // identity on ROWS: the layout change is file-level — writeSegmentAt
-      // (which every migration rewrite funnels through) emits the bloom
-      // options for segments written at this version, so the rewrite alone
-      // is the backfill
-      (_, df) => df))
+      // identity on ROWS up to conformance: the layout change is file-level
+      // — writeSegmentAt (which every migration rewrite funnels through)
+      // emits the bloom options for segments written at this version, so
+      // the rewrite alone is the backfill. Conformance pads columns a LATER
+      // step owns (v4's policies.created_at reads NULL here and is
+      // backfilled for real one commit later); writeSegmentAt's strict
+      // select would otherwise throw mid-chain on the old layout.
+      (_, t, df) => conformTo(
+        if (t == "inputs") graft.Schemas.inputsType else graft.Schemas.policiesType, df)),
+    SchemaMigration(4,
+      "attach created_at to policies, backfilled from inputs by output " +
+        "reference (rows orphaned by earlier input deletions drop out) — " +
+        "policy queries derive a slot window from the side table and prune " +
+        "inputs segments with it",
+      Set("policies"),
+      (read, _, df) => {
+        // inputs' outref is its PK; the dedup only guards idempotent
+        // re-appends that a compaction has not folded yet (a dup would
+        // multiply policy rows — harmless to the window aggregate, but
+        // table bloat)
+        val slots = read("inputs")
+          .select(col("tx_id"), col("output_index"), col("created_at"))
+          .dropDuplicates("tx_id", "output_index")
+        conformTo(graft.Schemas.policiesType,
+          df.select("tx_id", "output_index", "policy_id")
+            .join(slots, Seq("tx_id", "output_index"), "inner"))
+      },
+      wholeTable = true))
 
   // registry invariant, checked at class-load: the production chain is a
   // LINEAR run 2..CurrentSchemaVersion — a gapped or short registry would

@@ -83,10 +83,13 @@ object MatchBlock {
 
     val checkpoints = blocks.select(col("slot_no"), col("header_hash"))
 
-    // M5: one row per (output_reference, policy) carried in the value
+    // M5: one row per (output_reference, policy) carried in the value; the
+    // creation slot rides along so policy queries can derive a slot window
+    // (schema v4 — see Schemas.policiesType)
     val policies = produced.select(
         col("tx_id"), col("output_index"),
-        explode(map_keys(col("value.assets"))).as("policy_id"))
+        explode(map_keys(col("value.assets"))).as("policy_id"),
+        col("created_at"))
       .dropDuplicates("tx_id", "output_index", "policy_id")
 
     // M7: witnessed + inline datums/scripts

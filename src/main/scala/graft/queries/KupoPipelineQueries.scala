@@ -182,8 +182,9 @@ object KupoPipelineQueries {
     * at the CURRENT schema, then DOWN-CONVERTED to schema v1 (every inputs
     * segment rewritten without spent_by/spent_with — the reference's
     * pre-db/v2.10.0 layout — and the manifest stamped schema_version 1),
-    * then `migrate()` run to bring it back through the full TWO-STEP
-    * production chain (v2 spend columns, v3 address-bloom backfill).
+    * then `migrate()` run to bring it back through the full THREE-STEP
+    * production chain (v2 spend columns, v3 address-bloom backfill, v4
+    * policies created_at backfill).
     * The scan passes its oracle
     * only if the migrated data is byte-faithful on every surviving column
     * AND the provenance columns really round-tripped through the v1 hole
@@ -209,10 +210,11 @@ object KupoPipelineQueries {
       }
       GraftIndex.Manifest.write(root, m0.copy(schemaVersion = 1), conf)
       val old = new GraftIndex(s, root)
-      // the v1→v3 DOUBLE HOP through the production registry: add the
-      // spend-provenance columns (v2), then the address-bloom backfill
-      // rewrite (v3) — one committed manifest per step
-      require(old.migrate() == 2, "expected the two-step v1->v3 chain")
+      // the v1→v4 TRIPLE HOP through the production registry: add the
+      // spend-provenance columns (v2), the address-bloom backfill rewrite
+      // (v3), then the policies created_at backfill (v4) — one committed
+      // manifest per step
+      require(old.migrate() == 3, "expected the three-step v1->v4 chain")
       old.vacuum(0L)
       old
     })
@@ -274,11 +276,20 @@ object KupoPipelineQueries {
         concat(lpad((col("l_suppkey") % 50).cast("string"), 56, "0"), lit("/*"))
           .as("pattern"))
       .distinct()
+    // the policies side table (M5's shape): one row per (outref, policy)
+    // with the creation slot — FoldInputs derives the policy->slot-window
+    // segment prune from it, so an index must carry it for policy queries
+    // to stay scan-minimal (results are identical either way: the in-scan
+    // map predicate decides membership)
+    val policies = inputs.select(col("tx_id"), col("output_index"),
+        explode(map_keys(col("value.assets"))).as("policy_id"), col("created_at"))
+      .dropDuplicates("tx_id", "output_index", "policy_id")
     ix.replace("inputs", inputs)
     ix.replace("checkpoints", checkpoints)
     ix.replace("binary_data", binaryData)
     ix.replace("scripts", scripts)
     ix.replace("patterns", patterns)
+    ix.replace("policies", policies)
     inputs.unpersist()
     ix
   }

@@ -35,13 +35,32 @@ object FoldInputs {
         }
       }
 
+    // P9/P10/F7 policy-scoped queries: derive a created_at WINDOW from the
+    // policies side table — the Spark use of the reference's
+    // policiesByPolicyId index (SQLite.hs:1159-1190). The map predicate on
+    // value.assets cannot reach parquet (no pushdown into map keys), so
+    // without this a policy query scans every inputs segment at 100 TB; the
+    // window probe is a bloom-served equality on the narrow side table
+    // returning TWO LONGS, and the window prunes inputs segments via the
+    // same manifest stats a slot range uses. Soundness: policies is a
+    // SUPERSET of the asset-carrying live inputs (Schemas.policiesType —
+    // stale rows only widen the window), and the in-scan map predicate
+    // still decides row membership, so this is pruning, never filtering.
+    // A policies table with NO segments carries no information (an index
+    // populated without the side table) and derives nothing.
+    val window = policyWindow(ix, pattern, q.filter.policyId)
+
     // F1/F2 — segment-pruned scan + pattern predicate + slot-range predicate
     val (lo, hi) = (q.range.lowerBound, q.range.upperBound)
     val base = q.range.field match {
       case RangeField.CreatedAt =>
-        // pruning on created_at stats is sound: segments are created-ordered
+        // pruning on created_at stats is sound: segments are created-ordered.
+        // The policy window joins the user bounds for SEGMENT pruning only —
+        // the row predicate below keeps exactly the user's range semantics.
+        val pruneLo = (lo.toSeq ++ window.map(_._1)).reduceOption(_ max _)
+        val pruneHi = (hi.toSeq ++ window.map(_._2)).reduceOption(_ min _)
         val scan =
-          if (lo.isDefined || hi.isDefined) prunedInputs(ix, lo, hi)
+          if (pruneLo.isDefined || pruneHi.isDefined) prunedInputs(ix, pruneLo, pruneHi)
           else ix.inputsWithSpends
         scan.where(rangePredicate(col("created_at"), lo, hi))
       case RangeField.SpentAt =>
@@ -237,6 +256,38 @@ object FoldInputs {
       lit("}")).as("result_json"))
   }
 
+  /** The policy→slot-window derivation the apply() scaladoc describes,
+    * shared with the R1/R3 family: for a policy-scoped pattern (P9/P10) or
+    * ?policy_id filter, one bloom-served equality on the policies side
+    * table yields min/max(created_at) — two longs to the driver — and the
+    * window prunes inputs segments. None = not policy-scoped, or the side
+    * table has no segments (an index populated without it carries no
+    * information — full scan, identical answer). (MaxValue, MinValue) =
+    * the policy is provably absent: the window prunes EVERY segment. */
+  private def policyWindow(ix: GraftIndex, pattern: Pattern,
+                           filterPolicy: Option[String]): Option[(Long, Long)] = {
+    val key = (pattern match {
+      case Pattern.MatchPolicyId(p)   => Some(p)
+      case Pattern.MatchAssetId(p, _) => Some(p)
+      case _                          => None
+    }).orElse(filterPolicy)
+    key.filter(_ => ix.manifest.tables.getOrElse("policies", Nil).nonEmpty)
+      .map { p =>
+        val r = ix.table("policies").where(col("policy_id") === p)
+          .agg(min("created_at"), max("created_at")).head()
+        if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+        else (r.getLong(0), r.getLong(1))
+      }
+  }
+
+  /** inputsWithSpends behind the policy window when the pattern is
+    * policy-scoped — the R1/R3/balance/holders scan entry point. */
+  private def windowPrunedInputs(ix: GraftIndex, pattern: Pattern): DataFrame =
+    policyWindow(ix, pattern, None) match {
+      case Some((loW, hiW)) => prunedInputs(ix, Some(loW), Some(hiW))
+      case None             => ix.inputsWithSpends
+    }
+
   private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame =
     // spends may mark rows created in pruned-away segments? No: pruning is on
     // created_at, and we prune segments of `inputs` only; the spends delta is
@@ -250,20 +301,25 @@ object FoldInputs {
   // ---- Related read operators (SURVEY.md §2.3 R1-R8) ----
 
   /** R1 countInputs. */
-  def countInputs(ix: GraftIndex, patternText: String): Long =
-    ix.inputsWithSpends.where(patternOf(patternText).toPredicate).count()
+  def countInputs(ix: GraftIndex, patternText: String): Long = {
+    val p = patternOf(patternText)
+    windowPrunedInputs(ix, p).where(p.toPredicate).count()
+  }
 
   /** R2 countPolicies — distinct policies carried by matching outputs. */
   def countPolicies(ix: GraftIndex, patternText: String): Long =
     foldPolicies(ix, patternText).select("policy_id").distinct().count()
 
   /** R3 foldPolicies — (output_reference, policy) pairs under a pattern,
-    * answered from the value.assets map (no side-table join needed). */
-  def foldPolicies(ix: GraftIndex, patternText: String): DataFrame =
-    ix.inputsWithSpends
-      .where(patternOf(patternText).toPredicate)
+    * answered from the value.assets map in-scan; the side table serves
+    * only the slot-window SEGMENT prune for policy-scoped patterns. */
+  def foldPolicies(ix: GraftIndex, patternText: String): DataFrame = {
+    val p = patternOf(patternText)
+    windowPrunedInputs(ix, p)
+      .where(p.toPredicate)
       .select(col("tx_id"), col("output_index"),
         explode(map_keys(col("value.assets"))).as("policy_id"))
+  }
 
   /** BEYOND REFERENCE — aggregated unspent balance per payment credential
     * under a pattern: UTxO count and total lovelace. Kupo answers this only
@@ -271,12 +327,14 @@ object FoldInputs {
     * it's one credential-keyed partial aggregate — the payload folds
     * map-side, only (credential, count, sum) rows shuffle. The credential
     * is the virtual `substr(address, -56)` column (db/v2.1.0/001.sql:5). */
-  def balanceByPayment(ix: GraftIndex, patternText: String): DataFrame =
-    ix.inputsWithSpends
-      .where(patternOf(patternText).toPredicate && col("spent_at").isNull)
+  def balanceByPayment(ix: GraftIndex, patternText: String): DataFrame = {
+    val p = patternOf(patternText)
+    windowPrunedInputs(ix, p)
+      .where(p.toPredicate && col("spent_at").isNull)
       .groupBy(substring(col("address"), -56, 56).as("payment_credential"))
       .agg(count(lit(1)).as("n_utxos"),
         sum(col("value.coins")).cast("long").as("lovelace"))
+  }
 
   /** BEYOND REFERENCE — token-holder distribution: per policy carried by
     * an unspent matching output, the live UTxO count and the number of
@@ -284,14 +342,16 @@ object FoldInputs {
     * in-scan (no policies-table join), then one policy-keyed aggregate;
     * countDistinct rewrites to a two-level exact aggregate, both levels
     * partial — the payload never shuffles. */
-  def holdersByPolicy(ix: GraftIndex, patternText: String): DataFrame =
-    ix.inputsWithSpends
-      .where(patternOf(patternText).toPredicate && col("spent_at").isNull)
+  def holdersByPolicy(ix: GraftIndex, patternText: String): DataFrame = {
+    val p = patternOf(patternText)
+    windowPrunedInputs(ix, p)
+      .where(p.toPredicate && col("spent_at").isNull)
       .select(explode(map_keys(col("value.assets"))).as("policy_id"),
         substring(col("address"), -56, 56).as("cred"))
       .groupBy("policy_id")
       .agg(count(lit(1)).as("n_utxos"),
         countDistinct(col("cred")).as("n_holders"))
+  }
 
   /** R4/R5 point lookups. */
   def getBinaryData(ix: GraftIndex, hashHex: String): Option[String] =

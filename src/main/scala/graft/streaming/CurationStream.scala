@@ -91,8 +91,11 @@ object CurationStream {
     * The bookkeeping column is dropped after the filter. */
   private def readOrEmpty(spark: SparkSession, dir: String,
                           like: DataFrame, beforeBatch: Long): DataFrame = {
+    // LocalRelation, not an empty RDD: the first-batch probe joins this
+    // frame, and an RDD-backed empty reports defaultSizeInBytes — the static
+    // planner would shuffle the WHOLE batch against a provably-empty side
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return empty

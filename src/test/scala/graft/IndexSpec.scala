@@ -709,6 +709,15 @@ class IndexSpec extends SparkSpec {
       fs.delete(p, true)
       assert(fs.rename(tmp, p))
     }
+    // ... and every policies segment without created_at (a v1-born index
+    // predates the v4 slot column too)
+    m0.tables.getOrElse("policies", Nil).foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/${s.path}")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${s.path}.v1tmp")
+      spark.read.parquet(p.toString).drop("created_at").write.parquet(tmp.toString)
+      fs.delete(p, true)
+      assert(fs.rename(tmp, p))
+    }
     Manifest.write(root, m0.copy(schemaVersion = 1), conf)
 
     // open: allowed (so migrate() can run), but reads and mutations fail
@@ -721,11 +730,18 @@ class IndexSpec extends SparkSpec {
       reopened.replace("patterns", ix2.emptyOf("patterns")))
     assert(em.getMessage.contains("migrate"), em.getMessage)
 
-    // migrate: the v1→v3 DOUBLE HOP (add spend columns, then the address-
-    // bloom backfill), idempotent after
-    assert(reopened.migrate() == 2)
+    // migrate: the v1→v4 TRIPLE HOP (add spend columns, the address-bloom
+    // backfill, then the policies created_at backfill), idempotent after
+    assert(reopened.migrate() == 3)
     assert(reopened.migrate() == 0)
     assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
+    // the v4 backfill reconstructed the slot column from inputs: every
+    // policies row carries its output's real creation slot again
+    val polJoin = reopened.table("policies").as("p")
+      .join(reopened.table("inputs").as("i"), Seq("tx_id", "output_index"))
+      .where(col("p.created_at") =!= col("i.created_at")).count()
+    assert(polJoin == 0L, "backfilled policies.created_at must match inputs")
+    assert(reopened.table("policies").where(col("created_at").isNull).count() == 0L)
     // spend provenance was merge-on-read (spends delta untouched), so the
     // reconciled view is IDENTICAL to the pre-down-convert index
     val after = reopened.inputsWithSpends
@@ -917,9 +933,11 @@ class IndexSpec extends SparkSpec {
           .getBytes("UTF-8")) finally out.close()
       }
 
-    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 3)
+    // retention must cover the THREE migration commits (one per step) for
+    // the pre-migration snapshot to still resolve afterwards
+    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 4)
     val vPre = reopened.manifest.version
-    assert(reopened.migrate() == 2)
+    assert(reopened.migrate() == 3)
     assert(reopened.inputsWithSpends.count() > 0) // current reads green
 
     // the pre-migration snapshot still RESOLVES (retention pins it) but a
@@ -965,7 +983,7 @@ class IndexSpec extends SparkSpec {
     }
     Manifest.write(root, m0.copy(schemaVersion = 0), conf)
     val chain =
-      SchemaMigration(1, "re-file checkpoints (test)", Set("checkpoints"), (_, df) => df) ::
+      SchemaMigration(1, "re-file checkpoints (test)", Set("checkpoints"), (_, _, df) => df) ::
         GraftIndex.migrations
     val reopened = new GraftIndex(spark, root)
     // crash simulation: only step 1 lands — schema advances to v1, reads

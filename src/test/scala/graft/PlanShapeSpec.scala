@@ -1,0 +1,151 @@
+package graft
+
+import graft.index.GraftIndex
+import graft.ingest.Indexer
+import graft.model.Pattern
+import graft.query.{Api, FoldInputs}
+import graft.tools.FixtureChain
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape regression gates for the kupo-side read path — the FoldInputs
+  * counterpart of the LLM rehearsal's plan assertions. These pin the scale
+  * CONTRACT stated in FoldInputs' scaladoc, not row results (every query
+  * here also has an oracle row): pattern/range predicates must reach the
+  * parquet scan as PushedFilters, manifest stats must prune segments before
+  * Spark ever lists them, the F4 checkpoint joins must read only their two
+  * columns, the OnlyUnspent dead join must stay eliminated, and no headline
+  * plan may contain a cartesian or nested-loop join. A regression in any of
+  * these keeps results correct at sf0.01 while silently turning a 100 TB
+  * point query into a full scan — exactly the class of break the oracle gate
+  * cannot see. Assertions run on `sparkPlan` (the pre-AQE physical plan):
+  * what static planning chooses from parquet stats is the portable part;
+  * AQE only improves on it at runtime. */
+class PlanShapeSpec extends SparkSpec {
+  import Api._
+
+  private val patterns: Set[Pattern] = Set(Pattern.MatchAny(includingBootstrap = false))
+
+  // 3 micro-batches of 4 blocks → 3+ slot-ranged inputs segments, so the
+  // range-pruning assertion has segments to drop
+  private lazy val ix: GraftIndex = {
+    val g = new GraftIndex(spark, tmpDir("graft-planshape"))
+    FixtureChain.chain(12).grouped(4).foreach { b =>
+      Indexer.ingest(g, FixtureChain.toDf(spark, b), patterns)
+    }
+    g
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+  private def scanOf(df: DataFrame, table: String): Seq[FileSourceScanExec] =
+    scans(df).filter(_.relation.location.rootPaths.exists(_.toString.contains(s"/$table/")))
+  private def pushed(s: FileSourceScanExec): String =
+    s.metadata.getOrElse("PushedFilters", "")
+
+  test("P3 exact address: the equality reaches the parquet scan (bloom/dict row-group skip feeds off it)") {
+    val addr = ix.table("inputs").select("address").head().getString(0)
+    val df = FoldInputs(ix, MatchesQuery(Pattern.MatchExact(addr).toText))
+    val inputScans = scanOf(df, "inputs")
+    assert(inputScans.nonEmpty)
+    assert(inputScans.exists(s => pushed(s).contains(s"EqualTo(address,$addr)")),
+      inputScans.map(pushed))
+  }
+
+  test("P6 payment/delegation: prefix and suffix predicates push down") {
+    val pay = FixtureChain.baseAddr(0, 0).takeRight(56)
+    val del = FixtureChain.baseAddr(0, 0).slice(2, 58)
+    val df = FoldInputs(ix, MatchesQuery(s"$pay/$del"))
+    val p = scanOf(df, "inputs").map(pushed)
+    assert(p.exists(_.contains(s"StringStartsWith(address,01$del)")), p)
+    assert(p.exists(_.contains(s"StringEndsWith(address,$pay)")), p)
+  }
+
+  test("P8 outref: both point-lookup equalities push down (tx_id is the bloomed key)") {
+    val txid = ix.table("inputs").select("tx_id").head().getString(0)
+    val df = FoldInputs(ix, MatchesQuery(s"0@$txid"))
+    val p = scanOf(df, "inputs").map(pushed)
+    assert(p.exists(s => s.contains(s"EqualTo(tx_id,$txid)") && s.contains("EqualTo(output_index,0)")), p)
+  }
+
+  test("F2 slot range: bounds push down AND the manifest prunes segments before Spark lists them") {
+    val full = FoldInputs(ix, MatchesQuery("*"))
+    val ranged = FoldInputs(ix,
+      MatchesQuery("*", range = SlotRange(lowerBound = Some(10L), upperBound = Some(40L))))
+    val p = scanOf(ranged, "inputs").map(pushed)
+    assert(p.exists(s => s.contains("GreaterThanOrEqual(created_at,10)") &&
+      s.contains("LessThanOrEqual(created_at,40)")), p)
+    // segment pruning is MANIFEST-level: the ranged scan is built over fewer
+    // segment roots, not merely filtered post-listing (at 100 TB the listing
+    // itself is the cost)
+    def segRoots(df: DataFrame) =
+      scanOf(df, "inputs").flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("/inputs/")).toSet
+    assert(segRoots(ranged).size < segRoots(full).size,
+      s"ranged=${segRoots(ranged).size} full=${segRoots(full).size}")
+  }
+
+  test("F4 checkpoint joins: two-column read schema; OnlyUnspent eliminates the dead spent join") {
+    val both = FoldInputs(ix, MatchesQuery("*"))
+    val cpScans = scanOf(both, "checkpoints")
+    assert(cpScans.size == 2, s"expected created+spent checkpoint scans, got ${cpScans.size}")
+    cpScans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("slot_no", "header_hash"),
+        s.requiredSchema.fieldNames.toSeq)
+    }
+    val unspent = FoldInputs(ix, MatchesQuery("*", status = StatusFlag.OnlyUnspent))
+    assert(scanOf(unspent, "checkpoints").size == 1,
+      "OnlyUnspent must skip the provably-empty spent-checkpoint join")
+  }
+
+  test("P9 policy window: the policies side table prunes inputs segments; no side table = no pruning, same answer") {
+    import FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-polwin"))
+    val polA = hex28(50)
+    // the policy is carried ONLY by the early batch: its slot window must
+    // exclude the late segment from the scan entirely
+    val early = Seq(Blk(10L, hex32(1), Seq(
+      Tx(hex32(10), Nil, Seq(Out(baseAddr(0, 0), 5L, Map(polA -> Map("aa" -> 1L))))))))
+    val late = Seq(Blk(1000L, hex32(2), Seq(
+      Tx(hex32(20), Nil, Seq(Out(baseAddr(1, 0), 6L))))))
+    Indexer.ingest(g, FixtureChain.toDf(spark, early), patterns)
+    Indexer.ingest(g, FixtureChain.toDf(spark, late), patterns)
+
+    val df = FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId(polA).toText))
+    val pruned = scanOf(df, "inputs")
+      .flatMap(_.relation.location.rootPaths.map(_.toString)).filter(_.contains("/inputs/")).toSet
+    val total = g.manifest.tables("inputs").size
+    assert(total >= 2, s"fixture needs >= 2 inputs segments, got $total")
+    assert(pruned.size < total, s"policy window should prune: scan=$pruned of $total segments")
+    assert(df.count() == 1)
+    // provably-absent policy: empty window, empty scan, empty result
+    assert(FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId("ff" * 28).toText)).count() == 0)
+    // an index WITHOUT the side table (populated via replace) derives no
+    // window — full scan, identical answer: pruning, never filtering
+    val bare = new GraftIndex(spark, tmpDir("graft-polwin-bare"))
+    bare.replace("inputs", g.table("inputs"))
+    bare.replace("checkpoints", g.table("checkpoints"))
+    assert(FoldInputs(bare, MatchesQuery(Pattern.MatchPolicyId(polA).toText)).count() == 1)
+  }
+
+  test("headline plans: no cartesian or nested-loop join; fixture-scale dims broadcast") {
+    val shapes = Seq(
+      FoldInputs(ix, MatchesQuery("*", resolveHashes = true)),
+      FoldInputs(ix, MatchesQuery("*", status = StatusFlag.OnlyUnspent)),
+      FoldInputs(ix, MatchesQuery(s"0@${ix.table("inputs").select("tx_id").head().getString(0)}")))
+    shapes.foreach { df =>
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), "cartesian product in a headline plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in a headline plan")
+    }
+    // the resolve_hashes shape joins checkpoints + binary_data + scripts:
+    // at fixture scale every dim is under the threshold, so the STATS-based
+    // planner must pick broadcast for all of them — if this degrades to a
+    // shuffle join here, the threshold gating the scaladoc promises is broken
+    val resolved = FoldInputs(ix, MatchesQuery("*", resolveHashes = true))
+    val plan = resolved.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins at fixture scale")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "a fixture-scale dim fell off the broadcast threshold")
+  }
+}
