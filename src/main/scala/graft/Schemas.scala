@@ -130,6 +130,24 @@ object Schemas {
     StructField("created_at", LongType, nullable = false)
   ))
 
+  /** Per-(address, ingest-batch) slot-window stats (schema v5) — the
+    * file-level analogue of the reference's inputsByAddress /
+    * inputsByPaymentCredential B-trees (SQLite.hs:1159-1190): one compact
+    * row per distinct address per batch carrying [min,max] creation slot.
+    * An address-scoped query (P3/P4/P5/P6) probes this table (bloom-served)
+    * for two longs and prunes inputs SEGMENTS with the window — the v3
+    * blooms skip row groups inside a file, this skips whole files. Same
+    * superset invariant as [[policiesType]]: every ingest/backfill writes
+    * it, mutations may leave stale rows (window only widens), a missing
+    * row cannot occur. payment_credential is null for bootstrap
+    * addresses. */
+  val addressStatsType: StructType = StructType(Seq(
+    StructField("address", StringType, nullable = false),
+    StructField("payment_credential", StringType, nullable = true),
+    StructField("min_slot", LongType, nullable = false),
+    StructField("max_slot", LongType, nullable = false)
+  ))
+
   /** Slots per physical partition bucket of `inputs`. */
   val BucketSize: Long = 100000L
 }

@@ -89,8 +89,8 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def migrate(): Int = migrateWith(migrations)
 
   /** [[migrate]] against an explicit chain — test seam for synthetic-step
-    * and crash-resume scenarios (the production registry is the two-step
-    * v2/v3 chain; the loop, the per-step commit, and mid-chain resume must
+    * and crash-resume scenarios (the production registry is the v2..v5
+    * chain; the loop, the per-step commit, and mid-chain resume must
     * not regress as it grows). `upTo` caps the run (a crashed-mid-chain
     * simulation): steps with `to` beyond it are left pending, exactly as a
     * crash between commits would. */
@@ -131,13 +131,15 @@ final class GraftIndex(val spark: SparkSession, val root: String,
             // ONE rewrite job over the union of segments: backfill joins
             // scan their joined side once, not once per segment. The output
             // lands as one segment; stats recompute on the write and
-            // compaction re-tiers later appends as usual.
-            if (existing.isEmpty) Nil
-            else {
-              val union = spark.read.parquet(existing.map(s => s"$root/${s.path}"): _*)
-              writeSegmentAt(t, mig.rewrite(readTable, t, union),
-                f"$t/mig${mig.to}%02d-$v%06d-0000").toList
-            }
+            // compaction re-tiers later appends as usual. A table with no
+            // segments still runs (NEW-layout empty frame): a step may
+            // CREATE its table from a sibling (v5's address_stats), and a
+            // genuinely empty result writes nothing either way.
+            val union =
+              if (existing.isEmpty) emptyOf(t)
+              else spark.read.parquet(existing.map(s => s"$root/${s.path}"): _*)
+            writeSegmentAt(t, mig.rewrite(readTable, t, union),
+              f"$t/mig${mig.to}%02d-$v%06d-0000").toList
           } else existing.zipWithIndex.flatMap { case (s, i) =>
             // read with the file's OWN schema (not schemaOf: the whole point
             // is that the old layout differs), rewrite, re-stat on the write
@@ -243,6 +245,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     case "scripts"     => Schemas.scriptsType
     case "patterns"    => Schemas.patternsType
     case "policies"    => Schemas.policiesType
+    case "address_stats" => Schemas.addressStatsType
     case other         => sys.error(s"unknown table: $other")
   }
 
@@ -279,9 +282,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * only the row groups that can match. (P5's address PREFIX queries keep
     * using the within-partition address sort + min/max stats instead.) */
   private def bloomDictColumns(table: String): Seq[String] = table match {
-    case "inputs"   => Seq("address", "payment_credential")
-    case "policies" => Seq("policy_id")
-    case _          => Nil
+    case "inputs"        => Seq("address", "payment_credential")
+    case "policies"      => Seq("policy_id")
+    case "address_stats" => Seq("address", "payment_credential")
+    case _               => Nil
   }
 
   /** Slot-stat column used for segment pruning, if the table has one. */
@@ -424,6 +428,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
         // extra shuffle, but row-group min/max stats on created_at line up
         // for slot-scoped scans of the side table
         out.sortWithinPartitions(col("created_at"), col("policy_id"))
+      else if (table == "address_stats")
+        // address-sorted: prefix probes (P5/P6 delegation part) prune row
+        // groups via min/max; exact probes use the bloom/dictionary
+        out.sortWithinPartitions(col("address"))
       else out
     // segment min/max stats ride along with the write action (Observation) —
     // no second read-the-parquet-back job per segment. inputs additionally
@@ -781,7 +789,8 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def createOrReplaceViews(prefix: String = "g_"): Unit = {
     val m = manifest
     reconcile(tableAt("inputs", m)).createOrReplaceTempView(s"${prefix}inputs")
-    Seq("checkpoints", "binary_data", "scripts", "patterns", "policies")
+    Seq("checkpoints", "binary_data", "scripts", "patterns", "policies",
+        "address_stats")
       .foreach(t => tableAt(t, m).createOrReplaceTempView(s"$prefix$t"))
   }
 }
@@ -824,12 +833,15 @@ object GraftIndex {
     * SQLite.hs:1159-1190) — a layout version even though the ROW schema is
     * unchanged: v2 segments read fine but point-probe like a table scan at
     * 100 TB, and the only way to know every file carries the index is to
-    * have rewritten them under one versioned commit; v4 = current —
-    * policies carries created_at ([[graft.Schemas.policiesType]]),
-    * backfilled from inputs, so policy queries can derive a slot window
-    * and prune inputs SEGMENTS (the Spark answer to scanning the
-    * policiesByPolicyId B-tree). */
-  val CurrentSchemaVersion: Int = 4
+    * have rewritten them under one versioned commit; v4 = policies
+    * carries created_at ([[graft.Schemas.policiesType]]), backfilled from
+    * inputs, so policy queries can derive a slot window and prune inputs
+    * SEGMENTS (the Spark answer to scanning the policiesByPolicyId
+    * B-tree); v5 = current — the address_stats side table exists
+    * ([[graft.Schemas.addressStatsType]]), created by backfill from
+    * inputs, giving ADDRESS-scoped queries (P3/P4/P5/P6) the same
+    * slot-window segment prune. */
+  val CurrentSchemaVersion: Int = 5
 
   /** One step of the linear migration chain (the reference's numbered
     * `migrations` list, SQLite.hs:1280-1295): `to` is the schema version
@@ -901,6 +913,25 @@ object GraftIndex {
         conformTo(graft.Schemas.policiesType,
           df.select("tx_id", "output_index", "policy_id")
             .join(slots, Seq("tx_id", "output_index"), "inner"))
+      },
+      wholeTable = true),
+    SchemaMigration(5,
+      "create the address_stats side table from inputs (per-address slot " +
+        "windows — the inputsByAddress/inputsByPaymentCredential analogue, " +
+        "SQLite.hs:1159-1190): address-scoped queries derive a slot window " +
+        "and prune inputs segments with it",
+      Set("address_stats"),
+      // the existing frame (always empty pre-v5 — the schema gate blocks
+      // any earlier writer from creating this table) is ignored: the
+      // backfill is a pure aggregate over inputs
+      (read, _, _) => {
+        val inputs = read("inputs")
+        conformTo(graft.Schemas.addressStatsType,
+          inputs.groupBy(col("address"))
+            .agg(first(col("payment_credential"), ignoreNulls = true)
+                .as("payment_credential"),
+              min(col("created_at")).as("min_slot"),
+              max(col("created_at")).as("max_slot")))
       },
       wholeTable = true))
 

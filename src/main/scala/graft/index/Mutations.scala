@@ -92,6 +92,10 @@ object Mutations {
     dst.commitAll(replaces = Map(
       "policies" ->
         src.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"),
+      // rebuilt (not copied): the copy holds fewer inputs, and a fresh
+      // aggregate gives it exact windows instead of the source's stale-wide
+      // ones
+      "address_stats" -> graft.ingest.MatchBlock.addressStats(dst.table("inputs")),
       "binary_data" ->
         src.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"),
       "scripts" ->

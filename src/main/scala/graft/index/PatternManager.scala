@@ -72,6 +72,9 @@ object PatternManager {
       val fresh = m.produced.join(existing, Seq("tx_id", "output_index"), "left_anti")
       ix.append("inputs", fresh)
       ix.append("policies", m.policies.join(existing, Seq("tx_id", "output_index"), "left_anti"))
+      // duplicate stats rows are harmless (the window aggregate only
+      // widens), so no anti-join is needed here
+      ix.append("address_stats", graft.ingest.MatchBlock.addressStats(fresh))
       ix.append("binary_data", m.datums)
       ix.append("scripts", m.scripts)
       Mutations.markInputs(ix, m.spends)

@@ -96,6 +96,7 @@ object Indexer {
       "checkpoints" -> m.checkpoints,
       "inputs" -> produced,
       "policies" -> m.policies,
+      "address_stats" -> MatchBlock.addressStats(produced),
       "binary_data" -> m.datums,
       "scripts" -> m.scripts,
       "spends" -> spends))

@@ -115,4 +115,14 @@ object MatchBlock {
 
     Match(produced, spends, checkpoints, policies, datums, scripts)
   }
+
+  /** Per-batch (address → slot window) stats rows for the address_stats
+    * side table (Schemas.addressStatsType) — one map-side-combined
+    * aggregate over the batch's produced rows; payment_credential is
+    * functionally dependent on the address, so first() is exact. */
+  def addressStats(produced: DataFrame): DataFrame =
+    produced.groupBy(col("address"))
+      .agg(first(col("payment_credential"), ignoreNulls = true).as("payment_credential"),
+        min(col("created_at")).as("min_slot"),
+        max(col("created_at")).as("max_slot"))
 }

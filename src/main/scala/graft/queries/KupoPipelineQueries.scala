@@ -182,9 +182,9 @@ object KupoPipelineQueries {
     * at the CURRENT schema, then DOWN-CONVERTED to schema v1 (every inputs
     * segment rewritten without spent_by/spent_with — the reference's
     * pre-db/v2.10.0 layout — and the manifest stamped schema_version 1),
-    * then `migrate()` run to bring it back through the full THREE-STEP
+    * then `migrate()` run to bring it back through the full FOUR-STEP
     * production chain (v2 spend columns, v3 address-bloom backfill, v4
-    * policies created_at backfill).
+    * policies created_at backfill, v5 address_stats creation).
     * The scan passes its oracle
     * only if the migrated data is byte-faithful on every surviving column
     * AND the provenance columns really round-tripped through the v1 hole
@@ -210,11 +210,11 @@ object KupoPipelineQueries {
       }
       GraftIndex.Manifest.write(root, m0.copy(schemaVersion = 1), conf)
       val old = new GraftIndex(s, root)
-      // the v1→v4 TRIPLE HOP through the production registry: add the
+      // the v1→v5 chain through the production registry: add the
       // spend-provenance columns (v2), the address-bloom backfill rewrite
-      // (v3), then the policies created_at backfill (v4) — one committed
-      // manifest per step
-      require(old.migrate() == 3, "expected the three-step v1->v4 chain")
+      // (v3), the policies created_at backfill (v4), the address_stats
+      // creation (v5) — one committed manifest per step
+      require(old.migrate() == 4, "expected the four-step v1->v5 chain")
       old.vacuum(0L)
       old
     })

@@ -48,7 +48,8 @@ object FoldInputs {
     // still decides row membership, so this is pruning, never filtering.
     // A policies table with NO segments carries no information (an index
     // populated without the side table) and derives nothing.
-    val window = policyWindow(ix, pattern, q.filter.policyId)
+    val window = intersectWindows(
+      policyWindow(ix, pattern, q.filter.policyId), addressWindow(ix, pattern))
 
     // F1/F2 — segment-pruned scan + pattern predicate + slot-range predicate
     val (lo, hi) = (q.range.lowerBound, q.range.upperBound)
@@ -263,7 +264,12 @@ object FoldInputs {
     * window prunes inputs segments. None = not policy-scoped, or the side
     * table has no segments (an index populated without it carries no
     * information — full scan, identical answer). (MaxValue, MinValue) =
-    * the policy is provably absent: the window prunes EVERY segment. */
+    * the policy is provably absent: the window prunes EVERY segment.
+    *
+    * The probe only runs when inputs spans 2+ segments: with one segment
+    * there is nothing a window could prune, so the extra job is pure
+    * overhead — this is the cost-benefit line, not a heuristic (at 100 TB
+    * the index is always thousands of segments and the probe always on). */
   private def policyWindow(ix: GraftIndex, pattern: Pattern,
                            filterPolicy: Option[String]): Option[(Long, Long)] = {
     val key = (pattern match {
@@ -271,7 +277,8 @@ object FoldInputs {
       case Pattern.MatchAssetId(p, _) => Some(p)
       case _                          => None
     }).orElse(filterPolicy)
-    key.filter(_ => ix.manifest.tables.getOrElse("policies", Nil).nonEmpty)
+    key.filter(_ => ix.manifest.tables.getOrElse("inputs", Nil).size >= 2 &&
+        ix.manifest.tables.getOrElse("policies", Nil).nonEmpty)
       .map { p =>
         val r = ix.table("policies").where(col("policy_id") === p)
           .agg(min("created_at"), max("created_at")).head()
@@ -280,10 +287,46 @@ object FoldInputs {
       }
   }
 
-  /** inputsWithSpends behind the policy window when the pattern is
-    * policy-scoped — the R1/R3/balance/holders scan entry point. */
+  /** The address→slot-window twin of [[policyWindow]], fed by the
+    * address_stats side table (schema v5): P3 exact, P4 payment-credential,
+    * P5 delegation-prefix and P6 both-credential patterns probe the compact
+    * per-(address, batch) stats rows — exact keys bloom-served, the prefix
+    * via the address sort's min/max — and the [min,max] creation-slot
+    * window prunes inputs segments. Same soundness shape: the side table
+    * is a superset of live inputs (stale rows widen, never narrow), the
+    * address predicate in-scan still decides membership. */
+  private def addressWindow(ix: GraftIndex, pattern: Pattern): Option[(Long, Long)] = {
+    val probe: Option[org.apache.spark.sql.Column] = pattern match {
+      case Pattern.MatchExact(a)      => Some(col("address") === a)
+      case Pattern.MatchPayment(c)    => Some(col("payment_credential") === c)
+      case Pattern.MatchDelegation(d) => Some(col("address").startsWith("01" + d))
+      case Pattern.MatchPaymentAndDelegation(p, d) =>
+        Some(col("address").startsWith("01" + d) && col("payment_credential") === p)
+      case _ => None
+    }
+    probe.filter(_ => ix.manifest.tables.getOrElse("inputs", Nil).size >= 2 &&
+        ix.manifest.tables.getOrElse("address_stats", Nil).nonEmpty)
+      .map { pr =>
+        val r = ix.table("address_stats").where(pr)
+          .agg(min("min_slot"), max("max_slot")).head()
+        if (r.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+        else (r.getLong(0), r.getLong(1))
+      }
+  }
+
+  /** Intersection of two optional windows (an address pattern can combine
+    * with a ?policy_id filter — both prune, the narrower wins). */
+  private def intersectWindows(a: Option[(Long, Long)],
+                               b: Option[(Long, Long)]): Option[(Long, Long)] =
+    (a, b) match {
+      case (Some((l1, h1)), Some((l2, h2))) => Some((l1 max l2, h1 min h2))
+      case _                                => a.orElse(b)
+    }
+
+  /** inputsWithSpends behind the policy/address window when the pattern is
+    * so scoped — the R1/R3/balance/holders scan entry point. */
   private def windowPrunedInputs(ix: GraftIndex, pattern: Pattern): DataFrame =
-    policyWindow(ix, pattern, None) match {
+    intersectWindows(policyWindow(ix, pattern, None), addressWindow(ix, pattern)) match {
       case Some((loW, hiW)) => prunedInputs(ix, Some(loW), Some(hiW))
       case None             => ix.inputsWithSpends
     }

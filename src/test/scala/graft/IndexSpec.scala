@@ -730,9 +730,10 @@ class IndexSpec extends SparkSpec {
       reopened.replace("patterns", ix2.emptyOf("patterns")))
     assert(em.getMessage.contains("migrate"), em.getMessage)
 
-    // migrate: the v1→v4 TRIPLE HOP (add spend columns, the address-bloom
-    // backfill, then the policies created_at backfill), idempotent after
-    assert(reopened.migrate() == 3)
+    // migrate: the v1→v5 chain (add spend columns, the address-bloom
+    // backfill, the policies created_at backfill, the address_stats
+    // creation), idempotent after
+    assert(reopened.migrate() == 4)
     assert(reopened.migrate() == 0)
     assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
     // the v4 backfill reconstructed the slot column from inputs: every
@@ -742,6 +743,14 @@ class IndexSpec extends SparkSpec {
       .where(col("p.created_at") =!= col("i.created_at")).count()
     assert(polJoin == 0L, "backfilled policies.created_at must match inputs")
     assert(reopened.table("policies").where(col("created_at").isNull).count() == 0L)
+    // the v5 backfill CREATED address_stats from inputs: windows must
+    // bracket every input's creation slot per address
+    val badWin = reopened.table("address_stats").as("a")
+      .join(reopened.table("inputs").as("i"), Seq("address"))
+      .where(col("i.created_at") < col("a.min_slot") ||
+        col("i.created_at") > col("a.max_slot")).count()
+    assert(badWin == 0L, "address_stats windows must bracket input slots")
+    assert(reopened.table("address_stats").count() > 0L)
     // spend provenance was merge-on-read (spends delta untouched), so the
     // reconciled view is IDENTICAL to the pre-down-convert index
     val after = reopened.inputsWithSpends
@@ -933,11 +942,11 @@ class IndexSpec extends SparkSpec {
           .getBytes("UTF-8")) finally out.close()
       }
 
-    // retention must cover the THREE migration commits (one per step) for
+    // retention must cover the FOUR migration commits (one per step) for
     // the pre-migration snapshot to still resolve afterwards
-    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 4)
+    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 5)
     val vPre = reopened.manifest.version
-    assert(reopened.migrate() == 3)
+    assert(reopened.migrate() == 4)
     assert(reopened.inputsWithSpends.count() > 0) // current reads green
 
     // the pre-migration snapshot still RESOLVES (retention pins it) but a

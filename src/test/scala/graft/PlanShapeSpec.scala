@@ -128,6 +128,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(FoldInputs(bare, MatchesQuery(Pattern.MatchPolicyId(polA).toText)).count() == 1)
   }
 
+  test("P3/P4 address window: address_stats prunes inputs segments; absent and windowed-range answers stay exact") {
+    import FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-addrwin"))
+    // baseAddr(7, 7) appears ONLY in the early batch; baseAddr(8, 8) only late
+    val early = Seq(Blk(10L, hex32(31), Seq(
+      Tx(hex32(310), Nil, Seq(Out(baseAddr(7, 7), 5L))))))
+    val late = Seq(Blk(1000L, hex32(32), Seq(
+      Tx(hex32(320), Nil, Seq(Out(baseAddr(8, 8), 6L))))))
+    Indexer.ingest(g, FixtureChain.toDf(spark, early), patterns)
+    Indexer.ingest(g, FixtureChain.toDf(spark, late), patterns)
+
+    def segRoots(df: org.apache.spark.sql.DataFrame) =
+      scanOf(df, "inputs").flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("/inputs/")).toSet
+    val total = g.manifest.tables("inputs").size
+    assert(total >= 2)
+
+    // P3 exact: the early address's window excludes the late segment
+    val exact = FoldInputs(g, MatchesQuery(Pattern.MatchExact(baseAddr(7, 7)).toText))
+    assert(segRoots(exact).size < total, s"exact-address window should prune of $total")
+    assert(exact.count() == 1)
+    // P4 payment credential (suffix predicate — min/max could never prune
+    // it; only the stats-table window can): same pruning, same answer
+    val payCred = baseAddr(7, 7).takeRight(56)
+    val pay = FoldInputs(g, MatchesQuery(s"$payCred/*"))
+    assert(segRoots(pay).size < total, "payment-credential window should prune")
+    assert(pay.count() == 1)
+    // absent address (valid shape, never ingested): provably-empty window,
+    // empty result
+    assert(FoldInputs(g, MatchesQuery(Pattern.MatchExact(baseAddr(9, 9)).toText))
+      .count() == 0)
+    // window COMPOSES with a user range that excludes the row: still empty
+    assert(FoldInputs(g, MatchesQuery(Pattern.MatchExact(baseAddr(7, 7)).toText,
+      range = SlotRange(lowerBound = Some(500L)))).count() == 0)
+  }
+
   test("headline plans: no cartesian or nested-loop join; fixture-scale dims broadcast") {
     val shapes = Seq(
       FoldInputs(ix, MatchesQuery("*", resolveHashes = true)),
