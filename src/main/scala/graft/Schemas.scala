@@ -148,6 +148,27 @@ object Schemas {
     StructField("max_slot", LongType, nullable = false)
   ))
 
+  /** Per-(table, column, segment) key-membership sketches (schema v6) —
+    * the SEGMENT-level half of the point-lookup index. Parquet blooms
+    * (schema v3) let a task skip every ROW GROUP inside a segment, but a
+    * point query still schedules one task per segment just to open each
+    * footer — at 100 TB that is the whole cost (SCALE.md §F.4). This table
+    * moves the membership test ahead of scheduling: one row per live
+    * segment of a hash-keyed table, holding a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] over `xxhash64(key)`;
+    * a point lookup filters THIS narrow table (distributed, one row per
+    * segment) and scans only candidate segments. INVARIANT: a bloom never
+    * false-negatives, so a segment containing the key is always a
+    * candidate; a live segment with NO row here is scanned conservatively;
+    * stale rows for dead segments are never consulted (the probe is keyed
+    * by the live manifest's paths). */
+  val segmentBloomsType: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("segment_path", StringType, nullable = false),
+    StructField("bloom", BinaryType, nullable = false)
+  ))
+
   /** Slots per physical partition bucket of `inputs`. */
   val BucketSize: Long = 100000L
 }

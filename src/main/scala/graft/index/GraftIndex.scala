@@ -1,8 +1,12 @@
 package graft.index
 
 import graft.Schemas
+import graft.expressions.SegmentBloomMightContain
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
@@ -246,8 +250,21 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     case "patterns"    => Schemas.patternsType
     case "policies"    => Schemas.policiesType
     case "address_stats" => Schemas.addressStatsType
+    case "segment_blooms" => Schemas.segmentBloomsType
     case other         => sys.error(s"unknown table: $other")
   }
+
+  /** Tables whose hash-keyed point-lookup columns ALSO get a manifest-level
+    * membership sketch in `segment_blooms` (schema v6, the SEGMENT-pruning
+    * half of the point index — see [[Schemas.segmentBloomsType]]). The
+    * parquet blooms below ([[bloomColumns]]) let a task skip row groups; a
+    * point query still scheduled one task per segment just to open footers —
+    * at 100 TB, task count was the whole remaining cost (SCALE.md §F.4).
+    * `spends` is deliberately absent: it is the bounded merge-on-read delta,
+    * read in full by reconciliation; `policies` point-probes by policy_id
+    * through its own slot-window mechanism. */
+  private def pointBloomColumns(table: String): Seq[String] =
+    PointBloomTables.getOrElse(table, Nil)
 
   /** Hash-keyed point-lookup columns per table: these get parquet bloom
     * filters at segment write (see writeSegmentAt), with dictionary
@@ -313,15 +330,65 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def tableSlotRange(name: String, lo: Option[Long], hi: Option[Long]): DataFrame = {
     val m = manifest
     requireCurrentSchema(m, s"reading $name")
-    val segs = m.tables.getOrElse(name, Nil).filter { s =>
+    readSegments(name, segmentsInSlotRange(m.tables.getOrElse(name, Nil), lo, hi))
+  }
+
+  private def segmentsInSlotRange(segs: List[Segment],
+                                  lo: Option[Long], hi: Option[Long]): List[Segment] =
+    segs.filter { s =>
       val okLo = (s.maxSlot, lo) match { case (Some(mx), Some(l)) => mx >= l; case _ => true }
       val okHi = (s.minSlot, hi) match { case (Some(mn), Some(h)) => mn <= h; case _ => true }
       okLo && okHi
     }
+
+  private def readSegments(name: String, segs: List[Segment]): DataFrame =
     if (segs.isEmpty)
       emptyOf(name) // LocalRelation: zero-stat, so joins against it broadcast
     else
       spark.read.schema(schemaOf(name)).parquet(segs.map(s => s"$root/${s.path}"): _*)
+
+  /** POINT-LOOKUP read: segments pruned by the slot window AND the
+    * per-segment membership sketch (schema v6, [[Schemas.segmentBloomsType]]).
+    * The parquet blooms written at v3 let each task skip every row group,
+    * but a point query still scheduled ONE TASK PER SEGMENT just to open
+    * footers — at 100 TB, task count was the entire remaining cost vs the
+    * reference's resident B-tree (SCALE.md §F.4). This moves the membership
+    * test ahead of scheduling: one distributed filter over the NARROW
+    * sidecar table (one row per segment), then a scan of only the candidate
+    * segments. The collect is bounded by the per-(table,column) sidecar row
+    * count — the same order as the manifest the driver already holds.
+    *
+    * Soundness: blooms never false-negative, so a segment holding the key
+    * is always a candidate; a live segment with NO sidecar row (or a null
+    * probe result) is scanned conservatively; stale rows for dead segments
+    * are ignored (the filter runs over the LIVE manifest's paths). The
+    * caller's row predicate still decides membership — pruning, never
+    * filtering. Gated on 2+ surviving segments like the policy/address
+    * window probes: with one segment nothing can be pruned and the probe
+    * job is pure overhead. */
+  def tableKeyPoint(name: String, column: String, key: String,
+                    lo: Option[Long] = None, hi: Option[Long] = None): DataFrame = {
+    val m = manifest
+    requireCurrentSchema(m, s"reading $name")
+    val segs = segmentsInSlotRange(m.tables.getOrElse(name, Nil), lo, hi)
+    val bloomSegs = m.tables.getOrElse("segment_blooms", Nil)
+    val keep =
+      if (segs.size < 2 || bloomSegs.isEmpty || !pointBloomColumns(name).contains(column)) segs
+      else {
+        val probe = readSegments("segment_blooms", bloomSegs)
+          .where(col("table_name") === name && col("column_name") === column)
+          .select(col("segment_path"),
+            GraftShim.column(SegmentBloomMightContain(
+              GraftShim.expression(col("bloom")),
+              GraftShim.expression(xxhash64(lit(key))))).as("hit"))
+          .collect()
+        val hits = probe.groupBy(_.getString(0)).map { case (p, rs) =>
+          // null probe result → conservative hit (scan the segment)
+          p -> rs.exists(r => r.isNullAt(1) || r.getBoolean(1))
+        }
+        segs.filter(s => hits.getOrElse(s.path, true)) // uncovered → scan
+      }
+    readSegments(name, keep)
   }
 
   /** A segment with a non-nullable stat column and no stats is provably
@@ -329,6 +396,50 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * (reconcile) and segment pruning honest, at zero extra jobs. */
   private def liveSegments(table: String, segs: List[Segment]): List[Segment] =
     if (statColumn(table).isEmpty) segs else segs.filter(_.minSlot.isDefined)
+
+  /** Membership-sketch rows for one freshly written segment: read BACK just
+    * the key columns of the written parquet (columnar — a tiny fraction of
+    * segment bytes; never a recompute of the producer pipeline, whose
+    * upstream may be arbitrarily expensive) and fold them into one
+    * serialized bloom per key column, entirely in-plan via Spark's native
+    * `BloomFilterAggregate` — the sketch bytes go straight to the sidecar
+    * segment without a driver round-trip. Keys are hashed with xxhash64
+    * (seed 42) symmetric with [[tableKeyPoint]]'s probe. */
+  private def bloomFrameFor(table: String, seg: Segment): DataFrame = {
+    val cols = pointBloomColumns(table)
+    val aggs = cols.map(c => bloomAggColumn(c, seg.rows.getOrElse(1L)).as(s"b_$c"))
+    spark.read.schema(schemaOf(table)).parquet(s"$root/${seg.path}")
+      .select(cols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(table).as("table_name"), lit(c).as("column_name"),
+        lit(seg.path).as("segment_path"), col(s"b_$c").as("bloom"))): _*)).as("r"))
+      .select(col("r.*"))
+      .where(col("bloom").isNotNull) // belt-and-braces: an (impossible)
+      // empty segment aggregates to a null sketch; dropping the row leaves
+      // the segment UNCOVERED, which the probe scans conservatively
+  }
+
+  /** If the about-to-commit change set wrote segments of point-indexed
+    * tables, sketch them (ONE job over the key columns of all of them) and
+    * splice one covering `segment_blooms` segment into the table map — the
+    * sidecar lands in the SAME atomic manifest bump as the fact segments,
+    * so the coverage invariant can never be observed broken. Every write
+    * path funnels here (append / commitAll / replace / replaceWith /
+    * compactSegments), which is what keeps rollback rewrites and
+    * compactions covered without any path-specific logic. */
+  private def addBloomSidecar(v: Long, tables: Map[String, List[Segment]],
+                              written: Seq[(String, Segment)]): Map[String, List[Segment]] = {
+    val targets = written.filter { case (t, _) => pointBloomColumns(t).nonEmpty }
+    if (targets.isEmpty) return tables
+    val frame = targets.map { case (t, sg) => bloomFrameFor(t, sg) }
+      .reduce(_ unionByName _)
+    writeSegmentAt("segment_blooms", frame, f"segment_blooms/side-$v%06d") match {
+      case None     => tables
+      case Some(sg) =>
+        tables.updated("segment_blooms", tables.getOrElse("segment_blooms", Nil) :+ sg)
+    }
+  }
 
   /** Append one segment (idempotent sinks S7/S8 become plain appends; PK
     * dedup happens at read/compaction — the "INSERT OR IGNORE" analogue).
@@ -338,10 +449,12 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * of empty segments. */
   def append(table: String, df: DataFrame): Unit = {
     val m = manifest
-    val seg = writeSegment(table, df, m.version + 1)
+    val v = m.version + 1
+    val seg = writeSegment(table, df, v)
     if (seg.isEmpty) return // nothing written → no manifest bump
     val segs = liveSegments(table, m.tables.getOrElse(table, Nil) ++ seg)
-    commitManifest(Manifest(m.version + 1, m.tables.updated(table, segs)))
+    commitManifest(Manifest(v,
+      addBloomSidecar(v, m.tables.updated(table, segs), seg.toSeq.map((table, _)))))
   }
 
   /** Commit several table changes in ONE atomic manifest bump — the true
@@ -387,24 +500,30 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
       acc.updated(t, liveSegments(t, base ++ seg.toList))
     }
-    commitManifest(Manifest(v, tables))
+    val written = results.flatMap { case (t, _, _, seg) => seg.map((t, _)) }
+    commitManifest(Manifest(v, addBloomSidecar(v, tables, written)))
   }
 
   /** Replace the full contents of a table with `df` (mutation rewrites). */
   def replace(table: String, df: DataFrame): Unit = {
     val m = manifest
-    val seg = writeSegment(table, df, m.version + 1)
-    commitManifest(Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, seg.toList))))
+    val v = m.version + 1
+    val seg = writeSegment(table, df, v)
+    commitManifest(Manifest(v, addBloomSidecar(v,
+      m.tables.updated(table, liveSegments(table, seg.toList)),
+      seg.toSeq.map((table, _)))))
   }
 
   /** Replace keeping the given existing segments and adding `df` as a new one
     * (used by rollback: untouched segments survive without a rewrite). */
   def replaceWith(table: String, kept: List[Segment], df: Option[DataFrame]): Unit = {
     val m = manifest
-    val segs = kept ++ df.flatMap(writeSegment(table, _, m.version + 1)).toList
-    commitManifest(Manifest(m.version + 1,
-      m.tables.updated(table, liveSegments(table, segs))))
+    val v = m.version + 1
+    val seg = df.flatMap(writeSegment(table, _, v))
+    val segs = kept ++ seg.toList
+    commitManifest(Manifest(v, addBloomSidecar(v,
+      m.tables.updated(table, liveSegments(table, segs)),
+      seg.toSeq.map((table, _)))))
   }
 
   /** Write one segment; None when the frame is empty (row count rides the
@@ -521,17 +640,33 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       rowsOf, maxSegments)
     val v = m.version + 1
     var part = 0
+    val written = Vector.newBuilder[Segment]
     val merged = runs.flatMap { run =>
       if (run.size == 1) run
       else {
         part += 1
-        val df = spark.read.schema(schemaOf(tableName))
+        val df0 = spark.read.schema(schemaOf(tableName))
           .parquet(run.map(s => s"$root/${s.path}"): _*)
-        writeSegmentAt(tableName, df, f"$tableName/merge-$v%06d-$part%03d").toVector
+        // compacting the SIDECAR doubles as its GC: merged runs keep only
+        // rows whose segment is still live (stale rows are never consulted
+        // — this just stops them accumulating across mutations)
+        val df =
+          if (tableName != "segment_blooms") df0
+          else {
+            val live = m.tables.iterator.filterNot(_._1 == "segment_blooms")
+              .flatMap(_._2.iterator.map(_.path)).toSeq
+            df0.where(col("segment_path").isin(live: _*))
+          }
+        val w = writeSegmentAt(tableName, df, f"$tableName/merge-$v%06d-$part%03d")
+        written ++= w
+        w.toVector
       }
     }
-    commitManifest(Manifest(v,
-      m.tables.updated(tableName, liveSegments(tableName, merged.toList))))
+    // merged fact segments need fresh sketches (their constituents' sidecar
+    // rows die with them); rides the same atomic bump
+    commitManifest(Manifest(v, addBloomSidecar(v,
+      m.tables.updated(tableName, liveSegments(tableName, merged.toList)),
+      written.result().map((tableName, _)))))
     segs.size - merged.size
   }
 
@@ -790,7 +925,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val m = manifest
     reconcile(tableAt("inputs", m)).createOrReplaceTempView(s"${prefix}inputs")
     Seq("checkpoints", "binary_data", "scripts", "patterns", "policies",
-        "address_stats")
+        "address_stats", "segment_blooms")
       .foreach(t => tableAt(t, m).createOrReplaceTempView(s"$prefix$t"))
   }
 }
@@ -840,8 +975,36 @@ object GraftIndex {
     * B-tree); v5 = current — the address_stats side table exists
     * ([[graft.Schemas.addressStatsType]]), created by backfill from
     * inputs, giving ADDRESS-scoped queries (P3/P4/P5/P6) the same
-    * slot-window segment prune. */
-  val CurrentSchemaVersion: Int = 5
+    * slot-window segment prune; v6 = current — the segment_blooms sidecar
+    * exists ([[graft.Schemas.segmentBloomsType]]): per-segment key-
+    * membership sketches over the hash-keyed point-lookup columns, created
+    * by a READ-only backfill (no fact bytes rewritten) and maintained by
+    * every subsequent write — point queries prune SEGMENTS with it, where
+    * v3's parquet blooms could only prune row groups inside a task that
+    * still had to be scheduled. */
+  val CurrentSchemaVersion: Int = 6
+
+  /** (table → hash-keyed point-lookup columns) covered by the
+    * `segment_blooms` sidecar — static so the v6 backfill migration and the
+    * per-write maintenance cannot drift apart. */
+  private[index] val PointBloomTables: Map[String, Seq[String]] = Map(
+    "inputs"      -> Seq("tx_id"),
+    "binary_data" -> Seq("binary_data_hash"),
+    "scripts"     -> Seq("script_hash"))
+
+  /** Serialized-bloom aggregate over `xxhash64(column)` (seed 42 — the
+    * probe hashes identically), sized at ~10 bits/key ≈ 1% FPP for `items`
+    * keys. The aggregate clamps to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 8M
+    * BYTES of bits): beyond ~6.7M rows/segment the FPP degrades gracefully
+    * — never a false negative, pruning just gets weaker — and a 100 TB
+    * deployment with bigger segments raises the conf. */
+  private def bloomAggColumn(column: String, items: Long): org.apache.spark.sql.Column = {
+    val n = math.max(items, 1L)
+    GraftShim.column(new BloomFilterAggregate(
+      new XxHash64(Seq(GraftShim.expression(col(column)))),
+      Literal(n), Literal(math.max(n * 10L, 64L)), 0, 0).toAggregateExpression())
+  }
 
   /** One step of the linear migration chain (the reference's numbered
     * `migrations` list, SQLite.hs:1280-1295): `to` is the schema version
@@ -932,6 +1095,44 @@ object GraftIndex {
                 .as("payment_credential"),
               min(col("created_at")).as("min_slot"),
               max(col("created_at")).as("max_slot")))
+      },
+      wholeTable = true),
+    SchemaMigration(6,
+      "create the segment_blooms sidecar from the hash-keyed tables " +
+        "(per-segment key-membership sketches: v3's parquet blooms prune " +
+        "row groups inside a scheduled task, this prunes the tasks " +
+        "themselves — the remaining 100 TB cost of a point lookup)",
+      Set("segment_blooms"),
+      // a READ of the key columns grouped by each row's segment directory —
+      // never a rewrite of fact bytes (contrast v3, where the layout change
+      // lived inside the files). Segment paths are always
+      // <table>/<segdir>/<file>, so the directory two levels up IS the
+      // manifest's segment path.
+      (read, _, df) => {
+        val segOf = regexp_extract(input_file_name(), "/([^/]+/[^/]+)/[^/]+$", 1)
+        val frames = PointBloomTables.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+          val src = read(t)
+          // numBits is a plan-time literal shared by every group: size for
+          // the LARGEST segment (oversizing a smaller one costs compressible
+          // bytes; undersizing would cost FPP). One cheap count pass over a
+          // one-time migration.
+          val perSeg = src.groupBy(segOf.as("segment_path")).count().collect()
+          if (perSeg.isEmpty) None
+          else {
+            val maxRows = perSeg.map(_.getLong(1)).max
+            val aggs = cols.map(c => bloomAggColumn(c, maxRows).as(s"b_$c"))
+            Some(src.groupBy(segOf.as("segment_path"))
+              .agg(aggs.head, aggs.tail: _*)
+              .select(explode(array(cols.map(c => struct(
+                lit(t).as("table_name"), lit(c).as("column_name"),
+                col("segment_path"), col(s"b_$c").as("bloom"))): _*)).as("r"))
+              .select(col("r.*"))
+              .where(col("bloom").isNotNull))
+          }
+        }
+        // nothing to sketch (an index with no point-indexed segments):
+        // `df` is already the NEW-layout empty frame
+        frames.reduceOption(_ unionByName _).getOrElse(df)
       },
       wholeTable = true))
 

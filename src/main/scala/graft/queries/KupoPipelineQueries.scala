@@ -208,13 +208,16 @@ object KupoPipelineQueries {
         fs.delete(p, true)
         require(fs.rename(tmp, p), s"down-convert rename failed for ${seg.path}")
       }
-      GraftIndex.Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+      // a v1-born index predates the v6 sidecar too
+      GraftIndex.Manifest.write(root,
+        m0.copy(schemaVersion = 1, tables = m0.tables - "segment_blooms"), conf)
       val old = new GraftIndex(s, root)
-      // the v1→v5 chain through the production registry: add the
+      // the v1→v6 chain through the production registry: add the
       // spend-provenance columns (v2), the address-bloom backfill rewrite
       // (v3), the policies created_at backfill (v4), the address_stats
-      // creation (v5) — one committed manifest per step
-      require(old.migrate() == 4, "expected the four-step v1->v5 chain")
+      // creation (v5), the segment_blooms sidecar backfill (v6) — one
+      // committed manifest per step
+      require(old.migrate() == 5, "expected the five-step v1->v6 chain")
       old.vacuum(0L)
       old
     })
@@ -781,6 +784,33 @@ object KupoPipelineQueries {
           |FROM inputs WHERE address NOT LIKE '00%'
           |ORDER BY created_at, transaction_id, output_index, address, coins,
           |         spent_slot""".stripMargin)),
+
+    // SCHEMA V6 end-to-end: the segment_blooms sidecar built through REAL
+    // appends + compaction + vacuum (the tiered fixture — 2 live segments,
+    // so the probe gate is active), then a point lookup through
+    // tableKeyPoint: the sketch prunes segments before Spark lists them
+    // (plan-gated in PlanShapeSpec); this oracle row proves the PRUNED
+    // answer is exact — a false negative in the sketch, a stale-path
+    // mixup, or a lost sidecar row after compaction would all drop rows
+    // here and hash-mismatch.
+    QueryDef("q_kupo_bloom_txid",
+      (s, d) => {
+        val ix = tieredIndex(s, d)
+        val k = table(s, d, "lineitem").agg(min("l_orderkey")).head().getLong(0)
+        val txId = { val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString); h + h }
+        ix.tableKeyPoint("inputs", "tx_id", txId)
+          .where(col("tx_id") === txId)
+          .select(col("tx_id").as("transaction_id"), col("output_index"),
+            col("address"), col("value.coins").cast("long").as("coins"),
+            col("created_at"))
+          .orderBy(col("output_index"), col("address"), col("coins"))
+      },
+      Some(derivationSql +
+        """SELECT transaction_id, output_index, address, coins, created_at
+          |FROM inputs
+          |WHERE transaction_id =
+          |      (SELECT md5(CAST(min(l_orderkey) AS VARCHAR)) || md5(CAST(min(l_orderkey) AS VARCHAR)) FROM lineitem)
+          |ORDER BY output_index, address, coins""".stripMargin)),
 
     // SCHEMA MIGRATION end-to-end: a down-converted v1 index (no spend
     // provenance columns) migrated back to the current schema, scanned.

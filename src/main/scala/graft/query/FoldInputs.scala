@@ -60,9 +60,17 @@ object FoldInputs {
         // the row predicate below keeps exactly the user's range semantics.
         val pruneLo = (lo.toSeq ++ window.map(_._1)).reduceOption(_ max _)
         val pruneHi = (hi.toSeq ++ window.map(_._2)).reduceOption(_ min _)
-        val scan =
-          if (pruneLo.isDefined || pruneHi.isDefined) prunedInputs(ix, pruneLo, pruneHi)
-          else ix.inputsWithSpends
+        val scan = txKey(pattern, q.filter) match {
+          // P7/P8 (*@txid, ix@txid) and ?transaction_id: the membership-
+          // sketch prune (schema v6) — only segments whose bloom might hold
+          // the key are scheduled; the pushed tx_id equality below still
+          // decides row membership (and skips row groups via the parquet
+          // bloom inside each surviving segment)
+          case Some(t) => ix.reconcile(ix.tableKeyPoint("inputs", "tx_id", t, pruneLo, pruneHi))
+          case None if pruneLo.isDefined || pruneHi.isDefined =>
+            prunedInputs(ix, pruneLo, pruneHi)
+          case None => ix.inputsWithSpends
+        }
         scan.where(rangePredicate(col("created_at"), lo, hi))
       case RangeField.SpentAt =>
         // post-compaction, the per-segment spent stats prune segments whose
@@ -314,6 +322,16 @@ object FoldInputs {
       }
   }
 
+  /** Transaction-id point key, from the pattern (P7 MatchTransactionId /
+    * P8 MatchOutputReference) or the ?transaction_id residual filter —
+    * either routes the scan through the segment-bloom prune. */
+  private def txKey(pattern: Pattern, filter: Api.FilterMatchesBy): Option[String] =
+    (pattern match {
+      case Pattern.MatchTransactionId(t)     => Some(t)
+      case Pattern.MatchOutputReference(t, _) => Some(t)
+      case _                                 => None
+    }).orElse(filter.transactionId)
+
   /** Intersection of two optional windows (an address pattern can combine
     * with a ?policy_id filter — both prune, the narrower wins). */
   private def intersectWindows(a: Option[(Long, Long)],
@@ -326,9 +344,13 @@ object FoldInputs {
   /** inputsWithSpends behind the policy/address window when the pattern is
     * so scoped — the R1/R3/balance/holders scan entry point. */
   private def windowPrunedInputs(ix: GraftIndex, pattern: Pattern): DataFrame =
-    intersectWindows(policyWindow(ix, pattern, None), addressWindow(ix, pattern)) match {
-      case Some((loW, hiW)) => prunedInputs(ix, Some(loW), Some(hiW))
-      case None             => ix.inputsWithSpends
+    txKey(pattern, Api.FilterMatchesBy()) match {
+      case Some(t) => ix.reconcile(ix.tableKeyPoint("inputs", "tx_id", t))
+      case None =>
+        intersectWindows(policyWindow(ix, pattern, None), addressWindow(ix, pattern)) match {
+          case Some((loW, hiW)) => prunedInputs(ix, Some(loW), Some(hiW))
+          case None             => ix.inputsWithSpends
+        }
     }
 
   private def prunedInputs(ix: GraftIndex, lo: Option[Long], hi: Option[Long]): DataFrame =
@@ -396,13 +418,17 @@ object FoldInputs {
         countDistinct(col("cred")).as("n_holders"))
   }
 
-  /** R4/R5 point lookups. */
+  /** R4/R5 point lookups — segment-bloom pruned (schema v6): only segments
+    * whose sketch might hold the hash are scheduled; the pushed equality
+    * then bloom-skips row groups inside them. */
   def getBinaryData(ix: GraftIndex, hashHex: String): Option[String] =
-    ix.table("binary_data").where(col("binary_data_hash") === hashHex)
+    ix.tableKeyPoint("binary_data", "binary_data_hash", hashHex)
+      .where(col("binary_data_hash") === hashHex)
       .limit(1).collect().headOption.map(_.getString(1))
 
   def getScript(ix: GraftIndex, hashHex: String): Option[String] =
-    ix.table("scripts").where(col("script_hash") === hashHex)
+    ix.tableKeyPoint("scripts", "script_hash", hashHex)
+      .where(col("script_hash") === hashHex)
       .limit(1).collect().headOption.map(_.getString(1))
 
   /** R6 listCheckpointsDesc — logarithmically-spaced recent checkpoints

@@ -68,7 +68,8 @@ object Demo {
           .write.parquet(tmp.toString)
         fs.delete(p, true); require(fs.rename(tmp, p))
       }
-      graft.index.GraftIndex.Manifest.write(ix.root, m0.copy(schemaVersion = 1), conf)
+      graft.index.GraftIndex.Manifest.write(ix.root,
+        m0.copy(schemaVersion = 1, tables = m0.tables - "segment_blooms"), conf)
       val reopened = new graft.index.GraftIndex(spark, ix.root)
       val blocked =
         try { reopened.table("inputs"); "NOT BLOCKED (bug)" }

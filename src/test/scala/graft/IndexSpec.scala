@@ -718,7 +718,10 @@ class IndexSpec extends SparkSpec {
       fs.delete(p, true)
       assert(fs.rename(tmp, p))
     }
-    Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+    // ... and no segment_blooms sidecar (a v1-born index predates v6; the
+    // orphaned dirs become ordinary vacuum candidates)
+    Manifest.write(root,
+      m0.copy(schemaVersion = 1, tables = m0.tables - "segment_blooms"), conf)
 
     // open: allowed (so migrate() can run), but reads and mutations fail
     // loudly with a run-migrate message — no silent null-filled reads
@@ -730,12 +733,18 @@ class IndexSpec extends SparkSpec {
       reopened.replace("patterns", ix2.emptyOf("patterns")))
     assert(em.getMessage.contains("migrate"), em.getMessage)
 
-    // migrate: the v1→v5 chain (add spend columns, the address-bloom
+    // migrate: the v1→v6 chain (add spend columns, the address-bloom
     // backfill, the policies created_at backfill, the address_stats
-    // creation), idempotent after
-    assert(reopened.migrate() == 4)
+    // creation, the segment_blooms sidecar), idempotent after
+    assert(reopened.migrate() == 5)
     assert(reopened.migrate() == 0)
     assert(reopened.manifest.schemaVersion == CurrentSchemaVersion)
+    // the v6 backfill sketched every live segment of the hash-keyed tables
+    val liveCov = reopened.manifest.tables.getOrElse("inputs", Nil).map(_.path).toSet
+    val sketched = reopened.table("segment_blooms")
+      .where(col("table_name") === "inputs")
+      .select("segment_path").collect().map(_.getString(0)).toSet
+    assert(liveCov.subsetOf(sketched), s"uncovered after migrate: ${liveCov -- sketched}")
     // the v4 backfill reconstructed the slot column from inputs: every
     // policies row carries its output's real creation slot again
     val polJoin = reopened.table("policies").as("p")
@@ -859,6 +868,59 @@ class IndexSpec extends SparkSpec {
     assert(ix.table("inputs").where(col("tx_id") === any).count() >= 1)
   }
 
+  test("segment_blooms sidecar: every write path maintains coverage; probe answers stay exact through mutations") {
+    import graft.index.GraftIndex
+    val g = new GraftIndex(spark, tmpDir("graft-sbloom"), vacuumGraceMs = 0L)
+    blocks.grouped(4).foreach { batch =>
+      Indexer.ingest(g, FixtureChain.toDf(spark, batch), patterns)
+    }
+    def covered(table: String): Set[String] =
+      g.table("segment_blooms").where(col("table_name") === table)
+        .select("segment_path").collect().map(_.getString(0)).toSet
+    def assertCovered(when: String): Unit =
+      Seq("inputs", "binary_data", "scripts").foreach { t =>
+        val live = g.manifest.tables.getOrElse(t, Nil).map(_.path).toSet
+        assert(live.subsetOf(covered(t)), s"[$when] uncovered $t: ${live -- covered(t)}")
+      }
+    def assertExact(when: String): Unit = {
+      val keys = g.table("inputs").select("tx_id").distinct()
+        .orderBy(col("tx_id")).collect().map(_.getString(0))
+      ((keys.take(1) ++ keys.takeRight(1)).distinct :+ ("f" * 64)).foreach { k =>
+        val pruned = g.tableKeyPoint("inputs", "tx_id", k)
+          .where(col("tx_id") === k).count()
+        val full = g.table("inputs").where(col("tx_id") === k).count()
+        assert(pruned == full, s"[$when] key $k: pruned=$pruned full=$full")
+      }
+    }
+    assertCovered("after ingest"); assertExact("after ingest")
+
+    // rollback rewrites straddling segments — their fresh sketches must
+    // land in the same atomic bump
+    val mid = g.table("checkpoints").orderBy(col("slot_no"))
+      .collect().map(_.getLong(0)).drop(5).head
+    Mutations.rollbackTo(g, mid)
+    assertCovered("after rollback"); assertExact("after rollback")
+
+    // compaction merges segments (new sketch rows) AND, when compacting
+    // the sidecar itself, GCs rows for dead segments
+    g.compactSegments("inputs", maxSegments = 1)
+    assertCovered("after compact"); assertExact("after compact")
+    val staleBefore = g.table("segment_blooms")
+      .where(col("table_name") === "inputs").count()
+    g.compactSegments("segment_blooms", maxSegments = 1)
+    g.vacuum(0L)
+    val liveNow = g.manifest.tables("inputs").map(_.path).toSet
+    val rowsNow = g.table("segment_blooms").where(col("table_name") === "inputs")
+      .select("segment_path").collect().map(_.getString(0)).toSet
+    assert(rowsNow == liveNow,
+      s"sidecar compaction should GC stale rows: $rowsNow vs live $liveNow (was $staleBefore rows)")
+    assertCovered("after sidecar compact"); assertExact("after sidecar compact")
+
+    // full-table replace (deleteInputs) re-covers the rewritten table
+    Mutations.deleteInputs(g, Set[Pattern](Pattern.MatchDelegation("0" * 55 + "1")))
+    assertCovered("after delete"); assertExact("after delete")
+  }
+
   test("address-dimension point lookups skip row groups (dictionary or bloom)") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.filter2.compat.FilterCompat
@@ -932,7 +994,8 @@ class IndexSpec extends SparkSpec {
         .write.parquet(tmp.toString)
       fs.delete(p, true); assert(fs.rename(tmp, p))
     }
-    Manifest.write(root, m0.copy(schemaVersion = 1), conf)
+    Manifest.write(root,
+      m0.copy(schemaVersion = 1, tables = m0.tables - "segment_blooms"), conf)
     fs.listStatus(new Path(root)).filter(_.getPath.getName.matches("""\.manifest-v\d+\.json"""))
       .foreach { st =>
         val in = fs.open(st.getPath)
@@ -942,11 +1005,11 @@ class IndexSpec extends SparkSpec {
           .getBytes("UTF-8")) finally out.close()
       }
 
-    // retention must cover the FOUR migration commits (one per step) for
+    // retention must cover the FIVE migration commits (one per step) for
     // the pre-migration snapshot to still resolve afterwards
-    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 5)
+    val reopened = new GraftIndex(spark, root, vacuumGraceMs = 0L, manifestRetention = 6)
     val vPre = reopened.manifest.version
-    assert(reopened.migrate() == 4)
+    assert(reopened.migrate() == 5)
     assert(reopened.inputsWithSpends.count() > 0) // current reads green
 
     // the pre-migration snapshot still RESOLVES (retention pins it) but a

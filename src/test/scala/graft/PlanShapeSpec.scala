@@ -7,6 +7,7 @@ import graft.query.{Api, FoldInputs}
 import graft.tools.FixtureChain
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape regression gates for the kupo-side read path — the FoldInputs
   * counterpart of the LLM rehearsal's plan assertions. These pin the scale
@@ -162,6 +163,37 @@ class PlanShapeSpec extends SparkSpec {
     // window COMPOSES with a user range that excludes the row: still empty
     assert(FoldInputs(g, MatchesQuery(Pattern.MatchExact(baseAddr(7, 7)).toText,
       range = SlotRange(lowerBound = Some(500L)))).count() == 0)
+  }
+
+  test("P7/P8 txid point: the segment_blooms sidecar prunes segments; absent key = zero segments; answer identical to the full scan") {
+    def segRoots(df: org.apache.spark.sql.DataFrame) =
+      scanOf(df, "inputs").flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("/inputs/")).toSet
+    val m = ix.manifest
+    val inputSegs = m.tables("inputs").map(_.path).toSet
+    assert(inputSegs.size >= 3, s"fixture should have >= 3 inputs segments")
+    // COVERAGE INVARIANT: every live segment of a point-indexed table has a
+    // sidecar row (the sidecar rides the same atomic bump as the segment)
+    val covered = ix.table("segment_blooms")
+      .where(col("table_name") === "inputs")
+      .select("segment_path").collect().map(_.getString(0)).toSet
+    assert(inputSegs.subsetOf(covered), s"uncovered: ${inputSegs -- covered}")
+
+    // a txid from the newest slot lives in exactly one segment: the probe
+    // must schedule fewer segments than the manifest holds (a bloom false
+    // positive could keep one extra — never all of them)
+    val txid = ix.table("inputs").orderBy(col("created_at").desc)
+      .select("tx_id").head().getString(0)
+    val point = FoldInputs(ix, MatchesQuery(s"*@$txid"))
+    assert(segRoots(point).size < inputSegs.size,
+      s"bloom prune should drop segments: ${segRoots(point).size} of ${inputSegs.size}")
+    // identical answer to the unpruned predicate (pruning, never filtering)
+    assert(point.count() ==
+      ix.inputsWithSpends.where(col("tx_id") === txid).count())
+    // provably-absent key: every segment pruned, zero file scans, empty
+    val absent = FoldInputs(ix, MatchesQuery(s"*@${"f" * 64}"))
+    assert(scanOf(absent, "inputs").isEmpty, "absent key must scan nothing")
+    assert(absent.count() == 0)
   }
 
   test("headline plans: no cartesian or nested-loop join; fixture-scale dims broadcast") {
