@@ -72,7 +72,7 @@ object KupoPipelineQueries {
   private def derivedInputs(s: SparkSession, dir: String): DataFrame =
     derivedShelleyInputs(s, dir).unionByName(derivedBootstrapInputs(s, dir))
 
-  private def derivedShelleyInputs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def derivedShelleyInputs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem").select(
       txIdOf(col("l_orderkey")).as("tx_id"),
       col("l_linenumber").as("output_index"),
