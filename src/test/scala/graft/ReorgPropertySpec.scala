@@ -195,6 +195,22 @@ class ReorgPropertySpec extends SparkSpec {
             s"range [$lo,$hi] fold at step $step (seed=$seed)")
           assert(FoldInputs.countInputs(ix, "*") == model.rows.size.toLong,
             s"countInputs at step $step (seed=$seed)")
+          // schema-v6 sidecar invariants UNDER the random mutation stream:
+          // every live inputs segment stays sketched (coverage rides each
+          // commit path — a hole here means some mutation forgot its
+          // sidecar), and the bloom-pruned txid point lookup agrees with
+          // the model for a present and an absent key (a false negative or
+          // stale-path mixup would drop rows exactly here)
+          val liveSegs = ix.manifest.tables.getOrElse("inputs", Nil).map(_.path).toSet
+          val sketched = ix.table("segment_blooms")
+            .where(org.apache.spark.sql.functions.col("table_name") === "inputs")
+            .select("segment_path").collect().map(_.getString(0)).toSet
+          assert(liveSegs.subsetOf(sketched),
+            s"sidecar coverage hole at step $step (seed=$seed): ${liveSegs -- sketched}")
+          (model.rows.headOption.map(_.txId).toSeq :+ ("e" * 64)).foreach { key =>
+            assert(folded(Api.MatchesQuery(s"*@$key")) == modelSet(_.txId == key),
+              s"txid point lookup for $key at step $step (seed=$seed)")
+          }
           checksRun += 1
         }
       }
