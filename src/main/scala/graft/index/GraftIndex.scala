@@ -171,6 +171,27 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     asOfVersion(version).map(m =>
       new GraftIndex(spark, root, vacuumGraceMs, manifestRetention, Some(m)))
 
+  /** ONE manifest read per QUERY: a read-only facade pinned to the manifest
+    * as of NOW. The snapshot-isolation contract ("readers pin one manifest")
+    * holds per table-read without this — but a query that touches several
+    * tables (FoldInputs: policy/address window probe, inputs scan, spends
+    * reconcile, two checkpoint joins) re-resolved the manifest at each
+    * touch, so a commit landing mid-construction could mix two index
+    * versions in one answer (window from v+1, scan from v). Pinning also
+    * caps manifest-parse work at one per query — at 10⁵ segments the
+    * manifest is multi-MB, and five parses per point lookup is pure waste.
+    * Fails loudly (run-migrate wording, not the historical-snapshot one)
+    * when the index needs migration; the concurrent-writer grace story is
+    * unchanged (vacuum's grace window protects in-flight pinned readers).
+    * Idempotent on an already-pinned facade. */
+  def pinned: GraftIndex =
+    if (pin.isDefined) this
+    else {
+      val m = manifest
+      requireCurrentSchema(m, "pinning a query snapshot")
+      new GraftIndex(spark, root, vacuumGraceMs, manifestRetention, Some(m))
+    }
+
   /** TIME TRAVEL (`manifestRetention` > 1): every commit also writes its
     * manifest as `.manifest-v<version>.json` and keeps the newest
     * `manifestRetention` versions; [[vacuum]] pins the union of their
@@ -1224,8 +1245,22 @@ object GraftIndex {
         toJson(m).getBytes(StandardCharsets.UTF_8))
     }
 
+    /** Per-root control-plane read counter — a TEST SEAM for the
+      * one-manifest-read-per-query contract ([[GraftIndex.pinned]]): at 10⁵
+      * segments the manifest is multi-MB, so a query's read count is a
+      * scale budget the suite pins, not an implementation detail. Keyed by
+      * root so a spec counting ITS index's reads is immune to suites
+      * running in parallel in the same JVM. */
+    private[graft] val readCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    private[graft] def readsOf(root: String): Long = {
+      val c = readCounts.get(root); if (c == null) 0L else c.get()
+    }
+
     def read(root: String,
              conf: Configuration = activeHadoopConf()): Option[Manifest] = {
+      readCounts.computeIfAbsent(root,
+        _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
       val p = new Path(root, "manifest.json")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None

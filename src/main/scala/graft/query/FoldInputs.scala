@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
 object FoldInputs {
   import Api._
 
-  def apply(ix: GraftIndex, q: MatchesQuery): DataFrame = {
+  def apply(ix0: GraftIndex, q: MatchesQuery): DataFrame = {
+    // ONE manifest read for the whole query: FoldInputs touches up to five
+    // tables (window probes, inputs, spends, checkpoints ×2) and each touch
+    // re-resolved manifest.json — a commit landing mid-construction could
+    // mix two index versions in one answer, and at 10⁵ segments each
+    // re-parse is multi-MB of pure waste. The pinned facade is the same
+    // mechanism time travel uses; vacuum's grace window keeps its segments
+    // alive under a concurrent writer.
+    val ix = ix0.pinned
     val pattern = Pattern.fromText(q.patternText)
       .getOrElse(throw new IllegalArgumentException(s"invalid pattern: ${q.patternText}"))
     require(!pattern.isIndexOnly, "metadata-tag patterns are index-time only")
@@ -368,7 +376,7 @@ object FoldInputs {
   /** R1 countInputs. */
   def countInputs(ix: GraftIndex, patternText: String): Long = {
     val p = patternOf(patternText)
-    windowPrunedInputs(ix, p).where(p.toPredicate).count()
+    windowPrunedInputs(ix.pinned, p).where(p.toPredicate).count()
   }
 
   /** R2 countPolicies — distinct policies carried by matching outputs. */
@@ -380,7 +388,7 @@ object FoldInputs {
     * only the slot-window SEGMENT prune for policy-scoped patterns. */
   def foldPolicies(ix: GraftIndex, patternText: String): DataFrame = {
     val p = patternOf(patternText)
-    windowPrunedInputs(ix, p)
+    windowPrunedInputs(ix.pinned, p)
       .where(p.toPredicate)
       .select(col("tx_id"), col("output_index"),
         explode(map_keys(col("value.assets"))).as("policy_id"))
@@ -394,7 +402,7 @@ object FoldInputs {
     * is the virtual `substr(address, -56)` column (db/v2.1.0/001.sql:5). */
   def balanceByPayment(ix: GraftIndex, patternText: String): DataFrame = {
     val p = patternOf(patternText)
-    windowPrunedInputs(ix, p)
+    windowPrunedInputs(ix.pinned, p)
       .where(p.toPredicate && col("spent_at").isNull)
       .groupBy(substring(col("address"), -56, 56).as("payment_credential"))
       .agg(count(lit(1)).as("n_utxos"),
@@ -409,7 +417,7 @@ object FoldInputs {
     * partial — the payload never shuffles. */
   def holdersByPolicy(ix: GraftIndex, patternText: String): DataFrame = {
     val p = patternOf(patternText)
-    windowPrunedInputs(ix, p)
+    windowPrunedInputs(ix.pinned, p)
       .where(p.toPredicate && col("spent_at").isNull)
       .select(explode(map_keys(col("value.assets"))).as("policy_id"),
         substring(col("address"), -56, 56).as("cred"))

@@ -196,6 +196,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(absent.count() == 0)
   }
 
+  test("a FoldInputs query reads the manifest exactly once (pinned snapshot per query)") {
+    // at 10⁵ segments the manifest is multi-MB — per-query read count is a
+    // scale budget. The pinned facade also closes the cross-table race: a
+    // commit landing mid-construction can no longer mix two index versions
+    // (window from v+1, scan from v) in one answer. Own index + per-root
+    // counter → immune to suites running in parallel in this JVM.
+    val g = new GraftIndex(spark, tmpDir("graft-onepin"))
+    Indexer.ingest(g, FixtureChain.toDf(spark, FixtureChain.chain(8)), patterns)
+    val root = g.root
+    def reads = graft.index.GraftIndex.Manifest.readsOf(root)
+    val before = reads
+    val df = FoldInputs(g, MatchesQuery("*", resolveHashes = true))
+    val built = reads
+    assert(built - before == 1, s"plan construction read the manifest ${built - before}x")
+    df.count()
+    assert(reads == built, "execution must not re-read the manifest")
+    // the window-probing shape (policy pattern) stays at one read too
+    val before2 = reads
+    FoldInputs(g, MatchesQuery(s"${"0" * 55}2.*")).count()
+    assert(reads - before2 == 1, s"policy-window query read the manifest ${reads - before2}x")
+  }
+
   test("headline plans: no cartesian or nested-loop join; fixture-scale dims broadcast") {
     val shapes = Seq(
       FoldInputs(ix, MatchesQuery("*", resolveHashes = true)),
