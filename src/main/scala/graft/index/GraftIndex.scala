@@ -362,7 +362,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       okLo && okHi
     }
 
-  private def readSegments(name: String, segs: List[Segment]): DataFrame =
+  private[index] def readSegments(name: String, segs: List[Segment]): DataFrame =
     if (segs.isEmpty)
       emptyOf(name) // LocalRelation: zero-stat, so joins against it broadcast
     else
@@ -392,24 +392,33 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val m = manifest
     requireCurrentSchema(m, s"reading $name")
     val segs = segmentsInSlotRange(m.tables.getOrElse(name, Nil), lo, hi)
+    readSegments(name, keyCandidates(m, name, column, key, segs).getOrElse(segs))
+  }
+
+  /** The sidecar probe alone: which of `segs` might hold `key`? None when
+    * the probe cannot narrow (cost-benefit gate, no sidecar, or an
+    * unindexed column) — callers then treat every segment as a candidate.
+    * Shared by the point-lookup read and the targeted deleteInputs rewrite
+    * (the mutation-side use of the same index, like the reference's DELETE
+    * walking its B-trees). */
+  private[graft] def keyCandidates(m: Manifest, name: String, column: String,
+                                   key: String,
+                                   segs: List[Segment]): Option[List[Segment]] = {
     val bloomSegs = m.tables.getOrElse("segment_blooms", Nil)
-    val keep =
-      if (segs.size < 2 || bloomSegs.isEmpty || !pointBloomColumns(name).contains(column)) segs
-      else {
-        val probe = readSegments("segment_blooms", bloomSegs)
-          .where(col("table_name") === name && col("column_name") === column)
-          .select(col("segment_path"),
-            GraftShim.column(SegmentBloomMightContain(
-              GraftShim.expression(col("bloom")),
-              GraftShim.expression(xxhash64(lit(key))))).as("hit"))
-          .collect()
-        val hits = probe.groupBy(_.getString(0)).map { case (p, rs) =>
-          // null probe result → conservative hit (scan the segment)
-          p -> rs.exists(r => r.isNullAt(1) || r.getBoolean(1))
-        }
-        segs.filter(s => hits.getOrElse(s.path, true)) // uncovered → scan
-      }
-    readSegments(name, keep)
+    if (segs.size < 2 || bloomSegs.isEmpty || !pointBloomColumns(name).contains(column))
+      return None
+    val probe = readSegments("segment_blooms", bloomSegs)
+      .where(col("table_name") === name && col("column_name") === column)
+      .select(col("segment_path"),
+        GraftShim.column(SegmentBloomMightContain(
+          GraftShim.expression(col("bloom")),
+          GraftShim.expression(xxhash64(lit(key))))).as("hit"))
+      .collect() // bounded: ≤ one row per segment ever live — manifest-scale
+    val hits = probe.groupBy(_.getString(0)).map { case (p, rs) =>
+      // null probe result → conservative hit (scan the segment)
+      p -> rs.exists(r => r.isNullAt(1) || r.getBoolean(1))
+    }
+    Some(segs.filter(s => hits.getOrElse(s.path, true))) // uncovered → scan
   }
 
   /** A segment with a non-nullable stat column and no stats is provably

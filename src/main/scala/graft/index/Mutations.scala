@@ -21,17 +21,41 @@ object Mutations {
     ix.append("spends", spends)
 
   /** U2 deleteInputs (SQLite.hs:641-643,846-855): delete rows matching a
-    * pattern — anti-filter rewrite. Returns rows deleted (count observed on
-    * the rewrite itself, no extra scans). */
+    * pattern — anti-filter rewrite of ONLY the segments that can hold a
+    * match. The reference's DELETE walks the same B-trees its reads use;
+    * here the policy/address slot windows and the v6 key blooms prove most
+    * segments irrelevant, and those are kept VERBATIM (their stats and
+    * sidecar rows stay valid — paths unchanged). Before this, deleting a
+    * spam policy from a 100 TB index rewrote every segment; now it rewrites
+    * the policy's slot window, and deleting an ABSENT key touches zero
+    * bytes. An unbounded pattern (MatchAny, metadata tag, or probes gated
+    * off) falls back to the full rewrite. Returns rows deleted (observed on
+    * the rewrite itself — segments left out provably hold no match, so they
+    * contribute zero by the windows'/bloom's soundness). */
   def deleteInputs(ix: GraftIndex, patterns: Set[Pattern]): Long = {
-    val obsAll = org.apache.spark.sql.Observation()
-    val obsKept = org.apache.spark.sql.Observation()
-    val keep = ix.table("inputs")
-      .observe(obsAll, count(lit(1)).as("n"))
-      .where(!Pattern.anyOf(patterns))
-      .observe(obsKept, count(lit(1)).as("n"))
-    ix.replace("inputs", keep)
-    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
+    val snap = ix.pinned // one manifest read for the whole derivation
+    val segs = snap.manifest.tables.getOrElse("inputs", Nil)
+    val (rewrite, kept) =
+      graft.query.FoldInputs.relevantInputSegments(snap, patterns) match {
+        case None        => (segs, List.empty[GraftIndex.Segment])
+        case Some(paths) => segs.partition(s => paths.contains(s.path))
+      }
+    if (rewrite.isEmpty) return 0L // provably no matching row anywhere
+    // deleted = rows(rewritten segments) − rows(their replacement), both off
+    // MANIFEST STATS — no counting scans, and no Observation: a filter that
+    // deletes a whole segment propagates empty at runtime (AQE) and drops
+    // sub-exchange CollectMetrics nodes with it, losing the observed count
+    val rewriteRows = {
+      val viaStats = rewrite.flatMap(_.rows)
+      if (viaStats.size == rewrite.size) viaStats.sum
+      else snap.readSegments("inputs", rewrite).count() // legacy no-rows manifests
+    }
+    val keep = snap.readSegments("inputs", rewrite).where(!Pattern.anyOf(patterns))
+    ix.replaceWith("inputs", kept, Some(keep))
+    val keptPaths = kept.map(_.path).toSet
+    val newRows = ix.manifest.tables.getOrElse("inputs", Nil)
+      .filterNot(s => keptPaths.contains(s.path)).flatMap(_.rows).sum
+    rewriteRows - newRows
   }
 
   /** U3 pruneInputs (SQLite.hs:654-657,876-883): GC spent rows older than
@@ -43,18 +67,24 @@ object Mutations {
       case r                  => r.getLong(0)
     }
     val threshold = maxSlot - longestRollback
-    // observe before/after counts ON the rewrite itself — one pass over the
-    // table instead of two extra counting scans (the reference's return value
-    // comes free from sqlite's changes(); ours rides the write action)
-    val obsAll = org.apache.spark.sql.Observation()
-    val obsKept = org.apache.spark.sql.Observation()
-    val keep = ix.inputsWithSpends
-      .observe(obsAll, count(lit(1)).as("n"))
+    // collected = rows(before) − rows(after), both off MANIFEST STATS —
+    // no counting scans, and no Observation: a GC that empties the table
+    // propagates empty at runtime (AQE) and drops sub-exchange
+    // CollectMetrics nodes with it, losing the observed count (reconcile
+    // is 1:1 on inputs rows, so the before-count is the inputs stat sum)
+    val snap = ix.pinned
+    val before = snap.manifest.tables.getOrElse("inputs", Nil)
+    val beforeRows = {
+      val viaStats = before.flatMap(_.rows)
+      if (viaStats.size == before.size) viaStats.sum
+      else snap.table("inputs").count() // legacy no-rows manifests
+    }
+    val keep = snap.inputsWithSpends
       .where(col("spent_at").isNull || col("spent_at") >= threshold)
-      .observe(obsKept, count(lit(1)).as("n"))
     ix.replace("inputs", keep)
     ix.replace("spends", ix.emptyOf("spends"))
-    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
+    val afterRows = ix.manifest.tables.getOrElse("inputs", Nil).flatMap(_.rows).sum
+    beforeRows - afterRows
   }
 
   /** U4 pruneBinaryData (SQLite.hs:758-760,1031-1041): anti-join GC of datums

@@ -340,6 +340,40 @@ object FoldInputs {
       case _                                 => None
     }).orElse(filter.transactionId)
 
+  /** MUTATION-SIDE index use: which live `inputs` segments can hold rows
+    * matching ANY of `patterns`? None = unbounded (some pattern has no
+    * serving index — MatchAny, metadata tags — or the probes' cost-benefit
+    * gates are off); Some(paths) = only these segments need touching when
+    * deleting by the pattern set — the Spark analogue of the reference's
+    * DELETE walking its B-trees (SQLite.hs:846-855 deletes by the same
+    * indexed predicates the reads use). Soundness is the read path's: the
+    * side tables are SUPERSETS of live inputs (stale rows only widen) and
+    * blooms never false-negative, so a segment left out provably holds no
+    * matching row. Callers should pass a PINNED index so the derivation
+    * reads one manifest. */
+  private[graft] def relevantInputSegments(ix: GraftIndex,
+                                           patterns: Set[Pattern]): Option[Set[String]] = {
+    val m = ix.manifest
+    val segs = m.tables.getOrElse("inputs", Nil)
+    val per: Seq[Option[Set[String]]] = patterns.toSeq.map {
+      case Pattern.MatchTransactionId(t) =>
+        ix.keyCandidates(m, "inputs", "tx_id", t, segs).map(_.map(_.path).toSet)
+      case Pattern.MatchOutputReference(t, _) =>
+        ix.keyCandidates(m, "inputs", "tx_id", t, segs).map(_.map(_.path).toSet)
+      case p =>
+        intersectWindows(policyWindow(ix, p, None), addressWindow(ix, p)).map {
+          case (lo, hi) =>
+            // stat-less segments (None) are kept conservatively; an EMPTY
+            // window (absent key: MaxValue..MinValue) keeps nothing — the
+            // delete of an absent policy/address touches zero bytes
+            segs.filter(s => s.maxSlot.forall(_ >= lo) && s.minSlot.forall(_ <= hi))
+              .map(_.path).toSet
+        }
+    }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.foldLeft(Set.empty[String])(_ ++ _))
+  }
+
   /** Intersection of two optional windows (an address pattern can combine
     * with a ?policy_id filter — both prune, the narrower wins). */
   private def intersectWindows(a: Option[(Long, Long)],

@@ -686,6 +686,50 @@ class IndexSpec extends SparkSpec {
       .count() == 0L, "pruneInputs must collect the overlap-spent row")
   }
 
+  test("deleteInputs rewrites only index-relevant segments; absent keys touch zero bytes") {
+    import graft.tools.FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-del"), vacuumGraceMs = 0L)
+    val polA = hex28(60)
+    // policy A and tx 610 live ONLY in the early batch; the late batch is
+    // plain rows — its segment must survive policy/tx deletes verbatim
+    val early = Seq(Blk(10L, hex32(1), Seq(
+      Tx(hex32(610), Nil, Seq(Out(baseAddr(0, 0), 5L, Map(polA -> Map("aa" -> 1L))))),
+      Tx(hex32(611), Nil, Seq(Out(baseAddr(1, 0), 6L))))))
+    val late = Seq(Blk(1000L, hex32(2), Seq(
+      Tx(hex32(620), Nil, Seq(Out(baseAddr(2, 0), 7L))))))
+    Indexer.ingest(g, FixtureChain.toDf(spark, early), patterns)
+    Indexer.ingest(g, FixtureChain.toDf(spark, late), patterns)
+    val before = g.manifest
+    val lateSeg = before.tables("inputs").maxBy(_.minSlot.getOrElse(0L))
+    assert(before.tables("inputs").size == 2)
+
+    // absent policy: provably-empty window → zero bytes touched, no bump
+    assert(Mutations.deleteInputs(g, Set[Pattern](Pattern.MatchPolicyId("ff" * 28))) == 0L)
+    assert(g.manifest.version == before.version, "absent-key delete must not bump the manifest")
+
+    // policy delete: early segment rewritten, LATE SEGMENT KEPT VERBATIM
+    assert(Mutations.deleteInputs(g, Set[Pattern](Pattern.MatchPolicyId(polA))) == 1L)
+    val after = g.manifest
+    assert(after.tables("inputs").exists(_.path == lateSeg.path),
+      "segment outside the policy window must survive the delete untouched")
+    assert(g.table("inputs").count() == 2L)
+    assert(g.table("inputs").where(col("tx_id") === hex32(610)).count() == 0L)
+
+    // txid delete via the v6 bloom: only the candidate segment is touched
+    val before2 = g.manifest
+    val late2 = before2.tables("inputs").maxBy(_.minSlot.getOrElse(0L))
+    assert(Mutations.deleteInputs(g,
+      Set[Pattern](Pattern.MatchTransactionId(hex32(611)))) == 1L)
+    assert(g.manifest.tables("inputs").exists(_.path == late2.path),
+      "bloom-irrelevant segment must survive a txid delete untouched")
+    assert(g.table("inputs").count() == 1L)
+
+    // unbounded pattern: full rewrite, everything goes
+    assert(Mutations.deleteInputs(g,
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true))) == 1L)
+    assert(g.table("inputs").count() == 0L)
+  }
+
   test("schema migration: v1 fails loudly until migrate(), rollback+vacuum survive the boundary") {
     import GraftIndex.{CurrentSchemaVersion, Manifest}
     val ix2 = freshIndex()
