@@ -62,7 +62,8 @@ object Mutations {
     * maxSlot − longestRollback. One declarative job — the reference's
     * LIMIT-50000 incremental dance exists only to bound writer latency. */
   def pruneInputs(ix: GraftIndex, longestRollback: Long): Long = {
-    val maxSlot = ix.table("checkpoints").agg(max("slot_no")).head() match {
+    val snap0 = ix.pinned // one manifest read for the whole derivation
+    val maxSlot = snap0.table("checkpoints").agg(max("slot_no")).head() match {
       case r if r.isNullAt(0) => return 0L
       case r                  => r.getLong(0)
     }
@@ -72,19 +73,32 @@ object Mutations {
     // propagates empty at runtime (AQE) and drops sub-exchange
     // CollectMetrics nodes with it, losing the observed count (reconcile
     // is 1:1 on inputs rows, so the before-count is the inputs stat sum)
-    val snap = ix.pinned
-    val before = snap.manifest.tables.getOrElse("inputs", Nil)
-    val beforeRows = {
-      val viaStats = before.flatMap(_.rows)
-      if (viaStats.size == before.size) viaStats.sum
-      else snap.table("inputs").count() // legacy no-rows manifests
+    val snap = snap0
+    val segs = snap.manifest.tables.getOrElse("inputs", Nil)
+    // stat surgery (rollback's trick, applied to GC): with the spends delta
+    // EMPTY every effective spent_at is baked in, so a NoneSpent segment
+    // provably holds nothing to collect — keep it verbatim. On a mostly-
+    // unspent index (the --prune-utxo steady state) the GC then touches
+    // only segments that ever baked a spend. A non-empty delta may mark any
+    // segment → rewrite all (the delta folds in and clears, as before).
+    val deltaEmpty = snap.manifest.tables.getOrElse("spends", Nil).isEmpty
+    val (kept, rewrite) =
+      if (deltaEmpty) segs.partition(_.spent == GraftIndex.SpentStat.NoneSpent)
+      else (List.empty[GraftIndex.Segment], segs)
+    if (rewrite.isEmpty) return 0L // provably nothing to collect, no bump
+    val rewriteRows = {
+      val viaStats = rewrite.flatMap(_.rows)
+      if (viaStats.size == rewrite.size) viaStats.sum
+      else snap.readSegments("inputs", rewrite).count() // legacy no-rows manifests
     }
-    val keep = snap.inputsWithSpends
+    val keep = snap.reconcile(snap.readSegments("inputs", rewrite))
       .where(col("spent_at").isNull || col("spent_at") >= threshold)
-    ix.replace("inputs", keep)
-    ix.replace("spends", ix.emptyOf("spends"))
-    val afterRows = ix.manifest.tables.getOrElse("inputs", Nil).flatMap(_.rows).sum
-    beforeRows - afterRows
+    ix.replaceWith("inputs", kept, Some(keep))
+    if (!deltaEmpty) ix.replace("spends", ix.emptyOf("spends"))
+    val keptPaths = kept.map(_.path).toSet
+    val afterRows = ix.manifest.tables.getOrElse("inputs", Nil)
+      .filterNot(s => keptPaths.contains(s.path)).flatMap(_.rows).sum
+    rewriteRows - afterRows
   }
 
   /** U4 pruneBinaryData (SQLite.hs:758-760,1031-1041): anti-join GC of datums

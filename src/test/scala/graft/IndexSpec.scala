@@ -730,6 +730,37 @@ class IndexSpec extends SparkSpec {
     assert(g.table("inputs").count() == 0L)
   }
 
+  test("pruneInputs keeps NoneSpent segments verbatim when the delta is empty") {
+    import graft.tools.FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-prune"), vacuumGraceMs = 0L)
+    val early = Seq(
+      Blk(10L, hex32(3), Seq(Tx(hex32(700), Nil, Seq(Out(baseAddr(0, 0), 5L))))),
+      Blk(20L, hex32(4), Seq(Tx(hex32(701), Seq((hex32(700), 0)), Seq(Out(baseAddr(1, 0), 6L))))))
+    Indexer.ingest(g, toDf(spark, early), patterns)
+    g.compact() // bake the spend mark, clear the delta
+    val late = Seq(Blk(5000L, hex32(5), Seq(
+      Tx(hex32(702), Nil, Seq(Out(baseAddr(2, 0), 7L))))))
+    Indexer.ingest(g, toDf(spark, late), patterns)
+    val m0 = g.manifest
+    val noneSpent = m0.tables("inputs").filter(_.spent == GraftIndex.SpentStat.NoneSpent)
+    assert(noneSpent.nonEmpty, "fixture needs a NoneSpent segment")
+    assert(m0.tables("inputs").size >= 2)
+
+    // threshold = 5000 − 100 = 4900 > spent_at = 20 → the baked spent row
+    // is collected; the NoneSpent segment must survive UNTOUCHED
+    assert(Mutations.pruneInputs(g, longestRollback = 100L) == 1L)
+    noneSpent.foreach(s => assert(g.manifest.tables("inputs").exists(_.path == s.path),
+      s"NoneSpent segment ${s.path} must survive pruneInputs untouched"))
+    assert(g.table("inputs").count() == 2L)
+
+    // steady state: everything NoneSpent now → provably nothing to collect,
+    // zero bytes touched, no manifest bump (the old crash case was a GC
+    // emptying its rewrite set — rows(after) now comes off manifest stats)
+    val v = g.manifest.version
+    assert(Mutations.pruneInputs(g, longestRollback = 100L) == 0L)
+    assert(g.manifest.version == v, "no-op GC must not bump the manifest")
+  }
+
   test("schema migration: v1 fails loudly until migrate(), rollback+vacuum survive the boundary") {
     import GraftIndex.{CurrentSchemaVersion, Manifest}
     val ix2 = freshIndex()
