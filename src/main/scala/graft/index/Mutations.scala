@@ -119,7 +119,21 @@ object Mutations {
     * hashes, checkpoints copied whole. Returns the new index. */
   def copyFiltered(src: GraftIndex, dstRoot: String, patterns: Set[Pattern]): GraftIndex = {
     val dst = new GraftIndex(src.spark, dstRoot)
-    val kept = src.inputsWithSpends.where(Pattern.anyOf(patterns))
+    val snap = src.pinned
+    // bootstrap scans ONLY the segments that can hold a match (the same
+    // window/bloom relevance deleteInputs walks): spinning a per-dapp copy
+    // off a 100 TB source reads the patterns' slot windows, not the whole
+    // index. Rows outside the relevant segments provably fail the filter,
+    // so the copy is byte-identical either way; reconcile still reads the
+    // full (bounded) spends delta, so spend marks on surviving rows land.
+    val scan = graft.query.FoldInputs.relevantInputSegments(snap, patterns) match {
+      case None        => snap.inputsWithSpends
+      case Some(paths) =>
+        val segs = snap.manifest.tables.getOrElse("inputs", Nil)
+          .filter(s => paths.contains(s.path))
+        snap.reconcile(snap.readSegments("inputs", segs))
+    }
+    val kept = scan.where(Pattern.anyOf(patterns))
     dst.replace("inputs", kept)
     // the three side-table prunes semi-join against the WRITTEN inputs copy
     // (read-back beats recomputing the filtered reconcile three times) and
@@ -135,15 +149,15 @@ object Mutations {
     import spark.implicits._
     dst.commitAll(replaces = Map(
       "policies" ->
-        src.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"),
+        snap.table("policies").join(keptRefs, Seq("tx_id", "output_index"), "left_semi"),
       // rebuilt (not copied): the copy holds fewer inputs, and a fresh
       // aggregate gives it exact windows instead of the source's stale-wide
       // ones
       "address_stats" -> graft.ingest.MatchBlock.addressStats(dst.table("inputs")),
       "binary_data" ->
-        src.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"),
+        snap.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"),
       "scripts" ->
-        src.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"),
+        snap.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"),
       "patterns" -> patterns.map(_.toText).toSeq.toDF("pattern")))
     // checkpoints copy unfiltered: adopt the immutable segment files
     // verbatim (file-level copy + manifest registration, no Spark job)

@@ -730,6 +730,36 @@ class IndexSpec extends SparkSpec {
     assert(g.table("inputs").count() == 0L)
   }
 
+  test("copyFiltered through the relevance prune copies the same bytes as a full scan") {
+    import graft.tools.FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-copyrel"), vacuumGraceMs = 0L)
+    val polA = hex28(61)
+    val early = Seq(Blk(10L, hex32(6), Seq(
+      Tx(hex32(630), Nil, Seq(Out(baseAddr(0, 0), 5L, Map(polA -> Map("aa" -> 2L))))),
+      Tx(hex32(631), Nil, Seq(Out(baseAddr(1, 0), 6L))))))
+    val late = Seq(Blk(1000L, hex32(7), Seq(
+      Tx(hex32(632), Nil, Seq(Out(baseAddr(2, 0), 7L))))))
+    Indexer.ingest(g, FixtureChain.toDf(spark, early), patterns)
+    Indexer.ingest(g, FixtureChain.toDf(spark, late), patterns)
+    assert(g.manifest.tables("inputs").size == 2)
+    def rowsOf(ix2: GraftIndex) = ix2.table("inputs")
+      .select("tx_id", "output_index").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // window-served pattern (policy lives only in the early segment): the
+    // copy scans the window yet must produce exactly the filter's rows
+    val byPol = Mutations.copyFiltered(g, tmpDir("graft-copyrel-a"),
+      Set[Pattern](Pattern.MatchPolicyId(polA)))
+    assert(rowsOf(byPol) == Set((hex32(630), 0)))
+    // bloom-served pattern (single outref)
+    val byTx = Mutations.copyFiltered(g, tmpDir("graft-copyrel-b"),
+      Set[Pattern](Pattern.MatchTransactionId(hex32(632))))
+    assert(rowsOf(byTx) == Set((hex32(632), 0)))
+    // unbounded pattern: full scan, everything copied
+    val all = Mutations.copyFiltered(g, tmpDir("graft-copyrel-c"),
+      Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    assert(rowsOf(all) == Set((hex32(630), 0), (hex32(631), 0), (hex32(632), 0)))
+  }
+
   test("pruneInputs keeps NoneSpent segments verbatim when the delta is empty") {
     import graft.tools.FixtureChain._
     val g = new GraftIndex(spark, tmpDir("graft-prune"), vacuumGraceMs = 0L)
