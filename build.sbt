@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract lines must reach the caller as machine-parseable
+// JSON on their own stdout lines; sbt's default LoggedOutput strategy
+// prefixes every forked-run line with "[info] " (which is exactly what kept
+// BENCH_r9..r12 `parsed: null`). StdoutOutput passes the child's stdout and
+// stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

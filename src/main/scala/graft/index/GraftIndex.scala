@@ -479,6 +479,28 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * of empty segments. */
   def append(table: String, df: DataFrame): Unit = {
     val m = manifest
+    // THE SUPERSET INVARIANT, enforced at the write: the v4/v5 windows
+    // (policyWindow/addressWindow) and the mutation-side relevance walk
+    // (FoldInputs.relevantInputSegments) are sound only while policies /
+    // address_stats cover every live inputs row. The Indexer and the
+    // backfill maintain them explicitly; a RAW inputs append (rehearsals,
+    // ad-hoc loads) silently broke the invariant — a window then derived
+    // too-narrow bounds and deleteInputs could durably skip matching
+    // segments. Both side-table batches derive from the appended frame
+    // itself, so maintain them here, in the same atomic bump. Side tables
+    // that are EMPTY stay empty: their windows are gated off entirely, so
+    // an index that never indexed them stays cheap and sound.
+    if (table == "inputs") {
+      val sides = Seq(
+        "policies" -> (() => graft.ingest.MatchBlock.policiesOf(df)),
+        "address_stats" -> (() => graft.ingest.MatchBlock.addressStats(df)))
+        .filter { case (t, _) => m.tables.getOrElse(t, Nil).nonEmpty }
+      if (sides.nonEmpty) {
+        commitAll(appends =
+          Map("inputs" -> df) ++ sides.map { case (t, mk) => t -> mk() })
+        return
+      }
+    }
     val v = m.version + 1
     val seg = writeSegment(table, df, v)
     if (seg.isEmpty) return // nothing written → no manifest bump
@@ -707,19 +729,44 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * deletion vectors), so the big side never shuffles. Without this the
     * planner picks a SortMergeJoin and shuffles the whole fact table to
     * reconcile a few thousand spend marks — the difference between a
-    * map-only scan and a 100 TB shuffle. */
+    * map-only scan and a 100 TB shuffle.
+    *
+    * The broadcast invariant is ENFORCED, not assumed: the delta's size is
+    * read off the manifest row stats (zero IO) and compared against
+    * `spark.graft.spends.broadcastMaxRows` (default 1M). A deployment that
+    * defers compaction past the gate gets a loud stderr line and a plain
+    * shuffled join — Catalyst/AQE pick the strategy from real sizes —
+    * instead of an executor OOM three stages away from the cause. A
+    * segment missing its row stat (pre-v2-stat manifest) counts as
+    * unbounded, which fails safe to the shuffle path. */
   def reconcile(in: DataFrame): DataFrame = {
-    if (manifest.tables.getOrElse("spends", Nil).isEmpty) return in
-    val sp = broadcast(table("spends")
-      // the delta is broadcast-bounded, so dedup it in ONE partition: a
-      // single-partition child satisfies the aggregation's distribution and
-      // Catalyst inserts no Exchange — reconciled queries run shuffle-FREE
-      // end to end instead of paying a (tiny but stage-creating) delta
-      // shuffle per query
-      .coalesce(1)
-      .dropDuplicates("tx_id", "output_index") // idempotent re-marking
-      .withColumnsRenamed(Map(
-        "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")))
+    val spendSegs = manifest.tables.getOrElse("spends", Nil)
+    if (spendSegs.isEmpty) return in
+    val maxRows = spark.conf.getOption("spark.graft.spends.broadcastMaxRows")
+      .map(_.toLong).getOrElse(DefaultSpendsBroadcastMaxRows)
+    val deltaRows = spendSegs.foldLeft(0L) { (a, s) =>
+      math.min(Long.MaxValue / 4, a + s.rows.getOrElse(Long.MaxValue / 4)) }
+    val dedupKeys = Seq("tx_id", "output_index")
+    val renames = Map(
+      "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")
+    val sp =
+      if (deltaRows <= maxRows)
+        broadcast(table("spends")
+          // the delta is broadcast-bounded, so dedup it in ONE partition: a
+          // single-partition child satisfies the aggregation's distribution
+          // and Catalyst inserts no Exchange — reconciled queries run
+          // shuffle-FREE end to end instead of paying a (tiny but
+          // stage-creating) delta shuffle per query
+          .coalesce(1)
+          .dropDuplicates(dedupKeys) // idempotent re-marking
+          .withColumnsRenamed(renames))
+      else {
+        System.err.println(s"[graft] spends delta at $root holds ~$deltaRows rows " +
+          s"(> spark.graft.spends.broadcastMaxRows=$maxRows): reconciling via " +
+          "shuffle join — run compactSpends()/compact() to restore the " +
+          "broadcast merge-on-read path")
+        table("spends").dropDuplicates(dedupKeys).withColumnsRenamed(renames)
+      }
     in.join(sp, Seq("tx_id", "output_index"), "left_outer")
       .select(
         in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
@@ -738,16 +785,31 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * ?spent_after query then opens only recently-spent segments. With a
     * non-empty delta a mark may target ANY segment, so fall back to the full
     * reconciled scan (pruning would be unsound). */
-  def inputsForSpentRange(lo: Option[Long]): DataFrame = {
+  def inputsForSpentRange(lo: Option[Long],
+                          createdLo: Option[Long] = None,
+                          createdHi: Option[Long] = None): DataFrame = {
     val m = manifest
     val deltaEmpty = m.tables.getOrElse("spends", Nil).isEmpty
-    if (!deltaEmpty || lo.isEmpty) return inputsWithSpends
+    if (!deltaEmpty) return inputsWithSpends
+    if (lo.isEmpty && createdLo.isEmpty && createdHi.isEmpty) return inputsWithSpends
+    // two INDEPENDENT sound prunes, intersected:
+    //  - spent stat: a segment whose max(spent_at) predates the lower bound
+    //    holds no row spent in range;
+    //  - created window (from the v4/v5 policy/address side tables, plus
+    //    the spent upper bound itself — a row is created no later than it
+    //    is spent): a segment outside [createdLo, createdHi] holds no
+    //    pattern-matching row at all. Stat-less segments stay, conservatively.
     val segs = m.tables.getOrElse("inputs", Nil).filter { s =>
-      s.spent match {
-        case SpentStat.NoneSpent => false
-        case SpentStat.MaxAt(mx) => mx >= lo.get
-        case SpentStat.Unknown   => true // pre-upgrade manifest: can't prune
+      val spentOk = lo.forall { l =>
+        s.spent match {
+          case SpentStat.NoneSpent => false
+          case SpentStat.MaxAt(mx) => mx >= l
+          case SpentStat.Unknown   => true // pre-upgrade manifest: can't prune
+        }
       }
+      spentOk &&
+        createdLo.forall(wl => s.maxSlot.forall(_ >= wl)) &&
+        createdHi.forall(wh => s.minSlot.forall(_ <= wh))
     }
     if (segs.isEmpty)
       emptyOf("inputs") // LocalRelation: zero-stat, so joins against it broadcast
@@ -965,6 +1027,14 @@ object GraftIndex {
     * deleted (see `vacuum`). Snapshot reads pin a manifest per QUERY, not
     * per session, so ten minutes is orders of magnitude beyond any query. */
   val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
+  /** Ceiling (rows, from manifest stats — no IO) on the spends delta that
+    * [[GraftIndex.reconcile]] will broadcast; ~1M delta rows is ~200 MB
+    * serialized, comfortably under executor broadcast budgets, and a delta
+    * past it means compaction cadence has slipped — reconcile then falls
+    * back to a shuffled join LOUDLY instead of OOMing the executors.
+    * Override per-session via `spark.graft.spends.broadcastMaxRows`. */
+  val DefaultSpendsBroadcastMaxRows: Long = 1000000L
 
   /** Per-segment max(spent_at) stat — `Unknown` (pre-upgrade manifests: must
     * be rewritten conservatively on rollback), `NoneSpent` (no spent rows),
@@ -1259,7 +1329,11 @@ object GraftIndex {
       * segments the manifest is multi-MB, so a query's read count is a
       * scale budget the suite pins, not an implementation detail. Keyed by
       * root so a spec counting ITS index's reads is immune to suites
-      * running in parallel in the same JVM. */
+      * running in parallel in the same JVM. OFF by default: the production
+      * read path pays one volatile read, never per-root map entries that
+      * accumulate for the JVM lifetime — a spec opts in via [[trackReads]]
+      * before taking its first snapshot. */
+    @volatile private[graft] var trackReads = false
     private[graft] val readCounts =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     private[graft] def readsOf(root: String): Long = {
@@ -1268,8 +1342,9 @@ object GraftIndex {
 
     def read(root: String,
              conf: Configuration = activeHadoopConf()): Option[Manifest] = {
-      readCounts.computeIfAbsent(root,
-        _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
+      if (trackReads)
+        readCounts.computeIfAbsent(root,
+          _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
       val p = new Path(root, "manifest.json")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None

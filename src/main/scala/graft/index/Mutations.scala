@@ -160,8 +160,12 @@ object Mutations {
         snap.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"),
       "patterns" -> patterns.map(_.toText).toSeq.toDF("pattern")))
     // checkpoints copy unfiltered: adopt the immutable segment files
-    // verbatim (file-level copy + manifest registration, no Spark job)
-    dst.adoptSegments("checkpoints", src)
+    // verbatim (file-level copy + manifest registration, no Spark job) —
+    // from the SAME pinned snapshot the inputs scan read, never the live
+    // src: a commit landing mid-copy would otherwise yield a copy whose
+    // checkpoints claim sync to a slot whose inputs it lacks (vacuum's
+    // grace window keeps the pinned segments alive for the file copy)
+    dst.adoptSegments("checkpoints", snap)
     dst
   }
 

@@ -70,13 +70,19 @@ object PatternManager {
       // only rows no active pattern already produced (PK anti-join keeps the
       // union duplicate-free without waiting for compaction)
       val fresh = m.produced.join(existing, Seq("tx_id", "output_index"), "left_anti")
-      ix.append("inputs", fresh)
-      ix.append("policies", m.policies.join(existing, Seq("tx_id", "output_index"), "left_anti"))
-      // duplicate stats rows are harmless (the window aggregate only
-      // widens), so no anti-join is needed here
-      ix.append("address_stats", graft.ingest.MatchBlock.addressStats(fresh))
-      ix.append("binary_data", m.datums)
-      ix.append("scripts", m.scripts)
+      // ONE atomic bump for the whole backfill batch (the S8 discipline —
+      // a crash mid-backfill can no longer expose inputs without their
+      // policies/address_stats superset rows). commitAll, not
+      // append("inputs", …): append would auto-derive the side tables and
+      // double-write the explicit policies batch below. Duplicate stats
+      // rows would be harmless to the window aggregate, but the anti-joined
+      // policies batch is exact — keep it that way.
+      ix.commitAll(appends = Map(
+        "inputs" -> fresh,
+        "policies" -> m.policies.join(existing, Seq("tx_id", "output_index"), "left_anti"),
+        "address_stats" -> graft.ingest.MatchBlock.addressStats(fresh),
+        "binary_data" -> m.datums,
+        "scripts" -> m.scripts))
       Mutations.markInputs(ix, m.spends)
     }
     setPatterns(ix, active ++ newPatterns)

@@ -86,11 +86,7 @@ object MatchBlock {
     // M5: one row per (output_reference, policy) carried in the value; the
     // creation slot rides along so policy queries can derive a slot window
     // (schema v4 — see Schemas.policiesType)
-    val policies = produced.select(
-        col("tx_id"), col("output_index"),
-        explode(map_keys(col("value.assets"))).as("policy_id"),
-        col("created_at"))
-      .dropDuplicates("tx_id", "output_index", "policy_id")
+    val policies = policiesOf(produced)
 
     // M7: witnessed + inline datums/scripts
     val witnessedDatums = txs
@@ -120,6 +116,17 @@ object MatchBlock {
     * side table (Schemas.addressStatsType) — one map-side-combined
     * aggregate over the batch's produced rows; payment_credential is
     * functionally dependent on the address, so first() is exact. */
+  /** The M5 policy-rows derivation from a batch of produced inputs — shared
+    * by the block matcher and by `GraftIndex.append("inputs", …)`, which
+    * uses it to keep the policies side table a superset of live inputs no
+    * matter who writes them. */
+  def policiesOf(produced: DataFrame): DataFrame =
+    produced.select(
+        col("tx_id"), col("output_index"),
+        explode(map_keys(col("value.assets"))).as("policy_id"),
+        col("created_at"))
+      .dropDuplicates("tx_id", "output_index", "policy_id")
+
   def addressStats(produced: DataFrame): DataFrame =
     produced.groupBy(col("address"))
       .agg(first(col("payment_credential"), ignoreNulls = true).as("payment_credential"),

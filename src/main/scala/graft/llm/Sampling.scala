@@ -339,31 +339,40 @@ object Sampling {
     * alone on any engine. The naive form — `row_number()` over an
     * unpartitioned window — moves the whole corpus to ONE partition;
     * this is the scale-correct decomposition of a global dense rank:
-    *   1. prefix-shard by the hash's first hex char (16 RANGE buckets —
-    *      lexicographic on lowercase hex, so shard order == key order);
-    *   2. count per shard (16 rows), prefix-sum offsets on that tiny
-    *      frame (its single-partition window is 16 rows, not the corpus);
+    *   1. prefix-shard by the hash's first `shardChars` hex chars
+    *      (16^shardChars RANGE buckets — lexicographic on lowercase hex,
+    *      so shard order == key order);
+    *   2. count per shard, prefix-sum offsets on that tiny frame (its
+    *      single-partition window is 16^shardChars rows, not the corpus);
     *   3. broadcast the offsets back and rank WITHIN each shard:
     *      `position = shard offset + within-shard rank − 1`.
     * The corpus is touched by exactly two shard-keyed exchanges (the
     * count and the rank) and one broadcast join — no single-partition
     * stage ever sees payload rows. Epochs are cheap: a new salt is a new
-    * permutation, nothing is stored. */
+    * permutation, nothing is stored.
+    *
+    * `shardChars` trades offset-frame size for rank parallelism: each
+    * shard's rank window runs as ONE task sorting corpus/16^shardChars
+    * rows, so 1 char caps the whole job at 16 tasks (~6 TB each on a
+    * 100 TB corpus — a single-task spill marathon), 2 chars (default)
+    * gives 256, 3 gives 4096. Positions are IDENTICAL across widths:
+    * `_shard` is a PREFIX of the sort key `_k`, so (shard, _k, id) order
+    * == (_k, id) order — gated by an LlmSpec cross-width property. */
   def epochOrder(docs: DataFrame, epoch: Int = 0,
-                 idCol: String = "doc_id"): DataFrame =
-    shardRanked(docs, epoch, idCol, slice = None)
+                 idCol: String = "doc_id", shardChars: Int = 2): DataFrame =
+    shardRanked(docs, epoch, idCol, slice = None, shardChars)
 
   /** RESUMABLE SLICE of an [[epochOrder]] — the dataloader restart path:
     * rows with position ∈ [from, until), WITHOUT ranking the whole
-    * corpus. The shard offsets (16 rows, computed from a count-only
-    * pass) tell exactly which shards intersect the slice, so the rank
-    * window runs over intersecting shards only — resuming at 99% of an
-    * epoch ranks ~1/16 of the corpus, not all of it. Same positions as
+    * corpus. The shard offsets (computed from a count-only pass) tell
+    * exactly which shards intersect the slice, so the rank window runs
+    * over intersecting shards only — resuming at 99% of an epoch ranks
+    * ~1/16^shardChars of the corpus, not all of it. Same positions as
     * filtering the full [[epochOrder]] (gated in LlmSpec). */
   def epochSlice(docs: DataFrame, from: Long, until: Long, epoch: Int = 0,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id", shardChars: Int = 2): DataFrame = {
     require(from >= 0 && until >= from, s"bad slice [$from, $until)")
-    shardRanked(docs, epoch, idCol, slice = Some((from, until)))
+    shardRanked(docs, epoch, idCol, slice = Some((from, until)), shardChars)
       .where(col("position") >= from && col("position") < until)
   }
 
@@ -372,13 +381,23 @@ object Sampling {
     * prefix-sum, and the (hash, id) tie-break can never silently diverge
     * between the full order and its resumable slice. */
   private def shardRanked(docs: DataFrame, epoch: Int, idCol: String,
-                          slice: Option[(Long, Long)]): DataFrame = {
+                          slice: Option[(Long, Long)],
+                          shardChars: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shardChars >= 1 && shardChars <= 4,
+      s"shardChars must be 1..4 (16..65536 shards): $shardChars")
     val k = md5(concat(lit(s"epoch$epoch:"), col(idCol).cast("string")))
-    val keyed = docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("_shard"))
+    val keyed = docs.select(col(idCol), k.as("_k"),
+      substring(k, 1, shardChars).as("_shard"))
+    // the offset frame is 16^shardChars rows — the constant-valued partition
+    // key keeps it one (tiny) task WITHOUT tripping WindowExec's
+    // unpartitioned warning, which would otherwise bury real regressions in
+    // the logs. It must be column-DERIVED (substring of the shard, length
+    // 0 → "" for every row): a literal key is folded away by Spark 4's
+    // EliminateWindowPartitions, reverting to the warning path
     val counted = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
       .withColumn("_offset", coalesce(sum(col("_n")).over(
-        Window.orderBy(col("_shard"))
+        Window.partitionBy(substring(col("_shard"), 1, 0)).orderBy(col("_shard"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // a shard spans positions [_offset, _offset + _n) — for a slice, keep
     // only intersecting shards; everything else is pruned BEFORE the rank

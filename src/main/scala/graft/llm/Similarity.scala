@@ -240,11 +240,14 @@ object Similarity {
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
                       deterministic: Boolean = false,
                       metric: String = "cosine"): DataFrame = {
+    // seed ids 1..k by vec_id order WITHOUT a global rank window: the
+    // limit(k) frame is k rows, so coalesce it to one partition, sort
+    // within it, and read the partition-local row counter — same ids,
+    // no WindowExec unpartitioned-window warning flooding the logs
     var centroids = embeddings
       .orderBy(col("vec_id")).limit(k)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
-          .cast("long").as("centroid_id"),
+      .coalesce(1).sortWithinPartitions(col("vec_id"))
+      .select((monotonically_increasing_id() + 1L).as("centroid_id"),
         col("embedding").as("centroid"))
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
@@ -518,11 +521,13 @@ object Similarity {
           l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
       keyCols = Seq("cell")))
     // nprobe-row broadcast dimension: each probed cell's 0-based rank in the
-    // dense table's cell-sorted order
+    // dense table's cell-sorted order. The constant-valued (but column-
+    // derived, so not foldable by EliminateWindowPartitions) partition key
+    // keeps the nprobe-row frame off WindowExec's unpartitioned warning
     val probedRanked = broadcast(probed
       .select(col("cell"),
         (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("cell"))) - 1).as("cell_rank0")))
+          .partitionBy(col("cell") * 0).orderBy(col("cell"))) - 1).as("cell_rank0")))
     encoded.where(col("vec_id") =!= queryVecId)
       .join(probedRanked, Seq("cell"))
       .crossJoin(tblRow)
@@ -717,10 +722,12 @@ object Similarity {
     // on cell — partition-prunable) carrying each (query, cell) pair's
     // 0-based rank in the dense table, then m O(1) lookups per
     // (candidate, query)
+    // constant-valued column-derived partition key: queries×nprobe rows,
+    // same warning-hygiene rationale as the single-query probe rank above
     val probePairs = broadcast(probed
       .select(col("qid"), col("cell"),
         (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("qid"), col("cell"))) - 1).as("pair_rank0")))
+          .partitionBy(col("cell") * 0).orderBy(col("qid"), col("cell"))) - 1).as("pair_rank0")))
     val scored = encoded
       .join(probePairs, Seq("cell"))
       .where(col("vec_id") =!= col("qid"))

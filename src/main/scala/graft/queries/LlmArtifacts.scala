@@ -308,6 +308,8 @@ private[queries] object LlmArtifacts {
     dlOf(s, d).count()
     simhashOf(s, d).count()
     dhashOf(s, d).count()
+    decodedDhashOf(s, d).count()
+    mixedDecodedDhashOf(s, d).count()
     winnowOf(s, d).count()
     clustersOf(s, d).count()
     semClustersOf(s, d).count()

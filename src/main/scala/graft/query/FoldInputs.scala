@@ -82,8 +82,14 @@ object FoldInputs {
         scan.where(rangePredicate(col("created_at"), lo, hi))
       case RangeField.SpentAt =>
         // post-compaction, the per-segment spent stats prune segments whose
-        // spends all predate the lower bound
-        ix.inputsForSpentRange(lo)
+        // spends all predate the lower bound — INTERSECTED with the v4/v5
+        // created-at window (a row spent in range was created at most at the
+        // spent upper bound, and a policy/address-scoped row was created
+        // inside its side-table window), so `policy + ?spent_after` walks
+        // both indexes instead of every spent-stats-passing segment
+        ix.inputsForSpentRange(lo,
+            createdLo = window.map(_._1),
+            createdHi = (hi.toSeq ++ window.map(_._2)).reduceOption(_ min _))
           .where(col("spent_at").isNotNull && rangePredicate(col("spent_at"), lo, hi))
     }
     val matched = base.where(pattern.toPredicate)
@@ -349,8 +355,13 @@ object FoldInputs {
     * indexed predicates the reads use). Soundness is the read path's: the
     * side tables are SUPERSETS of live inputs (stale rows only widen) and
     * blooms never false-negative, so a segment left out provably holds no
-    * matching row. Callers should pass a PINNED index so the derivation
-    * reads one manifest. */
+    * matching row. The superset invariant is enforced at the WRITE: every
+    * inputs producer — the Indexer drain, the backfill, and raw
+    * `GraftIndex.append("inputs", …)` — maintains policies/address_stats
+    * in the same atomic bump whenever those tables are in service (empty
+    * side tables disable their windows entirely, deriving unbounded).
+    * Callers should pass a PINNED index so the derivation reads one
+    * manifest. */
   private[graft] def relevantInputSegments(ix: GraftIndex,
                                            patterns: Set[Pattern]): Option[Set[String]] = {
     val m = ix.manifest

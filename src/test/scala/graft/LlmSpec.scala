@@ -1673,15 +1673,25 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.epochOrder(docs, epoch = 1)
       .withColumnRenamed("position", "pos1").join(ord, Seq("doc_id"))
       .where(col("pos1") =!= col("position")).count() == 0)
-    // scale shape: the ONLY single-partition exchange is the 16-row offsets
-    // frame — the corpus rides shard-keyed exchanges plus one broadcast join
-    // (AQE's toString repeats every node in its "Initial Plan" section, so
-    // count within the final plan only)
+    // scale shape: NO single-partition exchange anywhere — the offsets
+    // frame rides a constant-key hash partitioning (tiny, and free of the
+    // WindowExec unpartitioned warning), the corpus rides shard-keyed
+    // exchanges plus one broadcast join (AQE's toString repeats every node
+    // in its "Initial Plan" section, so count within the final plan only)
     val plan = Sampling.epochOrder(docs, epoch = 1)
       .queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty, plan)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // positions are BIT-IDENTICAL across shard widths: _shard is a prefix
+    // of the sort key _k, so (shard, _k, id) order == (_k, id) order — the
+    // property that lets a deployment widen rank parallelism 16× per extra
+    // hex char without perturbing any training order
+    (1 to 3).foreach { w =>
+      assert(Sampling.epochOrder(docs, epoch = 1, shardChars = w)
+        .withColumnRenamed("position", "pw").join(ord, Seq("doc_id"))
+        .where(col("pw") =!= col("position")).count() == 0, s"shardChars=$w")
+    }
     // sparse shards (17 docs leave hex prefixes unpopulated): offsets are
     // computed from actual counts, so density still holds
     val few = (0 until 17).map(i => (i.toLong, "y")).toDF("doc_id", "text")
@@ -1697,12 +1707,14 @@ class LlmSpec extends SparkSpec {
     assert(slice.withColumnRenamed("position", "p").join(expected, Seq("doc_id"))
       .where(col("p") =!= col("position")).count() == 0)
     // shard pruning is real: a 50/500 slice lives in a strict subset of
-    // the 16 shards (those are the only rows the rank window sees — the
-    // offsets frame is filtered to intersecting shards before the join)
+    // the 256 default shards (those are the only rows the rank window
+    // sees — the offsets frame is filtered to intersecting shards before
+    // the join); a contiguous position range maps to a contiguous run of
+    // hex prefixes, so even the coarse 1-char projection stays partial
     val shardsHit = slice
       .select(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))), 1, 1))
       .distinct().count()
-    assert(shardsHit < 16, s"slice of 50/500 should not touch all 16 shards")
+    assert(shardsHit < 16, s"slice of 50/500 should not touch all 16 coarse shards")
     // boundary slices: first row, and a slice running past the end
     assert(Sampling.epochSlice(docs, 0L, 1L, epoch = 1)
       .select("position").as[Long].collect().toSeq == Seq(0L))

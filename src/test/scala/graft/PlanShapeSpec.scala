@@ -196,6 +196,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(absent.count() == 0)
   }
 
+  test("SpentAt range: the policy window AND the spent upper bound prune segments the spent stats alone keep") {
+    import FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-spentwin"))
+    val polA = hex28(60)
+    // seg1 (slot 10): the ONLY polA row; spent later at 500
+    // seg2 (slot 500): spends seg1's row, creates a plain row; spent at 1000
+    // seg3 (slot 1000): spends seg2's row, creates a plain row (never spent)
+    val b1 = Seq(Blk(10L, hex32(41), Seq(
+      Tx(hex32(410), Nil, Seq(Out(baseAddr(0, 0), 5L, Map(polA -> Map("aa" -> 1L))))))))
+    val b2 = Seq(Blk(500L, hex32(42), Seq(
+      Tx(hex32(420), Seq((hex32(410), 0)), Seq(Out(baseAddr(1, 0), 6L))))))
+    val b3 = Seq(Blk(1000L, hex32(43), Seq(
+      Tx(hex32(430), Seq((hex32(420), 0)), Seq(Out(baseAddr(2, 0), 7L))))))
+    // bake marks in per batch: compactSpends merges ALL touched segments
+    // into one rewrite, so compacting after each spend keeps the spent
+    // segments distinct (each round's marks target one earlier segment)
+    Seq(b1, b2, b3).foreach { b =>
+      Indexer.ingest(g, FixtureChain.toDf(spark, b), patterns)
+      g.compactSpends()
+    }
+    assert(g.manifest.tables("spends").isEmpty)
+    val total = g.manifest.tables("inputs").size
+    assert(total >= 3, s"fixture needs >= 3 inputs segments, got $total")
+
+    def segRoots(df: DataFrame) =
+      scanOf(df, "inputs").flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("/inputs/")).toSet
+    // policy + ?spent_after: spent stats keep BOTH spent segments (max
+    // spent 500 and 1000 >= 100); the v4 created-window [10,10] must then
+    // drop the second — the BASELINE.md `policy + spent range` shape walks
+    // both indexes, not every recently-spent segment
+    val q = FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId(polA).toText,
+      range = SlotRange(field = RangeField.SpentAt, lowerBound = Some(100L))))
+    assert(segRoots(q).size == 1, s"window should cut the spent-stat set to 1: ${segRoots(q)}")
+    assert(q.count() == 1)
+    // unscoped pattern + spent UPPER bound: a row is created no later than
+    // it is spent, so created-stat pruning on the bound alone drops the
+    // last segment (created 1000 > 600) — no side-table window needed
+    val hi = FoldInputs(g, MatchesQuery("*",
+      range = SlotRange(field = RangeField.SpentAt, upperBound = Some(600L))))
+    assert(segRoots(hi).size < total, s"spent-hi should prune created-late segments: ${segRoots(hi)}")
+    assert(hi.count() == 1) // only the polA row was spent at <= 600
+    // pruning never filters: the full-scan answer agrees
+    assert(hi.count() == g.inputsWithSpends
+      .where(col("spent_at").isNotNull && col("spent_at") <= 600L).count())
+  }
+
   test("a FoldInputs query reads the manifest exactly once (pinned snapshot per query)") {
     // at 10⁵ segments the manifest is multi-MB — per-query read count is a
     // scale budget. The pinned facade also closes the cross-table race: a
@@ -205,6 +252,9 @@ class PlanShapeSpec extends SparkSpec {
     val g = new GraftIndex(spark, tmpDir("graft-onepin"))
     Indexer.ingest(g, FixtureChain.toDf(spark, FixtureChain.chain(8)), patterns)
     val root = g.root
+    // the counter is a test seam, off in production — opt in before the
+    // first snapshot (deltas below are unaffected by the late start)
+    graft.index.GraftIndex.Manifest.trackReads = true
     def reads = graft.index.GraftIndex.Manifest.readsOf(root)
     val before = reads
     val df = FoldInputs(g, MatchesQuery("*", resolveHashes = true))
