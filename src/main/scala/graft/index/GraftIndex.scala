@@ -742,15 +742,11 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   def reconcile(in: DataFrame): DataFrame = {
     val spendSegs = manifest.tables.getOrElse("spends", Nil)
     if (spendSegs.isEmpty) return in
-    val maxRows = spark.conf.getOption("spark.graft.spends.broadcastMaxRows")
-      .map(_.toLong).getOrElse(DefaultSpendsBroadcastMaxRows)
-    val deltaRows = spendSegs.foldLeft(0L) { (a, s) =>
-      math.min(Long.MaxValue / 4, a + s.rows.getOrElse(Long.MaxValue / 4)) }
     val dedupKeys = Seq("tx_id", "output_index")
     val renames = Map(
       "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")
     val sp =
-      if (deltaRows <= maxRows)
+      if (spendsDeltaFitsBroadcast)
         broadcast(table("spends")
           // the delta is broadcast-bounded, so dedup it in ONE partition: a
           // single-partition child satisfies the aggregation's distribution
@@ -760,19 +756,34 @@ final class GraftIndex(val spark: SparkSession, val root: String,
           .coalesce(1)
           .dropDuplicates(dedupKeys) // idempotent re-marking
           .withColumnsRenamed(renames))
-      else {
-        System.err.println(s"[graft] spends delta at $root holds ~$deltaRows rows " +
-          s"(> spark.graft.spends.broadcastMaxRows=$maxRows): reconciling via " +
-          "shuffle join — run compactSpends()/compact() to restore the " +
-          "broadcast merge-on-read path")
+      else
         table("spends").dropDuplicates(dedupKeys).withColumnsRenamed(renames)
-      }
     in.join(sp, Seq("tx_id", "output_index"), "left_outer")
       .select(
         in.columns.filterNot(Set("spent_at", "spent_by", "spent_with")).map(col) ++ Seq(
           coalesce(col("d_spent_at"), col("spent_at")).as("spent_at"),
           coalesce(col("d_spent_by"), col("spent_by")).as("spent_by"),
           coalesce(col("d_spent_with"), col("spent_with")).as("spent_with")): _*)
+  }
+
+  /** Manifest-stat gate shared by [[reconcile]] and [[markedBucketRanges]]:
+    * does the spends delta provably fit the forced broadcast? Row counts
+    * come off the manifest (zero IO); a segment without the stat counts as
+    * unbounded, failing safe to the shuffle path. Logs loudly when the
+    * answer is no — the deployment signal that compaction cadence slipped. */
+  private def spendsDeltaFitsBroadcast: Boolean = {
+    val segs = manifest.tables.getOrElse("spends", Nil)
+    val maxRows = spark.conf.getOption("spark.graft.spends.broadcastMaxRows")
+      .map(_.toLong).getOrElse(DefaultSpendsBroadcastMaxRows)
+    val rows = segs.foldLeft(0L) { (a, s) =>
+      math.min(Long.MaxValue / 4, a + s.rows.getOrElse(Long.MaxValue / 4)) }
+    val fits = rows <= maxRows
+    if (!fits)
+      System.err.println(s"[graft] spends delta at $root holds ~$rows rows " +
+        s"(> spark.graft.spends.broadcastMaxRows=$maxRows): joining via " +
+        "shuffle — run compactSpends()/compact() to restore the broadcast " +
+        "merge-on-read path")
+    fits
   }
 
   /** inputs reconciled with the spends delta — the effective fact table. */
@@ -935,7 +946,12 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * the range check loses almost no pruning precision (a segment is a
     * bucket-clustered run anyway) while the collect stays a few KB. */
   private[graft] def markedBucketRanges(): Array[(Long, Long)] = {
-    val delta = broadcast(table("spends").select("tx_id", "output_index").distinct())
+    // same manifest-stat gate as reconcile(): compactSpends is the REMEDY
+    // for an oversized delta, so its own semi-join must not die on the
+    // broadcast the delta already outgrew — over threshold the hint drops
+    // and Catalyst plans a shuffled semi-join
+    val bare = table("spends").select("tx_id", "output_index").distinct()
+    val delta = if (spendsDeltaFitsBroadcast) broadcast(bare) else bare
     val perBucket = table("inputs")
       .join(delta, Seq("tx_id", "output_index"), "left_semi")
       .groupBy("created_bucket")
@@ -1093,17 +1109,34 @@ object GraftIndex {
     "scripts"     -> Seq("script_hash"))
 
   /** Serialized-bloom aggregate over `xxhash64(column)` (seed 42 — the
-    * probe hashes identically), sized at ~10 bits/key ≈ 1% FPP for `items`
-    * keys. The aggregate clamps to
+    * probe hashes identically), sized at `spark.graft.bloom.bitsPerKey`
+    * (default 20 ≈ 7·10⁻⁵ FPP) for `items` keys. The sizing matters at
+    * SEGMENT-COUNT scale, not byte scale: a point probe tests every live
+    * segment's sketch, so expected false-positive SCAN TASKS per lookup =
+    * segments × FPP — at 10⁵ segments, 10 bits/key (~1%) schedules ~10³
+    * wasted tasks per point query while 20 bits/key keeps it ~O(1)
+    * (measured: 13/1008 candidates at 10 bits → 1/1008 at 20). Sketch
+    * bytes stay negligible beside the 64-hex keys they cover (~2.5
+    * bytes/key). The aggregate clamps to
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 8M
-    * BYTES of bits): beyond ~6.7M rows/segment the FPP degrades gracefully
+    * BYTES of bits): beyond ~3.3M rows/segment the FPP degrades gracefully
     * — never a false negative, pruning just gets weaker — and a 100 TB
-    * deployment with bigger segments raises the conf. */
+    * deployment with bigger segments raises the conf. Blooms are
+    * self-describing, so sketches written at other sizings keep probing
+    * correctly side by side. */
   private def bloomAggColumn(column: String, items: Long): org.apache.spark.sql.Column = {
-    val n = math.max(items, 1L)
+    // 1000-item floor: the sketch uses double hashing (h1 + i·h2 mod m),
+    // whose index sequences lose independence at tiny m — measured FPP at
+    // n=6 was 2.1% (10 bits/key) / 0.76% (20) regardless of k, vs ~1e-4 at
+    // m ≥ 20k bits. Flooring costs ≤ 2.5 KB per sketch row and only ever
+    // affects tiny segments (micro-batch tails, fixtures); production-size
+    // segments are far past it.
+    val n = math.max(items, 1000L)
+    val bitsPerKey = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.bloom.bitsPerKey").map(_.toLong).getOrElse(20L)
     GraftShim.column(new BloomFilterAggregate(
       new XxHash64(Seq(GraftShim.expression(col(column)))),
-      Literal(n), Literal(math.max(n * 10L, 64L)), 0, 0).toAggregateExpression())
+      Literal(n), Literal(n * bitsPerKey), 0, 0).toAggregateExpression())
   }
 
   /** One step of the linear migration chain (the reference's numbered
