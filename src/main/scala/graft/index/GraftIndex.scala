@@ -789,13 +789,17 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   /** inputs reconciled with the spends delta — the effective fact table. */
   def inputsWithSpends: DataFrame = reconcile(table("inputs"))
 
-  /** Segment-pruned scan for spent_at-ranged queries: when the spends delta
-    * is empty (steady state after compact()), every effective spent_at is
-    * baked into the segments, so segments whose manifest spent stat proves
-    * max(spent_at) < lo (or no spends at all) cannot contribute — a
-    * ?spent_after query then opens only recently-spent segments. With a
-    * non-empty delta a mark may target ANY segment, so fall back to the full
-    * reconciled scan (pruning would be unsound). */
+  /** Segment-pruned scan for spent_at-ranged queries — sufficient for rows
+    * with NON-NULL spent_at only (the SpentAt branch's predicate; unspent
+    * rows may be absent from the result). When the spends delta is empty
+    * (steady state after compact()), every effective spent_at is baked into
+    * the segments, so NoneSpent segments never contribute and segments
+    * whose manifest spent stat proves max(spent_at) < lo cannot either — a
+    * ?spent_after query then opens only recently-spent segments, further
+    * intersected with the caller's created-at window ([createdLo,
+    * createdHi] from the v4/v5 side tables and/or the spent upper bound).
+    * With a non-empty delta a mark may target ANY segment, so fall back to
+    * the full reconciled scan (pruning would be unsound). */
   def inputsForSpentRange(lo: Option[Long],
                           createdLo: Option[Long] = None,
                           createdHi: Option[Long] = None): DataFrame = {
@@ -804,19 +808,20 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     if (!deltaEmpty) return inputsWithSpends
     if (lo.isEmpty && createdLo.isEmpty && createdHi.isEmpty) return inputsWithSpends
     // two INDEPENDENT sound prunes, intersected:
-    //  - spent stat: a segment whose max(spent_at) predates the lower bound
-    //    holds no row spent in range;
+    //  - spent stat: every caller wants rows with NON-NULL spent_at (the
+    //    SpentAt branch filters on it), so a NoneSpent segment never
+    //    contributes regardless of bounds, and a segment whose
+    //    max(spent_at) predates the lower bound holds no row spent in
+    //    range;
     //  - created window (from the v4/v5 policy/address side tables, plus
     //    the spent upper bound itself — a row is created no later than it
     //    is spent): a segment outside [createdLo, createdHi] holds no
     //    pattern-matching row at all. Stat-less segments stay, conservatively.
     val segs = m.tables.getOrElse("inputs", Nil).filter { s =>
-      val spentOk = lo.forall { l =>
-        s.spent match {
-          case SpentStat.NoneSpent => false
-          case SpentStat.MaxAt(mx) => mx >= l
-          case SpentStat.Unknown   => true // pre-upgrade manifest: can't prune
-        }
+      val spentOk = s.spent match {
+        case SpentStat.NoneSpent => false
+        case SpentStat.MaxAt(mx) => lo.forall(mx >= _)
+        case SpentStat.Unknown   => true // pre-upgrade manifest: can't prune
       }
       spentOk &&
         createdLo.forall(wl => s.maxSlot.forall(_ >= wl)) &&
