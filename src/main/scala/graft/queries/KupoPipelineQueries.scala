@@ -454,6 +454,28 @@ object KupoPipelineQueries {
            |ORDER BY created_at ASC, transaction_index ASC, output_index ASC,
            |         address ASC, coins ASC""".stripMargin)),
 
+    // The BASELINE.md `policy + spent range` composite
+    // (benchmarks/README.md:76-99): P9 pattern + F2 on spent_at — the shape
+    // the SpentAt-branch created-window intersection prunes by BOTH indexes
+    // (policy window ∩ spent stats). PlanShapeSpec gates its segment
+    // selection; this row gates its answer in the driver's oracle run.
+    QueryDef("q_kupo_policy_spent_range",
+      (s, d) => {
+        val ix = buildIndex(s, d)
+        FoldInputs(ix, Api.MatchesQuery(
+          s"$policy2.*",
+          range = Api.SlotRange(Api.RangeField.SpentAt, Some(500L), None),
+          order = Api.SortDirection.Asc))
+          .select(col("transaction_id"), col("output_index"),
+            col("spent_at.slot_no").as("spent_slot"),
+            col("spent_at.transaction_id").as("spender"))
+      },
+      Some(derivationSql +
+        s"""SELECT transaction_id, output_index, spent_at AS spent_slot, spender
+           |FROM inputs
+           |WHERE policy_id = '$policy2' AND spent_at IS NOT NULL AND spent_at >= 500
+           |ORDER BY created_at ASC, transaction_index ASC, output_index ASC""".stripMargin)),
+
     // P10-equivalent via F7 residual filters: ?policy_id=&asset_name= over
     // the wildcard pattern — exact asset match, no post-scan re-check
     // (the reference re-filters rows in the HTTP layer, Http.hs:657-670).
