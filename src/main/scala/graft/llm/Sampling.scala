@@ -48,18 +48,35 @@ object Sampling {
     * position within a shard is the rank of the full hash (ties broken by
     * id; md5 collisions on distinct salted ids are the only tie source).
     *
-    * Scale shape: shard assignment is a pure map; the position is ONE
-    * exchange keyed by the shard — exactly the writer layout (one shard =
-    * one output stream), so the shuffle that orders the data is the same
-    * shuffle that writes it. A wider shard space (two nibbles → 256) is the
-    * same expression with length 2. */
+    * Scale shape: shard assignment is a pure map; the within-shard rank
+    * decomposes over sub-shards exactly like [[shardRanked]] — `_sub` (the
+    * next two hex chars of the hash) is a further PREFIX of the sort key,
+    * so (shard, _sub, _k, id) order == (shard, _k, id) order and positions
+    * are bit-identical to the single-window form while the rank runs as
+    * 16·256 tasks instead of 16 whole-shard single-task sorts (~6 TB each
+    * on a 100 TB corpus — the same ceiling epochOrder had). A shard's
+    * ordered stream is the concatenation of its sub-partitions in `_sub`
+    * order (sub-ranges are contiguous by construction), so a per-shard
+    * writer is a sorted concat, not a re-sort. A wider shard space (two
+    * nibbles → 256 shards) is the same expression with length 2. */
   def shardAssignment(docs: DataFrame, salt: String = "shard",
                       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = md5(concat(lit(salt), col(idCol).cast("string")))
-    docs.select(col(idCol), k.as("_k"), substring(k, 1, 1).as("shard"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("_k"), col(idCol))).cast("long"))
+    val keyed = docs.select(col(idCol), k.as("_k"),
+      substring(k, 1, 1).as("shard"), substring(k, 2, 2).as("_sub"))
+    // (shard, sub) counts → exclusive within-shard prefix offsets: a tiny
+    // 16×256-row frame, windowed per shard (16 partitions — no
+    // unpartitioned-window warning, no corpus rows)
+    val offsets = keyed.groupBy("shard", "_sub").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col("shard")).orderBy(col("_sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "_sub", "_offset")
+    keyed.join(broadcast(offsets), Seq("shard", "_sub"))
+      .withColumn("pos", col("_offset") + row_number().over(
+        Window.partitionBy(col("shard"), col("_sub"))
+          .orderBy(col("_k"), col(idCol))).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
 
