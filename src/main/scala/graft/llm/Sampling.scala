@@ -87,16 +87,37 @@ object Sampling {
     * toward old data). Each kept row carries its group's total size, so the
     * realized kept/total mix is read off the output. Head-heavy cluster
     * distributions (the common case after embedding clustering) flatten to
-    * ≤ cap·|groups| rows. Shape: one exchange keyed by the group, two
-    * window passes over it, filter — the payload moves once. */
+    * ≤ cap·|groups| rows.
+    *
+    * Scale shape: the within-group rank decomposes over sub-shards (the
+    * first two hex chars of the pick hash — a PREFIX of the rank key, so
+    * picks are bit-identical to the single-window form): a giant cluster
+    * ranks as ≤256 tasks, never one. Better, a sub-shard whose offset is
+    * already ≥ cap provably contributes no pick, so the inner join against
+    * the offsets frame DROPS its rows before the rank window ever sees
+    * them — on a head-heavy cluster the ranked volume is ~cap-bounded, not
+    * group-bounded. The offsets frame is |groups|·≤256 rows (NOT
+    * broadcast: it shares the (group, sub) exchange the rank needs
+    * anyway), and n_group rides it from a per-group window over ≤256-row
+    * partitions. */
   def balancedSample(rows: DataFrame, groupCol: String, cap: Int,
                      idCol: String = "doc_id", salt: String = "bal"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = Window.partitionBy(col(groupCol))
-    rows
-      .withColumn("pick", row_number().over(
-        g.orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))).cast("long"))
-      .withColumn("n_group", count(lit(1)).over(g))
+    val h = md5(concat(lit(salt), col(idCol).cast("string")))
+    val keyed = rows.select(col(idCol), col(groupCol), h.as("_h"),
+      substring(h, 1, 2).as("_sub"))
+    val offsets = keyed.groupBy(groupCol, "_sub").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_group", sum(col("_n")).over(
+        Window.partitionBy(col(groupCol))))
+      .where(col("_offset") < cap)
+      .select(col(groupCol), col("_sub"), col("_offset"), col("n_group"))
+    keyed.join(offsets, Seq(groupCol, "_sub"))
+      .withColumn("pick", (col("_offset") + row_number().over(
+        Window.partitionBy(col(groupCol), col("_sub"))
+          .orderBy(col("_h"), col(idCol)))).cast("long"))
       .where(col("pick") <= cap)
       .select(col(idCol), col(groupCol), col("pick"), col("n_group"))
   }
