@@ -222,15 +222,28 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(stratumCol),
       size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(stratumCol)).orderBy(col("n_tokens"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    // exact rank-based quantiles WITHOUT ranking documents: token counts
+    // are small integers, so fold (stratum, n_tokens) counts map-side and
+    // run the cumulative window over DISTINCT lengths per stratum (bounded
+    // by max document length — thousands of rows, never the corpus). The
+    // value at rank r is the least length whose cumulative count reaches
+    // r — identical to row_number()-based picking for every q, including
+    // through duplicate lengths. A one-source corpus previously ranked
+    // every doc in a single window task; now nothing rank-shaped ever
+    // touches doc-count rows.
+    val counts = toks.groupBy(col(stratumCol), col("n_tokens"))
+      .agg(count(lit(1)).as("_c"))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        byStratum.orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("_c")).over(byStratum))
     val picks = qs.map(q =>
-      max(when(col("rn") === ceil(col("n") * q), col("n_tokens")))
+      min(when(col("_cum") >= ceil(col("n") * q), col("n_tokens")))
         .as(s"p${(q * 100).round}"))
-    ranked.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_docs"), picks: _*)
+    cum.groupBy(col(stratumCol))
+      .agg(max(col("n")).as("n_docs"), picks: _*)
   }
 
   /** Quality-decile token budget — the filtering-threshold design report:
