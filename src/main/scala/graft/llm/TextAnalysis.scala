@@ -253,19 +253,44 @@ object TextAnalysis {
     * token mass, and score range. Reading the curve answers "if we keep
     * only the top-k deciles of source X, how many tokens survive?" before
     * committing to a threshold. Tokens are non-empty whitespace splits.
-    * Shape: ONE shuffle keyed by the stratum (the lengthQuantiles
-    * discipline — strata are the parallel unit; a GLOBAL ntile would
-    * serialize the corpus onto one partition), then a map-side-combined
-    * aggregate over (stratum, bin). */
+    * Shape: the within-stratum rank decomposes over SCORE-RANGE buckets
+    * (floor(q·256) — monotone in the leading sort key, and rows tying on q
+    * land in one bucket, so (bucket, q, id) order == (q, id) order): a
+    * one-source corpus ranks as ≤256 tasks instead of one, and the ntile
+    * label is recomputed arithmetically from (rank, n) with the standard
+    * padded-bucket formula — bit-identical to the window ntile. */
   def qualityTokenCurve(docs: DataFrame, bins: Int = 10,
                         stratumCol: String = "source",
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col(stratumCol), col(idCol),
+    val scored = docs.select(col(stratumCol), col(idCol),
         qualityScore(col(textCol)).as("q"),
         size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("toks"))
-      .withColumn("qbin", ntile(bins).over(
-        Window.partitionBy(col(stratumCol)).orderBy(col("q"), col(idCol))).cast("long"))
+      // qualityScore ∈ (0, 1]: 256 monotone range buckets; least() guards
+      // the q = 1.0 edge into the last bucket
+      .withColumn("_b", least(lit(255), floor(col("q") * 256)).cast("int"))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val offsets = scored.groupBy(col(stratumCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        byStratum.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("_c")).over(byStratum))
+      .select(col(stratumCol), col("_b"), col("_off"), col("n"))
+    val ranked = scored.join(offsets, Seq(stratumCol, "_b"))
+      .withColumn("_r", col("_off") + row_number().over(
+        Window.partitionBy(col(stratumCol), col("_b"))
+          .orderBy(col("q"), col(idCol))).cast("long"))
+    // ntile(bins) at rank r of n, Spark/SQL-standard padding: the first
+    // n % bins buckets hold one extra row. Integer arithmetic throughout;
+    // the otherwise-branch never evaluates when n < bins (its divisor is
+    // then 0, but every rank falls under the padded threshold)
+    val bucketSize = (col("n") / bins).cast("long")
+    val rem = (col("n") % bins).cast("long")
+    val padded = rem * (bucketSize + lit(1L))
+    val qbin = when(col("_r") <= padded,
+        floor((col("_r") - 1) / (bucketSize + lit(1L))) + 1)
+      .otherwise(rem + floor((col("_r") - padded - 1) / bucketSize) + 1)
+    ranked.withColumn("qbin", qbin.cast("long"))
       .groupBy(col(stratumCol), col("qbin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
         min(col("q")).as("q_min"), max(col("q")).as("q_max"))
