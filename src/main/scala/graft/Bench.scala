@@ -217,15 +217,40 @@ object Bench {
             val ratios = common.map { case (k, v) => k -> v / math.max(pairs(k), 1e-4) }
             val sortedR = ratios.map(_._2).sorted
             val median = sortedR(sortedR.size / 2)
-            val movers = ratios
+            // SELF-ADJUDICATION UNDER LOAD: each mover is tagged with the
+            // probe series interpolated at its wall offset, normalized by
+            // the run's quietest probe. A slowdown whose window probes ran
+            // >1.3× idle is host load, not engine — it moves to the
+            // load_movers object (annotated, never hidden) and the movers
+            // list stays engine-real. Speedups are kept regardless: load
+            // cannot make a query faster. (Previously the reader had to
+            // cross-reference probes/t_off by hand — r13's verdict did.)
+            val probeBase = math.max(probes.map(_._3).min, 1e-9)
+            val pts = probes.map(p => (p._2, p._3)).sortBy(_._1)
+            def loadRatioAt(t: Double): Double = {
+              val v =
+                if (t <= pts.head._1) pts.head._2
+                else if (t >= pts.last._1) pts.last._2
+                else {
+                  val i = pts.lastIndexWhere(_._1 <= t)
+                  val (t0, p0) = pts(i); val (t1, p1) = pts(i + 1)
+                  p0 + (p1 - p0) * ((t - t0) / math.max(t1 - t0, 1e-9))
+                }
+              v / probeBase
+            }
+            val tagged = ratios
               .map { case (k, r) => (k, r / median) }
               .filter { case (_, nr) => nr >= 1.5 || nr <= 1.0 / 1.5 }
-              .sortBy { case (_, nr) => -math.abs(math.log(nr)) }
-              .take(10)
               .map { case (k, nr) =>
-                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f}""" }
+                (k, nr, loadRatioAt(detail.find(_.name == k).map(_.tOff).getOrElse(0.0))) }
+              .sortBy { case (_, nr, _) => -math.abs(math.log(nr)) }
+            val (loadMovers, engineMovers) =
+              tagged.partition { case (_, nr, lr) => nr > 1.0 && lr > 1.3 }
+            def moverJson(ms: Seq[(String, Double, Double)]) = ms.take(10)
+              .map { case (k, nr, lr) =>
+                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f,"load_ratio":$lr%.2f}""" }
               .mkString("{", ",", "}")
-            Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"movers":$movers}""")
+            Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"probe_base":$probeBase%.3f,"movers":${moverJson(engineMovers)},"load_movers":${moverJson(loadMovers)}}""")
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] vs_prev against $name failed: $e"); None }
@@ -257,8 +282,11 @@ object Bench {
       "per-query {best, runs(3), gc_ms, t_off}. Classify a slow query by its " +
       "surrounding probes: inflated probes = host-load window (expect a " +
       "CONTIGUOUS t_off block of movers), clean probes + slow query = engine " +
-      "change. Compare rounds on the common query set by median ratio, never " +
-      "raw totals (documented +-15% host drift). Narrative history: SCALE.md."
+      "change. vs_prev movers are pre-adjudicated: each carries load_ratio " +
+      "(probe series interpolated at its t_off / quietest probe); slowdowns " +
+      "with load_ratio > 1.3 sit in vs_prev.load_movers, not movers. Compare " +
+      "rounds on the common query set by median ratio, never raw totals " +
+      "(documented +-15% host drift). Narrative history: SCALE.md."
     val probesJson = probes.map { case (i, off, p) =>
       f"""[$i,$off%.1f,$p%.3f]""" }.mkString("[", ",", "]")
     val detailJson = detail.map { q =>

@@ -495,18 +495,58 @@ final class GraftIndex(val spark: SparkSession, val root: String,
         "policies" -> (() => graft.ingest.MatchBlock.policiesOf(df)),
         "address_stats" -> (() => graft.ingest.MatchBlock.addressStats(df)))
         .filter { case (t, _) => m.tables.getOrElse(t, Nil).nonEmpty }
-      if (sides.nonEmpty) {
+      // A/B attribution seam, BENCH/TEST ONLY — never set in deployment:
+      // skipping the maintenance breaks the superset invariant until the
+      // next empty→non-empty transition backfill, so window-pruned reads
+      // over the unmaintained segments become unsound. Exists to measure
+      // what the two per-append aggregation jobs cost (SCALE.md G.4).
+      val maintain = spark.conf
+        .getOption("spark.graft.append.sideMaintenance").forall(_.toBoolean)
+      if (sides.nonEmpty && !maintain)
+        System.err.println("[graft] spark.graft.append.sideMaintenance=false: " +
+          s"SKIPPING policies/address_stats maintenance for an inputs append at $root " +
+          "— the superset invariant is NOT maintained (A/B benchmarking seam)")
+      if (sides.nonEmpty && maintain) {
         commitAll(appends =
           Map("inputs" -> df) ++ sides.map { case (t, mk) => t -> mk() })
         return
       }
     }
     val v = m.version + 1
-    val seg = writeSegment(table, df, v)
+    val seg = writeSegment(table, withSideBackfill(m, table, df), v)
     if (seg.isEmpty) return // nothing written → no manifest bump
     val segs = liveSegments(table, m.tables.getOrElse(table, Nil) ++ seg)
     commitManifest(Manifest(v,
       addBloomSidecar(v, m.tables.updated(table, segs), seg.toSeq.map((table, _)))))
+  }
+
+  /** The OTHER arming order of the superset invariant, guarded at the
+    * commit that fires it: `append("inputs")` on an index whose window
+    * side tables are still empty leaves them empty (their windows are
+    * gated off — sound), but the FIRST commit that then makes a side table
+    * non-empty (an Indexer.ingest after a raw rehearsal load, a backfill)
+    * would cover only its own batch — the table turns non-empty without
+    * covering the earlier raw-appended inputs segments, the gate opens,
+    * and policyWindow/addressWindow derive too-narrow (or empty-sentinel)
+    * windows that can durably skip those segments in deleteInputs and
+    * queries. Both side tables derive purely from inputs rows, so on the
+    * empty → non-empty transition with pre-existing inputs segments the
+    * appended batch is widened with a backfill over ALL live inputs rows,
+    * in the same atomic bump — coverage can never be observed broken.
+    * Duplicate side rows across batches are harmless by construction: the
+    * windows aggregate min/max and the read paths dedup on key. */
+  private def withSideBackfill(m: Manifest, t: String, df: DataFrame): DataFrame = {
+    val transitions = (t == "policies" || t == "address_stats") &&
+      m.tables.getOrElse(t, Nil).isEmpty &&
+      m.tables.getOrElse("inputs", Nil).nonEmpty
+    if (!transitions) return df
+    System.err.println(s"[graft] $t at $root turns non-empty over " +
+      s"${m.tables("inputs").size} pre-existing inputs segment(s): backfilling " +
+      "from all live inputs rows to keep the derived windows supersets")
+    val backfill =
+      if (t == "policies") graft.ingest.MatchBlock.policiesOf(table("inputs"))
+      else graft.ingest.MatchBlock.addressStats(table("inputs"))
+    backfill.select(df.columns.map(col): _*).unionByName(df)
   }
 
   /** Commit several table changes in ONE atomic manifest bump — the true
@@ -539,7 +579,8 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // (table, base segments to keep, whether a missing write keeps the base)
     val results =
       appends.toSeq.map { case (t, df) =>
-        (t, m.tables.getOrElse(t, Nil), true, writeSegment(t, df, v))
+        (t, m.tables.getOrElse(t, Nil), true,
+          writeSegment(t, withSideBackfill(m, t, df), v))
       } ++
         replaces.toSeq.map { case (t, df) =>
           (t, List.empty[Segment], false, writeSegment(t, df, v))
@@ -746,7 +787,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val renames = Map(
       "spent_at" -> "d_spent_at", "spent_by" -> "d_spent_by", "spent_with" -> "d_spent_with")
     val sp =
-      if (spendsDeltaFitsBroadcast)
+      if (spendsDeltaFitsBroadcast(spendSegs))
         broadcast(table("spends")
           // the delta is broadcast-bounded, so dedup it in ONE partition: a
           // single-partition child satisfies the aggregation's distribution
@@ -770,11 +811,15 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * does the spends delta provably fit the forced broadcast? Row counts
     * come off the manifest (zero IO); a segment without the stat counts as
     * unbounded, failing safe to the shuffle path. Logs loudly when the
-    * answer is no — the deployment signal that compaction cadence slipped. */
-  private def spendsDeltaFitsBroadcast: Boolean = {
-    val segs = manifest.tables.getOrElse("spends", Nil)
-    val maxRows = spark.conf.getOption("spark.graft.spends.broadcastMaxRows")
-      .map(_.toLong).getOrElse(DefaultSpendsBroadcastMaxRows)
+    * answer is no — the deployment signal that compaction cadence slipped.
+    * Takes the caller's ALREADY-READ segment list rather than re-reading
+    * the manifest: the gate decision is then computed from the same
+    * manifest as the delta it gates (a concurrent commit between two reads
+    * could otherwise size one manifest's delta against another's), and a
+    * reconcile stays one control-plane read, as its scaladoc claims. */
+  private def spendsDeltaFitsBroadcast(segs: List[Segment]): Boolean = {
+    val maxRows = GraftIndex.positiveLongConf(spark,
+      "spark.graft.spends.broadcastMaxRows", DefaultSpendsBroadcastMaxRows)
     val rows = segs.foldLeft(0L) { (a, s) =>
       math.min(Long.MaxValue / 4, a + s.rows.getOrElse(Long.MaxValue / 4)) }
     val fits = rows <= maxRows
@@ -956,7 +1001,10 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // broadcast the delta already outgrew — over threshold the hint drops
     // and Catalyst plans a shuffled semi-join
     val bare = table("spends").select("tx_id", "output_index").distinct()
-    val delta = if (spendsDeltaFitsBroadcast) broadcast(bare) else bare
+    val delta =
+      if (spendsDeltaFitsBroadcast(manifest.tables.getOrElse("spends", Nil)))
+        broadcast(bare)
+      else bare
     val perBucket = table("inputs")
       .join(delta, Seq("tx_id", "output_index"), "left_semi")
       .groupBy("created_bucket")
@@ -1113,6 +1161,24 @@ object GraftIndex {
     "binary_data" -> Seq("binary_data_hash"),
     "scripts"     -> Seq("script_hash"))
 
+  /** Parse a positive-long graft conf, failing loudly AT THE READ with the
+    * conf key in the message — the [[graft.llm.Sampling.shardRanked]]
+    * `require` discipline. Without this a malformed value surfaces as a
+    * bare NumberFormatException at query/write time and a non-positive
+    * bitsPerKey as a negative sketch size inside BloomFilterAggregate,
+    * both far from the misconfigured key. */
+  private[index] def positiveLongConf(spark: org.apache.spark.sql.SparkSession,
+                                      key: String, default: Long): Long = {
+    val v = spark.conf.getOption(key).map { s =>
+      try s.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a positive integer, got '$s'") }
+    }.getOrElse(default)
+    require(v > 0, s"$key must be a positive integer, got $v")
+    v
+  }
+
   /** Serialized-bloom aggregate over `xxhash64(column)` (seed 42 — the
     * probe hashes identically), sized at `spark.graft.bloom.bitsPerKey`
     * (default 20 ≈ 7·10⁻⁵ FPP) for `items` keys. The sizing matters at
@@ -1137,8 +1203,8 @@ object GraftIndex {
     // affects tiny segments (micro-batch tails, fixtures); production-size
     // segments are far past it.
     val n = math.max(items, 1000L)
-    val bitsPerKey = org.apache.spark.sql.SparkSession.active.conf
-      .getOption("spark.graft.bloom.bitsPerKey").map(_.toLong).getOrElse(20L)
+    val bitsPerKey = positiveLongConf(org.apache.spark.sql.SparkSession.active,
+      "spark.graft.bloom.bitsPerKey", 20L)
     GraftShim.column(new BloomFilterAggregate(
       new XxHash64(Seq(GraftShim.expression(col(column)))),
       Literal(n), Literal(n * bitsPerKey), 0, 0).toAggregateExpression())

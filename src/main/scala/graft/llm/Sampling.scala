@@ -104,19 +104,24 @@ object Sampling {
                      idCol: String = "doc_id", salt: String = "bal"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit(salt), col(idCol).cast("string")))
-    val keyed = rows.select(col(idCol), col(groupCol), h.as("_h"),
+    // `_g` is the group key wrapped in a single-field struct: struct values
+    // compare null-field-equal in joins, so a NULL group forms its own
+    // group exactly as the pre-decomposition window form ranked it as its
+    // own partition — an inner join bare on groupCol silently dropped it.
+    val keyed = rows.select(col(idCol), col(groupCol),
+      struct(col(groupCol)).as("_g"), h.as("_h"),
       substring(h, 1, 2).as("_sub"))
-    val offsets = keyed.groupBy(groupCol, "_sub").agg(count(lit(1)).as("_n"))
+    val offsets = keyed.groupBy(col("_g"), col("_sub")).agg(count(lit(1)).as("_n"))
       .withColumn("_offset", coalesce(sum(col("_n")).over(
-        Window.partitionBy(col(groupCol)).orderBy(col("_sub"))
+        Window.partitionBy(col("_g")).orderBy(col("_sub"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_group", sum(col("_n")).over(
-        Window.partitionBy(col(groupCol))))
+        Window.partitionBy(col("_g"))))
       .where(col("_offset") < cap)
-      .select(col(groupCol), col("_sub"), col("_offset"), col("n_group"))
-    keyed.join(offsets, Seq(groupCol, "_sub"))
+      .select(col("_g"), col("_sub"), col("_offset"), col("n_group"))
+    keyed.join(offsets, Seq("_g", "_sub"))
       .withColumn("pick", (col("_offset") + row_number().over(
-        Window.partitionBy(col(groupCol), col("_sub"))
+        Window.partitionBy(col("_g"), col("_sub"))
           .orderBy(col("_h"), col(idCol)))).cast("long"))
       .where(col("pick") <= cap)
       .select(col(idCol), col(groupCol), col("pick"), col("n_group"))
@@ -130,20 +135,70 @@ object Sampling {
     * floor on coverage, not a ceiling), and a lone oversized top doc is
     * kept rather than leaving its stratum empty. Tokens are non-empty
     * whitespace splits; cumulative sums are exact integers.
-    * Shape: ONE exchange keyed by the stratum, one running-sum window over
-    * it, filter — the lengthQuantiles discipline (strata are the parallel
-    * unit; a stratum so large its ranked prefix sum serializes should be
-    * packed with [[packSequences]]-style sub-streams instead). */
+    *
+    * Scale shape: the per-stratum running sum decomposes over SAMPLED
+    * rank-range buckets, the [[graft.llm.TextAnalysis.qualityTokenCurve]]
+    * prefix discipline with sampled instead of arithmetic bucket bounds
+    * (rank scores have no fixed range). One narrow-column
+    * `percentile_approx` pass samples `rankBuckets − 1` interior cut
+    * points of `_r` per stratum; rows bucket by how many cut points sit at
+    * or above their `_r` — a monotone function of `_r` ALONE, so rows
+    * tying on `_r` land in one bucket and (bucket, `_r` desc, id) order ==
+    * (`_r` desc, id) order: positions and the kept set are bit-identical
+    * to the single-window form for ANY sampled bounds (the bounds steer
+    * only bucket SIZES — approxQuantile nondeterminism cannot reach the
+    * output). Per-bucket token sums → exclusive prefix offsets on the
+    * |strata|·buckets frame; a bucket whose offset already meets the
+    * budget provably contributes no kept row (every row's tokens-before ≥
+    * the offset) and is PRUNED before the rank window ever sees its rows —
+    * a 3-source 100 TB mix runs ~budget-bounded ranked volume across
+    * 3·`rankBuckets` tasks instead of ~33 TB through each of 3. NULL `_r`
+    * sorts last (one past-the-cuts bucket), NULL strata form their own
+    * stratum (struct-wrapped null-safe keys) — both exactly as the window
+    * form ordered them. */
   def budgetCappedSample(docs: DataFrame, tokenBudget: Long, rankCol: Column,
                          stratumCol: String = "source",
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text",
+                         rankBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(col("_r").desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(stratumCol), col(idCol), rankCol.as("_r"),
-        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    require(rankBuckets >= 1 && rankBuckets <= 4096,
+      s"rankBuckets must be in [1, 4096], got $rankBuckets")
+    val base = docs.select(col(stratumCol), struct(col(stratumCol)).as("_g"),
+      col(idCol), rankCol.as("_r"),
+      size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
+    // NULL _r must sort after every cut-point bucket; the non-null branch
+    // is column-derived even at rankBuckets = 1 so EliminateWindowPartitions
+    // never folds the partition key to a literal (the unpartitioned-window
+    // trap). Bucket = #{cut points ≥ _r}: monotone non-increasing in _r.
+    val bucketed =
+      if (rankBuckets == 1)
+        base.withColumn("_b", when(col("_r").isNull, lit(1)).otherwise(lit(0)))
+      else {
+        val cuts = (1 until rankBuckets).map(i => lit(i.toDouble / rankBuckets))
+        val bounds = base.groupBy(col("_g"))
+          .agg(percentile_approx(col("_r"), array(cuts: _*), lit(1000)).as("_cuts"))
+        base.join(broadcast(bounds), Seq("_g"))
+          .withColumn("_b", when(col("_r").isNull, lit(rankBuckets + 1))
+            .otherwise(coalesce(
+              size(filter(col("_cuts"), c => c >= col("_r"))), lit(0))))
+          .drop("_cuts")
+      }
+    // per-(stratum, bucket) token mass → exclusive prefix offsets over the
+    // tiny bucket frame (|strata|·≤rankBuckets rows — windowed per stratum,
+    // never corpus rows); the offsets join shares the (stratum, bucket)
+    // exchange the rank window needs anyway, so it is NOT broadcast.
+    val offsets = bucketed.groupBy(col("_g"), col("_b"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .withColumn("_toff", coalesce(sum(col("_t")).over(
+        Window.partitionBy(col("_g")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("_toff") < tokenBudget)
+      .select(col("_g"), col("_b"), col("_toff"))
+    bucketed.join(offsets, Seq("_g", "_b"))
+      .withColumn("cum_tokens", col("_toff") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("_g"), col("_b"))
+          .orderBy(col("_r").desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
       .select(col(stratumCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }

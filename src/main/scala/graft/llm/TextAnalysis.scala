@@ -263,22 +263,27 @@ object TextAnalysis {
                         stratumCol: String = "source",
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `_g` wraps the stratum in a single-field struct so the offsets join is
+    // null-safe: a NULL stratum forms its own stratum, exactly as the
+    // pre-decomposition window form treated it (bare-column inner joins drop
+    // NULL keys silently).
     val scored = docs.select(col(stratumCol), col(idCol),
+        struct(col(stratumCol)).as("_g"),
         qualityScore(col(textCol)).as("q"),
         size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("toks"))
       // qualityScore ∈ (0, 1]: 256 monotone range buckets; least() guards
       // the q = 1.0 edge into the last bucket
       .withColumn("_b", least(lit(255), floor(col("q") * 256)).cast("int"))
-    val byStratum = Window.partitionBy(col(stratumCol))
-    val offsets = scored.groupBy(col(stratumCol), col("_b"))
+    val byStratum = Window.partitionBy(col("_g"))
+    val offsets = scored.groupBy(col("_g"), col("_b"))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum(col("_c")).over(
         byStratum.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("_c")).over(byStratum))
-      .select(col(stratumCol), col("_b"), col("_off"), col("n"))
-    val ranked = scored.join(offsets, Seq(stratumCol, "_b"))
+      .select(col("_g"), col("_b"), col("_off"), col("n"))
+    val ranked = scored.join(offsets, Seq("_g", "_b"))
       .withColumn("_r", col("_off") + row_number().over(
-        Window.partitionBy(col(stratumCol), col("_b"))
+        Window.partitionBy(col("_g"), col("_b"))
           .orderBy(col("q"), col(idCol))).cast("long"))
     // ntile(bins) at rank r of n, Spark/SQL-standard padding: the first
     // n % bins buckets hold one extra row. Integer arithmetic throughout;

@@ -255,13 +255,27 @@ private[queries] object LlmSketchQueries {
         val est = graft.llm.Sketches.quantileEstimate(
           graft.llm.Sketches.quantileRegisters(lens, Seq("source"), "v"),
           Seq("source"), qs)
-        val ranked = lens
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("source")).orderBy(col("v"))))
-          .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("source"))))
-        val exact = qs.map(q =>
-          ranked.where(col("rn") === ceil(col("nn") * q))
-            .select(col("source"), lit(q).as("q"), col("v").as("exact_v")))
+        // exact side via the lengthQuantiles distinct-value-counts
+        // discipline (TextAnalysis.scala lengthQuantiles): fold (source, v)
+        // counts map-side, run the cumulative window over DISTINCT lengths
+        // per source — the value at rank ceil(q·n) is the least v whose
+        // cumulative count reaches it, identical to row_number() picking
+        // through duplicates, and nothing rank-shaped touches payload rows
+        // (the previous form ranked the full documents table in one task
+        // per source — the exact pattern the library purged).
+        val bySource = Window.partitionBy(col("source"))
+        val cum = lens.groupBy(col("source"), col("v"))
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_cum", sum(col("_c")).over(
+            bySource.orderBy(col("v"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("nn", sum(col("_c")).over(bySource))
+        val picks = qs.map(q =>
+          min(when(col("_cum") >= ceil(col("nn") * q), col("v")))
+            .as(s"_e${(q * 100).round}"))
+        val exactWide = cum.groupBy(col("source")).agg(picks.head, picks.tail: _*)
+        val exact = qs.map(q => exactWide.select(col("source"),
+            lit(q).as("q"), col(s"_e${(q * 100).round}").as("exact_v")))
           .reduce(_ unionByName _)
         est.join(exact, Seq("source", "q"))
           .orderBy(col("source"), col("q"))

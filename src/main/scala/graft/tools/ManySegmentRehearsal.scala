@@ -165,7 +165,83 @@ object ManySegmentRehearsal {
     val reads = GraftIndex.Manifest.readsOf(ix.root) - before
     require(reads == 1, s"plan construction read the manifest ${reads}x")
 
-    println(f"""{"rehearsal":"many_segment","sf":"$sfDir","segments":$actualSegs,"build_sec":$buildSec%.1f,"manifest":{"bytes":$manifestBytes,"read_sec":$manifestSec%.4f,"reads_per_query":$reads,"plan_sec":$planSec%.4f,"plan_sec_tiered_sides":$planTieredSec%.4f},"point":{"unpruned_sec":$tFull%.4f,"pruned_sec":$tPoint%.4f,"probe_sec":$probeSec%.4f,"candidates":$candidates,"rows":$nFull},"policy_window":{"segments_scanned":$polSegs,"sec":$tPol%.4f,"sec_tiered_sides":$tPolTiered%.4f,"unpruned_sec":$tPolFull%.4f,"rows":$nPol},"policy_spent_range":{"segments_scanned":$spentSegs,"sec":$tSpent%.4f,"sec_tiered_sides":$tSpentTiered%.4f,"rows":$nSpent}}""")
+    // ================= MUTATION SIDE (round 14) =================
+    // G.1 above proves the READ path segment-count-sublinear; the U1/U2/U5/
+    // U7 "index-walking" claims were only ever tested on ≤8-segment
+    // fixtures. Measure each on THIS index, counting touched segments off
+    // manifest path-diffs and asserting identical answers in-run. Every
+    // mutation below is ordered so its fixture state is still available:
+    // reconcile (non-destructive) → rollback (tail segment) → spends
+    // compaction (head band) → narrow delete (mint band).
+    def inputPaths() = ix.manifest.tables("inputs").map(_.path).toSet
+
+    // -- U2a: absent-key delete touches zero bytes at 1000+ segments --
+    val pathsA = inputPaths()
+    val vA = ix.manifest.version
+    val (tDelAbsent, nDelAbsent) = timed(
+      graft.index.Mutations.deleteInputs(ix, Set[Pattern](Pattern.MatchPolicyId("e" * 56))))
+    require(nDelAbsent == 0L && ix.manifest.version == vA,
+      s"absent-key delete deleted $nDelAbsent rows / bumped the manifest")
+
+    // -- U1: reconcile with a delta, broadcast vs over-threshold shuffle --
+    // marks live in the FIRST two segments' slot band (disjoint from the
+    // mint band and the rollback tail, so later phases are undisturbed)
+    val markHi = loAll + 2 * width - 1
+    val marks = ix.table("inputs")
+      .where(col("created_at").between(loAll, markHi) && col("spent_at").isNull)
+      .select(col("tx_id"), col("output_index"),
+        (col("created_at") + lit(1L)).as("spent_at"),
+        struct(col("tx_id").as("tx_id"), lit(0).cast("int").as("input_index")).as("spent_by"),
+        lit(null).cast("string").as("spent_with"))
+    graft.index.Mutations.markInputs(ix, marks)
+    val deltaRows = ix.manifest.tables("spends").flatMap(_.rows).sum
+    val recQ = () => ix.inputsWithSpends
+      .where(col("spent_at").isNotNull && col("spent_at") <= markHi + 1).count()
+    val (tRecBroadcast, nRecB) = best5(recQ())
+    spark.conf.set("spark.graft.spends.broadcastMaxRows", math.max(1L, deltaRows - 1).toString)
+    val (tRecShuffle, nRecS) = best5(recQ())
+    spark.conf.unset("spark.graft.spends.broadcastMaxRows")
+    require(nRecB == nRecS, s"gated reconcile diverged: $nRecB vs $nRecS")
+
+    // -- U7: compactSpends bakes the delta into ONLY the marked band --
+    val pathsB = inputPaths()
+    val totalRowsB = ix.manifest.tables("inputs").flatMap(_.rows).sum
+    val (tCompact, _) = timed(ix.compactSpends())
+    val pathsC = inputPaths()
+    val compactTouched = (pathsB -- pathsC).size
+    require(ix.manifest.tables.getOrElse("spends", Nil).isEmpty, "delta must clear")
+    require(ix.manifest.tables("inputs").flatMap(_.rows).sum == totalRowsB,
+      "compactSpends must conserve rows")
+    val nBaked = ix.table("inputs")
+      .where(col("created_at").between(loAll, markHi) && col("spent_at").isNotNull).count()
+    require(nBaked >= nRecB, s"marks not baked: $nBaked < $nRecB")
+
+    // -- U5: rollback straddling the TAIL segment (spent_at = created+5 in
+    // this derivation, so stats prove everything else clean) --
+    val tailSeg = ix.manifest.tables("inputs").maxBy(_.minSlot.getOrElse(0L))
+    val rbSlot = (tailSeg.minSlot.get + tailSeg.maxSlot.get) / 2
+    val expectRows = ix.table("inputs").where(col("created_at") <= rbSlot).count()
+    val pathsD = inputPaths()
+    val (tRollback, _) = timed(graft.index.Mutations.rollbackTo(ix, rbSlot))
+    val pathsE = inputPaths()
+    val rbTouched = (pathsD -- pathsE).size
+    require(ix.table("inputs").count() == expectRows, "rollback row cut diverged")
+    require(ix.table("inputs").agg(max("spent_at")).head().getLong(0) <= rbSlot,
+      "rollback left a future spend mark")
+
+    // -- U2b: narrow delete walks the policy window, keeps the rest --
+    val pathsF = inputPaths()
+    val expectDel = ix.table("inputs")
+      .where(Pattern.MatchPolicyId(bandPolicy).toPredicate).count()
+    val (tDelBand, nDelBand) = timed(
+      graft.index.Mutations.deleteInputs(ix, Set[Pattern](Pattern.MatchPolicyId(bandPolicy))))
+    val pathsG = inputPaths()
+    val delTouched = (pathsF -- pathsG).size
+    require(nDelBand == expectDel, s"delete count diverged: $nDelBand vs $expectDel")
+    require(ix.table("inputs").where(Pattern.MatchPolicyId(bandPolicy).toPredicate).count() == 0L)
+    val segsAfter = ix.manifest.tables("inputs").size
+
+    println(f"""{"rehearsal":"many_segment","sf":"$sfDir","segments":$actualSegs,"build_sec":$buildSec%.1f,"manifest":{"bytes":$manifestBytes,"read_sec":$manifestSec%.4f,"reads_per_query":$reads,"plan_sec":$planSec%.4f,"plan_sec_tiered_sides":$planTieredSec%.4f},"point":{"unpruned_sec":$tFull%.4f,"pruned_sec":$tPoint%.4f,"probe_sec":$probeSec%.4f,"candidates":$candidates,"rows":$nFull},"policy_window":{"segments_scanned":$polSegs,"sec":$tPol%.4f,"sec_tiered_sides":$tPolTiered%.4f,"unpruned_sec":$tPolFull%.4f,"rows":$nPol},"policy_spent_range":{"segments_scanned":$spentSegs,"sec":$tSpent%.4f,"sec_tiered_sides":$tSpentTiered%.4f,"rows":$nSpent},"mutations":{"delete_absent":{"sec":$tDelAbsent%.4f,"touched":0},"reconcile":{"delta_rows":$deltaRows,"broadcast_sec":$tRecBroadcast%.4f,"shuffle_sec":$tRecShuffle%.4f,"rows":$nRecB},"compact_spends":{"sec":$tCompact%.1f,"touched_segments":$compactTouched,"of":${pathsB.size}},"rollback":{"sec":$tRollback%.1f,"touched_segments":$rbTouched,"of":${pathsD.size}},"delete_band":{"sec":$tDelBand%.1f,"touched_segments":$delTouched,"of":${pathsF.size},"rows_deleted":$nDelBand,"segments_after":$segsAfter}}}""")
     spark.stop()
   }
 }

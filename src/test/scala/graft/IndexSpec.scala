@@ -302,17 +302,27 @@ class IndexSpec extends SparkSpec {
     assert(steady.contains((txA, 0, Some(20L))))
     // a deployment that deferred compaction past the gate: reconcile must
     // refuse the broadcast (no executor-OOM three stages from the cause)
-    // and fall back to a shuffled join with the identical answer
-    s2.conf.set("spark.graft.spends.broadcastMaxRows", "0")
-    val gatedPlan = g.inputsWithSpends.queryExecution.sparkPlan.toString
-    assert(!gatedPlan.contains("BroadcastHashJoin"), gatedPlan)
-    assert(gatedPlan.contains("SortMergeJoin") || gatedPlan.contains("ShuffledHashJoin"), gatedPlan)
-    assert(rows(g.inputsWithSpends) == steady)
+    // and fall back to a shuffled join with the identical answer. A second
+    // spend puts the delta at 2 rows so the (validated, must-be-positive)
+    // gate of 1 is genuinely over-threshold.
+    val b30 = FixtureChain.Blk(30L, FixtureChain.hex32(888003),
+      Seq(FixtureChain.Tx(FixtureChain.hex32(777003), Seq((txB, 0)),
+        Seq(FixtureChain.Out(FixtureChain.baseAddr(2, 0), 3L)))))
+    Indexer.ingest(g, FixtureChain.toDf(s2, Seq(b30)), p)
+    val steady2 = rows(g.inputsWithSpends)
+    assert(steady2.contains((txB, 0, Some(30L))))
+    s2.conf.set("spark.graft.spends.broadcastMaxRows", "1")
+    try {
+      val gatedPlan = g.inputsWithSpends.queryExecution.sparkPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin"), gatedPlan)
+      assert(gatedPlan.contains("SortMergeJoin") || gatedPlan.contains("ShuffledHashJoin"), gatedPlan)
+      assert(rows(g.inputsWithSpends) == steady2)
+    } finally s2.conf.unset("spark.graft.spends.broadcastMaxRows")
     // compaction restores the shuffle-free path: empty delta, no join at all
     g.compactSpends()
     val compactedPlan = g.inputsWithSpends.queryExecution.sparkPlan.toString
     assert(!compactedPlan.contains("Join"), compactedPlan)
-    assert(rows(g.inputsWithSpends) == steady)
+    assert(rows(g.inputsWithSpends) == steady2)
   }
 
   test("compact() preserves query results") {
@@ -802,6 +812,81 @@ class IndexSpec extends SparkSpec {
     // the read path agrees: a policy-B query on a fresh append is non-empty
     // before the delete semantics are in doubt — cross-check via policy A
     assert(FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId(polA).toText)).count() == 1L)
+  }
+
+  test("side-table empty→non-empty transition backfills coverage of earlier raw-appended segments") {
+    import graft.tools.FixtureChain._
+    val g = new GraftIndex(spark, tmpDir("graft-appinv2"), vacuumGraceMs = 0L)
+    val polA = hex28(64); val polB = hex28(65)
+    // the OTHER arming order of the superset invariant: the raw append runs
+    // FIRST, against an index whose side tables are still empty — they stay
+    // empty (windows gated off, sound so far) …
+    val earlyRows = graft.ingest.MatchBlock(
+      FixtureChain.toDf(spark, Seq(Blk(10L, hex32(10), Seq(
+        Tx(hex32(650), Nil, Seq(Out(baseAddr(0, 0), 5L, Map(polA -> Map("aa" -> 1L))))))))),
+      patterns).produced
+    g.append("inputs", earlyRows)
+    // the raw load carries its checkpoint (FoldInputs resolves created
+    // hashes through an INNER checkpoint join — a row without a block
+    // cannot exist on a real chain)
+    locally {
+      import spark.implicits._
+      g.append("checkpoints", Seq((10L, hex32(10))).toDF("slot_no", "header_hash"))
+    }
+    assert(g.manifest.tables.getOrElse("policies", Nil).isEmpty)
+    assert(g.manifest.tables.getOrElse("address_stats", Nil).isEmpty)
+    // … then a NORMAL ingest makes them non-empty. Without the transition
+    // backfill they would cover only this batch (slot 2000, policy B): the
+    // windows open, derive [2000, 2000], and a policy-A delete durably
+    // skips the raw-appended slot-10 segment.
+    Indexer.ingest(g, FixtureChain.toDf(spark, Seq(Blk(2000L, hex32(11), Seq(
+      Tx(hex32(651), Nil, Seq(Out(baseAddr(3, 3), 9L, Map(polB -> Map("bb" -> 2L))))))))), patterns)
+    assert(g.manifest.tables("inputs").size == 2)
+    // the transition commit backfilled coverage of the earlier segment
+    assert(g.table("policies").where(col("policy_id") === polA).count() == 1L)
+    assert(g.table("address_stats").where(col("address") === baseAddr(0, 0)).count() == 1L)
+    // window-served reads and deletes see the raw-appended segment
+    assert(FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId(polA).toText)).count() == 1L)
+    val lateSeg = g.manifest.tables("inputs").maxBy(_.minSlot.getOrElse(0L))
+    assert(Mutations.deleteInputs(g, Set[Pattern](Pattern.MatchPolicyId(polA))) == 1L)
+    assert(g.manifest.tables("inputs").exists(_.path == lateSeg.path),
+      "segment outside the policy-A window must survive the delete untouched")
+    assert(g.table("inputs").where(col("tx_id") === hex32(650)).count() == 0L)
+    assert(g.table("inputs").where(col("tx_id") === hex32(651)).count() == 1L)
+  }
+
+  test("graft confs fail loudly at the read, naming the key") {
+    import graft.tools.FixtureChain._
+    def expectNamed(key: String, value: String)(body: => Unit): Unit = {
+      spark.conf.set(key, value)
+      try {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains(key), s"$key: ${e.getMessage}")
+      } finally spark.conf.unset(key)
+    }
+    def batch(n: Int) = graft.ingest.MatchBlock(
+      FixtureChain.toDf(spark, Seq(Blk(n.toLong, hex32(n), Seq(
+        Tx(hex32(n + 1), Nil, Seq(Out(baseAddr(0, 0), 1L))))))), patterns).produced
+    // malformed / non-positive bitsPerKey dies at the segment write with
+    // the key in the message, not as a NumberFormatException (or a negative
+    // sketch size inside BloomFilterAggregate) far from the conf
+    val g = new GraftIndex(spark, tmpDir("graft-conf"), vacuumGraceMs = 0L)
+    expectNamed("spark.graft.bloom.bitsPerKey", "twenty") {
+      g.append("inputs", batch(30))
+    }
+    expectNamed("spark.graft.bloom.bitsPerKey", "0") {
+      g.append("inputs", batch(32))
+    }
+    // malformed broadcastMaxRows dies at the reconcile gate read
+    val g2 = new GraftIndex(spark, tmpDir("graft-conf2"), vacuumGraceMs = 0L)
+    Indexer.ingest(g2, toDf(spark, Seq(
+      Blk(10L, hex32(3), Seq(Tx(hex32(710), Nil, Seq(Out(baseAddr(0, 0), 5L))))),
+      Blk(20L, hex32(4), Seq(Tx(hex32(711), Seq((hex32(710), 0)),
+        Seq(Out(baseAddr(1, 0), 6L))))))), patterns)
+    assert(g2.manifest.tables.getOrElse("spends", Nil).nonEmpty)
+    expectNamed("spark.graft.spends.broadcastMaxRows", "-5") {
+      g2.inputsWithSpends.count()
+    }
   }
 
   test("copyFiltered through the relevance prune copies the same bytes as a full scan") {

@@ -2151,10 +2151,47 @@ class LlmSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(out.toSeq == Seq(
       ("a", 2L, 5L, 5L), ("a", 1L, 4L, 9L), ("b", 4L, 12L, 12L)))
-    // the ranking/running-sum exchange keys on the stratum alone
+    // the running-sum exchange keys on (stratum, rank-range bucket) — a
+    // stratum ranks as ≤rankBuckets tasks, never one; no payload exchange
+    // keys on the stratum alone
     val plan = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
       .queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(source[#0-9L]*, (4|32|200)\\)".r.findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(_g[#0-9L]*, _b[#0-9L]*, (4|32|200)\\)".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("budget-capped sample: kept set and positions bit-identical across bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // adversarial rank column: heavy TIES (r quantized to 5 levels, so
+    // sampled cut points land ON tied values), plus NULL ranks and a NULL
+    // stratum — every edge the bucketing must route exactly like the
+    // single-window form
+    val d = (1L to 300L).map { i =>
+      val src = if (i % 7 == 0) null else s"s${i % 3}"
+      val r: java.lang.Double = if (i % 11 == 0) null else (rnd.nextInt(5) + 1).toDouble
+      (i, src, (1 to (1 + rnd.nextInt(9))).map(_ => "w").mkString(" "), r)
+    }.toDF("doc_id", "source", "text", "r")
+    val wide = Seq(1, 32, 64).map { b =>
+      graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 40L, rankCol = col("r"),
+          rankBuckets = b)
+        .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .toSet
+    }
+    assert(wide(0) == wide(1) && wide(1) == wide(2),
+      s"kept sets differ across bucket widths: ${wide.map(_.size)}")
+    // NULL stratum forms its own stratum (window semantics) — it must fill
+    // its own budget, not vanish in the offsets join
+    assert(wide(0).exists(_._1.isEmpty), "NULL-stratum rows were dropped")
+    // NULL ranks sort LAST within their stratum: every kept null-rank row's
+    // cum_tokens ≥ every kept non-null-rank row's in the same stratum
+    val nullRankIds = d.where(col("r").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    wide(0).groupBy(_._1).foreach { case (_, rows) =>
+      val (nullR, nonNullR) = rows.partition(r => nullRankIds.contains(r._2))
+      if (nullR.nonEmpty && nonNullR.nonEmpty)
+        assert(nullR.map(_._4).min >= nonNullR.map(_._4).max)
+    }
   }
 
   test("temperature mix: sqrt-share flattens the head, exact at perfect squares") {
@@ -2497,12 +2534,29 @@ class LlmSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     // source a: 2 bins of 2 docs; the low-quality pair (1,3) lands in bin 1
     assert(r.toSeq == Seq(("a", 1L, 2L, 6L), ("a", 2L, 2L, 20L), ("b", 1L, 1L, 7L)))
-    // the ranking exchange keys on the stratum ALONE (a global ntile would
-    // serialize the corpus onto one partition); the rollup's exchange moves
-    // only map-side-combined (source, qbin) partials
+    // the ranking exchange keys on (stratum, score-range bucket) — a global
+    // ntile would serialize the corpus onto one partition, a stratum-only
+    // key onto one task per stratum; the rollup's exchange moves only
+    // map-side-combined (source, qbin) partials
     val plan = graft.llm.TextAnalysis.qualityTokenCurve(d, bins = 2)
       .queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(source[#0-9L]*, (4|32|200)\\)".r.findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(_g[#0-9L]*, _b[#0-9L]*, (4|32|200)\\)".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("quality token curve: NULL stratum forms its own stratum, not dropped by the offsets join") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, null, "x x x x"), (2L, null, "the cat and the dog walked over the hill today"),
+      (3L, "a", "y y")
+    ).toDF("doc_id", "source", "text")
+    val r = graft.llm.TextAnalysis.qualityTokenCurve(d, bins = 2)
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // the two NULL-stratum docs bin together (2 bins of 1 doc); the window
+    // form ranked NULL as its own partition — the decomposed join must too
+    assert(r.filter(_._1.isEmpty).map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq((1L, 1L), (2L, 1L)), r.toSeq.toString)
+    assert(r.filter(_._1.nonEmpty).toSeq == Seq((Some("a"), 1L, 1L, 2L)))
   }
 
   test("chunk with overlap: minimal grid cover, partial tail, zero-token docs drop") {
@@ -2584,5 +2638,21 @@ class LlmSpec extends SparkSpec {
     val expect = (1L to 10L).sortBy(i => md5hex(s"bal$i")).take(3).toSet
     assert(big.map(_._1).toSet == expect)
     assert(expect != Set(1L, 2L, 3L))
+  }
+
+  test("balanced sample: NULL group forms its own group, not dropped by the offsets join") {
+    import spark.implicits._
+    val rows = ((1L to 5L).map(i => (i, null: String)) ++ Seq((20L, "g")))
+      .toDF("doc_id", "grp")
+    val r = graft.llm.Sampling.balancedSample(rows, "grp", cap = 2).collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)), x.getLong(2), x.getLong(3)))
+    // the pre-decomposition window ranked NULL as its own partition; the
+    // null-safe (struct-keyed) join must keep that: cap applies to the NULL
+    // group like any other, with its true group total
+    val nulls = r.filter(_._2.isEmpty)
+    assert(nulls.length == 2 && nulls.forall(_._4 == 5L), r.toSeq.toString)
+    assert(nulls.map(_._3).sorted.sameElements(Seq(1L, 2L)))
+    assert(r.filter(_._2.nonEmpty).map(x => (x._1, x._3, x._4)).toSeq ==
+      Seq((20L, 1L, 1L)))
   }
 }
