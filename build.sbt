@@ -29,6 +29,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// A/B seam for bench attribution runs: extra -D flags (e.g.
+// -Dspark.graft.bloom.bitsPerKey=10) reach the forked run JVM via env —
+// SparkConf adopts any spark.*-prefixed system property.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

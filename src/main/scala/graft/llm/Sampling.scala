@@ -140,8 +140,9 @@ object Sampling {
     * rank-range buckets, the [[graft.llm.TextAnalysis.qualityTokenCurve]]
     * prefix discipline with sampled instead of arithmetic bucket bounds
     * (rank scores have no fixed range). One narrow-column
-    * `percentile_approx` pass samples `rankBuckets − 1` interior cut
-    * points of `_r` per stratum; rows bucket by how many cut points sit at
+    * `percentile_approx` pass — over a deterministic 1/16 id-hash sample,
+    * since the bounds cannot affect the output — samples `rankBuckets − 1`
+    * interior cut points of `_r` per stratum; rows bucket by how many cut points sit at
     * or above their `_r` — a monotone function of `_r` ALONE, so rows
     * tying on `_r` land in one bucket and (bucket, `_r` desc, id) order ==
     * (`_r` desc, id) order: positions and the kept set are bit-identical
@@ -175,9 +176,20 @@ object Sampling {
         base.withColumn("_b", when(col("_r").isNull, lit(1)).otherwise(lit(0)))
       else {
         val cuts = (1 until rankBuckets).map(i => lit(i.toDouble / rankBuckets))
-        val bounds = base.groupBy(col("_g"))
+        // the bounds pass runs over a DETERMINISTIC 1/16 sample (first hex
+        // char of a salted id hash): bounds steer only bucket sizes, never
+        // the output, so sampling costs nothing in correctness and cuts the
+        // pass's rank-column compute 16× — the pass exists to size buckets,
+        // not to be exact. A stratum with no sampled row falls out of the
+        // broadcast and LEFT-joins to null cuts → its rows share bucket 0
+        // (single-bucket fallback, still correct).
+        val bounds = docs
+          .where(substring(md5(concat(lit("bcs:"), col(idCol).cast("string"))), 1, 1)
+            === lit("0"))
+          .select(struct(col(stratumCol)).as("_g"), rankCol.as("_r"))
+          .groupBy(col("_g"))
           .agg(percentile_approx(col("_r"), array(cuts: _*), lit(1000)).as("_cuts"))
-        base.join(broadcast(bounds), Seq("_g"))
+        base.join(broadcast(bounds), Seq("_g"), "left")
           .withColumn("_b", when(col("_r").isNull, lit(rankBuckets + 1))
             .otherwise(coalesce(
               size(filter(col("_cuts"), c => c >= col("_r"))), lit(0))))
