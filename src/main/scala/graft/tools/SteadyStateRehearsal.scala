@@ -114,11 +114,18 @@ object SteadyStateRehearsal {
       val (tc, _) = timed {
         // FoldInputs resolves created/spent hashes through checkpoint joins,
         // so the drain writes each batch's checkpoints too (the real
-        // Indexer shape: one commitAll covering facts + sides + checkpoints)
-        val cp = slice.select(col("created_at").as("slot_no"))
-          .union(slice.where(col("spent_at").isNotNull)
-            .select(col("spent_at").as("slot_no")))
-          .distinct().withColumn("header_hash", md5(col("slot_no").cast("string")))
+        // Indexer shape: one commitAll covering facts + sides +
+        // checkpoints). Each batch owns its CONTIGUOUS slot range exactly
+        // once — a real chain has one block per slot; deriving rows from
+        // created ∪ spent slots per batch would duplicate slots across
+        // batches (a spent slot recurs as a later batch's created slot)
+        // and the hash join would multiply rows. The last batch extends
+        // past the tip to cover trailing spent slots (spent = created+5).
+        val cpStart = loAll + k.toLong * width
+        val cpEnd = if (k == nCommits - 1) hiAll + 6 else loAll + (k + 1).toLong * width - 1
+        val cp = spark.range(cpStart, cpEnd + 1)
+          .select(col("id").as("slot_no"),
+            md5(col("id").cast("string")).as("header_hash"))
         ix.commitAll(appends = Map(
           "checkpoints" -> cp,
           "inputs" -> slice.withColumn("spent_at", lit(null).cast("long"))
