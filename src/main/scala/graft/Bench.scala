@@ -238,17 +238,31 @@ object Bench {
                 }
               v / probeBase
             }
+            // Second contention tell, complementary to the CPU probes (which
+            // miss IO/memory-bandwidth pressure — measured: a mid-run window
+            // inflated three queries 3-4× while probes read 1.09): post-warm
+            // runs of an ENGINE change are flat, but a co-tenant spike decays
+            // across the three timed runs. Monotone-decreasing runs with
+            // first/best > 1.8 is that signature.
+            def decayOf(k: String): Double =
+              detail.find(_.name == k).map { q =>
+                val r = q.runs
+                if (r.size >= 3 && r(0) > r(1) && r(1) > r(2))
+                  r.head / math.max(r.last, 1e-4)
+                else 1.0
+              }.getOrElse(1.0)
             val tagged = ratios
               .map { case (k, r) => (k, r / median) }
               .filter { case (_, nr) => nr >= 1.5 || nr <= 1.0 / 1.5 }
               .map { case (k, nr) =>
-                (k, nr, loadRatioAt(detail.find(_.name == k).map(_.tOff).getOrElse(0.0))) }
-              .sortBy { case (_, nr, _) => -math.abs(math.log(nr)) }
+                (k, nr, loadRatioAt(detail.find(_.name == k).map(_.tOff).getOrElse(0.0)),
+                  decayOf(k)) }
+              .sortBy { case (_, nr, _, _) => -math.abs(math.log(nr)) }
             val (loadMovers, engineMovers) =
-              tagged.partition { case (_, nr, lr) => nr > 1.0 && lr > 1.3 }
-            def moverJson(ms: Seq[(String, Double, Double)]) = ms.take(10)
-              .map { case (k, nr, lr) =>
-                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f,"load_ratio":$lr%.2f}""" }
+              tagged.partition { case (_, nr, lr, dc) => nr > 1.0 && (lr > 1.3 || dc > 1.8) }
+            def moverJson(ms: Seq[(String, Double, Double, Double)]) = ms.take(10)
+              .map { case (k, nr, lr, dc) =>
+                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f,"load_ratio":$lr%.2f,"decay_ratio":$dc%.2f}""" }
               .mkString("{", ",", "}")
             Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"probe_base":$probeBase%.3f,"movers":${moverJson(engineMovers)},"load_movers":${moverJson(loadMovers)}}""")
           }
@@ -283,8 +297,10 @@ object Bench {
       "surrounding probes: inflated probes = host-load window (expect a " +
       "CONTIGUOUS t_off block of movers), clean probes + slow query = engine " +
       "change. vs_prev movers are pre-adjudicated: each carries load_ratio " +
-      "(probe series interpolated at its t_off / quietest probe); slowdowns " +
-      "with load_ratio > 1.3 sit in vs_prev.load_movers, not movers. Compare " +
+      "(probe series interpolated at its t_off / quietest probe) and " +
+      "decay_ratio (first/best across the 3 runs when monotone decreasing — " +
+      "the IO-contention tell CPU probes miss); slowdowns with load_ratio > " +
+      "1.3 or decay_ratio > 1.8 sit in vs_prev.load_movers, not movers. Compare " +
       "rounds on the common query set by median ratio, never raw totals " +
       "(documented +-15% host drift). Narrative history: SCALE.md."
     val probesJson = probes.map { case (i, off, p) =>
