@@ -234,6 +234,26 @@ object KupoPipelineQueries {
     * invocations ever overlap, each reclaims at most the one dir it
     * swapped out, so a dir another in-flight call is still reading can't
     * be deleted by a third call draining a shared queue (ADVICE r6). */
+  private val lastBackfillDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Rotating temp root for q_kupo_append_backfill's per-execution index —
+    * its own rotator (not [[freshCopyDir]]'s) so the two mutation-query
+    * families can never reap each other's still-scanning directories. */
+  private def freshBackfillDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val old = lastBackfillDir.getAndSet(dir)
+    if (old != null) {
+      val p = java.nio.file.Paths.get(old)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    dir
+  }
+
   private def freshCopyDir(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
     val old = lastCopyDir.getAndSet(dir)
@@ -708,6 +728,43 @@ object KupoPipelineQueries {
            |FROM inputs WHERE address LIKE '01$cred7%'
            |  AND (policy_id IS NULL OR policy_id <> '$policy2')
            |ORDER BY created_at, transaction_id, output_index, address, coins""".stripMargin)),
+
+    // S7/S8 + the superset invariant's OTHER arming order, driver-gated:
+    // a RAW inputs append lands first (side tables empty, windows gated),
+    // then a normal commit turns policies/address_stats non-empty — the
+    // transition must BACKFILL coverage of the raw-appended band in the
+    // same atomic bump (GraftIndex.withSideBackfill), or every policy's
+    // derived slot window would start at the second band and window-pruned
+    // reads/deletes would durably skip the first. The compare surface is
+    // the per-policy ref count and slot span over the WHOLE policies
+    // table: without the backfill, band-A refs are absent and the span
+    // collapses to band B — a hash mismatch, not a subtle drift. Bands are
+    // 1/16 slot-parity slices so the per-execution index build stays small.
+    QueryDef("q_kupo_append_backfill",
+      (s, d) => {
+        val ix = new GraftIndex(s, freshBackfillDir(), vacuumGraceMs = 0L)
+        val inputs = derivedShelleyInputs(s, d)
+        val bandA = inputs.where(col("created_at") % 16 === 0)
+        val bandB = inputs.where(col("created_at") % 16 === 1)
+        ix.append("inputs", bandA) // raw: policies/address_stats stay empty
+        ix.commitAll(appends = Map(
+          "inputs" -> bandB,
+          "policies" -> graft.ingest.MatchBlock.policiesOf(bandB),
+          "address_stats" -> graft.ingest.MatchBlock.addressStats(bandB)))
+        ix.table("policies")
+          .groupBy(col("policy_id"))
+          .agg(count(lit(1)).as("n_refs"),
+            min(col("created_at")).as("min_slot"),
+            max(col("created_at")).as("max_slot"))
+          .orderBy(col("policy_id"))
+      },
+      Some(derivationSql +
+        """, refs AS (
+          |  SELECT DISTINCT transaction_id, output_index, policy_id, created_at
+          |  FROM inputs WHERE policy_id IS NOT NULL AND created_at % 16 IN (0, 1))
+          |SELECT policy_id, CAST(count(*) AS BIGINT) AS n_refs,
+          |       min(created_at) AS min_slot, max(created_at) AS max_slot
+          |FROM refs GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // R3 foldPolicies: (output_reference, policy) projection under a
     // pattern, answered from the value.assets map — no side-table join.
