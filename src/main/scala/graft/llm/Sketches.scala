@@ -234,10 +234,17 @@ object Sketches {
       coalesce(max(col("sk_d")), lit(d)).as("_dmax"),
       coalesce(min(col("sk_w")), lit(w)).as("_wmin"),
       coalesce(max(col("sk_w")), lit(w)).as("_wmax")))
-    probes.select(keyCols.map(col) :+ col(valueCol) :+
+    // `_g` struct-wraps the key columns so the probe→register lookup is
+    // NULL-SAFE: register groups keep NULL keys (groupBy retains them) but
+    // a bare-column join could never read them back — a NULL-key probe
+    // silently estimated 0, the one thing CMS must never do. Struct values
+    // compare null-field-equal in joins (the balancedSample discipline).
+    probes.select(keyCols.map(col) :+ struct(keyCols.map(col): _*).as("_g") :+
+        col(valueCol) :+
         posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
-      .join(broadcast(registers.drop("sk_d", "sk_w")),
-        (keyCols :+ "row" :+ "col").toSeq, "left_outer")
+      .join(broadcast(registers.select(
+          struct(keyCols.map(col): _*).as("_g"), col("row"), col("col"), col("cnt"))),
+        Seq("_g", "row", "col"), "left_outer")
       .crossJoin(bounds)
       .select(keyCols.map(col) :+ col(valueCol) :+
         when(col("_dmin") === d && col("_dmax") === d &&
@@ -300,12 +307,16 @@ object Sketches {
                       keyCols: Seq[String], valueCol: String, phi: Double,
                       d: Int = 4, w: Int = 64): DataFrame = {
     require(phi > 0 && phi < 1, s"need 0 < phi < 1, got phi=$phi")
+    // struct-keyed for the same NULL-safety as cmsEstimate's lookup: a
+    // NULL-key group's total is in the sketch and must join back
     val n = registers.where(col("row") === 0)
-      .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("n_total"))
+      .groupBy(struct(keyCols.map(col): _*).as("_g")).agg(sum(col("cnt")).as("n_total"))
     cmsEstimate(registers, candidates, keyCols, valueCol, d, w)
-      .join(broadcast(n), keyCols.toSeq)
+      .withColumn("_g", struct(keyCols.map(col): _*))
+      .join(broadcast(n), Seq("_g"))
       // same exact-integer boundary discipline as [[frequentCandidates]]
       .where(atLeastPhiFraction(col("cms_est"), col("n_total"), phi))
+      .drop("_g")
   }
 
   /** DDSketch-style quantile registers (Masson, Lee & Rim 2019, "DDSketch:
@@ -475,10 +486,17 @@ object Sketches {
       coalesce(max(col("sk_k")), lit(k)).as("_kmax"),
       coalesce(min(col("sk_m")), lit(m)).as("_mmin"),
       coalesce(max(col("sk_m")), lit(m)).as("_mmax")))
-    probes.select(keyCols.map(col) :+ col(valueCol) :+
+    // struct-wrapped key so the lookup is NULL-SAFE: a NULL-key group's
+    // bits are in the registers (distinct/groupBy keep NULL keys) but a
+    // bare-column join could never read them back — a NULL-key probe of a
+    // present value read false, manufacturing exactly the false negative
+    // the filter's guarantee rules out.
+    probes.select(keyCols.map(col) :+ struct(keyCols.map(col): _*).as("_g") :+
+        col(valueCol) :+
         explode(bloomBits(valueCol, k, m)).as("bit"): _*)
-      .join(broadcast(registers.drop("sk_k", "sk_m")
-        .withColumn("_set", lit(1))), (keyCols :+ "bit").toSeq, "left_outer")
+      .join(broadcast(registers.select(
+          struct(keyCols.map(col): _*).as("_g"), col("bit"))
+        .withColumn("_set", lit(1))), Seq("_g", "bit"), "left_outer")
       .crossJoin(bounds)
       .select(keyCols.map(col) :+ col(valueCol) :+
         when(col("_kmin") === k && col("_kmax") === k &&

@@ -609,6 +609,36 @@ class LlmSpec extends SparkSpec {
     assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
+  test("sketch lookups are null-key safe: a NULL-key group estimates and probes like any other") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.lit
+    val items = (Seq.fill(4)((null: String, "x")) ++ Seq(("k", "x"), ("k", "x")))
+      .toDF("g", "v")
+    val probes = Seq((null: String, "x"), ("k", "x"), (null: String, "absent"))
+      .toDF("g", "v")
+    // CMS: the NULL-key group's counters exist in the registers (groupBy
+    // keeps NULL keys); the struct-keyed lookup must read them back — a
+    // bare-column join silently estimated 0, the under-count CMS rules out
+    val est = Sketches.cmsEstimate(Sketches.cmsRegisters(items, Seq("g"), "v"),
+        probes, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est((None, "x")) == 4L && est((Some("k"), "x")) == 2L
+      && est((None, "absent")) == 0L, est.toString)
+    // Bloom: a NULL-key probe of a present value must read TRUE (a false
+    // negative here broke the filter's defining guarantee)
+    val bl = Sketches.bloomContains(Sketches.bloomRegisters(items, Seq("g"), "v"),
+        probes.distinct(), Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(bl((None, "x")) && bl((Some("k"), "x")) && !bl((None, "absent")), bl.toString)
+    // heavy hitters: the NULL-key group participates end to end
+    val cand = Sketches.frequentCandidates(
+      items.withColumn("shard", lit(0)), Seq("g"), "v", "shard", 0.5)
+    val hh = Sketches.cmsHeavyHitters(
+        Sketches.cmsRegisters(items, Seq("g"), "v"), cand, Seq("g"), "v", 0.5)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(hh == Set((None, "x"), (Some("k"), "x")), hh.toString)
+  }
+
   test("bloom filter: no false negatives ever, union merge, param guards, empty reads false") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.{col, lit}
