@@ -143,10 +143,17 @@ object Bench {
     val probeEvery = 15
     val gcTimedStart = gcMillis()
     val wallStart = System.nanoTime()
-    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    // each probe point takes BOTH spins: the single-thread spin catches
+    // whole-host slowdowns, but a co-tenant pinning most-but-not-all cores
+    // is invisible to it (measured: a 24-of-32-core hog inflated queries
+    // ~2.5× while the single probe read 1.13 — the queries run 32-way and
+    // compete, a lone spin still gets a core). The one-spin-per-core probe
+    // collapses exactly then. ~0.5 s per point, ~5 s per run — the price
+    // of in-band contention evidence for both load shapes.
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double)]()
     def takeProbe(idx: Int): Unit = {
       val off = (System.nanoTime() - wallStart) / 1e9
-      probes += ((idx, off, probeSingle()))
+      probes += ((idx, off, probeSingle(), probeParallel(spark, cpus.toInt)))
     }
     takeProbe(0)
     case class QRes(name: String, best: Double, runs: Seq[Double],
@@ -226,18 +233,19 @@ object Bench {
             // cannot make a query faster. (Previously the reader had to
             // cross-reference probes/t_off by hand — r13's verdict did.)
             val probeBase = math.max(probes.map(_._3).min, 1e-9)
-            val pts = probes.map(p => (p._2, p._3)).sortBy(_._1)
-            def loadRatioAt(t: Double): Double = {
-              val v =
-                if (t <= pts.head._1) pts.head._2
-                else if (t >= pts.last._1) pts.last._2
-                else {
-                  val i = pts.lastIndexWhere(_._1 <= t)
-                  val (t0, p0) = pts(i); val (t1, p1) = pts(i + 1)
-                  p0 + (p1 - p0) * ((t - t0) / math.max(t1 - t0, 1e-9))
-                }
-              v / probeBase
-            }
+            val probeBaseMt = math.max(probes.map(_._4).min, 1e-9)
+            def interpAt(pts: Seq[(Double, Double)], t: Double): Double =
+              if (t <= pts.head._1) pts.head._2
+              else if (t >= pts.last._1) pts.last._2
+              else {
+                val i = pts.lastIndexWhere(_._1 <= t)
+                val (t0, p0) = pts(i); val (t1, p1) = pts(i + 1)
+                p0 + (p1 - p0) * ((t - t0) / math.max(t1 - t0, 1e-9))
+              }
+            val ptsSt = probes.map(p => (p._2, p._3)).sortBy(_._1).toSeq
+            val ptsMt = probes.map(p => (p._2, p._4)).sortBy(_._1).toSeq
+            def loadRatioAt(t: Double): Double = interpAt(ptsSt, t) / probeBase
+            def loadRatioMtAt(t: Double): Double = interpAt(ptsMt, t) / probeBaseMt
             // Second contention tell, complementary to the CPU probes (which
             // miss IO/memory-bandwidth pressure — measured: a mid-run window
             // inflated three queries 3-4× while probes read 1.09): post-warm
@@ -255,16 +263,17 @@ object Bench {
               .map { case (k, r) => (k, r / median) }
               .filter { case (_, nr) => nr >= 1.5 || nr <= 1.0 / 1.5 }
               .map { case (k, nr) =>
-                (k, nr, loadRatioAt(detail.find(_.name == k).map(_.tOff).getOrElse(0.0)),
-                  decayOf(k)) }
-              .sortBy { case (_, nr, _, _) => -math.abs(math.log(nr)) }
+                val t = detail.find(_.name == k).map(_.tOff).getOrElse(0.0)
+                (k, nr, loadRatioAt(t), loadRatioMtAt(t), decayOf(k)) }
+              .sortBy { case (_, nr, _, _, _) => -math.abs(math.log(nr)) }
             val (loadMovers, engineMovers) =
-              tagged.partition { case (_, nr, lr, dc) => nr > 1.0 && (lr > 1.3 || dc > 1.8) }
-            def moverJson(ms: Seq[(String, Double, Double, Double)]) = ms.take(10)
-              .map { case (k, nr, lr, dc) =>
-                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f,"load_ratio":$lr%.2f,"decay_ratio":$dc%.2f}""" }
+              tagged.partition { case (_, nr, lr, mt, dc) =>
+                nr > 1.0 && (lr > 1.3 || mt > 1.5 || dc > 1.8) }
+            def moverJson(ms: Seq[(String, Double, Double, Double, Double)]) = ms.take(10)
+              .map { case (k, nr, lr, mt, dc) =>
+                f""""$k":{"cur":${common.find(_._1 == k).get._2}%.3f,"prev":${pairs(k)}%.3f,"norm_ratio":$nr%.2f,"load_ratio":$lr%.2f,"load_ratio_mt":$mt%.2f,"decay_ratio":$dc%.2f}""" }
               .mkString("{", ",", "}")
-            Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"probe_base":$probeBase%.3f,"movers":${moverJson(engineMovers)},"load_movers":${moverJson(loadMovers)}}""")
+            Some(f"""{"artifact":"bench/$name","common_n":${common.size},"median_ratio":$median%.3f,"probe_base":$probeBase%.3f,"probe_base_mt":$probeBaseMt%.3f,"movers":${moverJson(engineMovers)},"load_movers":${moverJson(loadMovers)}}""")
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] vs_prev against $name failed: $e"); None }
@@ -290,21 +299,24 @@ object Bench {
     // lives in SCALE.md next to the recorded runs, never hardcoded here
     // (the r10 artifact shipped carrying r9's prose — this field now only
     // explains how to read the drift-attribution fields of THIS run).
-    val notes = "Drift attribution is in-band: probes = interleaved fixed " +
-      "single-thread CPU spins [query_idx, wall_off_sec, probe_sec] taken " +
-      "every " + probeEvery + " queries plus both endpoints; query_detail = " +
+    val notes = "Drift attribution is in-band: probes = interleaved CPU spins " +
+      "[query_idx, wall_off_sec, single_thread_sec, per_core_parallel_sec] " +
+      "taken every " + probeEvery + " queries plus both endpoints (the " +
+      "parallel spin catches partial-core co-tenants the single spin " +
+      "cannot); query_detail = " +
       "per-query {best, runs(3), gc_ms, t_off}. Classify a slow query by its " +
       "surrounding probes: inflated probes = host-load window (expect a " +
       "CONTIGUOUS t_off block of movers), clean probes + slow query = engine " +
-      "change. vs_prev movers are pre-adjudicated: each carries load_ratio " +
-      "(probe series interpolated at its t_off / quietest probe) and " +
-      "decay_ratio (first/best across the 3 runs when monotone decreasing — " +
-      "the IO-contention tell CPU probes miss); slowdowns with load_ratio > " +
-      "1.3 or decay_ratio > 1.8 sit in vs_prev.load_movers, not movers. Compare " +
+      "change. vs_prev movers are pre-adjudicated: each carries load_ratio / " +
+      "load_ratio_mt (single-thread and per-core probe series interpolated " +
+      "at its t_off, each over its run minimum) and decay_ratio (first/best " +
+      "across the 3 runs when monotone decreasing — the tell for a co-tenant " +
+      "that ends mid-window); slowdowns with load_ratio > 1.3, load_ratio_mt " +
+      "> 1.5, or decay_ratio > 1.8 sit in vs_prev.load_movers, not movers. Compare " +
       "rounds on the common query set by median ratio, never raw totals " +
       "(documented +-15% host drift). Narrative history: SCALE.md."
-    val probesJson = probes.map { case (i, off, p) =>
-      f"""[$i,$off%.1f,$p%.3f]""" }.mkString("[", ",", "]")
+    val probesJson = probes.map { case (i, off, p, mt) =>
+      f"""[$i,$off%.1f,$p%.3f,$mt%.3f]""" }.mkString("[", ",", "]")
     val detailJson = detail.map { q =>
       f""""${q.name}":{"best":${q.best}%.3f,"runs":[${q.runs.map(t => f"$t%.3f").mkString(",")}],"gc_ms":${q.gcMs},"t_off":${q.tOff}%.1f}"""
     }.mkString("{", ",", "}")
