@@ -540,6 +540,15 @@ final class GraftIndex(val spark: SparkSession, val root: String,
       m.tables.getOrElse(t, Nil).isEmpty &&
       m.tables.getOrElse("inputs", Nil).nonEmpty
     if (!transitions) return df
+    // Only a NON-EMPTY batch can fire the transition: an empty one writes
+    // no segment, the table stays empty, and its windows stay gated off —
+    // sound without any backfill. Checking costs one job over the
+    // batch-derived frame; skipping the check cost a scan of ALL live
+    // inputs segments on EVERY commit of a stream whose batches carry no
+    // side rows (policies stays empty → the transition re-arms each drain
+    // — O(index) per commit, observed firing per-batch in the net-effect
+    // stream suite).
+    if (df.isEmpty) return df
     System.err.println(s"[graft] $t at $root turns non-empty over " +
       s"${m.tables("inputs").size} pre-existing inputs segment(s): backfilling " +
       "from all live inputs rows to keep the derived windows supersets")

@@ -136,31 +136,40 @@ object Sampling {
     * kept rather than leaving its stratum empty. Tokens are non-empty
     * whitespace splits; cumulative sums are exact integers.
     *
-    * Scale shape: the per-stratum running sum decomposes over SAMPLED
-    * rank-range buckets, the [[graft.llm.TextAnalysis.qualityTokenCurve]]
-    * prefix discipline with sampled instead of arithmetic bucket bounds
-    * (rank scores have no fixed range). One narrow-column
-    * `percentile_approx` pass — over a deterministic 1/16 id-hash sample,
-    * since the bounds cannot affect the output — samples `rankBuckets − 1`
-    * interior cut points of `_r` per stratum; rows bucket by how many cut points sit at
-    * or above their `_r` — a monotone function of `_r` ALONE, so rows
-    * tying on `_r` land in one bucket and (bucket, `_r` desc, id) order ==
-    * (`_r` desc, id) order: positions and the kept set are bit-identical
-    * to the single-window form for ANY sampled bounds (the bounds steer
-    * only bucket SIZES — approxQuantile nondeterminism cannot reach the
-    * output). Per-bucket token sums → exclusive prefix offsets on the
-    * |strata|·buckets frame; a bucket whose offset already meets the
-    * budget provably contributes no kept row (every row's tokens-before ≥
-    * the offset) and is PRUNED before the rank window ever sees its rows —
-    * a 3-source 100 TB mix runs ~budget-bounded ranked volume across
-    * 3·`rankBuckets` tasks instead of ~33 TB through each of 3. NULL `_r`
-    * sorts last (one past-the-cuts bucket), NULL strata form their own
-    * stratum (struct-wrapped null-safe keys) — both exactly as the window
-    * form ordered them. */
+    * Scale shape: the per-stratum running sum decomposes over rank-range
+    * buckets, the [[graft.llm.TextAnalysis.qualityTokenCurve]] prefix
+    * discipline. Cut points come from one of two sources — and because
+    * they steer only bucket SIZES, never membership of the output (see the
+    * monotonicity argument below), the choice is purely a cost knob:
+    *
+    *  - `rankRange = Some((lo, hi))`: `rankBuckets − 1` ARITHMETIC cut
+    *    points on [lo, hi], pure literals — zero extra jobs. For rank
+    *    columns with a known range (quality scores in [0, 1]); a wrong or
+    *    stale range only skews bucket sizes, the output is unchanged.
+    *  - `rankRange = None`: a narrow-column `percentile_approx` pass —
+    *    over a deterministic 1/16 id-hash sample, since the bounds cannot
+    *    affect the output — SAMPLES the cut points of `_r` per stratum.
+    *
+    * Rows bucket by how many cut points sit at or above their `_r` — a
+    * monotone function of `_r` ALONE, so rows tying on `_r` land in one
+    * bucket and (bucket, `_r` desc, id) order == (`_r` desc, id) order:
+    * positions and the kept set are bit-identical to the single-window
+    * form for ANY cut points (sampled-bound nondeterminism and a
+    * misdeclared rankRange alike cannot reach the output). Per-bucket
+    * token sums → exclusive prefix offsets on the |strata|·buckets frame;
+    * a bucket whose offset already meets the budget provably contributes
+    * no kept row (every row's tokens-before ≥ the offset) and is PRUNED
+    * before the rank window ever sees its rows — a 3-source 100 TB mix
+    * runs ~budget-bounded ranked volume across 3·`rankBuckets` tasks
+    * instead of ~33 TB through each of 3. NULL `_r` sorts last (one
+    * past-the-cuts bucket), NULL strata form their own stratum
+    * (struct-wrapped null-safe keys) — both exactly as the window form
+    * ordered them. */
   def budgetCappedSample(docs: DataFrame, tokenBudget: Long, rankCol: Column,
                          stratumCol: String = "source",
                          idCol: String = "doc_id", textCol: String = "text",
-                         rankBuckets: Int = 64): DataFrame = {
+                         rankBuckets: Int = 64,
+                         rankRange: Option[(Double, Double)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rankBuckets >= 1 && rankBuckets <= 4096,
       s"rankBuckets must be in [1, 4096], got $rankBuckets")
@@ -174,7 +183,17 @@ object Sampling {
     val bucketed =
       if (rankBuckets == 1)
         base.withColumn("_b", when(col("_r").isNull, lit(1)).otherwise(lit(0)))
-      else {
+      else if (rankRange.isDefined) {
+        // literal arithmetic cuts: the whole bounds machinery vanishes —
+        // no extra scan, no broadcast join, just a codegen'd count over a
+        // (rankBuckets−1)-element literal array per row
+        val (lo, hi) = rankRange.get
+        require(lo <= hi, s"rankRange must be ordered, got ($lo, $hi)")
+        val cutVals = (1 until rankBuckets)
+          .map(i => lit(lo + (hi - lo) * i / rankBuckets))
+        base.withColumn("_b", when(col("_r").isNull, lit(rankBuckets + 1))
+          .otherwise(size(filter(array(cutVals: _*), c => c >= col("_r")))))
+      } else {
         val cuts = (1 until rankBuckets).map(i => lit(i.toDouble / rankBuckets))
         // the bounds pass runs over a DETERMINISTIC 1/16 sample (first hex
         // char of a salted id hash): bounds steer only bucket sizes, never

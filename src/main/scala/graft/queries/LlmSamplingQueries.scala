@@ -168,9 +168,14 @@ private[queries] object LlmSamplingQueries {
     // quality-score order (boundary doc kept — the budget is a coverage
     // floor). One stratum-keyed exchange; exact integer running sums.
     QueryDef("q_token_budget_sample",
+      // qualityScore ∈ [0, 1] is a KNOWN range, so the arithmetic-cuts
+      // path applies: the sampled-bounds pass (an extra corpus scan)
+      // vanishes, and the range is advisory — it steers bucket sizes only,
+      // never the kept set (LlmSpec proves a wrong range changes nothing)
       (s, d) => graft.llm.Sampling.budgetCappedSample(
           table(s, d, "documents"), tokenBudget = 500L,
-          rankCol = graft.llm.TextAnalysis.qualityScore(col("text")))
+          rankCol = graft.llm.TextAnalysis.qualityScore(col("text")),
+          rankRange = Some((0.0, 1.0)))
         .orderBy(col("source"), col("cum_tokens"), col("doc_id")),
       Some("""WITH s AS (
              |  SELECT source, doc_id,

@@ -406,8 +406,13 @@ object LlmScaleRehearsal {
       .split("== Initial Plan ==").head
     val surprisalScans = "Scan parquet".r.findAllIn(surprisalPlan).length
     val surprisalSmj = surprisalPlan.contains("SortMergeJoin")
-    // shard assignment: exactly one exchange, keyed by the shard (the
-    // writer layout) — never by the doc id or the full hash
+    // shard assignment: every exchange keyed by the shard first (the
+    // writer layout) — never by the doc id or the full hash. Since the
+    // r13 rank decomposition the plan has THREE shard-keyed exchanges:
+    // payload ranks within (shard, _sub) sub-shards and the tiny sub-shard
+    // counts frame windows per shard for the prefix offsets — payload rows
+    // never exchange on the shard alone (one task per shard was the
+    // single-task rank ceiling the decomposition removed).
     val shardDf = graft.llm.Sampling.shardAssignment(docs)
     shardDf.collect()
     val shardExchanges = "Exchange hashpartitioning\\([^\\n]*".r
@@ -417,7 +422,9 @@ object LlmScaleRehearsal {
     val chunkEx = "Exchange".r.findAllIn(
       graft.llm.Sampling.chunkWithOverlap(docs, window = 64, stride = 48)
         .queryExecution.executedPlan.toString).length
-    // balanced sampling: one exchange, keyed by the group column
+    // balanced sampling: same decomposed shape, keyed by the struct-wrapped
+    // group key `_g` (null-safe since the ADVICE r13 fix) and its `_sub`
+    // sub-shards — never by the bare payload id
     val balDf = graft.llm.Sampling.balancedSample(
       Similarity.assignCells(emb, centroids).select(col("vec_id"), col("cell")),
       groupCol = "cell", cap = 50, idCol = "vec_id")
@@ -634,14 +641,24 @@ object LlmScaleRehearsal {
       .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
     val qQs = Seq(0.5, 0.9, 0.99)
     val qEst = graft.llm.Sketches.quantileEstimate(qRegs, Seq("source"), qQs)
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("v"))
-    val qRanked = srcLens
-      .withColumn("rn", row_number().over(wq))
-      .withColumn("nn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
-    val qExact = qQs.map(q => qRanked.where(col("rn") === ceil(col("nn") * q))
-        .select(col("source"), lit(q).as("q"), col("v").as("exact_v")))
+    // exact side via the distinct-value-counts discipline (the same pick
+    // as a per-source row_number through duplicates, without ranking
+    // payload rows in one task per source — the pattern the library
+    // purged; mirrors LlmSketchQueries' q_quantile_sketch exact side)
+    val wqSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val qCum = srcLens.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        wqSrc.orderBy(col("v")).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("nn", sum(col("_c")).over(wqSrc))
+    val qPicks = qQs.map(q =>
+      min(when(col("_cum") >= ceil(col("nn") * q), col("v")))
+        .as(s"_e${(q * 100).round}"))
+    val qExactWide = qCum.groupBy(col("source")).agg(qPicks.head, qPicks.tail: _*)
+    val qExact = qQs.map(q => qExactWide.select(col("source"),
+        lit(q).as("q"), col(s"_e${(q * 100).round}").as("exact_v")))
       .reduce(_ unionByName _)
     val qOutOfBounds = qEst.join(qExact, Seq("source", "q"))
       .where(col("exact_v") < col("q_lo") || col("exact_v") >= col("q_hi"))
@@ -865,11 +882,19 @@ object LlmScaleRehearsal {
     require(surprisalScans == 1 && !surprisalSmj,
       s"bigram surprisal must scan the corpus once with broadcast model " +
         s"joins: $surprisalScans scans, smj=$surprisalSmj\n$surprisalPlan")
-    require(shardExchanges.length == 1 && shardExchanges.head.contains("shard"),
-      s"shard assignment must shuffle once, keyed by the shard: $shardExchanges")
+    // post-r13-decomposition shape: every exchange keys on the shard/group
+    // FIRST (payload ranks within (key, _sub) sub-shards; the tiny counts
+    // frame windows per key for prefix offsets) — nothing exchanges on the
+    // doc id, the full hash, or an unkeyed singleton
+    require(shardExchanges.nonEmpty &&
+      shardExchanges.forall(_.contains("hashpartitioning(shard")) &&
+      shardExchanges.exists(_.contains("_sub")),
+      s"shard assignment must shuffle keyed by (shard[, _sub]): $shardExchanges")
     require(chunkEx == 0, s"chunking must be a pure map: $chunkEx exchanges")
-    require(balExchanges.length == 1 && balExchanges.head.contains("cell"),
-      s"balanced sample must shuffle once, keyed by the group: $balExchanges")
+    require(balExchanges.nonEmpty &&
+      balExchanges.forall(_.contains("hashpartitioning(_g")) &&
+      balExchanges.exists(_.contains("_sub")),
+      s"balanced sample must shuffle keyed by (group struct[, _sub]): $balExchanges")
     require(!semCross, "SemDeDup pair join must be an equi-join on the cell")
     require(semKept == semGroups,
       s"SemDeDup must keep exactly one member per group: $semKept kept vs $semGroups groups")

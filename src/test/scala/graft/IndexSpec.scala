@@ -835,13 +835,21 @@ class IndexSpec extends SparkSpec {
     }
     assert(g.manifest.tables.getOrElse("policies", Nil).isEmpty)
     assert(g.manifest.tables.getOrElse("address_stats", Nil).isEmpty)
+    // an ingest whose batch carries NO policy rows must not fire the
+    // policies backfill (an empty batch cannot turn the table non-empty —
+    // its windows stay gated off, sound; firing anyway cost a scan of ALL
+    // live inputs segments on EVERY such commit of an asset-free stream)
+    Indexer.ingest(g, FixtureChain.toDf(spark, Seq(Blk(1000L, hex32(12), Seq(
+      Tx(hex32(652), Nil, Seq(Out(baseAddr(4, 4), 7L))))))), patterns)
+    assert(g.manifest.tables.getOrElse("policies", Nil).isEmpty,
+      "asset-free batch must leave policies empty (and unbackfilled)")
     // … then a NORMAL ingest makes them non-empty. Without the transition
     // backfill they would cover only this batch (slot 2000, policy B): the
     // windows open, derive [2000, 2000], and a policy-A delete durably
     // skips the raw-appended slot-10 segment.
     Indexer.ingest(g, FixtureChain.toDf(spark, Seq(Blk(2000L, hex32(11), Seq(
       Tx(hex32(651), Nil, Seq(Out(baseAddr(3, 3), 9L, Map(polB -> Map("bb" -> 2L))))))))), patterns)
-    assert(g.manifest.tables("inputs").size == 2)
+    assert(g.manifest.tables("inputs").size == 3)
     // the transition commit backfilled coverage of the earlier segment
     assert(g.table("policies").where(col("policy_id") === polA).count() == 1L)
     assert(g.table("address_stats").where(col("address") === baseAddr(0, 0)).count() == 1L)

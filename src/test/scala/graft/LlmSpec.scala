@@ -2202,14 +2202,17 @@ class LlmSpec extends SparkSpec {
       val r: java.lang.Double = if (i % 11 == 0) null else (rnd.nextInt(5) + 1).toDouble
       (i, src, (1 to (1 + rnd.nextInt(9))).map(_ => "w").mkString(" "), r)
     }.toDF("doc_id", "source", "text", "r")
-    val wide = Seq(1, 32, 64).map { b =>
+    val wide = Seq[Option[(Double, Double)]](None, None, None,
+        Some((1.0, 5.0)),      // arithmetic cuts, true range
+        Some((100.0, 200.0)))  // arithmetic cuts, WRONG range — advisory only
+      .zip(Seq(1, 32, 64, 64, 64)).map { case (rng, b) =>
       graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 40L, rankCol = col("r"),
-          rankBuckets = b)
+          rankBuckets = b, rankRange = rng)
         .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3)))
         .toSet
     }
-    assert(wide(0) == wide(1) && wide(1) == wide(2),
-      s"kept sets differ across bucket widths: ${wide.map(_.size)}")
+    assert(wide.forall(_ == wide.head),
+      s"kept sets differ across bucket widths / cut sources: ${wide.map(_.size)}")
     // NULL stratum forms its own stratum (window semantics) — it must fill
     // its own budget, not vanish in the offsets join
     assert(wide(0).exists(_._1.isEmpty), "NULL-stratum rows were dropped")
