@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * every container the JDK ships a reader for (PNG, JPEG, BMP, GIF):
   * [[ImageIoCodec]] encodes grayscale rasters to actual format bytes and
   * decodes arbitrary payloads back to a pixel grid by container sniffing —
-  * see [[decodeGrayGrid]]. Only audio/video remain a STUB (no ffmpeg/JNI
-  * in this container): `StubCodec.decode` derives a deterministic fake
-  * feature vector from the payload bytes, and is the one function a
-  * deployment swaps for a real media decoder.
+  * see [[decodeGrayGrid]]. AUDIO decode is REAL for WAV/PCM16 through the
+  * JDK's `javax.sound.sampled` — see [[WavCodec]]/[[audioFeatures]]. Only
+  * VIDEO remains a STUB (the JDK ships no video codec and there is no
+  * ffmpeg/JNI in this container): `StubCodec.decode` derives a
+  * deterministic fake feature vector from the payload bytes, and is the
+  * one function a deployment swaps for a real media decoder.
   *
   * Scale notes: payloads never pass through a shuffle — every operator here
   * is a per-partition map; the only wide operation a media pipeline needs
@@ -282,6 +284,88 @@ object Multimodal {
       .select(col("media_id"), col("kind"),
         posexplode(sequence(lit(0), greatest(col("meta.duration_ms") - 1, lit(0)), lit(everyMs)))
           .as(Seq("frame_no", "offset_ms")))
+
+  /** REAL audio codec — WAV/PCM16 mono through the JDK's
+    * `javax.sound.sampled` (the audio sibling of [[ImageIoCodec]]): encode
+    * writes an actual RIFF/WAVE container; decode routes the bytes through
+    * `AudioSystem`'s parser — container sniffing, header validation, frame
+    * framing, the same code path a JVM service runs on real uploads — so a
+    * corrupt header or a mis-framed data chunk fails HERE, not as silent
+    * garbage features. Video stays the honest [[StubCodec]] (the JDK ships
+    * no video codec; a deployment swaps in an ffmpeg/JNI binding). */
+  object WavCodec {
+    /** Mono PCM16 samples → a complete RIFF/WAVE container (44-byte
+      * canonical header + little-endian frames). */
+    def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Any WAV payload → (sampleRate, mono PCM16 samples). The JDK parses
+      * and validates the container; non-mono-PCM16LE formats are rejected
+      * loudly rather than misread. */
+    def decodePcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+          s"expected mono PCM16LE wav, got $f")
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(i * 2); i += 1 }
+        (f.getSampleRate.toInt, out)
+      } finally in.close()
+    }
+  }
+
+  /** Real audio features off JDK-decoded PCM, in integer/IEEE-exact DSP so
+    * an oracle can recompute them from the sample definition alone:
+    * duration (integer ms), peak |amplitude|, strict zero crossings
+    * (s_{i−1}·s_i < 0 — integer product, no epsilon), and RMS =
+    * sqrt(Σs²/n) where Σs² is an exact integer (exact in double up to
+    * ~8M samples of full-scale PCM16) and the divide+sqrt are IEEE-defined
+    * — bit-reproducible across engines. mapPartitions: decoder init is
+    * per-partition, payloads never shuffle (only the feature row moves). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, s) = WavCodec.decodePcm16(payload)
+          var zc = 0L; var peak = 0L; var sumSq = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+            val a = math.abs(v); if (a > peak) peak = a
+            sumSq += v * v
+            i += 1
+          }
+          val n = s.length.toLong
+          (id, rate, n, n * 1000L / rate, peak, zc,
+            if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "duration_ms",
+        "peak", "zero_crossings", "rms")
+  }
 
   /** Resize plumbing: metadata transform only (payload stays opaque until a
     * real codec is bound); records the target box, preserving aspect ratio. */

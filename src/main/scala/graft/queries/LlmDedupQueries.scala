@@ -312,6 +312,51 @@ private[queries] object LlmDedupQueries {
       Some("""SELECT vec_id, 8 AS w, 8 AS h, TRUE AS within_tol
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // REAL audio in the path: deterministic integer waveforms → actual
+    // RIFF/WAVE containers (Multimodal.WavCodec) → the JDK's AudioSystem
+    // parser → exact-DSP features (integer duration/peak/zero-crossings,
+    // IEEE-exact RMS). DuckDB recomputes the same features straight from
+    // the waveform definition, so any container/framing/decode defect
+    // (header arithmetic, endianness, frame width, a dropped sample)
+    // shifts a feature and hash-mismatches. Sample rate varies per asset
+    // to exercise the format header, not just the data chunk.
+    QueryDef("q_audio_wav_features",
+      (s, d) => {
+        import s.implicits._
+        val media = table(s, d, "documents").select(col("doc_id"))
+          .where(col("doc_id") <= 64)
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val n = (200 + id % 57).toInt
+            val rate = (8000 * (1 + id % 3)).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+            (id, graft.llm.Multimodal.WavCodec.encodePcm16(samples, rate))
+          })
+          .toDF("media_id", "payload")
+        graft.llm.Multimodal.audioFeatures(media).orderBy(col("media_id"))
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id AS media_id, 200 + (doc_id % 57) AS n,
+             |         8000 * (1 + (doc_id % 3)) AS rate
+             |  FROM documents WHERE doc_id <= 64),
+             |smp AS (
+             |  SELECT media_id, n, rate, i,
+             |         ((media_id * 31 + i * 7) % 65536) - 32768 AS v
+             |  FROM ids, unnest(range(0, n)) AS u(i)),
+             |marked AS (
+             |  SELECT media_id, n, rate, v,
+             |         CASE WHEN v * lag(v) OVER (PARTITION BY media_id ORDER BY i) < 0
+             |              THEN 1 ELSE 0 END AS x
+             |  FROM smp)
+             |SELECT media_id, CAST(any_value(rate) AS INT) AS sample_rate,
+             |       CAST(any_value(n) AS BIGINT) AS n_samples,
+             |       CAST((any_value(n) * 1000) // any_value(rate) AS BIGINT) AS duration_ms,
+             |       CAST(max(abs(v)) AS BIGINT) AS peak,
+             |       CAST(sum(x) AS BIGINT) AS zero_crossings,
+             |       sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)) AS rms
+             |FROM marked GROUP BY media_id ORDER BY media_id""".stripMargin)),
+
     // Window-function survivor pick: rank within each content group, keep
     // rank 1 — the one-pass dedup shape when whole rows must survive.
     QueryDef("q_dedup_window",

@@ -863,6 +863,59 @@ class IndexSpec extends SparkSpec {
     assert(g.table("inputs").where(col("tx_id") === hex32(651)).count() == 1L)
   }
 
+  test("superset invariant holds under random raw-append/ingest/delete orderings (3 seeds)") {
+    import graft.tools.FixtureChain._
+    // The window-pruning soundness claim, as a property: however raw
+    // appends (side tables not maintained), asset-free ingests (side
+    // batches empty — must NOT fire the transition), asset ingests (may
+    // fire it), and policy deletes interleave, a window-served read must
+    // equal its bare-predicate twin after EVERY step — the two arming
+    // orders the write-time invariant closes (append-after-populate,
+    // populate-after-append) plus the empty-batch non-transition, walked
+    // in random order instead of one pinned sequence each.
+    val polOf = (i: Int) => hex28(90 + i % 3)
+    for (seed <- Seq(101, 202, 303)) {
+      val rnd = new scala.util.Random(seed)
+      val g = new GraftIndex(spark, tmpDir(s"graft-supinv$seed"), vacuumGraceMs = 0L)
+      var slot = 0L
+      var txSeed = seed * 1000
+      def nextBlock(withAsset: Boolean): Blk = {
+        slot += 10; txSeed += 1
+        val assets = if (withAsset) Map(polOf(txSeed) -> Map("aa" -> 1L))
+                     else Map.empty[String, Map[String, Long]]
+        Blk(slot, hex32(txSeed), Seq(
+          Tx(hex32(txSeed + 500000), Nil,
+            Seq(Out(baseAddr(txSeed % 5, txSeed % 7), 1L + txSeed % 9, assets)))))
+      }
+      def rawAppend(b: Blk): Unit = {
+        import spark.implicits._
+        g.append("inputs", graft.ingest.MatchBlock(toDf(spark, Seq(b)), patterns).produced)
+        g.append("checkpoints", Seq((b.slot, b.headerHash)).toDF("slot_no", "header_hash"))
+      }
+      def check(): Unit = if (g.manifest.tables.getOrElse("inputs", Nil).nonEmpty)
+        (0 until 3).map(polOf).foreach { p =>
+        val served = FoldInputs(g, MatchesQuery(Pattern.MatchPolicyId(p).toText)).count()
+        val bare = g.inputsWithSpends.where(Pattern.MatchPolicyId(p).toPredicate).count()
+        assert(served == bare, s"seed=$seed slot=$slot policy=$p: window-served " +
+          s"$served != bare $bare (windows derived too narrow — superset broken)")
+      }
+      for (step <- 0 until 12) {
+        rnd.nextInt(4) match {
+          case 0 => rawAppend(nextBlock(withAsset = rnd.nextBoolean()))
+          case 1 => Indexer.ingest(g, toDf(spark, Seq(nextBlock(withAsset = false))), patterns)
+          case 2 => Indexer.ingest(g, toDf(spark, Seq(nextBlock(withAsset = true))), patterns)
+          case 3 if g.manifest.tables.getOrElse("inputs", Nil).nonEmpty =>
+            val p = polOf(rnd.nextInt(3))
+            val expect = g.table("inputs").where(Pattern.MatchPolicyId(p).toPredicate).count()
+            assert(Mutations.deleteInputs(g, Set[Pattern](Pattern.MatchPolicyId(p))) == expect,
+              s"seed=$seed step=$step: delete count diverged for $p")
+          case _ => ()
+        }
+        check()
+      }
+    }
+  }
+
   test("graft confs fail loudly at the read, naming the key") {
     import graft.tools.FixtureChain._
     def expectNamed(key: String, value: String)(body: => Unit): Unit = {

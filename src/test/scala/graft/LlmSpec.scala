@@ -1114,6 +1114,40 @@ class LlmSpec extends SparkSpec {
     assert(eo.getMessage.contains("out of range"), eo.getMessage)
   }
 
+  test("WavCodec: PCM16 round-trip exact through the JDK parser, features exact, garbage fails loudly") {
+    import Multimodal._
+    // bit-exact round-trip through AudioSystem, full amplitude range incl.
+    // Short.MinValue (the abs edge) and both sample-rate header fields
+    val samples = Array[Short](0, 32767, -32768, 1, -1, 0, 12345, -12345)
+    for (rate <- Seq(8000, 16000, 44100)) {
+      val (r2, s2) = WavCodec.decodePcm16(WavCodec.encodePcm16(samples, rate))
+      assert(r2 == rate && s2.sameElements(samples), s"rate=$rate")
+    }
+    // features on a hand-checked frame: samples (3, -4, 0, 5, -5) →
+    // peak 5, strict crossings at (3,-4) and (5,-5) [(-4,0),(0,5) excluded:
+    // product is 0, not < 0], sum sq = 9+16+0+25+25 = 75, rms = sqrt(15)
+    val media = Seq((7L,
+      WavCodec.encodePcm16(Array[Short](3, -4, 0, 5, -5), 1000))).toDF("media_id", "payload")
+    val f = audioFeatures(media).collect().head
+    assert(f.getLong(0) == 7L && f.getInt(1) == 1000 && f.getLong(2) == 5L)
+    assert(f.getLong(3) == 5L, "5 samples at 1 kHz = 5 ms")
+    assert(f.getLong(4) == 5L && f.getLong(5) == 2L)
+    assert(f.getDouble(6) == math.sqrt(15.0))
+    // a non-WAV payload fails in the JDK parser — quarantine, never garbage
+    intercept[Exception](WavCodec.decodePcm16(Array[Byte](1, 2, 3, 4)))
+    // a WRONG format (stereo) is rejected by the post-parse require, loudly
+    val stereoHeader = {
+      val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(8000).putInt(32000).putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(4).putInt(0)
+      bb.array()
+    }
+    val es = intercept[Exception](WavCodec.decodePcm16(stereoHeader))
+    assert(es.getMessage.contains("mono"), es.getMessage)
+  }
+
   test("dHash: gradient bits exact, near-dup retrieval lossless, no cross product") {
     import spark.implicits._
     // strictly increasing grid → every adjacent comparison true → all 56 bits
