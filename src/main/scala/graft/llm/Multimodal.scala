@@ -285,6 +285,33 @@ object Multimodal {
         posexplode(sequence(lit(0), greatest(col("meta.duration_ms") - 1, lit(0)), lit(everyMs)))
           .as(Seq("frame_no", "offset_ms")))
 
+  /** REAL image downscale by an integer factor: f×f box mean over the
+    * decoded grid ([[decodeGrayGrid]]'s output shape), in EXACT integer
+    * arithmetic (sum div f² — no float resampling drift, so an oracle can
+    * recompute it bit-for-bit), expressed entirely in codegen'd
+    * higher-order array functions — no UDF, and the pixel array never
+    * shuffles (pure per-row projection). Rows smaller than the factor are
+    * dropped (no partial boxes); trailing right/bottom pixels beyond the
+    * last full box are cropped, the standard box-filter convention. */
+  def downscaleGrayGrid(decoded: DataFrame, f: Int): DataFrame = {
+    require(f >= 1 && f <= 8, s"factor must be in [1, 8], got $f")
+    // `div` yields LONG in Spark SQL, so `j` (and the index arithmetic) is
+    // BIGINT — element_at needs the explicit INT cast
+    val terms = (for (dy <- 0 until f; dx <- 0 until f) yield
+      s"element_at(px, CAST(((j div (w div $f)) * $f + $dy) * w + " +
+        s"(j % (w div $f)) * $f + $dx + 1 AS INT))")
+      .mkString(" + ")
+    decoded
+      .where(col("w") >= f && col("h") >= f)
+      .select(col("media_id"),
+        expr(s"CAST(w div $f AS INT)").as("out_w"),
+        expr(s"CAST(h div $f AS INT)").as("out_h"),
+        expr(s"transform(sequence(0, (w div $f) * (h div $f) - 1), j -> " +
+          s"CAST(($terms) div ${f * f} AS INT))").as("out_px"))
+      .select(col("media_id"), col("out_w").as("w"), col("out_h").as("h"),
+        col("out_px").as("px"))
+  }
+
   /** REAL audio codec — WAV/PCM16 mono through the JDK's
     * `javax.sound.sampled` (the audio sibling of [[ImageIoCodec]]): encode
     * writes an actual RIFF/WAVE container; decode routes the bytes through

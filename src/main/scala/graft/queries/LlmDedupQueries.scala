@@ -312,6 +312,34 @@ private[queries] object LlmDedupQueries {
       Some("""SELECT vec_id, 8 AS w, 8 AS h, TRUE AS within_tol
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // REAL resize in the path: grid → actual PNG bytes → JDK decode →
+    // 2×2 integer box-mean downscale in codegen'd array functions (no
+    // UDF, exact arithmetic). DuckDB recomputes the means straight from
+    // the pre-extracted pixel grids, so a codec defect OR a box-indexing
+    // defect (row-major mix-up, off-by-one crop) hash-mismatches.
+    QueryDef("q_image_resize",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val grids = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val png = graft.llm.Multimodal.encodePngGrid(grids, w = 8, h = 8)
+        graft.llm.Multimodal.downscaleGrayGrid(
+            graft.llm.Multimodal.decodeGrayGrid(png), f = 2)
+          .select(col("media_id").as("vec_id"), col("w"), col("h"), col("px"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH px AS (
+             |  SELECT vec_id, list_transform(embedding, v ->
+             |         CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
+             |  FROM embeddings)
+             |SELECT vec_id, 4 AS w, 4 AS h,
+             |       list_transform(range(0, 16), j ->
+             |         CAST(((p[CAST((j // 4) * 16 + (j % 4) * 2 + 1 AS INT)]
+             |              + p[CAST((j // 4) * 16 + (j % 4) * 2 + 2 AS INT)]
+             |              + p[CAST((j // 4) * 16 + (j % 4) * 2 + 9 AS INT)]
+             |              + p[CAST((j // 4) * 16 + (j % 4) * 2 + 10 AS INT)]) // 4) AS INT)) AS px
+             |FROM px ORDER BY vec_id""".stripMargin)),
+
     // REAL audio in the path: deterministic integer waveforms → actual
     // RIFF/WAVE containers (Multimodal.WavCodec) → the JDK's AudioSystem
     // parser → exact-DSP features (integer duration/peak/zero-crossings,

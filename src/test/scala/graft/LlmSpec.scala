@@ -1114,6 +1114,25 @@ class LlmSpec extends SparkSpec {
     assert(eo.getMessage.contains("out of range"), eo.getMessage)
   }
 
+  test("downscaleGrayGrid: exact box means, crop convention, undersized rows drop") {
+    import Multimodal._
+    // 4×2 grid, f=2 → 2×1: means of [10,20,30,40] = 25 and [0,255,1,254] = 127
+    // (integer div — exact); 3×3 with f=2 → 1×1 from the top-left 2×2 box
+    // ONLY (right/bottom crop); a 1×1 grid is smaller than f and drops
+    val decoded = Seq(
+      (1L, 4, 2, Array(10, 30, 0, 1, 20, 40, 255, 254)),
+      (2L, 3, 3, Array(8, 12, 99, 16, 20, 99, 99, 99, 99)),
+      (3L, 1, 1, Array(7))).toDF("media_id", "w", "h", "px")
+    val out = downscaleGrayGrid(decoded, f = 2).orderBy("media_id")
+      .as[(Long, Int, Int, Array[Int])].collect()
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 2, 1, out(0)._4)) && out(0)._4.toSeq == Seq(25, 127))
+    assert(out(1) == ((2L, 1, 1, out(1)._4)) && out(1)._4.toSeq == Seq(14))
+    // no UDF, no exchange: a pure codegen'd projection
+    val plan = downscaleGrayGrid(decoded, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("WavCodec: PCM16 round-trip exact through the JDK parser, features exact, garbage fails loudly") {
     import Multimodal._
     // bit-exact round-trip through AudioSystem, full amplitude range incl.
