@@ -5,17 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
-  * typed metadata. The Spark-side plumbing — schema, partitioning, batch
-  * shape, frame expansion — is real and tested. IMAGE decode is REAL for
-  * every container the JDK ships a reader for (PNG, JPEG, BMP, GIF):
-  * [[ImageIoCodec]] encodes grayscale rasters to actual format bytes and
-  * decodes arbitrary payloads back to a pixel grid by container sniffing —
-  * see [[decodeGrayGrid]]. AUDIO decode is REAL for WAV/PCM16 through the
-  * JDK's `javax.sound.sampled` — see [[WavCodec]]/[[audioFeatures]]. Only
-  * VIDEO remains a STUB (the JDK ships no video codec and there is no
-  * ffmpeg/JNI in this container): `StubCodec.decode` derives a
-  * deterministic fake feature vector from the payload bytes, and is the
-  * one function a deployment swaps for a real media decoder.
+  * typed metadata. Every kind decodes FOR REAL, with no external media
+  * library and no stub anywhere:
+  *
+  *   - IMAGE — every container the JDK ships a reader for (PNG, JPEG, BMP,
+  *     GIF): [[ImageIoCodec]] encodes grayscale rasters to actual format
+  *     bytes and decodes arbitrary payloads back to a pixel grid by
+  *     container sniffing — see [[decodeGrayGrid]].
+  *   - AUDIO — WAV/PCM16 through the JDK's `javax.sound.sampled` parser:
+  *     [[WavCodec]]/[[audioFeatures]].
+  *   - VIDEO — AVI/RIFF mux + demux in pure JVM code with intra-only
+  *     MJPG/MPNG frame payloads that decode through the image path:
+  *     [[AviCodec]]/[[decodeVideoFrames]].
+  *
+  * Codecs outside that set (H.264, Vorbis, TIFF, …) need a real decoder
+  * library a deployment binds in place of these objects; until then such
+  * payloads FAIL LOUDLY — quarantine upstream, never silently-fake
+  * features.
   *
   * Scale notes: payloads never pass through a shuffle — every operator here
   * is a per-partition map; the only wide operation a media pipeline needs
@@ -58,34 +64,17 @@ object Multimodal {
       .groupBy(col("content_hash"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** THE STUB — AUDIO/VIDEO ONLY: a real deployment replaces this object
-    * with an ffmpeg/JNI codec binding. Deterministic fake decode — features
-    * are carved from md5 of the payload so tests and oracles can reproduce
-    * them. Image kinds never route here: [[ImageIoCodec]] decodes
-    * PNG/JPEG/BMP/GIF for real through the JDK. */
-  object StubCodec {
-    /** ??? in spirit — audio/video decode cannot be real in this container. */
-    def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(dim) { i =>
-        val h = md.digest(payload ++ Array(i.toByte, kind.length.toByte))
-        // 4 bytes → [0,1) float; deterministic across JVMs
-        val v = ((h(0) & 0xffL) << 24 | (h(1) & 0xffL) << 16 |
-                 (h(2) & 0xffL) << 8 | (h(3) & 0xffL)).toFloat
-        v / (1L << 32).toFloat
-      }
-    }
-  }
-
   /** Feature extraction with the mapPartitions batch shape: per-partition
     * init happens once (the `md` allocation stands in for codec/GPU setup),
     * then rows stream through. Dispatch happens ON KIND inside the swap
-    * point: `image` payloads decode FOR REAL through [[ImageIoCodec]]
-    * (container-sniffed — PNG/JPEG/BMP/GIF), with features = the leading
-    * `dim` gray levels scaled to [0,1); an undecodable image payload fails
-    * the task loudly (quarantine upstream, never silently skip). Audio and
-    * video route to [[StubCodec]] — the one branch a deployment swaps for
-    * an ffmpeg binding. */
+    * point, and every branch is a REAL decoder: `image` through
+    * [[ImageIoCodec]] (container-sniffed PNG/JPEG/BMP/GIF; features = the
+    * leading `dim` gray levels scaled to [0,1)), `audio` through
+    * [[WavCodec]] (features = the leading `dim` PCM16 samples scaled to
+    * [0,1)), `video` through [[AviCodec]] (features = the leading gray
+    * levels of the FIRST demuxed frame). An undecodable payload or an
+    * unknown kind fails the task loudly — quarantine upstream, never
+    * silently skip or fake. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -96,7 +85,15 @@ object Multimodal {
           case "image" =>
             val (_, _, px) = ImageIoCodec.decodeGray(r.payload)
             Array.tabulate(dim)(i => if (i < px.length) px(i) / 256f else 0f)
-          case _ => StubCodec.decode(r.kind, r.payload, dim)
+          case "audio" =>
+            val (_, s) = WavCodec.decodePcm16(r.payload)
+            Array.tabulate(dim)(i =>
+              if (i < s.length) (s(i) + 32768) / 65536f else 0f)
+          case "video" =>
+            val v = AviCodec.decode(r.payload)
+            val (_, _, px) = ImageIoCodec.decodeGray(v.frames.head)
+            Array.tabulate(dim)(i => if (i < px.length) px(i) / 256f else 0f)
+          case other => sys.error(s"unsupported media kind: $other")
         }
         val md = java.security.MessageDigest.getInstance("MD5")
         val hash = md.digest(r.payload).map("%02x".format(_)).mkString
@@ -235,9 +232,9 @@ object Multimodal {
 
   /** Quantize a float vector into a grayscale pixel grid: each component is
     * mapped from roughly [-1, 1] to an integer gray level via
-    * `floor((v + 1) · 127.5)`. The embedding tables stand in for decoded
-    * image rasters in this container (no codec libs — see StubCodec); with a
-    * real decoder the same downstream hash consumes its byte grid directly.
+    * `floor((v + 1) · 127.5)`. The embedding tables stand in for a corpus's
+    * pre-extracted rasters; [[decodeGrayGrid]] produces the same shape from
+    * real image payloads, so the downstream hash is source-agnostic.
     * Pure per-row `transform`, no shuffle. */
   def grayscaleGrid(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol),
@@ -318,8 +315,7 @@ object Multimodal {
     * `AudioSystem`'s parser — container sniffing, header validation, frame
     * framing, the same code path a JVM service runs on real uploads — so a
     * corrupt header or a mis-framed data chunk fails HERE, not as silent
-    * garbage features. Video stays the honest [[StubCodec]] (the JDK ships
-    * no video codec; a deployment swaps in an ffmpeg/JNI binding). */
+    * garbage features. */
   object WavCodec {
     /** Mono PCM16 samples → a complete RIFF/WAVE container (44-byte
       * canonical header + little-endian frames). */
@@ -392,6 +388,241 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "n_samples", "duration_ms",
         "peak", "zero_crossings", "rms")
+  }
+
+  /** REAL video container codec — AVI/RIFF, written and parsed byte-for-byte
+    * in pure JVM code (the video sibling of [[ImageIoCodec]]/[[WavCodec]]).
+    * Two intra-only fourccs, both of whose per-frame payloads the JDK can
+    * decode through the existing container-sniffing image path:
+    *
+    *   - `MJPG` (Motion JPEG) — every frame is a baseline JPEG, the classic
+    *     capture-card/webcam AVI; lossy, so pipelines gate it by tolerance.
+    *   - `MPNG` (Motion PNG) — every frame is a PNG; gray-lossless, so the
+    *     full mux→demux→decode round-trip is BIT-EXACT and oracle-checkable.
+    *
+    * The muxer writes a complete spec-shaped file — `avih`/`strh`/`strf`
+    * headers, even-padded `00dc` frame chunks inside the `movi` list, and a
+    * full `idx1` index; the demuxer is a generic RIFF chunk walker that
+    * re-derives the frame list from `movi` and then CROSS-VALIDATES it
+    * against both the declared header frame count and every `idx1` entry
+    * (ckid, offset, size) — a mis-sized chunk, a missing pad byte, or a
+    * stale index fails HERE, loudly, not as silently shifted frames.
+    * Inter-coded codecs (H.264 &c.) need a real decoder library and stay
+    * out of scope for this container; a deployment binds one in place of
+    * this object (the payloads fail loudly until it does). */
+  object AviCodec {
+    /** Decoded container: header geometry + frame-period + the still-encoded
+      * per-frame image payloads (feed each to [[ImageIoCodec.decodeGray]]). */
+    final case class AviVideo(w: Int, h: Int, usPerFrame: Int, fourcc: String,
+                              frames: Vector[Array[Byte]])
+
+    val Fourccs: Set[String] = Set("MJPG", "MPNG")
+
+    private val Ascii = "US-ASCII"
+
+    /** Mux already-encoded image frames (JPEG bytes for MJPG, PNG for MPNG)
+      * into a complete AVI container. */
+    def encode(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+               fourcc: String): Array[Byte] = {
+      require(Fourccs(fourcc), s"unsupported video fourcc: $fourcc")
+      require(fps > 0, s"fps must be positive, got $fps")
+      require(frames.nonEmpty, "a video needs at least one frame")
+      val padded = frames.map(f => f.length + (f.length & 1)).sum
+      val moviSize = 4 + frames.size * 8 + padded            // 'movi' + chunks
+      val strlSize = 4 + 8 + 56 + 8 + 40                     // 'strl' + strh + strf
+      val hdrlSize = 4 + 8 + 56 + 8 + strlSize               // 'hdrl' + avih + LIST strl
+      val idxSize = frames.size * 16
+      val riffSize = 4 + 8 + hdrlSize + 8 + moviSize + 8 + idxSize
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val maxFrame = frames.map(_.length).max
+      bb.put("RIFF".getBytes(Ascii)).putInt(riffSize).put("AVI ".getBytes(Ascii))
+      bb.put("LIST".getBytes(Ascii)).putInt(hdrlSize).put("hdrl".getBytes(Ascii))
+      bb.put("avih".getBytes(Ascii)).putInt(56)
+        .putInt(1000000 / fps)                               // dwMicroSecPerFrame
+        .putInt(maxFrame * fps)                              // dwMaxBytesPerSec
+        .putInt(0)                                           // dwPaddingGranularity
+        .putInt(0x10)                                        // AVIF_HASINDEX
+        .putInt(frames.size).putInt(0).putInt(1)             // frames, initial, streams
+        .putInt(maxFrame)                                    // dwSuggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)             // dwReserved
+      bb.put("LIST".getBytes(Ascii)).putInt(strlSize).put("strl".getBytes(Ascii))
+      bb.put("strh".getBytes(Ascii)).putInt(56)
+        .put("vids".getBytes(Ascii)).put(fourcc.getBytes(Ascii))
+        .putInt(0).putShort(0).putShort(0)                   // flags, priority, language
+        .putInt(0)                                           // dwInitialFrames
+        .putInt(1).putInt(fps)                               // dwScale / dwRate = frame rate
+        .putInt(0).putInt(frames.size)                       // dwStart, dwLength
+        .putInt(maxFrame).putInt(-1).putInt(0)               // bufSize, quality, sampleSize
+        .putShort(0).putShort(0)                             // rcFrame
+        .putShort(w.toShort).putShort(h.toShort)
+      bb.put("strf".getBytes(Ascii)).putInt(40)
+        .putInt(40).putInt(w).putInt(h)                      // biSize, biWidth, biHeight
+        .putShort(1).putShort(24)                            // biPlanes, biBitCount
+        .put(fourcc.getBytes(Ascii))                         // biCompression
+        .putInt(w * h * 3)                                   // biSizeImage
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put("LIST".getBytes(Ascii)).putInt(moviSize).put("movi".getBytes(Ascii))
+      // idx1 offsets are relative to the 'movi' fourcc (the common
+      // convention): the first chunk header sits at offset 4
+      val offsets = new Array[Int](frames.size)
+      var off = 4
+      frames.zipWithIndex.foreach { case (f, i) =>
+        offsets(i) = off
+        bb.put("00dc".getBytes(Ascii)).putInt(f.length).put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)            // RIFF even padding
+        off += 8 + f.length + (f.length & 1)
+      }
+      bb.put("idx1".getBytes(Ascii)).putInt(idxSize)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        bb.put("00dc".getBytes(Ascii)).putInt(0x10)          // AVIIF_KEYFRAME
+          .putInt(offsets(i)).putInt(f.length)
+      }
+      bb.array()
+    }
+
+    /** Demux an AVI payload back to header geometry + frame payloads,
+      * cross-validating movi against avih/strh and every idx1 entry. */
+    def decode(bytes: Array[Byte]): AviVideo = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, Ascii)
+      }
+      require(bytes.length >= 12, s"truncated AVI payload: ${bytes.length} bytes")
+      require(fourcc() == "RIFF", "not a RIFF container")
+      val riffSize = bb.getInt
+      require(8 + riffSize <= bytes.length,
+        s"RIFF size $riffSize overruns payload ${bytes.length}")
+      require(fourcc() == "AVI ", "RIFF form is not AVI")
+
+      var w = -1; var h = -1; var usPerFrame = -1; var declaredFrames = -1
+      var codec: String = null
+      val frames = Vector.newBuilder[Array[Byte]]
+      var frameSizes = List.empty[Int]          // reversed (ckid, size, offset)
+      var frameOffsets = List.empty[Int]
+      var moviStart = -1
+      var idx = List.empty[(String, Int, Int)]  // reversed idx1 entries
+
+      def walk(end: Int): Unit =
+        while (bb.position() < end) {
+          require(end - bb.position() >= 8, "truncated chunk header")
+          val ck = fourcc()
+          val size = bb.getInt
+          val dataStart = bb.position()
+          require(dataStart + size <= end, s"chunk $ck size $size overruns list")
+          ck match {
+            case "LIST" =>
+              val listType = fourcc()
+              if (listType == "movi") moviStart = dataStart
+              walk(dataStart + size)
+            case "avih" =>
+              require(size >= 40, s"avih chunk too small: $size")
+              usPerFrame = bb.getInt; bb.getInt; bb.getInt; bb.getInt
+              declaredFrames = bb.getInt; bb.getInt; bb.getInt; bb.getInt
+              w = bb.getInt; h = bb.getInt
+            case "strh" =>
+              require(size >= 8, s"strh chunk too small: $size")
+              val strType = fourcc()
+              val handler = fourcc()
+              if (strType == "vids") {
+                require(Fourccs(handler), s"unsupported video fourcc: $handler")
+                codec = handler
+              }
+            case "00dc" | "00db" =>
+              val f = new Array[Byte](size)
+              bb.get(f)
+              frames += f
+              frameSizes ::= size
+              require(moviStart >= 0, s"frame chunk $ck outside a movi list")
+              frameOffsets ::= (dataStart - 8) - moviStart
+            case "idx1" =>
+              require(size % 16 == 0, s"idx1 size $size not a multiple of 16")
+              (0 until size / 16).foreach { _ =>
+                val ckid = fourcc(); val _ = bb.getInt
+                idx ::= ((ckid, bb.getInt, bb.getInt))
+              }
+            case _ => ()                                     // unknown chunk: skip
+          }
+          bb.position(dataStart + size + (size & 1))         // consume even pad
+        }
+
+      walk(8 + riffSize)
+      val fs = frames.result()
+      require(codec != null, "no vids stream header")
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(fs.nonEmpty, "no frames in movi list")
+      require(declaredFrames == fs.size,
+        s"header declares $declaredFrames frames, movi has ${fs.size}")
+      val index = idx.reverse
+      require(index.size == fs.size,
+        s"idx1 has ${index.size} entries, movi has ${fs.size} frames")
+      index.zip(frameSizes.reverse.zip(frameOffsets.reverse)).foreach {
+        case ((ckid, ioff, isize), (size, off)) =>
+          require(ckid == "00dc" || ckid == "00db", s"bad idx1 ckid $ckid")
+          require(isize == size, s"idx1 size $isize != chunk size $size")
+          require(ioff == off, s"idx1 offset $ioff != chunk offset $off")
+      }
+      AviVideo(w, h, usPerFrame, codec, fs)
+    }
+  }
+
+  final case class VideoFrame(media_id: Long, frame_no: Int, w: Int, h: Int,
+                              px: Array[Int])
+
+  /** Mux gray grids into REAL AVI payloads, `framesPer` consecutive ids per
+    * video (media_id = id div framesPer, frame order = id asc): each grid
+    * encodes through [[ImageIoCodec]] into a PNG (MPNG) or JPEG (MJPG)
+    * frame and [[AviCodec]] writes the container. The groupByKey shuffle
+    * moves the SOURCE GRIDS (n×w·h ints — this is the mux step, which
+    * inherently co-locates a video's frames); at scale the corpus would be
+    * written pre-bucketed by media id and the shuffle elides. */
+  def encodeGridVideos(grid: DataFrame, w: Int, h: Int, framesPer: Int,
+                       fps: Int, fourcc: String,
+                       idCol: String = "vec_id", pxCol: String = "px")
+                      (implicit spark: SparkSession): Dataset[PngAsset] = {
+    import spark.implicits._
+    require(framesPer > 0, s"framesPer must be positive, got $framesPer")
+    val frameFormat = if (fourcc == "MPNG") "png" else "jpg"
+    grid.select(col(idCol).cast("long"), col(pxCol))
+      .as[(Long, Array[Int])]
+      .groupByKey(_._1 / framesPer)
+      .mapGroups { (vid, it) =>
+        val frames = it.toArray.sortBy(_._1).map { case (_, px) =>
+          ImageIoCodec.encodeGray(px, w, h, frameFormat)
+        }
+        PngAsset(vid, AviCodec.encode(frames.toIndexedSeq, w, h, fps = fps, fourcc = fourcc))
+      }
+  }
+
+  /** REAL video decode: demux each AVI payload ([[AviCodec]]) and decode
+    * every frame through the container-sniffing image path — one row per
+    * frame, (media_id, frame_no, w, h, px). Same mapPartitions swap point
+    * and no-shuffle contract as [[decodeGrayGrid]]; a container defect,
+    * index mismatch, or per-frame codec defect fails the task loudly. */
+  def decodeVideoFrames(media: Dataset[PngAsset])
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { a =>
+      val v = AviCodec.decode(a.payload)
+      v.frames.iterator.zipWithIndex.map { case (fb, i) =>
+        val (fw, fh, px) = ImageIoCodec.decodeGray(fb)
+        require(fw == v.w && fh == v.h,
+          s"frame $i is ${fw}x$fh but header says ${v.w}x${v.h}")
+        VideoFrame(a.media_id, i, fw, fh, px)
+      }
+    }).toDF()
+  }
+
+  /** Per-video header/stream summary off the demuxer — metadata only, no
+    * per-frame pixel decode (the cheap first pass of a video pipeline). */
+  def videoSummary(media: Dataset[PngAsset])
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { a =>
+      val v = AviCodec.decode(a.payload)
+      (a.media_id, v.w, v.h, v.usPerFrame, v.fourcc, v.frames.size)
+    }).toDF("media_id", "w", "h", "us_per_frame", "fourcc", "n_frames")
   }
 
   /** Resize plumbing: metadata transform only (payload stays opaque until a

@@ -385,6 +385,87 @@ private[queries] object LlmDedupQueries {
              |       sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)) AS rms
              |FROM marked GROUP BY media_id ORDER BY media_id""".stripMargin)),
 
+    // REAL video in the path, BIT-EXACT: gray grids → PNG frames → muxed
+    // into actual AVI containers (Multimodal.AviCodec, fourcc MPNG — Motion
+    // PNG, gray-lossless) → RIFF demux + per-frame JDK decode → per-frame
+    // dHash. Frame order is id-asc within each 8-frame video, so
+    // media_id·8 + frame_no recovers the source vec_id and the fingerprints
+    // must equal the pure-grid derivation EXACTLY — a chunk-size error, a
+    // missing RIFF pad byte, a stale idx1 entry, or frame re-ordering
+    // hash-mismatches. The mux groupByKey shuffles only the 8×8 grids.
+    QueryDef("q_video_frame_dhash",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val grids = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,
+          framesPer = 8, fps = 25, fourcc = "MPNG")
+        val frames = graft.llm.Multimodal.decodeVideoFrames(avis)
+          .select((col("media_id") * 8 + col("frame_no")).as("vec_id"), col("px"))
+        graft.llm.Multimodal.dHash(frames, w = 8, h = 8,
+            idCol = "vec_id", pxCol = "px")
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH px AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, v ->
+             |           CAST(floor((CAST(v AS DOUBLE) + 1.0) * 127.5) AS INT)) AS p
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |       CAST(list_sum(list_transform(range(0, 56), i ->
+             |         CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
+             |                   < p[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]
+             |              THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+             |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+             |FROM px ORDER BY vec_id""".stripMargin)),
+
+    // The MJPG (Motion JPEG) form of the same pipeline — the one LOSSY
+    // video fourcc, gated like q_image_jpeg_roundtrip: every demuxed frame
+    // must reconstruct its source grid within 8 gray levels (probed
+    // headroom ≤ 2 at q=1.0). Dimensions and the id↔(video, frame) mapping
+    // stay exact regardless of lossiness, so a demux defect still shifts
+    // rows and hash-mismatches even though the boolean absorbs DCT error.
+    QueryDef("q_video_mjpeg_roundtrip",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val grids = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,
+          framesPer = 8, fps = 25, fourcc = "MJPG")
+        graft.llm.Multimodal.decodeVideoFrames(avis)
+          .select((col("media_id") * 8 + col("frame_no")).as("vec_id"),
+            col("w"), col("h"), col("px"))
+          .join(grids.select(col("vec_id").cast("long").as("vec_id"),
+            col("px").as("src_px")), Seq("vec_id"))
+          .select(col("vec_id"), col("w"), col("h"),
+            (expr("array_max(zip_with(px, src_px, (a, b) -> abs(a - b)))") <= lit(8))
+              .as("within_tol"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, 8 AS w, 8 AS h, TRUE AS within_tol
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Header/stream metadata pass off the demuxer alone (no pixel decode) —
+    // frame-period, geometry, fourcc, and the per-video frame count,
+    // including the short FINAL video (500 % 8 = 4 frames), which gates the
+    // muxer's header arithmetic (avih dwTotalFrames / strh dwLength) and
+    // the uneven-group path end-to-end.
+    QueryDef("q_video_summary",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val grids = graft.llm.Multimodal.grayscaleGrid(
+          table(s, d, "embeddings"), "vec_id", "embedding")
+        val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,
+          framesPer = 8, fps = 25, fourcc = "MPNG")
+        graft.llm.Multimodal.videoSummary(avis)
+          .withColumn("n_frames", col("n_frames").cast("long"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT vec_id // 8 AS media_id, 8 AS w, 8 AS h,
+             |       40000 AS us_per_frame, 'MPNG' AS fourcc,
+             |       count(*) AS n_frames
+             |FROM embeddings GROUP BY vec_id // 8 ORDER BY media_id""".stripMargin)),
+
     // Window-function survivor pick: rank within each content group, keep
     // rank 1 — the one-pass dedup shape when whole rows must survive.
     QueryDef("q_dedup_window",

@@ -1004,32 +1004,43 @@ class LlmSpec extends SparkSpec {
 
   test("multimodal: byte stats, dedup, kind-dispatched decode, frame sampling, resize") {
     import Multimodal._
-    // image rows carry REAL PNG payloads: extractFeatures dispatches on
-    // kind and decodes them through javax.imageio, not the stub
+    // every kind carries a REAL payload: extractFeatures dispatches on kind
+    // into javax.imageio / AudioSystem / the AVI demuxer — no stub path
     val pngPx = Array.tabulate(64)(i => (i * 3) % 256)
     val png = ImageIoCodec.encodeGrayPng(pngPx, 8, 8)
+    val vidPx = Array.tabulate(64)(i => (i * 5 + 1) % 256)
+    val avi = AviCodec.encode(
+      Seq(ImageIoCodec.encodeGrayPng(vidPx, 8, 8),
+        ImageIoCodec.encodeGrayPng(pngPx, 8, 8)), 8, 8, fps = 25, fourcc = "MPNG")
+    val wav = WavCodec.encodePcm16(Array[Short](-32768, 0, 16384, 32767), 8000)
     val media = Seq(
       MediaRow(1L, "image", png, MediaMeta(Some(800), Some(600), None, None)),
       MediaRow(2L, "image", png, MediaMeta(Some(800), Some(600), None, None)),
-      MediaRow(3L, "video", Array[Byte](9, 9), MediaMeta(Some(320), Some(240), Some(2500), None))
+      MediaRow(3L, "video", avi, MediaMeta(Some(320), Some(240), Some(2500), None)),
+      MediaRow(4L, "audio", wav, MediaMeta(None, None, Some(1), Some(8000)))
     ).toDS()
     val stats = byteStats(media.toDF()).orderBy("media_id").collect()
     assert(stats(0).getLong(2) == png.length.toLong &&
       stats(0).getString(3) == stats(1).getString(3))
     val dd = dedupExact(media.toDF()).collect()
-    assert(dd.length == 2 && dd.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
+    assert(dd.length == 3 && dd.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
     val feats = extractFeatures(media, dim = 4)(spark).collect().sortBy(_.media_id)
     assert(feats(0).features.length == 4)
     // real decode: features are the leading gray levels scaled to [0,1)
     assert(feats(0).features.sameElements(Array(0f, 3 / 256f, 6 / 256f, 9 / 256f)))
     assert(feats(0).features.sameElements(feats(1).features))
-    assert(!feats(0).features.sameElements(feats(2).features)) // video = stub path
-    // an undecodable image payload fails the job loudly — quarantine, never skip
-    val bad = Seq(MediaRow(9L, "image", Array[Byte](1, 2, 3),
-      MediaMeta(None, None, None, None))).toDS()
-    intercept[Exception](extractFeatures(bad, dim = 4)(spark).collect())
+    // video = FIRST demuxed frame's gray levels, audio = scaled PCM samples
+    assert(feats(2).features.sameElements(Array(1 / 256f, 6 / 256f, 11 / 256f, 16 / 256f)))
+    assert(feats(3).features.sameElements(Array(0f, 0.5f, 0.75f, 65535 / 65536f)))
+    // an undecodable payload fails the job loudly — quarantine, never skip
+    for (kind <- Seq("image", "audio", "video", "hologram")) {
+      val bad = Seq(MediaRow(9L, kind, Array[Byte](1, 2, 3),
+        MediaMeta(None, None, None, None))).toDS()
+      intercept[Exception](extractFeatures(bad, dim = 4)(spark).collect())
+    }
     val frames = frameSample(media.toDF(), everyMs = 1000).collect()
-    assert(frames.length == 3) // 0, 1000, 2000 for the 2500ms video
+    // 0, 1000, 2000 for the 2500ms video + offset 0 for the 1ms audio clip
+    assert(frames.length == 4)
     val rs = resizePlan(media.toDF(), maxSide = 400).orderBy("media_id").collect()
     assert(rs(0).getInt(4) == 400 && rs(0).getInt(5) == 300)
     assert(rs(2).getInt(4) == 320 && rs(2).getInt(5) == 240) // never upscale
@@ -1165,6 +1176,95 @@ class LlmSpec extends SparkSpec {
     }
     val es = intercept[Exception](WavCodec.decodePcm16(stereoHeader))
     assert(es.getMessage.contains("mono"), es.getMessage)
+  }
+
+  test("AviCodec: mux/demux bit-exact incl. odd-size padding, headers round-trip, corruption fails loudly") {
+    import Multimodal._
+    // the container treats frames as opaque payloads; odd and even lengths
+    // exercise the RIFF even-pad rule (a missing pad byte would shift every
+    // later chunk) — JPEG payloads are odd-length about half the time
+    val frames = Seq(
+      Array.tabulate(13)(i => (i * 7 + 1).toByte),  // odd
+      Array.tabulate(20)(i => (i * 3).toByte),      // even
+      Array[Byte](0x42),                            // odd, single byte
+      Array.tabulate(255)(i => (255 - i).toByte))
+    val avi = AviCodec.encode(frames, w = 320, h = 240, fps = 30, fourcc = "MJPG")
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = AviCodec.decode(avi)
+    assert(v.w == 320 && v.h == 240 && v.fourcc == "MJPG")
+    assert(v.usPerFrame == 1000000 / 30)
+    assert(v.frames.size == 4)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.sameElements(want), "frame payload drifted through the container")
+    }
+    // a real image pipeline end to end: PNG frames in, identical grids out
+    val px1 = Array.tabulate(64)(i => (i * 11) % 256)
+    val px2 = Array.tabulate(64)(i => (i * 13 + 5) % 256)
+    val vid = AviCodec.encode(
+      Seq(ImageIoCodec.encodeGrayPng(px1, 8, 8), ImageIoCodec.encodeGrayPng(px2, 8, 8)),
+      8, 8, fps = 25, fourcc = "MPNG")
+    val back = AviCodec.decode(vid).frames.map(ImageIoCodec.decodeGray)
+    assert(back(0)._3.sameElements(px1) && back(1)._3.sameElements(px2))
+    // corruption fails loudly, never as silently shifted frames:
+    intercept[Exception](AviCodec.decode(avi.take(40)))          // truncated
+    intercept[Exception](AviCodec.decode(Array[Byte](1, 2, 3)))  // not RIFF
+    val notAvi = avi.clone(); "WAVE".getBytes("US-ASCII").copyToArray(notAvi, 8)
+    intercept[Exception](AviCodec.decode(notAvi))                // wrong form
+    // a stale idx1 entry (tampered size field) is cross-validated
+    val idxPos = {
+      var p = -1
+      for (i <- avi.indices.dropRight(3)
+           if p < 0 && avi(i) == 'i' && avi(i + 1) == 'd' && avi(i + 2) == 'x' && avi(i + 3) == '1')
+        p = i
+      p
+    }
+    assert(idxPos > 0)
+    val staleIdx = avi.clone(); staleIdx(idxPos + 8 + 12) = 99   // first entry's size
+    val ei = intercept[Exception](AviCodec.decode(staleIdx))
+    assert(ei.getMessage.contains("idx1"), ei.getMessage)
+    // a header/movi frame-count mismatch is caught (drop the last idx entry
+    // AND the declared count stays — simulate by tampering avih totalFrames)
+    val declPos = 12 + 12 + 8 + 16                               // avih dwTotalFrames
+    val badCount = avi.clone(); badCount(declPos) = 9
+    val ec = intercept[Exception](AviCodec.decode(badCount))
+    assert(ec.getMessage.contains("frames"), ec.getMessage)
+    // unsupported fourccs rejected on both sides
+    intercept[Exception](AviCodec.encode(frames, 8, 8, 25, "H264"))
+    intercept[Exception](AviCodec.encode(Seq.empty, 8, 8, 25, "MJPG"))
+  }
+
+  test("video distributed path: grids → AVI → demux+decode round-trip, uneven final video, summary") {
+    import Multimodal._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 11 grids, 4 frames per video → videos 0..2, the last with 3 frames
+    val grids = (0L until 11L).map(id =>
+      (id, Array.tabulate(64)(i => ((i * 3 + id.toInt * 17) % 256)))).toDF("vec_id", "px")
+    val avis = encodeGridVideos(grids, w = 8, h = 8, framesPer = 4, fps = 10,
+      fourcc = "MPNG")
+    val frames = decodeVideoFrames(avis)
+      .select((col("media_id") * 4 + col("frame_no")).as("vec_id"), col("w"), col("h"), col("px"))
+      .orderBy("vec_id").as[(Long, Int, Int, Array[Int])].collect()
+    val want = grids.orderBy("vec_id").as[(Long, Array[Int])].collect()
+    assert(frames.length == 11)
+    frames.zip(want).foreach { case ((id, w, h, px), (wid, wpx)) =>
+      assert(id == wid && w == 8 && h == 8 && px.sameElements(wpx),
+        s"video round-trip drifted for source grid $wid")
+    }
+    val summary = videoSummary(avis).orderBy("media_id")
+      .as[(Long, Int, Int, Int, String, Int)].collect()
+    assert(summary.toSeq == Seq(
+      (0L, 8, 8, 100000, "MPNG", 4), (1L, 8, 8, 100000, "MPNG", 4),
+      (2L, 8, 8, 100000, "MPNG", 3)))
+    // MJPG frames reconstruct within the q=1.0 tolerance
+    val jframes = decodeVideoFrames(encodeGridVideos(grids, 8, 8, framesPer = 4,
+        fps = 10, fourcc = "MJPG"))
+      .select((col("media_id") * 4 + col("frame_no")).as("vec_id"), col("px"))
+      .orderBy("vec_id").as[(Long, Array[Int])].collect()
+    jframes.zip(want).foreach { case ((id, px), (wid, wpx)) =>
+      val maxerr = px.zip(wpx).map { case (a, b) => math.abs(a - b) }.max
+      assert(id == wid && maxerr <= 8, s"MJPG maxerr $maxerr for grid $wid")
+    }
   }
 
   test("dHash: gradient bits exact, near-dup retrieval lossless, no cross product") {
