@@ -289,6 +289,37 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Scalar int8 quantization with per-dimension min/max calibration — the
+    * standard embedding-compression step before a large-scale vector scan
+    * (4× smaller than float32; dot products move to integer SIMD). Two
+    * passes, both scale-safe: (1) CALIBRATE — posexplode to (dim, value)
+    * and aggregate per-dimension min/max (partial map-side combine; the
+    * shuffle carries ≤ dims rows per partition), then fold the dims-row
+    * result into ONE ordered-array row; (2) QUANTIZE — broadcast that
+    * single calibration row against the corpus and map each component to
+    * `floor((v − mn)/((mx − mn)/255) + 0.5)` clamped to [0, 255], as a
+    * codegen'd higher-order projection (payloads never shuffle). The
+    * arithmetic is plain IEEE-double, so an external engine recomputes the
+    * codes bit-identically from the same definition; a constant dimension
+    * (mx = mn) quantizes to 0 rather than dividing by zero. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val dims = emb
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val calib = dims.groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(i, mn))), x -> x.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(i, mx))), x -> x.mx)").as("mxs"))
+    emb.crossJoin(broadcast(calib))
+      .select(col(idCol),
+        expr(s"""transform(sequence(0, size($vecCol) - 1), i ->
+                |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+                |    CAST(least(255.0D, greatest(0.0D,
+                |      floor((CAST(element_at($vecCol, i + 1) AS DOUBLE) - mns[i])
+                |            / ((mxs[i] - mns[i]) / 255.0D) + 0.5D))) AS INT)
+                |  END)""".stripMargin).as("qvec"))
+  }
+
   /** Product-quantization codebook from fixed corpus vectors: the embedding
     * splits into `m` contiguous `subDim`-wide subvectors and each subspace
     * gets one codeword per (vec_id → code_id) entry — the deterministic

@@ -289,6 +289,30 @@ private[queries] object LlmAnnQueries {
              |SELECT d AS dim,
              |       CAST(count(*) FILTER (vec_id IN (SELECT vec_id FROM f)) AS BIGINT) AS hits,
              |       CAST(10 AS BIGINT) AS k
-             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin))
+             |FROM r WHERE rk <= 10 GROUP BY d ORDER BY dim""".stripMargin)),
+
+    // Scalar int8 quantization with per-dimension min/max calibration — the
+    // embedding-compression step before a 100 TB vector scan. Calibration
+    // aggregates (dim → min/max) with map-side combine (the shuffle carries
+    // ≤ 64 rows per partition), folds to ONE ordered-array row, and
+    // broadcasts against the corpus; the code map is a codegen'd
+    // higher-order projection in plain IEEE-double arithmetic, so DuckDB
+    // recomputes every code bit-identically — hash-exact integers, no
+    // tolerance gate needed.
+    QueryDef("q_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(spreadEmbeddings(s, d))
+        .orderBy(col("vec_id")),
+      Some("""WITH dm AS (
+             |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+             |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+             |  FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY i),
+             |c AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm)
+             |SELECT vec_id, list_transform(range(1, 65), i ->
+             |  CASE WHEN c.mxs[i] = c.mns[i] THEN 0 ELSE
+             |    CAST(least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+             |      floor((CAST(embedding[i] AS DOUBLE) - c.mns[i])
+             |            / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
+             |  END) AS qvec
+             |FROM embeddings, c ORDER BY vec_id""".stripMargin))
   )
 }

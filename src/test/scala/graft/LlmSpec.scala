@@ -112,6 +112,45 @@ class LlmSpec extends SparkSpec {
     assert(wide.getMessage.contains("exceeds the stored embedding"), wide.getMessage)
   }
 
+  test("quantizeInt8: hand-checked codes, constant dim, endpoints, recomputation, plan shape") {
+    // dims: (0..1), (10..20), (7..7 constant) — hand-check the middle rows
+    val emb = Seq(
+      (1L, Array(0.0f, 10.0f, 7.0f)),
+      (2L, Array(1.0f, 20.0f, 7.0f)),
+      (3L, Array(0.5f, 15.0f, 7.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb).orderBy("vec_id")
+      .as[(Long, Array[Int])].collect()
+    // endpoints land exactly on 0/255; 0.5 → floor(127.5 + 0.5) = 128;
+    // a constant dimension quantizes to 0 instead of dividing by zero
+    assert(got(0)._2.toSeq == Seq(0, 0, 0))
+    assert(got(1)._2.toSeq == Seq(255, 255, 0))
+    assert(got(2)._2.toSeq == Seq(128, 128, 0)) // midpoints: floor(127.5 + 0.5)
+    // independent recomputation over a random frame: same definition in
+    // plain scala doubles must reproduce every code
+    val rnd = new scala.util.Random(23)
+    val data = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 4 - 2)))
+    val df = data.toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeInt8(df).orderBy("vec_id")
+      .as[(Long, Array[Int])].collect()
+    val mn = (0 until 8).map(j => data.map(_._2(j).toDouble).min)
+    val mx = (0 until 8).map(j => data.map(_._2(j).toDouble).max)
+    data.zip(codes).foreach { case ((id, v), (cid, q)) =>
+      assert(id == cid)
+      (0 until 8).foreach { j =>
+        val want =
+          if (mx(j) == mn(j)) 0
+          else math.min(255.0, math.max(0.0,
+            math.floor((v(j).toDouble - mn(j)) / ((mx(j) - mn(j)) / 255.0) + 0.5))).toInt
+        assert(q(j) == want, s"vec $id dim $j: got ${q(j)} want $want")
+      }
+    }
+    // plan: the calibration side reaches the corpus via BROADCAST (never a
+    // shuffled join), and no python/udf eval anywhere
+    val plan = Similarity.quantizeInt8(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val top = Similarity.bruteForceTopK(vecs, queryVecId = 0L, k = 2)
       .select("vec_id").as[Long].collect()
