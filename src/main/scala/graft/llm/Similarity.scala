@@ -320,6 +320,31 @@ object Similarity {
                 |  END)""".stripMargin).as("qvec"))
   }
 
+  /** Top-k search OVER THE INT8 CODES: integer dot product between the
+    * query's code vector and every corpus code — the compressed-domain scan
+    * [[quantizeInt8]] exists to serve (4× less IO than float32; the scores
+    * are EXACT integers, ≤ dims·255², so ranking is bit-deterministic and
+    * an external engine reproduces it hash-exactly — no float tolerance).
+    * The single-row query frame broadcasts; the scan is one codegen'd
+    * projection + a global top-k (TakeOrderedAndProject: per-partition
+    * heaps, k rows to the driver — no full sort, no payload shuffle).
+    * Like every quantized scan it is an APPROXIMATION of the float
+    * ranking — a deployment reranks the short-list with float vectors,
+    * exactly like [[ivfPqTopKRerank]]. */
+  def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = quantizeInt8(emb, idCol, vecCol)
+    val q = codes.where(col(idCol) === queryVecId)
+      .select(col("qvec").as("q_qvec"))
+    codes.where(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Product-quantization codebook from fixed corpus vectors: the embedding
     * splits into `m` contiguous `subDim`-wide subvectors and each subspace
     * gets one codeword per (vec_id → code_id) entry — the deterministic

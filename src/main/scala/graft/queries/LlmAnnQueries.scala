@@ -313,6 +313,35 @@ private[queries] object LlmAnnQueries {
              |      floor((CAST(embedding[i] AS DOUBLE) - c.mns[i])
              |            / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
              |  END) AS qvec
-             |FROM embeddings, c ORDER BY vec_id""".stripMargin))
+             |FROM embeddings, c ORDER BY vec_id""".stripMargin)),
+
+    // The compressed-domain scan the int8 codes exist to serve: integer dot
+    // product between the query's code vector and every corpus code, global
+    // top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
+    // Scores are exact integers ≤ 64·255², so the ranking is
+    // bit-deterministic on both engines — hash-exact, no tolerance.
+    QueryDef("q_quantized_topk",
+      (s, d) => Similarity.quantizedTopK(spreadEmbeddings(s, d),
+          queryVecId = 7L, k = 10)
+        .orderBy(col("score").desc, col("vec_id")),
+      Some("""WITH dm AS (
+             |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+             |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+             |  FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY i),
+             |c AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm),
+             |codes AS (
+             |  SELECT vec_id, list_transform(range(1, 65), i ->
+             |    CASE WHEN c.mxs[i] = c.mns[i] THEN 0 ELSE
+             |      CAST(least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+             |        floor((CAST(embedding[i] AS DOUBLE) - c.mns[i])
+             |              / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
+             |    END) AS qvec
+             |  FROM embeddings, c),
+             |q AS (SELECT qvec AS qq FROM codes WHERE vec_id = 7)
+             |SELECT vec_id,
+             |       CAST(list_sum(list_transform(range(1, 65), i ->
+             |         CAST(codes.qvec[i] AS BIGINT) * q.qq[i])) AS BIGINT) AS score
+             |FROM codes, q WHERE vec_id <> 7
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

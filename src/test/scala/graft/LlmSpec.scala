@@ -151,6 +151,32 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("quantizedTopK: integer ranking matches recomputation, heap-based top-k plan") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(df, queryVecId = 5L, k = 6)
+      .as[(Long, Long)].collect()
+    // recompute: quantize with the same double definition, exact int dots
+    val mn = (0 until 8).map(j => data.map(_._2(j).toDouble).min)
+    val mx = (0 until 8).map(j => data.map(_._2(j).toDouble).max)
+    def qz(v: Array[Float]): Array[Long] = Array.tabulate(8) { j =>
+      if (mx(j) == mn(j)) 0L
+      else math.min(255.0, math.max(0.0,
+        math.floor((v(j).toDouble - mn(j)) / ((mx(j) - mn(j)) / 255.0) + 0.5))).toLong
+    }
+    val qq = qz(data.find(_._1 == 5L).get._2)
+    val want = data.filter(_._1 != 5L)
+      .map { case (id, v) => (id, qz(v).zip(qq).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(6)
+    assert(got.toSeq == want.toSeq)
+    // global top-k runs as per-partition heaps, the query side broadcasts,
+    // and nothing shuffles the code vectors
+    val plan = Similarity.quantizedTopK(df, 5L, 6).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val top = Similarity.bruteForceTopK(vecs, queryVecId = 0L, k = 2)
       .select("vec_id").as[Long].collect()
