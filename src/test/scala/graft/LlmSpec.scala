@@ -151,25 +151,36 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BatchEvalPython"), plan)
   }
 
-  test("quantizedTopK: integer ranking matches recomputation, heap-based top-k plan") {
+  test("quantizedTopK: centered integer ranking matches recomputation, tracks float dot, heap-based top-k plan") {
     val rnd = new scala.util.Random(31)
     val data = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
     val df = data.toDF("vec_id", "embedding")
     val got = Similarity.quantizedTopK(df, queryVecId = 5L, k = 6)
       .as[(Long, Long)].collect()
-    // recompute: quantize with the same double definition, exact int dots
+    // recompute: quantize + zero-point-center with the same double
+    // definition, exact int dots
     val mn = (0 until 8).map(j => data.map(_._2(j).toDouble).min)
     val mx = (0 until 8).map(j => data.map(_._2(j).toDouble).max)
-    def qz(v: Array[Float]): Array[Long] = Array.tabulate(8) { j =>
+    def code(x: Double, j: Int): Long =
       if (mx(j) == mn(j)) 0L
       else math.min(255.0, math.max(0.0,
-        math.floor((v(j).toDouble - mn(j)) / ((mx(j) - mn(j)) / 255.0) + 0.5))).toLong
-    }
+        math.floor((x - mn(j)) / ((mx(j) - mn(j)) / 255.0) + 0.5))).toLong
+    def qz(v: Array[Float]): Array[Long] =
+      Array.tabulate(8)(j => code(v(j).toDouble, j) - code(0.0, j))
     val qq = qz(data.find(_._1 == 5L).get._2)
     val want = data.filter(_._1 != 5L)
       .map { case (id, v) => (id, qz(v).zip(qq).map { case (a, b) => a * b }.sum) }
       .sortBy { case (id, s) => (-s, id) }.take(6)
     assert(got.toSeq == want.toSeq)
+    // the centered integer ranking must TRACK the float-dot ranking (the
+    // point of the zero-point: raw unsigned codes score Σa+Σb, not a·b,
+    // and recall craters to ~random)
+    val q = data.find(_._1 == 5L).get._2
+    val floatTop = data.filter(_._1 != 5L)
+      .map { case (id, v) => (id, v.zip(q).map { case (a, b) => a.toDouble * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(6).map(_._1).toSet
+    assert(got.map(_._1).toSet.intersect(floatTop).size >= 5,
+      s"int8 ranking diverged from float dot: ${got.map(_._1).toSet} vs $floatTop")
     // global top-k runs as per-partition heaps, the query side broadcasts,
     // and nothing shuffles the code vectors
     val plan = Similarity.quantizedTopK(df, 5L, 6).queryExecution.executedPlan.toString
