@@ -576,7 +576,10 @@ object Multimodal {
     * frame and [[AviCodec]] writes the container. The groupByKey shuffle
     * moves the SOURCE GRIDS (n×w·h ints — this is the mux step, which
     * inherently co-locates a video's frames); at scale the corpus would be
-    * written pre-bucketed by media id and the shuffle elides. */
+    * written pre-bucketed by media id and the shuffle elides. mapGroups
+    * buffers ONE video per task — peak task memory is framesPer·w·h ints
+    * plus the muxed bytes, bounded by the caller's framesPer (a
+    * long-video corpus muxes in framesPer-sized chapters). */
   def encodeGridVideos(grid: DataFrame, w: Int, h: Int, framesPer: Int,
                        fps: Int, fourcc: String,
                        idCol: String = "vec_id", pxCol: String = "px")

@@ -355,11 +355,26 @@ object Similarity {
     * ranking — a deployment reranks the short-list with float vectors,
     * exactly like [[ivfPqTopKRerank]]. */
   def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centered = emb.crossJoin(broadcast(
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    quantizedTopKFromCodes(centeredInt8Codes(emb, idCol, vecCol), queryVecId, k, idCol)
+
+  /** (id, cvec) zero-point-centered code frame — the persisted artifact of
+    * the compressed index: a deployment calibrates once, writes this column
+    * to parquet at ingest, and every scan reads codes only (like the PQ
+    * code frames). The composed [[quantizedTopK]] recomputes the
+    * calibration subtree per consumer; cache (or write) this frame before
+    * fanning it out. */
+  def centeredInt8Codes(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    emb.crossJoin(broadcast(
         int8Calib(emb, vecCol).select(col("mns"), col("mxs"), int8ZeroCol.as("zs"))))
       .select(col(idCol),
         expr(s"zip_with(${int8CodeSql(vecCol)}, zs, (a, z) -> a - z)").as("cvec"))
+
+  /** The scan half of [[quantizedTopK]], over an already-built (id, cvec)
+    * code frame. */
+  def quantizedTopKFromCodes(centered: DataFrame, queryVecId: Long, k: Int,
+                             idCol: String = "vec_id"): DataFrame = {
     val q = centered.where(col(idCol) === queryVecId)
       .select(col("cvec").as("q_cvec"))
     centered.where(col(idCol) =!= queryVecId)

@@ -323,7 +323,7 @@ private[queries] object LlmAnnQueries {
     // full sort). Scores are exact integers ≤ 64·255², so the ranking is
     // bit-deterministic on both engines — hash-exact, no tolerance.
     QueryDef("q_quantized_topk",
-      (s, d) => Similarity.quantizedTopK(spreadEmbeddings(s, d),
+      (s, d) => Similarity.quantizedTopKFromCodes(int8CodesOf(s, d),
           queryVecId = 7L, k = 10)
         .orderBy(col("score").desc, col("vec_id")),
       Some("""WITH dm AS (

@@ -78,6 +78,7 @@ private[queries] object LlmArtifacts {
   val simhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
   val dhashCache = scala.collection.mutable.Map.empty[String, DataFrame]
   val winnowCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  val int8Cache = scala.collection.mutable.Map.empty[String, DataFrame]
   val clustersCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
   /** Connected-component cluster assignment over the LSH pairs — the
@@ -164,6 +165,16 @@ private[queries] object LlmArtifacts {
       graft.llm.Multimodal.dHash(decoded, w = 8, h = 8,
         idCol = "media_id", pxCol = "px").cache()
     })
+  }
+
+  /** Zero-point-centered int8 code frame — the persisted artifact of the
+    * scalar-quantized index (a deployment calibrates once at ingest and
+    * writes the code column to parquet). Materialized so the scan half
+    * reads codes, not a re-derived calibration subtree per consumer —
+    * same discipline as [[dhashOf]]. */
+  def int8CodesOf(s: SparkSession, d: String): DataFrame = synchronized {
+    int8Cache.getOrElseUpdate(d,
+      graft.llm.Similarity.centeredInt8Codes(spreadEmbeddings(s, d)).cache())
   }
 
   /** Per-doc winnowing fingerprints (k=8, w=4) — cached artifact shared by
