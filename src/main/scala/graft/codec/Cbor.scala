@@ -43,9 +43,85 @@ object Cbor {
   def slice(bytes: Array[Byte], item: Item): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, item.start, item.end)
 
+  // ---- encoder (the write side, for protocol messages) ----
+
+  /** Span-free constructors for items built in memory (spans only matter
+    * on DECODED items, where they index the original wire bytes). */
+  def cInt(v: BigInt): CInt = CInt(v, 0, 0)
+  def cBytes(b: Array[Byte]): CBytes = CBytes(b, 0, 0)
+  def cText(t: String): CText = CText(t, 0, 0)
+  def cArr(items: Item*): CArr = CArr(items.toVector, 0, 0)
+  def cMap(entries: (Item, Item)*): CMap = CMap(entries.toVector, 0, 0)
+  def cTag(tag: Long, inner: Item): CTag = CTag(tag, inner, 0, 0)
+  def cBool(b: Boolean): CSimple = CSimple(if (b) 21 else 20, 0, 0)
+
+  /** Canonical encoding: definite lengths, shortest-form heads (RFC 8949
+    * §4.2.1) — what the Ouroboros mini-protocol codecs emit. Floats are
+    * written as doubles (the protocol messages this serves carry none). */
+  def encode(item: Item): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    write(out, item)
+    out.toByteArray
+  }
+
+  private def writeHead(out: java.io.ByteArrayOutputStream, major: Int, v: BigInt): Unit = {
+    require(v >= 0 && v.bitLength <= 64, s"CBOR head out of range: $v")
+    val mt = major << 5
+    if (v < 24) out.write(mt | v.toInt)
+    else {
+      val n = if (v.bitLength <= 8) 1 else if (v.bitLength <= 16) 2
+              else if (v.bitLength <= 32) 4 else 8
+      out.write(mt | (n match { case 1 => 24; case 2 => 25; case 4 => 26; case 8 => 27 }))
+      var i = n - 1
+      while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+  }
+
+  private def write(out: java.io.ByteArrayOutputStream, item: Item): Unit = item match {
+    case CInt(v, _, _) =>
+      if (v >= 0) writeHead(out, 0, v) else writeHead(out, 1, -(v + 1))
+    case CBytes(b, _, _) =>
+      writeHead(out, 2, BigInt(b.length)); out.write(b, 0, b.length)
+    case CText(t, _, _) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      writeHead(out, 3, BigInt(b.length)); out.write(b, 0, b.length)
+    case CArr(items, _, _) =>
+      writeHead(out, 4, BigInt(items.length)); items.foreach(write(out, _))
+    case CMap(entries, _, _) =>
+      writeHead(out, 5, BigInt(entries.length))
+      entries.foreach { case (k, v) => write(out, k); write(out, v) }
+    case CTag(t, inner, _, _) =>
+      writeHead(out, 6, BigInt(t)); write(out, inner)
+    case CSimple(v, _, _) =>
+      require(v >= 0 && v <= 255 && (v < 24 || v > 31), s"unencodable simple: $v")
+      if (v < 24) out.write(0xe0 | v) else { out.write(0xf8); out.write(v) }
+    case CFloat(d, _, _) =>
+      out.write(0xfb)
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 7
+      while (i >= 0) { out.write(((bits >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  /** Decode ONE item from a prefix of `bytes` starting at `offset`:
+    * `Some((item, nextOffset))`, or None when the buffer holds only an
+    * incomplete item (more input needed) — the incremental-framing entry
+    * point for stream transports. Malformed input still fails loudly. */
+  def decodePrefix(bytes: Array[Byte], offset: Int = 0): Option[(Item, Int)] = {
+    if (offset >= bytes.length) return None
+    val r = new Reader(bytes)
+    r.seek(offset)
+    try Some((r.readItem(), r.position))
+    catch {
+      case e: IllegalArgumentException
+        if e.getMessage != null && (e.getMessage.contains("end of CBOR input") ||
+          e.getMessage.contains("length past end")) => None
+    }
+  }
+
   final class Reader(bytes: Array[Byte]) {
     private var pos = 0
     def position: Int = pos
+    private[Cbor] def seek(p: Int): Unit = { require(p >= 0 && p <= bytes.length); pos = p }
 
     private def u8(): Int = {
       require(pos < bytes.length, "unexpected end of CBOR input")

@@ -150,6 +150,38 @@ object Demo {
         s""""${"ab" * 32}#0":{"address":"${"61" + "cd" * 28}","value":{"lovelace":1234}}}}""")
     println("== hydra HeadIsOpen -> ogmios: " + hydraLine.take(100) + "…")
 
+    // S1 wire plane: a socket-free chain-sync session — handshake propose,
+    // FindIntersect/IntersectFound over mux SDUs, one RollForward whose
+    // tag-24 payload rides the BlockCbor data plane
+    {
+      import graft.codec.{Blake2b, Cbor, Hex}
+      import graft.codec.Cbor._
+      import graft.streaming.ChainSyncWire
+      import graft.streaming.ChainSyncWire.{ChainSyncCodec => CS, Handshake, Mux}
+      val hs = Handshake.parseReply(Cbor.encode(
+        cArr(cInt(1), cInt(Handshake.n2cVersion(16)), cArr(cInt(2), cBool(false)))))
+      val headerBody = cArr(cInt(5), cInt(321), cBytes(Array.fill[Byte](32)(9)))
+      val header = cArr(headerBody, cBytes(Array.fill[Byte](8)(1)))
+      val wrapped = Cbor.encode(cArr(cInt(6),
+        cArr(header, cArr(), cArr(), cMap(), cArr())))
+      val pt = graft.streaming.Resume.Point(
+        321L, Hex.encode(Blake2b.hash256(Cbor.encode(header))))
+      val tip = cArr(cArr(cInt(321), cBytes(Hex.decode(pt.headerHash).get)), cInt(1))
+      val client = new ChainSyncWire.Client(Seq(pt))
+      client.start()
+      val found = Mux.encode(Mux.Sdu(0L, CS.ProtocolId, responder = true, Cbor.encode(
+        cArr(cInt(5), cArr(cInt(321), cBytes(Hex.decode(pt.headerHash).get)), tip))))
+      val (ev1, _) = client.onBytes(found)
+      val roll = Mux.encode(Mux.Sdu(0L, CS.ProtocolId, responder = true, Cbor.encode(
+        cArr(cInt(2), cTag(24, cBytes(wrapped)), tip))))
+      val (ev2, _) = client.onBytes(roll)
+      val fwdLine = ev2.collect { case ChainSyncWire.Forwarded(b, _) =>
+        graft.ingest.BlockCbor.blockToOgmios(Hex.encode(b)) }.head
+      println(s"== wire handshake: $hs; negotiated: " +
+        ev1.collect { case ChainSyncWire.Negotiated(p, _) => p }.head)
+      println("== wire roll-forward -> ogmios: " + fwdLine.take(80) + "…")
+    }
+
     // R12/R13: health document + ETag caching discipline
     val health = graft.query.Health.snapshot(ix, graft.query.Health.ConnectionStatus.Connected)
     println("== health: " + graft.query.Health.asJson(health))

@@ -118,4 +118,107 @@ class NodeSpec extends SparkSpec {
         findIntersect = _.headOption)
     }
   }
+
+  test("S1 wire plane: mux/chain-sync session bytes negotiate AND replay into runOnce") {
+    import graft.codec.{Blake2b, Cbor, Hex}
+    import graft.codec.Cbor._
+    import graft.streaming.ChainSyncWire
+    import graft.streaming.ChainSyncWire.{ChainSyncCodec => CS, Mux}
+
+    // the producer's chain: era-wrapped Conway block CBOR (empty tx set —
+    // every block still checkpoints), exactly what a node serves over n2c
+    def mkCborBlk(slot: Long, seed: Int): (Point, Array[Byte]) = {
+      val headerBody = cArr(cInt(5), cInt(slot), cBytes(Array.fill[Byte](32)(seed.toByte)))
+      val header = cArr(headerBody, cBytes(Array.fill[Byte](8)(0x11.toByte)))
+      val block = cArr(header, cArr(), cArr(), cMap(), cArr())
+      (Point(slot, Hex.encode(Blake2b.hash256(Cbor.encode(header)))),
+        Cbor.encode(cArr(cInt(6), block)))
+    }
+    val chain = Seq(mkCborBlk(31L, 1), mkCborBlk(47L, 2))
+    val origin = Point(-1L, "origin")
+
+    /** One full responder-side session over BYTES: negotiate from `cands`
+      * (the repo's origin sentinel maps to the CBOR origin = no
+      * candidates), serve every block after the intersection, AwaitReply
+      * at tip. */
+    def wireSession(cands0: Seq[Point]): (Option[Point], Seq[String]) = {
+      val cands = cands0.filter(_.slot >= 0L)
+      val tipItem = cArr(
+        cArr(cInt(chain.last._1.slot), cBytes(Hex.decode(chain.last._1.headerHash).get)),
+        cInt(chain.length.toLong))
+      def reply(msg: CS.Msg, cursor: Int): (Array[Byte], Int) = msg match {
+        case CS.FindIntersect(points) =>
+          points.find(p => chain.exists(_._1 == p)) match {
+            case Some(p) =>
+              (Cbor.encode(cArr(cInt(5),
+                cArr(cInt(p.slot), cBytes(Hex.decode(p.headerHash).get)), tipItem)),
+                chain.indexWhere(_._1 == p) + 1)
+            case None => // nothing in common: stream from origin
+              (Cbor.encode(cArr(cInt(5), cArr(), tipItem)), 0)
+          }
+        case CS.RequestNext =>
+          if (cursor < chain.length)
+            (Cbor.encode(cArr(cInt(2), cTag(24, cBytes(chain(cursor)._2)), tipItem)),
+              cursor + 1)
+          else (Cbor.encode(cArr(cInt(1))), cursor) // AwaitReply: tip reached
+        case other => sys.error(s"responder got $other")
+      }
+      val client = new ChainSyncWire.Client(cands)
+      var outbound = client.start()
+      var cursor = 0
+      var negotiated: Option[Point] = None
+      val lines = Seq.newBuilder[String]
+      while (outbound.nonEmpty) {
+        val (sdus, rest) = Mux.decode(outbound)
+        assert(rest.isEmpty)
+        var serverBytes = Array.emptyByteArray
+        sdus.foreach { sdu =>
+          val (r, c2) = reply(CS.decode(Cbor.decode(sdu.payload)), cursor)
+          cursor = c2
+          serverBytes = serverBytes ++
+            Mux.encode(Mux.Sdu(0L, CS.ProtocolId, responder = true, r))
+        }
+        val (events, next) = client.onBytes(serverBytes)
+        events.foreach {
+          case ChainSyncWire.Negotiated(p, _) => negotiated = p
+          case ChainSyncWire.Forwarded(b, _) =>
+            lines += graft.ingest.BlockCbor.blockToOgmios(Hex.encode(b))
+          case other => fail(s"unexpected event $other")
+        }
+        outbound = next
+      }
+      (negotiated, lines.result())
+    }
+
+    val inputDir = tmpDir("graft-wire-in")
+    val ix = new GraftIndex(spark, tmpDir("graft-wire-ix"))
+    val (i1, h1) = Node.runOnce(spark, inputDir, ix, patterns,
+      findIntersect = cands => wireSession(cands)._1.orElse(Some(origin)),
+      since = Since.FromPoint(origin),
+      startFeeder = p => {
+        val lines = wireSession(if (p == origin) Nil else Seq(p))._2
+        Files.write(Paths.get(inputDir, "000.jsonl"),
+          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      },
+      nodeTip = Some(47L))
+    assert(i1 == origin)
+    assert(h1.mostRecentCheckpoint.map(_._1).contains(47L))
+    val cps = ix.table("checkpoints").select("slot_no", "header_hash")
+      .collect().map(r => Point(r.getLong(0), r.getString(1))).toSet
+    assert(chain.map(_._1).toSet.subsetOf(cps),
+      s"wire-served blocks missing from the index: $cps")
+
+    // a second turn negotiates ON the wire-indexed points and drains nothing
+    val (i2, h2) = Node.runOnce(spark, inputDir, ix, patterns,
+      findIntersect = cands => wireSession(cands)._1.orElse(Some(origin)),
+      startFeeder = p => {
+        val lines = wireSession(Seq(p))._2
+        if (lines.nonEmpty)
+          Files.write(Paths.get(inputDir, "001.jsonl"),
+            lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      },
+      nodeTip = Some(47L))
+    assert(i2 == chain.last._1, s"renegotiation should land on the wire tip: $i2")
+    assert(h2.mostRecentCheckpoint.map(_._1).contains(47L))
+  }
 }
