@@ -195,12 +195,21 @@ object ChainSyncWire {
   // ---- the client state machine ----
 
   /** Byte-in/byte-out chain-sync client: negotiate the intersection from
-    * `candidates`, then keep exactly one RequestNext outstanding and
-    * surface every server transition as an [[Event]]. Drive it from any
-    * transport: send [[start]]'s bytes, then for every received chunk call
-    * [[onBytes]] and send what it returns. Protocol violations (a message
-    * in the wrong state, an unknown tag, a foreign mini-protocol id) fail
-    * loudly — a sync client must never silently resynchronize.
+    * `candidates`, then stream with ELASTIC PIPELINING and surface every
+    * server transition as an [[Event]]. Drive it from any transport: send
+    * [[start]]'s bytes, then for every received chunk call [[onBytes]] and
+    * send what it returns. Protocol violations (a message in the wrong
+    * state, an unknown tag, a foreign mini-protocol id) fail loudly — a
+    * sync client must never silently resynchronize.
+    *
+    * Pipelining mirrors the reference's distance-from-tip policy
+    * (/root/reference/src/Kupo/Data/ChainSync.hs:70-74 — >6000 slots
+    * behind: 100 in flight; >1000: 5; near tip: 1): far from the tip the
+    * wire stays full so sync throughput is wire-bound, near the tip at
+    * most one request is outstanding so a forced rollback never waits
+    * behind a pile of ~20 s-apart replies. The cursor slot advances from
+    * each forwarded block's header (era-wrapped Shelley+ blocks; a
+    * non-parsing era conservatively keeps the previous distance).
     *
     * The handshake runs first ([[Handshake.propose]] / [[handshakeReply]])
     * because the spec multiplexes it on the same bearer before any other
@@ -227,6 +236,39 @@ object ChainSyncWire {
       * message (a roll-forward block spans many SDUs). */
     private var msgBuf: Array[Byte] = Array.emptyByteArray
     private var started = false
+    /** Outstanding RequestNexts the server still owes a reply for. */
+    private var inFlight = 0
+    private var cursorSlot = 0L
+    private var tipSlot = 0L
+
+    /** The reference's elastic policy: slots behind the tip → in-flight
+      * budget. */
+    private def maxInFlight: Int = {
+      val d = math.max(0L, tipSlot - cursorSlot)
+      if (d > 6000) 100 else if (d > 1000) 5 else 1
+    }
+
+    /** Fill the pipeline to budget (always ≥ 1 outstanding so the
+      * conversation can never stall). */
+    private def topUp(): Seq[Array[Byte]] = {
+      val n = math.max(if (inFlight == 0) 1 else 0, maxInFlight - inFlight)
+      inFlight += n
+      Seq.fill(n)(ChainSyncCodec.encode(RequestNext))
+    }
+
+    private def noteTip(tip: Tip): Unit =
+      tipSlot = tip.point.map(_.slot).getOrElse(0L)
+
+    /** Best-effort slot of an era-wrapped block (header body's second
+      * field for Shelley+); a non-parsing era keeps the previous cursor
+      * — the budget just stays at its last value. */
+    private def blockSlot(blockCbor: Array[Byte]): Option[Long] =
+      try Cbor.decode(blockCbor) match {
+        case CArr(Vector(CInt(era, _, _), CArr(
+          CArr(Vector(CArr(CInt(_, _, _) +: CInt(slot, _, _) +: _, _, _), _), _, _) +: _,
+          _, _)), _, _) if era >= 2 => Some(slot.toLong)
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** The mux-framed FindIntersect that opens the conversation. */
     def start(): Array[Byte] = {
@@ -271,19 +313,30 @@ object ChainSyncWire {
     private def onMessage(msg: Msg): (Seq[Event], Seq[Array[Byte]]) = (state, msg) match {
       case (AwaitingIntersect, IntersectFound(p, tip)) =>
         state = CanAwait
-        (Seq(Negotiated(p, tip)), Seq(ChainSyncCodec.encode(RequestNext)))
+        cursorSlot = p.map(_.slot).getOrElse(0L)
+        noteTip(tip)
+        (Seq(Negotiated(p, tip)), topUp())
       case (AwaitingIntersect, IntersectNotFound(tip)) =>
         state = Finished
         (Seq(NoIntersection(tip)), Seq(ChainSyncCodec.encode(Done)))
       case (CanAwait, AwaitReply) =>
+        require(inFlight >= 1, "AwaitReply with no request outstanding")
         state = MustReply
-        (Nil, Nil) // tip reached: the server pushes when a block arrives
+        (Nil, Nil) // tip reached: the reply to the outstanding request will block
       case (CanAwait | MustReply, RollForward(b, tip)) =>
+        require(inFlight >= 1, "RollForward with no request outstanding")
+        inFlight -= 1
         state = CanAwait
-        (Seq(Forwarded(b, tip)), Seq(ChainSyncCodec.encode(RequestNext)))
+        blockSlot(b).foreach(cursorSlot = _)
+        noteTip(tip)
+        (Seq(Forwarded(b, tip)), topUp())
       case (CanAwait | MustReply, RollBackward(p, tip)) =>
+        require(inFlight >= 1, "RollBackward with no request outstanding")
+        inFlight -= 1
         state = CanAwait
-        (Seq(RolledBack(p, tip)), Seq(ChainSyncCodec.encode(RequestNext)))
+        cursorSlot = p.map(_.slot).getOrElse(0L)
+        noteTip(tip)
+        (Seq(RolledBack(p, tip)), topUp())
       case (s, m) => sys.error(s"protocol violation: $m in state $s")
     }
   }

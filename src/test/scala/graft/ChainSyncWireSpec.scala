@@ -183,6 +183,49 @@ class ChainSyncWireSpec extends AnyFunSuite {
     }
   }
 
+  test("elastic pipelining: 100 in flight far from tip, drains to 1 near it, never stalls") {
+    def countRequests(bytes: Array[Byte]): Int = {
+      val (sdus, rest) = Mux.decode(bytes)
+      assert(rest.isEmpty)
+      sdus.map(s => CS.decode(Cbor.decode(s.payload))).count(_ == CS.RequestNext)
+    }
+    val farTip = cArr(cArr(cInt(50000), cBytes(Array.fill[Byte](32)(5))), cInt(2000))
+    val client = new ChainSyncWire.Client(Seq(Point(10L, "cc" * 32)))
+    client.start()
+    val found = serverSend(Cbor.encode(cArr(cInt(5),
+      cArr(cInt(10), cBytes(Hex.decode("cc" * 32).get)), farTip)))
+    val (_, out1) = client.onBytes(found)
+    // 49990 slots behind → the reference's >6000 tier: 100 in flight
+    assert(countRequests(out1) == 100, s"want 100 pipelined, got ${countRequests(out1)}")
+    // a forwarded block still far from tip: one reply collected, one top-up
+    val (blk, _) = fixtureBlock(slot = 20L)
+    val roll = serverSend(Cbor.encode(cArr(cInt(2), cTag(24, cBytes(blk)), farTip)))
+    val (evs2, out2) = client.onBytes(roll)
+    assert(evs2.length == 1 && countRequests(out2) == 1)
+    // the server rolls us back to NEAR the tip: budget collapses to 1, and
+    // with 99 replies still owed nothing new is requested
+    val back = serverSend(Cbor.encode(cArr(cInt(3),
+      cArr(cInt(49500), cBytes(Array.fill[Byte](32)(6))), farTip)))
+    val (evs3, out3) = client.onBytes(back)
+    assert(evs3.length == 1 && countRequests(out3) == 0)
+    // draining the backlog: each owed reply arrives, no new requests —
+    // until the last one, where the ≥1 floor keeps the conversation alive
+    val nearRoll = Cbor.encode(cArr(cInt(2),
+      cTag(24, cBytes(fixtureBlock(slot = 49600L)._1)), farTip))
+    (1 to 98).foreach { _ =>
+      val (e, o) = client.onBytes(serverSend(nearRoll))
+      assert(e.length == 1 && countRequests(o) == 0)
+    }
+    val (eLast, oLast) = client.onBytes(serverSend(nearRoll))
+    assert(eLast.length == 1 && countRequests(oLast) == 1,
+      "the floor must keep one request outstanding")
+    // AwaitReply with requests outstanding parks the machine; a reply resumes
+    val (eAwait, oAwait) = client.onBytes(serverSend(Cbor.encode(cArr(cInt(1)))))
+    assert(eAwait.isEmpty && oAwait.isEmpty)
+    val (eResume, _) = client.onBytes(serverSend(nearRoll))
+    assert(eResume.length == 1)
+  }
+
   test("chain-sync session: intersect-not-found terminates with Done") {
     val client = new ChainSyncWire.Client(Seq(Point(1L, "bb" * 32)))
     client.start()
