@@ -270,6 +270,13 @@ object ChainSyncWire {
         case _ => None
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** A pattern-install (U6) wants the chain re-read from `point`:
+      * outstanding replies are collected AND DROPPED, then the client
+      * re-negotiates — the reference's forced-rollback flow
+      * (/root/reference/src/Kupo/App/ChainSync/Node.hs:118-150,
+      * `clientStCollect`). */
+    private var forced: Option[Point] = None
+
     /** The mux-framed FindIntersect that opens the conversation. */
     def start(): Array[Byte] = {
       require(!started, "client already started")
@@ -277,6 +284,35 @@ object ChainSyncWire {
       Mux.frames(ChainSyncCodec.ProtocolId,
         ChainSyncCodec.encode(FindIntersect(candidates)))
         .map(Mux.encode).reduce(_ ++ _)
+    }
+
+    /** Request a forced rollback to `point`. Every reply still in flight
+      * is dropped as it arrives; once the pipeline drains, the returned
+      * bytes (or the bytes of a later [[onBytes]]) carry the new
+      * FindIntersect. The caller must have checked the point exists — an
+      * IntersectNotFound after a forced rollback fails loudly, like the
+      * reference's ForcedIntersectionNotFound. */
+    def forceRollback(point: Point): Array[Byte] = {
+      require(started, "call start() first")
+      require(state == CanAwait || state == MustReply,
+        s"forced rollback during $state")
+      forced = Some(point)
+      if (inFlight == 0)
+        Mux.frames(ChainSyncCodec.ProtocolId, forcedIntersectMsg())
+          .map(Mux.encode).reduce(_ ++ _)
+      else Array.emptyByteArray
+    }
+
+    /** Whether the in-progress negotiation came from [[forceRollback]] —
+      * its IntersectNotFound is a caller bug, not a cold boot. */
+    private var negotiationForced = false
+
+    private def forcedIntersectMsg(): Array[Byte] = {
+      val p = forced.get
+      forced = None
+      state = AwaitingIntersect
+      negotiationForced = true
+      ChainSyncCodec.encode(FindIntersect(Seq(p)))
     }
 
     /** Feed received transport bytes (any chunking); returns the events
@@ -310,13 +346,31 @@ object ChainSyncWire {
           .map(Mux.encode)).foldLeft(Array.emptyByteArray)(_ ++ _))
     }
 
-    private def onMessage(msg: Msg): (Seq[Event], Seq[Array[Byte]]) = (state, msg) match {
+    private def onMessage(msg: Msg): (Seq[Event], Seq[Array[Byte]]) = {
+      // forced-rollback drain: collect and DROP every reply still owed,
+      // then re-negotiate from the forced point
+      if (forced.isDefined && state != AwaitingIntersect) return msg match {
+        case RollForward(_, _) | RollBackward(_, _) =>
+          require(inFlight >= 1, s"$msg with no request outstanding")
+          inFlight -= 1
+          state = CanAwait
+          if (inFlight == 0) (Nil, Seq(forcedIntersectMsg())) else (Nil, Nil)
+        case AwaitReply =>
+          require(inFlight >= 1, "AwaitReply with no request outstanding")
+          state = MustReply
+          (Nil, Nil)
+        case m => sys.error(s"protocol violation: $m while draining for a forced rollback")
+      }
+      (state, msg) match {
       case (AwaitingIntersect, IntersectFound(p, tip)) =>
         state = CanAwait
+        negotiationForced = false
         cursorSlot = p.map(_.slot).getOrElse(0L)
         noteTip(tip)
         (Seq(Negotiated(p, tip)), topUp())
       case (AwaitingIntersect, IntersectNotFound(tip)) =>
+        if (negotiationForced)
+          sys.error(s"forced rollback point is not on the chain (tip $tip)")
         state = Finished
         (Seq(NoIntersection(tip)), Seq(ChainSyncCodec.encode(Done)))
       case (CanAwait, AwaitReply) =>
@@ -338,6 +392,7 @@ object ChainSyncWire {
         noteTip(tip)
         (Seq(RolledBack(p, tip)), topUp())
       case (s, m) => sys.error(s"protocol violation: $m in state $s")
+      }
     }
   }
 

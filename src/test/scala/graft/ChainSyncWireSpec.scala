@@ -226,6 +226,59 @@ class ChainSyncWireSpec extends AnyFunSuite {
     assert(eResume.length == 1)
   }
 
+  test("forced rollback: drains in-flight replies silently, re-negotiates, resumes") {
+    def requests(bytes: Array[Byte]): Seq[CS.Msg] = {
+      val (sdus, rest) = Mux.decode(bytes); assert(rest.isEmpty)
+      sdus.map(s => CS.decode(Cbor.decode(s.payload)))
+    }
+    val farTip = cArr(cArr(cInt(50000), cBytes(Array.fill[Byte](32)(5))), cInt(2000))
+    val client = new ChainSyncWire.Client(Seq(Point(10L, "cc" * 32)))
+    client.start()
+    val (_, out1) = client.onBytes(serverSend(Cbor.encode(cArr(cInt(5),
+      cArr(cInt(10), cBytes(Hex.decode("cc" * 32).get)), farTip))))
+    assert(requests(out1).count(_ == CS.RequestNext) == 100)
+    // a pattern install wants the chain re-read from slot 3 — with 100
+    // replies owed, nothing can be sent yet
+    val target = Point(3L, "dd" * 32)
+    assert(client.forceRollback(target).isEmpty)
+    // 99 owed replies drain with NO events and NO new requests...
+    val roll = Cbor.encode(cArr(cInt(2),
+      cTag(24, cBytes(fixtureBlock(slot = 20L)._1)), farTip))
+    (1 to 99).foreach { _ =>
+      val (e, o) = client.onBytes(serverSend(roll))
+      assert(e.isEmpty && o.isEmpty)
+    }
+    // ...and the 100th collect emits the forced FindIntersect
+    val (eDrained, oDrained) = client.onBytes(serverSend(roll))
+    assert(eDrained.isEmpty)
+    requests(oDrained) match {
+      case Seq(CS.FindIntersect(ps)) => assert(ps == Seq(target))
+      case other => fail(s"expected the forced FindIntersect, got $other")
+    }
+    // the found intersection resumes streaming (Negotiated + pipeline refill)
+    val (eRes, oRes) = client.onBytes(serverSend(Cbor.encode(cArr(cInt(5),
+      cArr(cInt(3), cBytes(Hex.decode("dd" * 32).get)), farTip))))
+    assert(eRes == Seq(ChainSyncWire.Negotiated(Some(target),
+      CS.Tip(Some(Point(50000L, "05" * 32)), 2000L))))
+    assert(requests(oRes).count(_ == CS.RequestNext) == 100)
+    // a forced point missing from the chain is a caller bug, loudly —
+    // NOT the cold-boot NoIntersection flow
+    val c2 = new ChainSyncWire.Client(Seq(Point(10L, "cc" * 32)))
+    c2.start()
+    val (_, _) = c2.onBytes(serverSend(Cbor.encode(cArr(cInt(5),
+      cArr(cInt(10), cBytes(Hex.decode("cc" * 32).get)),
+      cArr(cArr(cInt(10), cBytes(Array.fill[Byte](32)(5))), cInt(1))))))
+    val sent = c2.forceRollback(Point(4L, "ee" * 32))
+    // near tip only 1 was in flight; drain it, then the intersect goes out
+    assert(sent.isEmpty)
+    val (_, o2) = c2.onBytes(serverSend(roll))
+    assert(requests(o2).exists(_.isInstanceOf[CS.FindIntersect]))
+    val notFound = serverSend(Cbor.encode(cArr(cInt(6),
+      cArr(cArr(cInt(5), cBytes(Array.fill[Byte](32)(3))), cInt(1)))))
+    val ex = intercept[RuntimeException](c2.onBytes(notFound))
+    assert(ex.getMessage.contains("forced rollback point"), ex.getMessage)
+  }
+
   test("chain-sync session: intersect-not-found terminates with Done") {
     val client = new ChainSyncWire.Client(Seq(Point(1L, "bb" * 32)))
     client.start()
