@@ -111,7 +111,9 @@ object ChainSyncWire {
         (cInt(n2cVersion(v)): Item, cArr(cInt(magic), cBool(false)): Item)): _*)))
     }
 
-    def parseReply(bytes: Array[Byte]): Result = Cbor.decode(bytes) match {
+    def parseReply(bytes: Array[Byte]): Result = parseReplyItem(Cbor.decode(bytes))
+
+    def parseReplyItem(item: Item): Result = item match {
       case CArr(Vector(CInt(tag, _, _), CInt(v, _, _), data), _, _) if tag == 1 =>
         val magic = data match {
           case CArr(CInt(m, _, _) +: _, _, _) => m.toLong

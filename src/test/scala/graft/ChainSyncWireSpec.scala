@@ -279,6 +279,136 @@ class ChainSyncWireSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("forced rollback point"), ex.getMessage)
   }
 
+  /** A fake node on a REAL socket: accept one connection, answer the
+    * handshake, negotiate, serve the chain (splitting one reply to
+    * exercise stream reassembly), AwaitReply at tip, then close. */
+  private def serveOnce(server: java.nio.channels.ServerSocketChannel,
+                        chain: Seq[(graft.streaming.Resume.Point, Array[Byte])]): Thread = {
+    val t = new Thread(() => {
+      val ch = server.accept()
+      try {
+        val bb = java.nio.ByteBuffer.allocate(64 * 1024)
+        var raw = Array.emptyByteArray
+        var hsDone = false
+        var msgBytes = Array.emptyByteArray
+        var cursor = 0
+        var closing = false
+        val tipItem = cArr(
+          cArr(cInt(chain.last._1.slot), cBytes(Hex.decode(chain.last._1.headerHash).get)),
+          cInt(chain.length.toLong))
+        def send(proto: Int, payload: Array[Byte], split: Boolean = false): Unit = {
+          val frames =
+            if (split && payload.length > 4)
+              Seq(payload.take(4), payload.drop(4)).map(p =>
+                Mux.encode(Mux.Sdu(0L, proto, responder = true, p)))
+            else Seq(Mux.encode(Mux.Sdu(0L, proto, responder = true, payload)))
+          frames.foreach { f =>
+            val out = java.nio.ByteBuffer.wrap(f)
+            while (out.hasRemaining) ch.write(out)
+          }
+        }
+        while (!closing) {
+          bb.clear()
+          val n = ch.read(bb)
+          if (n < 0) closing = true
+          else {
+            val chunk = new Array[Byte](n); bb.flip(); bb.get(chunk)
+            raw = raw ++ chunk
+            val (sdus, rest) = Mux.decode(raw)
+            raw = rest
+            sdus.foreach(s => msgBytes = msgBytes ++ s.payload)
+            var off = 0
+            var more = true
+            while (more) Cbor.decodePrefix(msgBytes, off) match {
+              case Some((item, next)) =>
+                off = next
+                if (!hsDone) {
+                  // the propose: accept its first listed version
+                  val (v, magic) = item match {
+                    case CArr(Vector(CInt(z, _, _), CMap(es, _, _)), _, _) if z == 0 =>
+                      es.head match {
+                        case (CInt(vn, _, _), CArr(CInt(m, _, _) +: _, _, _)) =>
+                          (vn.toLong, m.toLong)
+                        case other => sys.error(s"bad propose entry: $other")
+                      }
+                    case other => sys.error(s"bad propose: $other")
+                  }
+                  send(Handshake.ProtocolId, Cbor.encode(
+                    cArr(cInt(1), cInt(v), cArr(cInt(magic), cBool(false)))))
+                  hsDone = true
+                } else CS.decode(item) match {
+                  case CS.FindIntersect(points) =>
+                    val found = points.find(p => chain.exists(_._1 == p))
+                      .getOrElse(sys.error("fake node: no intersection"))
+                    cursor = chain.indexWhere(_._1 == found) + 1
+                    send(CS.ProtocolId, Cbor.encode(cArr(cInt(5),
+                      cArr(cInt(found.slot), cBytes(Hex.decode(found.headerHash).get)),
+                      tipItem)))
+                  case CS.RequestNext =>
+                    if (cursor < chain.length) {
+                      send(CS.ProtocolId, Cbor.encode(cArr(cInt(2),
+                        cTag(24, cBytes(chain(cursor)._2)), tipItem)), split = true)
+                      cursor += 1
+                    } else {
+                      send(CS.ProtocolId, Cbor.encode(cArr(cInt(1)))) // AwaitReply
+                      closing = true // tip reached: hang up, client sees EOF
+                    }
+                  case other => sys.error(s"fake node got $other")
+                }
+              case None => more = false
+            }
+            msgBytes = java.util.Arrays.copyOfRange(msgBytes, off, msgBytes.length)
+          }
+        }
+      } finally ch.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def socketChain(): Seq[(graft.streaming.Resume.Point, Array[Byte])] =
+    Seq(31L -> 1, 47L -> 2).map { case (slot, seed) =>
+      val headerBody = cArr(cInt(5), cInt(slot), cBytes(Array.fill[Byte](32)(seed.toByte)))
+      val header = cArr(headerBody, cBytes(Array.fill[Byte](8)(0x11.toByte)))
+      (graft.streaming.Resume.Point(slot, Hex.encode(Blake2b.hash256(Cbor.encode(header)))),
+        Cbor.encode(cArr(cInt(6), cArr(header, cArr(), cArr(), cMap(), cArr()))))
+    }
+
+  test("NodeClient over loopback TCP: handshake, negotiate, stream to EOF") {
+    val server = java.nio.channels.ServerSocketChannel.open()
+    server.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
+    val chain = socketChain()
+    val t = serveOnce(server, chain)
+    try {
+      val log = graft.streaming.NodeClient.run(
+        server.getLocalAddress, magic = 42L, candidates = Seq(chain.head._1))
+      assert(log.accepted == Handshake.Accepted(0x8010L, 42L))
+      assert(log.events.collect {
+        case ChainSyncWire.Negotiated(p, _) => p }.flatten == Vector(chain.head._1))
+      val fwd = log.events.collect { case ChainSyncWire.Forwarded(b, _) => b }
+      assert(fwd.length == 1) // only the block AFTER the intersection
+      val line = graft.ingest.BlockCbor.blockToOgmios(Hex.encode(fwd.head))
+      assert(line.contains(""""slot":47"""))
+    } finally { t.join(10000); server.close() }
+  }
+
+  test("NodeClient over a UNIX domain socket (the bearer a cardano-node listens on)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-uds").resolve("node.socket")
+    val server = java.nio.channels.ServerSocketChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    server.bind(java.net.UnixDomainSocketAddress.of(path))
+    val chain = socketChain()
+    val t = serveOnce(server, chain)
+    try {
+      val log = graft.streaming.NodeClient.run(
+        java.net.UnixDomainSocketAddress.of(path), magic = 2L,
+        candidates = Seq(chain.head._1))
+      assert(log.accepted.magic == 2L)
+      assert(log.events.collect { case ChainSyncWire.Forwarded(b, _) => b }.length == 1)
+    } finally { t.join(10000); server.close(); java.nio.file.Files.deleteIfExists(path) }
+  }
+
   test("chain-sync session: intersect-not-found terminates with Done") {
     val client = new ChainSyncWire.Client(Seq(Point(1L, "bb" * 32)))
     client.start()
