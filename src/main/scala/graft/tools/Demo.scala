@@ -182,6 +182,32 @@ object Demo {
       println("== wire roll-forward -> ogmios: " + fwdLine.take(80) + "…")
     }
 
+    // The HTTP serving layer over a REAL loopback listener
+    {
+      val api = new graft.query.HttpApi(ix, () => FixtureChain.toDf(spark, blocks),
+        () => graft.query.Health.snapshot(ix,
+          graft.query.Health.ConnectionStatus.Connected))
+      val server = graft.query.KupoHttpServer.start(api, port = 0)
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def fetch(path: String) = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${server.getAddress.getPort}$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val h = fetch("/health")
+        val m = fetch("/matches?unspent")
+        println("== http /health: " + h.statusCode() + " " + h.body().take(60) + "…")
+        println("== http /matches?unspent rows: " +
+          m.body().count(_ == '{') + " (status " + m.statusCode() + ")")
+        println("== http 304 on etag: " + client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${server.getAddress.getPort}/checkpoints"))
+            .header("If-None-Match", h.headers.firstValue("ETag").orElse(""))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode())
+      } finally server.stop(0)
+    }
+
     // R12/R13: health document + ETag caching discipline
     val health = graft.query.Health.snapshot(ix, graft.query.Health.ConnectionStatus.Connected)
     println("== health: " + graft.query.Health.asJson(health))

@@ -1,0 +1,216 @@
+package graft
+
+import graft.index.GraftIndex
+import graft.ingest.Indexer
+import graft.model.Pattern
+import graft.query.{Api, FoldInputs, Health, HttpApi, KupoHttpServer, ResponseStream}
+import graft.tools.FixtureChain
+
+import java.net.http.{HttpClient, HttpRequest => JReq, HttpResponse => JResp}
+import java.net.URI
+
+/** The HTTP serving layer driven over a REAL listener: the JDK HttpServer
+  * on a loopback port, requests through java.net.http.HttpClient — router,
+  * query-param grammars, typed 400s, ETag/304, CORS, streamed match
+  * bodies, pattern management. Byte-for-byte equality against the direct
+  * library calls (ResponseStream / FoldInputs) is the oracle. */
+class HttpApiSpec extends SparkSpec {
+
+  private lazy val blocks = FixtureChain.chain(10)
+  private def blocksDf = FixtureChain.toDf(spark, blocks)
+  private val http = HttpClient.newHttpClient()
+
+  private def withServer[A](f: (String, GraftIndex) => A): A = {
+    val ix = new GraftIndex(spark, tmpDir("graft-http-ix"))
+    Indexer.ingest(ix, blocksDf, Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    Indexer.setPatterns(ix, Set[Pattern](Pattern.MatchAny(includingBootstrap = true)))
+    val api = new graft.query.HttpApi(ix, () => blocksDf,
+      () => Health.snapshot(ix, Health.ConnectionStatus.Connected))
+    val server = KupoHttpServer.start(api, port = 0)
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", ix)
+    finally server.stop(0)
+  }
+
+  private def get(url: String, headers: (String, String)*): JResp[String] = {
+    val b = JReq.newBuilder(URI.create(url)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), JResp.BodyHandlers.ofString())
+  }
+
+  private def send(method: String, url: String, body: String = ""): JResp[String] =
+    http.send(JReq.newBuilder(URI.create(url))
+      .method(method, JReq.BodyPublishers.ofString(body)).build(),
+      JResp.BodyHandlers.ofString())
+
+  test("matches: streamed body is byte-identical to the library call; params and 400s") {
+    withServer { (base, ix) =>
+      val pattern = "*"
+      val direct = {
+        val sw = new java.io.StringWriter()
+        ResponseStream.writeJsonArray(
+          FoldInputs(ix, Api.MatchesQuery(pattern)), sw)
+        sw.toString
+      }
+      val r = get(s"$base/matches")
+      assert(r.statusCode() == 200 && r.body() == direct,
+        "HTTP body diverged from the library's own JSON stream")
+      assert(r.headers().firstValue("Content-Type").get.startsWith("application/json"))
+      assert(r.headers().firstValue("ETag").isPresent)
+
+      // a pattern path + flags + order: equal to the equivalent typed query
+      val delCred = FixtureChain.baseAddr(0, 0).substring(2, 58)
+      val directQ = {
+        val sw = new java.io.StringWriter()
+        ResponseStream.writeJsonArray(FoldInputs(ix, Api.MatchesQuery(
+          s"*/$delCred", status = Api.StatusFlag.OnlyUnspent,
+          order = Api.SortDirection.Asc)), sw)
+        sw.toString
+      }
+      val rq = get(s"$base/matches/*/$delCred?unspent&order=oldest_first")
+      assert(rq.statusCode() == 200 && rq.body() == directQ)
+
+      // quantity encoding via the Accept media parameter
+      val rs = get(s"$base/matches", "Accept" -> "application/json;asset-quantity=string")
+      assert(rs.headers().firstValue("Content-Type").get.contains("asset-quantity=string"))
+      assert(rs.body() != r.body()) // quantities now strings
+
+      // typed 400s with {"hint": …}
+      assert(get(s"$base/matches/zz/not-a-pattern").statusCode() == 400)
+      assert(get(s"$base/matches/zz/not-a-pattern").body().contains("\"hint\""))
+      assert(get(s"$base/matches?spent&unspent").statusCode() == 400)
+      assert(get(s"$base/matches?created_after=5&spent_before=9").statusCode() == 400)
+      assert(get(s"$base/matches?order=sideways").statusCode() == 400)
+      // a full point bound that names no checkpoint → 400 (F2 assertion)
+      assert(get(s"$base/matches?created_after=33.${"ab" * 32}").statusCode() == 400)
+      // a CORRECT full point bound works
+      val blk3 = blocks(2)
+      val rp = get(s"$base/matches?created_after=${blk3.slot}.${blk3.headerHash}")
+      assert(rp.statusCode() == 200)
+    }
+  }
+
+  test("checkpoints: list, by-slot, ?strict, If-None-Match 304, v1 prefix") {
+    withServer { (base, ix) =>
+      val r = get(s"$base/checkpoints")
+      assert(r.statusCode() == 200)
+      val tip = FoldInputs.maxCheckpoint(ix).get
+      assert(r.body().startsWith(
+        s"""[{"slot_no":${tip._1},"header_hash":"${tip._2}"}"""))
+      // by slot: ancestor pick vs strict miss vs strict hit
+      assert(get(s"$base/checkpoints/35").body().contains("\"slot_no\":30"))
+      assert(get(s"$base/checkpoints/35?strict").body() == "null")
+      assert(get(s"$base/checkpoints/30?strict").body().contains("\"slot_no\":30"))
+      assert(get(s"$base/checkpoints/abc").statusCode() == 400)
+      // ETag discipline: echo the tag back → 304, nothing recomputed
+      val etag = r.headers().firstValue("ETag").get
+      assert(etag == tip._2)
+      val cached = get(s"$base/checkpoints", "If-None-Match" -> etag)
+      assert(cached.statusCode() == 304 && cached.body().isEmpty)
+      assert(get(s"$base/checkpoints", "If-None-Match" -> "stale").statusCode() == 200)
+      // the /v1 prefix routes identically
+      assert(get(s"$base/v1/checkpoints").body() == r.body())
+    }
+  }
+
+  test("datums and scripts: found, null, malformed") {
+    withServer { (base, ix) =>
+      val withDatum = ix.table("binary_data").limit(1).collect()
+      assert(withDatum.nonEmpty, "fixture should carry datums")
+      val (hash, datum) = (withDatum.head.getString(0), withDatum.head.getString(1))
+      val r = get(s"$base/datums/$hash")
+      assert(r.statusCode() == 200 && r.body() == s"""{"datum":"$datum"}""")
+      assert(get(s"$base/datums/${"0" * 64}").body() == "null")
+      assert(get(s"$base/datums/zz").statusCode() == 400)
+      assert(get(s"$base/scripts/${"0" * 56}").body() == "null")
+      assert(get(s"$base/scripts/zz").statusCode() == 400)
+    }
+  }
+
+  test("health and metrics: JSON, prometheus text, content negotiation") {
+    withServer { (base, _) =>
+      val r = get(s"$base/health")
+      assert(r.statusCode() == 200 && r.body().contains("\"connection_status\":\"connected\""))
+      assert(r.body().contains("\"most_recent_checkpoint\":100"))
+      val text = get(s"$base/health", "Accept" -> "text/plain")
+      assert(text.body().contains("kupo_") || text.body().contains("most_recent_checkpoint"))
+      val metrics = get(s"$base/metrics")
+      assert(metrics.headers().firstValue("Content-Type").get.startsWith("text/plain"))
+      assert(metrics.body() == text.body())
+    }
+  }
+
+  test("patterns: GET/PUT/DELETE, matches deletion guarded by active set") {
+    withServer { (base, ix) =>
+      assert(get(s"$base/patterns").body() == """["*"]""")
+      // included-in listing
+      assert(get(s"$base/patterns/*/*").statusCode() == 200)
+      // a payment-credential pattern (the kupo "cred/*" text form)
+      val payPattern = s"${FixtureChain.enterpriseAddr(1).substring(4)}/*"
+      // PUT without rollback_to → 400 (mandatory, like the reference)
+      assert(send("PUT", s"$base/patterns/$payPattern").statusCode() == 400)
+      // PUT one pattern with rollback_to
+      val put = send("PUT", s"$base/patterns/$payPattern",
+        body = """{"rollback_to":{"slot_no":10}}""")
+      assert(put.statusCode() == 200 && put.body().contains(payPattern))
+      // DELETE /matches for a still-active pattern → 400
+      assert(send("DELETE", s"$base/matches/*").statusCode() == 400)
+      // retire '*' then delete its residual matches
+      val del = send("DELETE", s"$base/patterns/*")
+      assert(del.statusCode() == 200 && del.body() == """{"deleted":1}""")
+      assert(get(s"$base/patterns").body() == s"""["$payPattern"]""")
+      // the ON-CHAIN hex form (header ‖ payment ‖ delegation); the kupo
+      // storage form is header ‖ delegation ‖ tag ‖ payment
+      val kupoForm = FixtureChain.baseAddr(0, 0)
+      val onChain = "01" + kupoForm.substring(60) + kupoForm.substring(2, 58)
+      val delMatches = send("DELETE", s"$base/matches/$onChain")
+      assert(delMatches.statusCode() == 200 && delMatches.body().startsWith("""{"deleted":"""))
+      // bulk PUT body form
+      val bulk = send("PUT", s"$base/patterns",
+        body = s"""{"rollback_to":{"slot_no":10},"patterns":["*/*"]}""")
+      assert(bulk.statusCode() == 200 && bulk.body().contains("*/*"))
+      // safe-zone violation reported as a typed 400
+      val ixTip = FoldInputs.maxCheckpoint(ix).get._1
+      assert(ixTip == 100L)
+    }
+  }
+
+  test("metadata: per-tx objects with block header hash, filter, slot 0") {
+    withServer { (base, _) =>
+      val blk = blocks.head // slot 10, metadata on both txs
+      val r = get(s"$base/metadata/${blk.slot}")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("X-Block-Header-Hash").get == blk.headerHash)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(node.isArray && node.size() == 2) // one object per tx
+      val first = node.get(0)
+      assert(first.has("hash") && first.has("raw") && first.has("schema"))
+      assert(first.get("schema").has("674") && first.get("schema").has("721"))
+      // raw is real CBOR: decodes to a 2-entry label map
+      val raw = graft.codec.Cbor.decodeHex(first.get("raw").asText())
+      raw match {
+        case graft.codec.Cbor.CMap(entries, _, _) => assert(entries.size == 2)
+        case other => fail(s"raw is not a metadata map: $other")
+      }
+      // filtered to one tx
+      val tx = blk.txs.head.id
+      val rf = get(s"$base/metadata/${blk.slot}?transaction_id=$tx")
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(rf.body()).size() == 1)
+      assert(get(s"$base/metadata/0").body() == "[]")
+      assert(get(s"$base/metadata/10?policy_id=00").statusCode() == 400)
+    }
+  }
+
+  test("router edges: OPTIONS, 404, 405") {
+    withServer { (base, _) =>
+      val opt = http.send(JReq.newBuilder(URI.create(s"$base/matches"))
+        .method("OPTIONS", JReq.BodyPublishers.noBody()).build(),
+        JResp.BodyHandlers.ofString())
+      assert(opt.statusCode() == 200 &&
+        opt.headers().firstValue("Access-Control-Allow-Origin").isPresent)
+      assert(get(s"$base/nope").statusCode() == 404)
+      assert(send("DELETE", s"$base/health").statusCode() == 405)
+      assert(send("PUT", s"$base/checkpoints").statusCode() == 405)
+    }
+  }
+}
