@@ -201,6 +201,41 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("Serve: the one-process kupo composition — ingest ticks + live HTTP off one index") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val work = tmpDir("graft-serve-ix")
+    val in = tmpDir("graft-serve-in")
+    val addr = graft.codec.Bech32.encode("addr",
+      graft.codec.Hex.decode("01" + ("11" * 28) + ("22" * 28)).get)
+    def fwdJson(slot: Long, seed: Int): String =
+      s"""{"jsonrpc":"2.0","method":"nextBlock","result":{"direction":"forward",""" +
+        s""""block":{"id":"${f"$seed%064d"}","slot":$slot,"transactions":[""" +
+        s"""{"id":"${f"${seed + 5000}%064d"}","spends":"inputs","inputs":[],""" +
+        s""""outputs":[{"address":"$addr","value":{"ada":{"lovelace":${slot * 10}}}}]}]},""" +
+        s""""tip":{"slot":999,"id":"${"0" * 64}"}}}"""
+    Files.write(Paths.get(in, "000.jsonl"),
+      Seq(fwdJson(10L, 1), fwdJson(20L, 2)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val running = graft.tools.Serve.serve(spark, graft.tools.Serve.Config(
+      workDir = work, inputDir = in, port = 0, since = Some("origin")))
+    try {
+      val base = s"http://127.0.0.1:${running.port}"
+      val h1 = running.tick()
+      assert(h1.mostRecentCheckpoint.map(_._1).contains(20L))
+      // the SAME index serves HTTP while ingestion runs
+      assert(get(s"$base/health").body().contains("\"most_recent_checkpoint\":20"))
+      val matches = get(s"$base/matches?unspent")
+      assert(matches.statusCode() == 200 && matches.body().count(_ == '{') >= 2)
+      // more blocks land; the next lifecycle turn picks them up, and the
+      // HTTP surface reflects the new tip immediately
+      Files.write(Paths.get(in, "001.jsonl"),
+        fwdJson(30L, 3).getBytes(StandardCharsets.UTF_8))
+      val h2 = running.tick()
+      assert(h2.mostRecentCheckpoint.map(_._1).contains(30L))
+      assert(get(s"$base/checkpoints/30?strict").body().contains("\"slot_no\":30"))
+    } finally running.close()
+  }
+
   test("router edges: OPTIONS, 404, 405") {
     withServer { (base, _) =>
       val opt = http.send(JReq.newBuilder(URI.create(s"$base/matches"))
