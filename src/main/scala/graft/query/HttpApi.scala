@@ -550,7 +550,14 @@ object KupoHttpServer {
           } catch { case scala.util.control.NonFatal(_) => () }
       } finally exchange.close()
     })
-    server.setExecutor(null) // the default single-threaded executor
+    // a cached daemon pool: one slow streamed /matches must never block
+    // /health (Warp gives the reference the same property); readers are
+    // safe concurrently because every query pins a manifest snapshot
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     server
   }

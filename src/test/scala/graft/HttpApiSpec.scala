@@ -236,6 +236,50 @@ class HttpApiSpec extends SparkSpec {
     } finally running.close()
   }
 
+  test("live HTTP bodies validate against the reference's own OpenAPI document") {
+    import OpenApiCheck.{errorsOf, mapper}
+    def assertAllValid(arrayJson: String, schemaName: String): Unit = {
+      val node = mapper.readTree(arrayJson)
+      assert(node.isArray && node.size() > 0, s"empty $schemaName body")
+      node.forEach { el =>
+        val errs = OpenApiCheck.validate(el,
+          OpenApiCheck.asYMap(OpenApiCheck.schemas.get(schemaName)), schemaName)
+        assert(errs.isEmpty, s"$el\n  ${errs.mkString("\n  ")}")
+      }
+    }
+    withServer { (base, ix) =>
+      assertAllValid(get(s"$base/matches").body(), "Match")
+      assertAllValid(get(s"$base/matches",
+        "Accept" -> "application/json;asset-quantity=string").body(),
+        "MatchQuantityAsString")
+      assertAllValid(get(s"$base/matches?resolve_hashes").body(), "Match")
+      assertAllValid(get(s"$base/checkpoints").body(), "Point")
+      assertAllValid(get(s"$base/metadata/10").body(), "Metadata")
+      assert(errorsOf(get(s"$base/health").body(), "Health").isEmpty)
+      assert(errorsOf(get(s"$base/patterns").body().stripPrefix("[").stripSuffix("]"),
+        "Pattern").isEmpty)
+      val datumHash = ix.table("binary_data").limit(1).collect().head.getString(0)
+      assert(errorsOf(get(s"$base/datums/$datumHash").body(), "Datum").isEmpty)
+      assert(errorsOf(get(s"$base/matches/zz/nope").body(), "BadRequest").isEmpty)
+      assert(errorsOf(send("DELETE", s"$base/patterns/*").body(), "Deleted").isEmpty)
+    }
+  }
+
+  test("concurrent requests: a streamed /matches never blocks /health") {
+    withServer { (base, _) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val calls = (1 to 8).map { i =>
+        Future(if (i % 2 == 0) get(s"$base/matches?resolve_hashes")
+               else get(s"$base/health"))
+      }
+      val results = Await.result(Future.sequence(calls), 120.seconds)
+      assert(results.forall(_.statusCode() == 200))
+      assert(results.map(_.body()).distinct.size >= 2)
+    }
+  }
+
   test("router edges: OPTIONS, 404, 405") {
     withServer { (base, _) =>
       val opt = http.send(JReq.newBuilder(URI.create(s"$base/matches"))
