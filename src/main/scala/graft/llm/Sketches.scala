@@ -109,6 +109,41 @@ object Sketches {
       .withColumn("sk_p", lit(p))
   }
 
+  /** Distinct per-(key, value) HLL coordinates — the single-corpus-pass
+    * composition shape: one row per distinct (keys..., value) with its
+    * `bucket` carried as a GROUPING key (it is functionally dependent on
+    * the value, so the groups are unchanged) and `m_rho` as a real
+    * aggregate. Registers derive by one more fold
+    * ([[hllRegistersFromCoords]]) and the EXACT distinct count per key is
+    * `count(m_rho)` over the same frame — both consumers need the
+    * identical grouping keys and aggregate buffer, so they share one
+    * Exchange (column pruning cannot differentiate the copies, and the
+    * real `max` aggregate keeps RemoveRedundantAggregates from stripping
+    * the dedup) instead of re-reading the corpus per consumer
+    * (spark_optimization_guide §2.3/§2.4). */
+  def hllValueCoords(items: DataFrame, keyCols: Seq[String], valueCol: String,
+                     p: Int = 8): DataFrame = {
+    checkP(p)
+    val hexB = p / 4
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, hexB), 16, 10).cast("int").as("bucket")
+    val suffix = conv(substring(h, hexB + 1, 13), 16, 10).cast("long")
+    val rho = when(suffix === 0L, lit(53))
+      .otherwise(lit(53) - length(bin(suffix))).cast("int").as("rho")
+    items.select(keyCols.map(col) :+ bucket :+ col(valueCol) :+ rho: _*)
+      .groupBy((keyCols :+ "bucket" :+ valueCol).map(col): _*)
+      .agg(max(col("rho")).as("m_rho"))
+      .withColumn("sk_p", lit(p))
+      .drop(valueCol)
+  }
+
+  /** Fold [[hllValueCoords]] into the [[hllRegisters]] frame: bucket-wise
+    * max with the carried-parameter guard — byte-identical registers to the
+    * direct build (max over per-value maxima == max over raw values). */
+  def hllRegistersFromCoords(coords: DataFrame, keyCols: Seq[String]): DataFrame =
+    foldRegisters(coords, keyCols, Seq("bucket"),
+      Some("m_rho" -> max), Seq("sk_p"), "hllRegistersFromCoords")
+
   /** Merge two register frames over the same key space: bucket-wise max —
     * the HLL union. Registers from disjoint scans, snapshots, or engines
     * combine exactly; the result is indistinguishable from sketching the
@@ -196,10 +231,24 @@ object Sketches {
     * under-counted — the one thing CMS must never do). */
   def cmsRegisters(items: DataFrame, keyCols: Seq[String], valueCol: String,
                    d: Int = 4, w: Int = 64): DataFrame =
-    items.select(keyCols.map(col) :+
+    cmsRegistersWeighted(
+      items.select(keyCols.map(col) :+ col(valueCol) :+ lit(1L).as("_w1"): _*),
+      keyCols, valueCol, "_w1", d, w)
+
+  /** [[cmsRegisters]] over PRE-AGGREGATED (value, count) rows: each input
+    * row contributes `cntCol` occurrences of `valueCol`. CMS is a LINEAR
+    * sketch, so summing pre-counted weights yields byte-identical registers
+    * to counting raw occurrences — this is the shape that lets one
+    * (key, value, cnt) aggregate feed registers, candidate selection and
+    * exact verification from a SINGLE corpus pass (the consumers share the
+    * aggregate's Exchange instead of each re-exploding the corpus —
+    * spark_optimization_guide §2.3/§2.4). */
+  def cmsRegistersWeighted(counts: DataFrame, keyCols: Seq[String], valueCol: String,
+                           cntCol: String, d: Int = 4, w: Int = 64): DataFrame =
+    counts.select(keyCols.map(col) :+ col(cntCol).cast("long").as("_cnt") :+
         posexplode(cmsBuckets(valueCol, d, w)).as(Seq("row", "col")): _*)
       .groupBy((keyCols :+ "row" :+ "col").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("_cnt")).as("cnt"))
       .withColumn("sk_d", lit(d)).withColumn("sk_w", lit(w))
 
   /** Merge two CMS register frames over the same key space: counter-wise
@@ -273,13 +322,26 @@ object Sketches {
     * shard totals ride a window over that aggregate's own (already
     * exchanged) output, so no second scan of the input. */
   def frequentCandidates(items: DataFrame, keyCols: Seq[String], valueCol: String,
-                         shardCol: String, phi: Double): DataFrame = {
+                         shardCol: String, phi: Double): DataFrame =
+    frequentCandidatesFromCounts(
+      items.groupBy((keyCols :+ shardCol :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("_cnt")),
+      keyCols, valueCol, shardCol, "_cnt", phi)
+
+  /** [[frequentCandidates]] over a PRE-AGGREGATED (key, shard, value, cnt)
+    * frame — the single-corpus-pass composition shape: the caller computes
+    * the grouped counts once and feeds candidates, registers
+    * ([[cmsRegistersWeighted]]) and exact verification from it, sharing one
+    * Exchange instead of re-reading the corpus per consumer. The pigeonhole
+    * guarantee is over the counts, so it is indifferent to which side
+    * aggregated them. */
+  def frequentCandidatesFromCounts(grp: DataFrame, keyCols: Seq[String],
+                                   valueCol: String, shardCol: String,
+                                   cntCol: String, phi: Double): DataFrame = {
     require(phi > 0 && phi < 1, s"need 0 < phi < 1, got phi=$phi")
     import org.apache.spark.sql.expressions.Window
-    val grp = items
-      .groupBy((keyCols :+ shardCol :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("_cnt"))
-    grp.withColumn("_tot", sum(col("_cnt"))
+    grp.withColumn("_cnt", col(cntCol).cast("long"))
+      .withColumn("_tot", sum(col("_cnt"))
         .over(Window.partitionBy((keyCols :+ shardCol).map(col): _*)))
       // exact-integer threshold, NOT ceil(_tot * phi) in doubles: when
       // phi·N is integral but phi isn't representable, the FP ceil lands

@@ -20,18 +20,31 @@ private[queries] object LlmSketchQueries {
     // map-side-combined (source, row, col) aggregate ≤ 256 rows/source.
     QueryDef("q_cms_counts",
       (s, d) => {
+        // vacuously-true not-nulls stated EXPLICITLY (the bigramSurprisal
+        // discipline): the probe/exact joins infer isnotnull on their keys
+        // and would push DIFFERENT filters into each branch's copy of the
+        // subtree below, breaking canonical equality — and with it the
+        // shared exchange that makes the corpus tokenize run once
         val toks = table(s, d, "documents").select(col("source"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
-        val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
-        val probeToks = toks.groupBy(col("token"))
-          .agg(count(lit(1)).as("n_global"))
+          .where(col("source").isNotNull && col("token").isNotNull)
+        // ONE corpus tokenize: registers, the probe top-5 and the exact
+        // counts all derive from this (source, token) count frame — the
+        // three consumers share its Exchange (ReusedExchange) instead of
+        // each re-exploding the corpus (guide §2.3 aggregate-before-
+        // shuffle / §2.4 shared exchanges; was 3 scans+Generates).
+        val base = toks.groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("cnt"))
+        val regs = graft.llm.Sketches.cmsRegistersWeighted(
+          base, Seq("source"), "token", "cnt")
+        val probeToks = base.groupBy(col("token"))
+          .agg(sum(col("cnt")).as("n_global"))
           .orderBy(col("n_global").desc, col("token")).limit(5)
           .select("token")
         val pairs = table(s, d, "documents").select(col("source")).distinct()
           .crossJoin(broadcast(probeToks))
-        val exact = toks.join(broadcast(probeToks), "token")
-          .groupBy(col("source"), col("token"))
-          .agg(count(lit(1)).as("n_exact"))
+        val exact = base.join(broadcast(probeToks), "token")
+          .select(col("source"), col("token"), col("cnt").as("n_exact"))
         graft.llm.Sketches.cmsEstimate(regs, pairs, Seq("source"), "token")
           .join(exact, Seq("source", "token"), "left_outer")
           .select(col("source"), col("token"), col("cms_est"),
@@ -80,13 +93,24 @@ private[queries] object LlmSketchQueries {
     // estimate is an ordered register fold, bit-identical in any engine.
     QueryDef("q_hll_distinct",
       (s, d) => {
+        // explicit vacuous not-nulls: the est⋈exact join infers them per
+        // branch and would otherwise fork the shared subtree (see q_cms)
         val toks = table(s, d, "documents").select(col("source"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+          .where(col("source").isNotNull && col("token").isNotNull)
+        // ONE corpus tokenize: registers AND the exact distinct count both
+        // derive from the per-(source, token) coordinate frame and share
+        // its Exchange (was 2 scans+Generates; a bare distinct() gets
+        // stripped by RemoveRedundantAggregates under the registers' max —
+        // the coords frame's real aggregate buffer is what both consumers
+        // need, so the copies stay canonically identical).
+        val coords = graft.llm.Sketches.hllValueCoords(
+          toks, Seq("source"), "token", p = 8)
         val est = graft.llm.Sketches.hllEstimate(
-          graft.llm.Sketches.hllRegisters(toks, Seq("source"), "token", p = 8),
+          graft.llm.Sketches.hllRegistersFromCoords(coords, Seq("source")),
           Seq("source"), p = 8)
-        est.join(toks.groupBy("source")
-            .agg(countDistinct(col("token")).as("n_exact")), "source")
+        est.join(coords.groupBy("source")
+            .agg(count(col("m_rho")).as("n_exact")), "source")
           .orderBy(col("source"))
       },
       Some("""WITH toks AS (
@@ -128,18 +152,29 @@ private[queries] object LlmSketchQueries {
     QueryDef("q_heavy_hitters",
       (s, d) => {
         val phi = 0.04
+        // explicit vacuous not-nulls: the hh semi/inner joins infer them
+        // per branch and would otherwise fork the shared subtree (q_cms)
         val toks = table(s, d, "documents").select(col("source"),
           (col("doc_id") % 4).as("shard"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
-        val cand = graft.llm.Sketches.frequentCandidates(
-          toks, Seq("source"), "token", "shard", phi)
-        val regs = graft.llm.Sketches.cmsRegisters(toks, Seq("source"), "token")
+          .where(col("source").isNotNull && col("token").isNotNull)
+        // ONE corpus tokenize: candidates, registers and the exact verify
+        // all derive from this (source, shard, token) count frame — the
+        // three consumers share its Exchange (was 3 scans+Generates; CMS
+        // registers from summed weights are byte-identical, the linear-
+        // sketch property).
+        val grp = toks.groupBy(col("source"), col("shard"), col("token"))
+          .agg(count(lit(1)).as("_cnt"))
+        val cand = graft.llm.Sketches.frequentCandidatesFromCounts(
+          grp, Seq("source"), "token", "shard", "_cnt", phi)
+        val regs = graft.llm.Sketches.cmsRegistersWeighted(
+          grp, Seq("source"), "token", "_cnt")
         val hh = graft.llm.Sketches.cmsHeavyHitters(
           regs, cand, Seq("source"), "token", phi)
-        val exact = toks
+        val exact = grp
           .join(broadcast(hh.select("source", "token")), Seq("source", "token"), "left_semi")
           .groupBy(col("source"), col("token"))
-          .agg(count(lit(1)).as("n_exact"))
+          .agg(sum(col("_cnt")).as("n_exact"))
         hh.join(exact, Seq("source", "token"))
           .select(col("source"), col("token"), col("cms_est"),
             col("n_total"), col("n_exact"))
@@ -194,12 +229,21 @@ private[queries] object LlmSketchQueries {
     QueryDef("q_bloom_filter",
       (s, d) => {
         val (k, m) = (4, 4096)
+        // explicit vacuous not-nulls: the truly_present join infers them
+        // per branch and would otherwise fork the shared subtree (q_cms)
         val toks = table(s, d, "documents").select(col("source"), col("doc_id"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
-        val build = toks.where(col("doc_id") % 2 === 0)
-          .select("source", "token").distinct()
+          .where(col("source").isNotNull && col("token").isNotNull)
+        // ONE corpus tokenize: the build set, the probe set and the
+        // truly_present join all derive from this per-(source, token)
+        // even-doc-membership aggregate and share its Exchange (was 3
+        // scans+Generates). `max` over booleans = "appears in any even
+        // doc", so build is exactly the old filtered distinct.
+        val td = toks.groupBy(col("source"), col("token"))
+          .agg(max(col("doc_id") % 2 === 0).as("_has_even"))
+        val build = td.where(col("_has_even")).select("source", "token")
         val regs = graft.llm.Sketches.bloomRegisters(build, Seq("source"), "token", k, m)
-        val probes = toks.select("source", "token").distinct()
+        val probes = td.select("source", "token")
           .unionByName(table(s, d, "documents").select(col("source")).distinct()
             .select(col("source"), explode(array((0 until 20).map(i =>
               lit(s"absent_$i")): _*)).as("token")))

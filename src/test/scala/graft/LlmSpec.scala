@@ -685,6 +685,30 @@ class LlmSpec extends SparkSpec {
     assert(emptyEst.length == 4 && emptyEst.forall(_ == 0L))
   }
 
+  test("weighted sketch builds equal raw builds (the single-corpus-pass composition shape)") {
+    import graft.llm.Sketches
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // duplicated values across groups and shards — weights > 1 everywhere
+    val items = (1 to 100)
+      .flatMap(i => Seq.fill(i % 5 + 1)((s"g${i % 3}", i % 4, s"v${i % 11}")))
+      .toDF("g", "shard", "v")
+    val grp = items.groupBy(col("g"), col("shard"), col("v"))
+      .agg(count(lit(1)).as("_cnt"))
+    def regSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("g", "row", "col", "cnt", "sk_d", "sk_w").collect()
+      .map(_.toSeq).toSet
+    // CMS is linear: registers from pre-counted weights == raw counting
+    assert(regSet(Sketches.cmsRegistersWeighted(grp, Seq("g"), "v", "_cnt")) ==
+      regSet(Sketches.cmsRegisters(items, Seq("g"), "v")))
+    // pigeonhole candidates are count-derived: both forms agree exactly
+    def candSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      candSet(Sketches.frequentCandidatesFromCounts(
+        grp, Seq("g"), "v", "shard", "_cnt", 0.2)) ==
+      candSet(Sketches.frequentCandidates(items, Seq("g"), "v", "shard", 0.2)))
+  }
+
   test("sketch lookups are null-key safe: a NULL-key group estimates and probes like any other") {
     import graft.llm.Sketches
     import org.apache.spark.sql.functions.lit
