@@ -642,7 +642,20 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // thousands of tiny partition dirs)
     val clustered =
       if (table == "inputs")
-        out.repartition(col("created_bucket"))
+        // RANGE partitioning on created_at, not hash on created_bucket:
+        // the bucket is a synthetic key with few distinct values (batch
+        // slot span / BucketSize — ONE bucket for a steady-state
+        // micro-batch), so hash-partitioning on it capped every inputs
+        // write at bucket-count parallelism and put whole buckets through
+        // single tasks (the guide-§2.5 too-few-distinct-keys skew, at any
+        // cluster size — a 10 GB single-bucket batch wrote through one
+        // task). Ranging on created_at spreads by data size at ANY
+        // parallelism and IS bucket-major by construction (bucket =
+        // created_at / BucketSize), so row-group min/max pruning is
+        // unchanged — the within-partition sort below still governs — and
+        // AQE still right-sizes the partition count from the batch's
+        // bytes. Costs one range-bounds sampling pass per write.
+        out.repartitionByRange(col("created_at"))
           .sortWithinPartitions(col("created_at"), col("address"))
       else if (table == "policies")
         // slot-sorted within whatever partitioning the producer chose: no

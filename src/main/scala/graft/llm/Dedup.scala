@@ -550,12 +550,22 @@ object Dedup {
                                   idCol: String = "doc_id",
                                   k: Int = 4, m: Int = 1 << 16): DataFrame = {
     val benchDistinct = benchGrams.select(col("gram")).distinct()
-    val regs = Sketches.bloomRegisters(benchDistinct, Nil, "gram", k, m)
-    // vocabulary-sized probe: the corpus distinct is Zipf-bounded and
-    // map-side-combined; only maybe-present grams reach the verify join
-    val candidates = Sketches.bloomContains(
-        regs, corpusGrams.select(col("gram")).distinct(), Nil, "gram", k, m)
-      .where(col("maybe_present")).select(col("gram"))
+    // xx-hash bit family (one codegen'd xxhash64 per gram vs an md5 digest
+    // + hex parse): this filter's bit layout is observed by nothing — the
+    // verify join below makes the output exact either way — and build and
+    // probe share the derivation structurally (the paired Xx functions).
+    val regs = Sketches.bloomRegistersXx(benchDistinct, Nil, "gram", k, m)
+    // the registers pack into ONE broadcast dense-bitmap row and the
+    // corpus probes it MAP-ONLY: the former register-frame probe put the
+    // whole corpus vocabulary through a distinct shuffle, a k-way bit
+    // explode, a join and a per-gram aggregation (~25 of this operator's
+    // ~32 task-seconds at sf0.1); now the gram stream is touched by one
+    // codegen'd filter pass and only the maybe-present SLIVER is
+    // distinct'ed for the exact verify
+    val bitmap = broadcast(Sketches.bloomBitmapXx(regs, m))
+    val candidates = corpusGrams.select(col("gram")).crossJoin(bitmap)
+      .where(Sketches.bloomMaybePresentXx("gram", k, m))
+      .select(col("gram")).distinct()
     // exact verify: candidates ∩ benchmark kills the FP sliver. The
     // CANDIDATES side broadcasts (bounded by |bench ∩ corpus vocab| + the
     // FP sliver) and the benchmark STREAMS map-only past it — the naive
@@ -694,10 +704,21 @@ object Dedup {
   def spanDedup(docs: DataFrame, n: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wins = overlappingWindows(docs, n, idCol, textCol)
-    val counts = wins.groupBy(col("win")).agg(count(lit(1)).as("n_occ"))
-    val covered = wins.join(counts, "win")
+    // ONE window-keyed shuffle: the occurrence list rides the count
+    // aggregate, so the duplicated-window filter explodes positions from
+    // the aggregated row instead of joining counts back onto a SECOND
+    // full shuffle of the window stream (r14: the join form shuffled the
+    // n×-corpus window stream twice; a hot window's occurrences land on
+    // one task either way — the join keyed them identically — so the
+    // skew exposure is unchanged, only the pass count drops).
+    val covered = wins
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_occ"),
+        collect_list(struct(col(idCol), col("pos"))).as("occs"))
       .where(col("n_occ") > 1)
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .select(explode(col("occs")).as("o"))
+      .select(col(s"o.$idCol").as(idCol),
+        explode(sequence(col("o.pos"), col("o.pos") + (n - 1))).as("cp"))
       .groupBy(col(idCol)).agg(collect_set(col("cp")).as("cov"))
     docs.select(col(idCol), split(col(textCol), " ").as("toks"))
       .join(covered, Seq(idCol), "left_outer")
@@ -721,8 +742,16 @@ object Dedup {
     * corpus twice. When no tile of a doc is duplicated, `retained_text`
     * reconstructs the original text exactly (property-tested). */
   def chunkDedup(tiles: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val counts = tiles.groupBy(col("tile")).agg(count(lit(1)).as("n_occ"))
-    tiles.join(counts, "tile")
+    // ONE tile-keyed shuffle (the spanDedup discipline): occurrences ride
+    // the count aggregate and re-explode tagged with n_occ, instead of a
+    // second full shuffle of the tile stream to join the counts back on.
+    tiles
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_occ"),
+        collect_list(struct(col(idCol), col("tile_idx"))).as("occs"))
+      .select(col("tile"), col("n_occ"), explode(col("occs")).as("o"))
+      .select(col(s"o.$idCol").as(idCol), col("o.tile_idx").as("tile_idx"),
+        col("tile"), col("n_occ"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tiles"),

@@ -563,14 +563,28 @@ object Similarity {
     * compares per candidate. REQUIRES contiguous code ids
     * (cmin..cmin+ks-1) — true of both [[pqCodebook]] (caller-supplied
     * dense ids) and [[pqTrainCodebook]] (row_number'd 1..ks). */
-  private def denseAdcTable(entries: DataFrame, keyCols: Seq[String]): DataFrame =
-    entries.agg(
+  private def denseAdcTable(entries: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // `probe_keys` rides in the SAME aggregate row: the sorted distinct
+    // leading keys, each with its 0-based block rank — the candidate side
+    // reads its block ordinal (and, batch form, its query fan-out) straight
+    // off the broadcast row instead of through a row_number window plus a
+    // broadcast join per reference (r14: that window+join pair was 3-4 AQE
+    // stage-jobs per ANN query). Sorted structs = the same lexicographic
+    // (keyCols...) order the dense `tbl` blocks are laid out in, so the
+    // ranks are identical to the former window's by construction.
+    val aggs = Seq(
       transform(
         array_sort(collect_list(struct(
           (keyCols ++ Seq("sub", "code_id")).map(col) :+ col("d"): _*))),
         t => t.getField("d")).as("tbl"),
       countDistinct(col("code_id")).cast("int").as("ks"),
-      min(col("code_id")).cast("int").as("cmin"))
+      min(col("code_id")).cast("int").as("cmin")) ++
+      (if (keyCols.isEmpty) Nil
+       else Seq(transform(
+           array_sort(collect_set(struct(keyCols.map(col): _*))),
+           (k, i) => struct(k.as("key"), i.cast("int").as("rank0"))).as("probe_keys")))
+    entries.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Sum of the m per-subspace ADC lookups against a [[denseAdcTable]]:
     * `blockRank0` is the candidate's 0-based rank within the table's sorted
@@ -600,6 +614,12 @@ object Similarity {
                 query: DataFrame, queryVecId: Long, k: Int, nprobe: Int,
                 m: Int, subDim: Int): DataFrame = {
     val q = broadcast(query.select(col("embedding").as("qe")))
+    // NOTE (r14, measured): materializing this nprobe-row frame with an
+    // eager localCheckpoint to deduplicate the two references below was
+    // tried and REVERTED — the duplicated subtree's stages are tiny
+    // broadcasts that run CONCURRENTLY inside the main job DAG, while the
+    // checkpoint serializes extra jobs ahead of it (q_ann_ivfpq 15→19
+    // jobs, 0.98→0.99 s; the batch variants regressed 0.3-0.5 s each).
     val probed = broadcast(
       centroids.crossJoin(q)
         .select(col("centroid_id").as("cell"), col("centroid"),
@@ -617,17 +637,16 @@ object Similarity {
         .select(col("cell"), col("sub"), col("code_id"),
           l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
       keyCols = Seq("cell")))
-    // nprobe-row broadcast dimension: each probed cell's 0-based rank in the
-    // dense table's cell-sorted order. The constant-valued (but column-
-    // derived, so not foldable by EliminateWindowPartitions) partition key
-    // keeps the nprobe-row frame off WindowExec's unpartitioned warning
-    val probedRanked = broadcast(probed
-      .select(col("cell"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cell") * 0).orderBy(col("cell"))) - 1).as("cell_rank0")))
+    // each probed cell's 0-based rank in the dense table's cell-sorted
+    // order comes off the broadcast row itself (denseAdcTable.probe_keys):
+    // a null lookup means the candidate's cell was not probed — exactly
+    // the rows the former inner join on the nprobe-row dimension dropped —
+    // and the window + broadcast join that dimension needed are gone
     encoded.where(col("vec_id") =!= queryVecId)
-      .join(probedRanked, Seq("cell"))
       .crossJoin(tblRow)
+      .withColumn("cell_rank0",
+        element_at(map_from_entries(col("probe_keys")), struct(col("cell"))))
+      .where(col("cell_rank0").isNotNull)
       .select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"c$s"))
         :+ adcSum(col("cell_rank0"), m).as("adc"): _*)
       .orderBy(col("adc"), col("vec_id"))
@@ -797,6 +816,10 @@ object Similarity {
     // per-query probed cells: rank centroids by L2 within each query
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("d"), col("cell"))
+    // NOTE (r14, measured): same reverted-materialization note as
+    // ivfPqTopK's probed frame — an eager localCheckpoint here cost jobs
+    // (20→23) and wall (1.16→1.50 s) instead of saving the duplicated
+    // subtree, whose broadcast stages overlap inside the main DAG.
     val probed = centroids.crossJoin(broadcast(qs))
       .select(col("centroid_id").as("cell"), col("centroid"),
         col("qid"), col("qe"),
@@ -815,22 +838,21 @@ object Similarity {
         .select(col("qid"), col("cell"), col("sub"), col("code_id"),
           l2sq(slice(col("qr"), col("sub") * subDim + 1, lit(subDim)), col("cw")).as("d")),
       keyCols = Seq("qid", "cell")))
-    // candidates fan out to the queries probing their cell (broadcast join
-    // on cell — partition-prunable) carrying each (query, cell) pair's
-    // 0-based rank in the dense table, then m O(1) lookups per
-    // (candidate, query)
-    // constant-valued column-derived partition key: queries×nprobe rows,
-    // same warning-hygiene rationale as the single-query probe rank above
-    val probePairs = broadcast(probed
-      .select(col("qid"), col("cell"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cell") * 0).orderBy(col("qid"), col("cell"))) - 1).as("pair_rank0")))
+    // candidates fan out to the queries probing their cell IN-ROW: the
+    // broadcast table row's probe_keys array (q × nprobe (qid, cell)
+    // structs with their dense-block ranks) is filtered per candidate and
+    // exploded — a candidate in an unprobed cell explodes to nothing,
+    // exactly the former inner join's semantics, and the row_number window
+    // + broadcast dimension that join needed are gone
     val scored = encoded
-      .join(probePairs, Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
       .crossJoin(tblRow)
-      .select(col("qid").as("query_id"), col("vec_id"),
-        adcSum(col("pair_rank0"), m).as("adc"))
+      .select(col("vec_id") +: (0 until m).map(s => col(s"c$s")) ++: Seq(
+        col("tbl"), col("ks"), col("cmin"),
+        explode(filter(col("probe_keys"),
+          p => p.getField("key").getField("cell") === col("cell"))).as("pk")): _*)
+      .where(col("vec_id") =!= col("pk.key.qid"))
+      .select(col("pk.key.qid").as("query_id"), col("vec_id"),
+        adcSum(col("pk.rank0"), m).as("adc"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     scored.withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)

@@ -500,6 +500,79 @@ object Sketches {
     // property is structural: a future hash change cannot diverge the two
     cmsBuckets(valueCol, d = k, w = m)
 
+  /** The CHEAP bit derivation for Bloom filters whose bit layout is never
+    * observed by an oracle or a merge partner: one codegen'd xxhash64 per
+    * value, carved into k disjoint 16-bit chunks mod m — ~an order of
+    * magnitude less per-row CPU than the md5 digest + hex-substring +
+    * base-16 conv of [[bloomBits]]. The md5 form stays the PUBLIC sketch
+    * derivation (cross-engine exact, oracle-mirrored in q_bloom_filter);
+    * this one serves pure pre-filters ([[bloomRegistersXx]] /
+    * [[bloomContainsXx]]) where only the no-false-negative property
+    * matters and an exact verify kills the false positives downstream. */
+  private def xxBloomBits(valueCol: String, k: Int, m: Int): Column = {
+    require(k >= 1 && k <= 4, s"xxhash64 carves at most 4 disjoint 16-bit chunks, got k=$k")
+    require(m >= 2 && m <= (1 << 16), s"16-bit chunks address at most 2^16 bits, got m=$m")
+    val h = xxhash64(col(valueCol))
+    array((0 until k).map(i =>
+      pmod(shiftrightunsigned(h, i * 16).bitwiseAND(lit(0xFFFFL)), lit(m.toLong))
+        .cast("int")): _*)
+  }
+
+  /** [[bloomRegisters]] with the [[xxBloomBits]] derivation. Build and
+    * probe must pair ([[bloomContainsXx]]) — the (k, m) guard columns do
+    * NOT distinguish the two hash families, so mixing an md5-built frame
+    * with an xx probe would silently manufacture false negatives. Kept
+    * package-private for exactly that reason; the one caller is the
+    * decontamination pre-filter, whose output is exact-verified. */
+  private[llm] def bloomRegistersXx(items: DataFrame, keyCols: Seq[String],
+                                    valueCol: String, k: Int = 4,
+                                    m: Int = 1 << 16): DataFrame =
+    items.select(keyCols.map(col) :+
+        explode(xxBloomBits(valueCol, k, m)).as("bit"): _*)
+      .distinct()
+      .withColumn("sk_k", lit(k)).withColumn("sk_m", lit(m))
+
+  /** [[bloomContains]] against [[bloomRegistersXx]]-built registers — the
+    * paired probe of the cheap derivation; see the pairing warning there. */
+  private[llm] def bloomContainsXx(registers: DataFrame, probes: DataFrame,
+                                   keyCols: Seq[String], valueCol: String,
+                                   k: Int = 4, m: Int = 1 << 16): DataFrame =
+    bloomContainsBits(xxBloomBits(valueCol, k, m), registers, probes,
+      keyCols, valueCol, k, m)
+
+  /** An UNKEYED [[bloomRegistersXx]] frame packed into ONE dense-bitmap
+    * row: `bloom_words` = m/64 longs, word w holding bits 64w..64w+63.
+    * The relational register form is the mergeable, per-key sketch; this
+    * is its SERVING form — a single broadcastable row (8 KB at m = 2^16)
+    * against which [[bloomMaybePresentXx]] probes map-only: no explode,
+    * no register join, no per-probe aggregation. Empty registers pack to
+    * all-zero words (every probe correctly reads false). */
+  private[llm] def bloomBitmapXx(registers: DataFrame, m: Int): DataFrame =
+    registers
+      .select(shiftright(col("bit"), 6).as("w"),
+        // call_function: the Scala shiftleft/shiftrightunsigned wrappers
+        // only take literal Int shift amounts; the SQL functions take columns
+        call_function("shiftleft", lit(1L),
+          col("bit").bitwiseAND(lit(63)).cast("int")).as("v"))
+      .groupBy(col("w")).agg(bit_or(col("v")).as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("_wm"))
+      .select(transform(sequence(lit(0), lit(m / 64 - 1)),
+        w => coalesce(element_at(col("_wm"), w), lit(0L))).as("bloom_words"))
+
+  /** Map-only membership against a [[bloomBitmapXx]] row cross-joined onto
+    * the probe stream: true iff ALL k carved bits are set — k O(1) array
+    * indexes + bit tests per row, the whole corpus side stays in one
+    * codegen'd map pass. Must pair with [[bloomRegistersXx]]-built words
+    * (same xx derivation — the must-not-fork discipline, shared
+    * structurally via [[xxBloomBits]]). */
+  private[llm] def bloomMaybePresentXx(valueCol: String, k: Int, m: Int,
+                                       wordsCol: String = "bloom_words"): Column =
+    forall(xxBloomBits(valueCol, k, m), b =>
+      call_function("shiftrightunsigned",
+        element_at(col(wordsCol), (shiftright(b, 6) + 1).cast("int")),
+        b.bitwiseAND(lit(63)).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L)
+
   /** Bloom MEMBERSHIP filter as a sparse register frame — the fourth
     * member of the sketch family (HLL = distinct, CMS = frequency,
     * quantile = rank): (keys..., bit, sk_k, sk_m), one row per bit
@@ -541,7 +614,16 @@ object Sketches {
     * filter exists to rule out. An empty register frame is the legitimate
     * sketch of empty input: every probe correctly reads false. */
   def bloomContains(registers: DataFrame, probes: DataFrame, keyCols: Seq[String],
-                    valueCol: String, k: Int = 4, m: Int = 1 << 16): DataFrame = {
+                    valueCol: String, k: Int = 4, m: Int = 1 << 16): DataFrame =
+    bloomContainsBits(bloomBits(valueCol, k, m), registers, probes,
+      keyCols, valueCol, k, m)
+
+  /** The probe body, parameterized on the bit derivation so the md5 and
+    * xxhash64 families share one implementation (each family's build/probe
+    * pair passes the SAME derivation — the must-not-fork discipline). */
+  private def bloomContainsBits(bits: Column, registers: DataFrame,
+                                probes: DataFrame, keyCols: Seq[String],
+                                valueCol: String, k: Int, m: Int): DataFrame = {
     val bounds = broadcast(registers.agg(
       coalesce(max(col("bit")), lit(-1)).as("_maxb"),
       coalesce(min(col("sk_k")), lit(k)).as("_kmin"),
@@ -555,7 +637,7 @@ object Sketches {
     // the filter's guarantee rules out.
     probes.select(keyCols.map(col) :+ struct(keyCols.map(col): _*).as("_g") :+
         col(valueCol) :+
-        explode(bloomBits(valueCol, k, m)).as("bit"): _*)
+        explode(bits).as("bit"): _*)
       .join(broadcast(registers.select(
           struct(keyCols.map(col): _*).as("_g"), col("bit"))
         .withColumn("_set", lit(1))), Seq("_g", "bit"), "left_outer")

@@ -296,6 +296,13 @@ private[queries] object LlmDedupQueries {
     QueryDef("q_image_jpeg_roundtrip",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
+        // NOTE (r14, measured): spreading this scan across the cluster
+        // (spreadEmbeddings) was tried and REVERTED — the 8x8-grid codec
+        // work is tiny (<1 task-second for the whole table), and 32-way
+        // parallelism multiplied the per-task fixed cost of the javax
+        // imageio/codec path ~16x (q_image_resize taskSec 0.9 -> 17.9,
+        // q_video_summary wall 0.59 -> 1.23). A real multi-file corpus
+        // splits at the reader; forcing a shuffle here buys nothing.
         val grids = graft.llm.Multimodal.grayscaleGrid(
           table(s, d, "embeddings"), "vec_id", "embedding")
         val jpg = graft.llm.Multimodal.encodeGrayGridAssets(grids, w = 8, h = 8,
@@ -320,6 +327,13 @@ private[queries] object LlmDedupQueries {
     QueryDef("q_image_resize",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
+        // NOTE (r14, measured): spreading this scan across the cluster
+        // (spreadEmbeddings) was tried and REVERTED — the 8x8-grid codec
+        // work is tiny (<1 task-second for the whole table), and 32-way
+        // parallelism multiplied the per-task fixed cost of the javax
+        // imageio/codec path ~16x (q_image_resize taskSec 0.9 -> 17.9,
+        // q_video_summary wall 0.59 -> 1.23). A real multi-file corpus
+        // splits at the reader; forcing a shuffle here buys nothing.
         val grids = graft.llm.Multimodal.grayscaleGrid(
           table(s, d, "embeddings"), "vec_id", "embedding")
         val png = graft.llm.Multimodal.encodePngGrid(grids, w = 8, h = 8)
@@ -396,6 +410,13 @@ private[queries] object LlmDedupQueries {
     QueryDef("q_video_frame_dhash",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
+        // NOTE (r14, measured): spreading this scan across the cluster
+        // (spreadEmbeddings) was tried and REVERTED — the 8x8-grid codec
+        // work is tiny (<1 task-second for the whole table), and 32-way
+        // parallelism multiplied the per-task fixed cost of the javax
+        // imageio/codec path ~16x (q_image_resize taskSec 0.9 -> 17.9,
+        // q_video_summary wall 0.59 -> 1.23). A real multi-file corpus
+        // splits at the reader; forcing a shuffle here buys nothing.
         val grids = graft.llm.Multimodal.grayscaleGrid(
           table(s, d, "embeddings"), "vec_id", "embedding")
         val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,
@@ -428,6 +449,13 @@ private[queries] object LlmDedupQueries {
     QueryDef("q_video_mjpeg_roundtrip",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
+        // NOTE (r14, measured): spreading this scan across the cluster
+        // (spreadEmbeddings) was tried and REVERTED — the 8x8-grid codec
+        // work is tiny (<1 task-second for the whole table), and 32-way
+        // parallelism multiplied the per-task fixed cost of the javax
+        // imageio/codec path ~16x (q_image_resize taskSec 0.9 -> 17.9,
+        // q_video_summary wall 0.59 -> 1.23). A real multi-file corpus
+        // splits at the reader; forcing a shuffle here buys nothing.
         val grids = graft.llm.Multimodal.grayscaleGrid(
           table(s, d, "embeddings"), "vec_id", "embedding")
         val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,
@@ -453,6 +481,13 @@ private[queries] object LlmDedupQueries {
     QueryDef("q_video_summary",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
+        // NOTE (r14, measured): spreading this scan across the cluster
+        // (spreadEmbeddings) was tried and REVERTED — the 8x8-grid codec
+        // work is tiny (<1 task-second for the whole table), and 32-way
+        // parallelism multiplied the per-task fixed cost of the javax
+        // imageio/codec path ~16x (q_image_resize taskSec 0.9 -> 17.9,
+        // q_video_summary wall 0.59 -> 1.23). A real multi-file corpus
+        // splits at the reader; forcing a shuffle here buys nothing.
         val grids = graft.llm.Multimodal.grayscaleGrid(
           table(s, d, "embeddings"), "vec_id", "embedding")
         val avis = graft.llm.Multimodal.encodeGridVideos(grids, w = 8, h = 8,

@@ -37,8 +37,10 @@ object PlanDump {
     graft.queries.LlmQueries.warm(spark, sfDir)
 
     val mode = ExplainMode.fromString("formatted")
+    // comma-separated name filters: one warm pass serves many dumps
+    val filters = nameFilter.map(_.split(",").toSeq.filter(_.nonEmpty))
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => nameFilter.forall(n.contains) }
+      .filter { case (n, _) => filters.forall(_.exists(n.contains)) }
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
