@@ -579,7 +579,16 @@ object TextAnalysis {
     val words = docs.select(col(idCol),
       posexplode(filter(split(col(textCol), " "), w => w =!= ""))
         .as(Seq("word_idx", "word")))
+    // explicit compute-width repartition AFTER the distinct: the vocabulary
+    // is small in BYTES, so AQE's byte-based partition coalescing folds it
+    // to one task — but each row pays the O(|merges|·len) interpreted fold
+    // below, which is exactly the cheap-bytes/expensive-rows case byte
+    // sizing cannot see (measured: the whole 240-merge encode ran in one
+    // coalesced task at sf0.1). The explicit N is cluster-relative, not a
+    // local constant, and one extra vocabulary-sized exchange is noise
+    // next to the fold it parallelizes.
     val vocab = words.select(col("word")).distinct()
+      .repartition(words.sparkSession.sparkContext.defaultParallelism)
       .select(col("word"),
         aggregate(mergeLit, split(col("word"), ""), (syms, m) => {
           val l = m.getField("_1"); val r = m.getField("_2"); val lr = m.getField("_3")
