@@ -301,18 +301,25 @@ private[queries] object LlmAnnQueries {
     // tolerance gate needed.
     QueryDef("q_quantize_int8",
       (s, d) => Similarity.quantizeInt8(spreadEmbeddings(s, d))
+        // CSV scalar in the DECLARED output (r15): the driver's pandas
+        // canonicalizer cannot sort ndarray cells, so the raw int8 array
+        // made the query unverifiable (r14 verdict item 1). All 64 codes
+        // still ride the string — any quantization defect hash-mismatches.
+        .select(col("vec_id"),
+          expr("array_join(transform(qvec, v -> CAST(v AS STRING)), ',')")
+            .as("qvec_csv"))
         .orderBy(col("vec_id")),
       Some("""WITH dm AS (
              |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
              |         max(CAST(embedding[i] AS DOUBLE)) AS mx
              |  FROM embeddings, unnest(range(1, 65)) t(i) GROUP BY i),
              |c AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dm)
-             |SELECT vec_id, list_transform(range(1, 65), i ->
-             |  CASE WHEN c.mxs[i] = c.mns[i] THEN 0 ELSE
+             |SELECT vec_id, array_to_string(list_transform(range(1, 65), i ->
+             |  CAST(CASE WHEN c.mxs[i] = c.mns[i] THEN 0 ELSE
              |    CAST(least(255.0::DOUBLE, greatest(0.0::DOUBLE,
              |      floor((CAST(embedding[i] AS DOUBLE) - c.mns[i])
              |            / ((c.mxs[i] - c.mns[i]) / 255.0::DOUBLE) + 0.5::DOUBLE))) AS INT)
-             |  END) AS qvec
+             |  END AS VARCHAR)), ',') AS qvec_csv
              |FROM embeddings, c ORDER BY vec_id""".stripMargin)),
 
     // The compressed-domain scan the int8 codes exist to serve: integer dot
