@@ -538,17 +538,30 @@ object Dedup {
     * the Bloom-prefiltered two-phase decontamination. Same EXACT output
     * (the Bloom never false-negatives, and the exact verify join kills its
     * false positives), different scale shape: what broadcasts is the
-    * benchmark's Bloom REGISTER frame (bounded by min(k·|bench|, m) rows —
-    * a few MB at m = 2^24 regardless of benchmark size) plus the verified
-    * hit set (bounded by |bench ∩ corpus vocab| + the FP sliver), never the
-    * full benchmark gram set. The corpus gram stream itself is touched by
-    * one map-side-combined vocabulary distinct, one map-only Bloom probe
-    * over that vocabulary, and the same single-pass probe+count as the
-    * exact form — it never shuffles on the gram against the benchmark.
-    * Same (id, gram)-distinct PRECONDITION on `corpusGrams`. */
+    * benchmark's Bloom filter packed into ONE dense-bitmap row (8 KB at
+    * the xx family's m = 2^16 cap) plus the verified hit set (bounded by
+    * |bench ∩ corpus vocab| + the FP sliver), never the full benchmark
+    * gram set. The corpus gram stream itself is touched by one map-only
+    * Bloom probe, one maybe-present-sliver distinct, and the same
+    * single-pass probe+count as the exact form — it never shuffles on the
+    * gram against the benchmark. Same (id, gram)-distinct PRECONDITION on
+    * `corpusGrams`.
+    *
+    * Size-aware cut-over (spark_optimization_guide §1.2/§3): when the
+    * BENCH side's plan-estimated bytes fit
+    * `spark.graft.decontam.exactMaxBytes` (default 256 MB), the three-pass
+    * Bloom machinery buys nothing — the exact gram set broadcasts directly
+    * and the operator delegates to [[benchmarkOverlap]], whose output is
+    * byte-identical (LlmSpec pins the equality). The estimate is
+    * plan-time metadata (no extra job); a 100 TB-scale benchmark blows the
+    * threshold and takes the Bloom path unchanged. */
   def benchmarkOverlapPrefiltered(corpusGrams: DataFrame, benchGrams: DataFrame,
                                   idCol: String = "doc_id",
                                   k: Int = 4, m: Int = 1 << 16): DataFrame = {
+    val exactMax = corpusGrams.sparkSession.conf
+      .get("spark.graft.decontam.exactMaxBytes", (256L << 20).toString).toLong
+    if (benchGrams.queryExecution.optimizedPlan.stats.sizeInBytes <= exactMax)
+      return benchmarkOverlap(corpusGrams, benchGrams, idCol)
     val benchDistinct = benchGrams.select(col("gram")).distinct()
     // xx-hash bit family (one codegen'd xxhash64 per gram vs an md5 digest
     // + hex parse): this filter's bit layout is observed by nothing — the

@@ -176,6 +176,29 @@ object Sampling {
     val base = docs.select(col(stratumCol), struct(col(stratumCol)).as("_g"),
       col(idCol), rankCol.as("_r"),
       size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("n_tokens"))
+    // Size-aware cut-over (spark_optimization_guide §1.2, r14 verdict item
+    // 3): the rank-range decomposition exists to keep any one stratum off a
+    // single window task at corpus scale, but it costs ~2 extra exchanges +
+    // the offsets join — pure overhead when the whole input comfortably
+    // fits one task. Below `spark.graft.sample.budget.singleWindowMaxBytes`
+    // (plan-estimated input bytes, default 64 MB — a per-stratum window
+    // over ≤64 MB of docs is a trivial task on any executor) the original
+    // single-window form runs instead. The kept set AND positions are
+    // bit-identical by the bucketing monotonicity argument above (LlmSpec
+    // pins the equality across both paths), so the threshold is purely a
+    // cost knob; a real corpus blows it and decomposes as before. The
+    // estimate is plan-time metadata — no extra job.
+    val singleMax = docs.sparkSession.conf
+      .get("spark.graft.sample.budget.singleWindowMaxBytes", (64L << 20).toString).toLong
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <= singleMax) {
+      return base
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy(col("_g"))
+            .orderBy(col("_r").desc_nulls_last, col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
+        .select(col(stratumCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+    }
     // NULL _r must sort after every cut-point bucket; the non-null branch
     // is column-derived even at rankBuckets = 1 so EliminateWindowPartitions
     // never folds the partition key to a literal (the unpartitioned-window

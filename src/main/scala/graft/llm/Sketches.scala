@@ -508,7 +508,10 @@ object Sketches {
     * derivation (cross-engine exact, oracle-mirrored in q_bloom_filter);
     * this one serves pure pre-filters ([[bloomRegistersXx]] /
     * [[bloomContainsXx]]) where only the no-false-negative property
-    * matters and an exact verify kills the false positives downstream. */
+    * matters and an exact verify kills the false positives downstream.
+    * The 16-bit carve caps m at 2^16 (~8 KB packed) — enough for the
+    * pre-filter role since the FP sliver is exact-verified anyway; callers
+    * needing a bigger space must use the md5 register family. */
   private def xxBloomBits(valueCol: String, k: Int, m: Int): Column = {
     require(k >= 1 && k <= 4, s"xxhash64 carves at most 4 disjoint 16-bit chunks, got k=$k")
     require(m >= 2 && m <= (1 << 16), s"16-bit chunks address at most 2^16 bits, got m=$m")
@@ -519,11 +522,12 @@ object Sketches {
   }
 
   /** [[bloomRegisters]] with the [[xxBloomBits]] derivation. Build and
-    * probe must pair ([[bloomContainsXx]]) — the (k, m) guard columns do
-    * NOT distinguish the two hash families, so mixing an md5-built frame
-    * with an xx probe would silently manufacture false negatives. Kept
-    * package-private for exactly that reason; the one caller is the
-    * decontamination pre-filter, whose output is exact-verified. */
+    * probe must pair ([[bloomBitmapXx]]/[[bloomMaybePresentXx]]) — the
+    * (k, m) guard columns do NOT distinguish the two hash families, so
+    * mixing an md5-built frame with an xx probe would silently manufacture
+    * false negatives. Kept package-private for exactly that reason; the one
+    * caller is the decontamination pre-filter, whose output is
+    * exact-verified. */
   private[llm] def bloomRegistersXx(items: DataFrame, keyCols: Seq[String],
                                     valueCol: String, k: Int = 4,
                                     m: Int = 1 << 16): DataFrame =
@@ -532,16 +536,8 @@ object Sketches {
       .distinct()
       .withColumn("sk_k", lit(k)).withColumn("sk_m", lit(m))
 
-  /** [[bloomContains]] against [[bloomRegistersXx]]-built registers — the
-    * paired probe of the cheap derivation; see the pairing warning there. */
-  private[llm] def bloomContainsXx(registers: DataFrame, probes: DataFrame,
-                                   keyCols: Seq[String], valueCol: String,
-                                   k: Int = 4, m: Int = 1 << 16): DataFrame =
-    bloomContainsBits(xxBloomBits(valueCol, k, m), registers, probes,
-      keyCols, valueCol, k, m)
-
   /** An UNKEYED [[bloomRegistersXx]] frame packed into ONE dense-bitmap
-    * row: `bloom_words` = m/64 longs, word w holding bits 64w..64w+63.
+    * row: `bloom_words` = ceil(m/64) longs, word w holding bits 64w..64w+63.
     * The relational register form is the mergeable, per-key sketch; this
     * is its SERVING form — a single broadcastable row (8 KB at m = 2^16)
     * against which [[bloomMaybePresentXx]] probes map-only: no explode,
@@ -556,7 +552,12 @@ object Sketches {
           col("bit").bitwiseAND(lit(63)).cast("int")).as("v"))
       .groupBy(col("w")).agg(bit_or(col("v")).as("word"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("_wm"))
-      .select(transform(sequence(lit(0), lit(m / 64 - 1)),
+      // ceil-sized word array: floor(m/64) dropped the final PARTIAL word
+      // for 64 < m ≤ 2^16 with m % 64 != 0 — bits set there vanished at
+      // build and the probe's out-of-bounds element_at read null → false,
+      // i.e. silent FALSE NEGATIVES (the one thing a Bloom filter must
+      // never produce). Covered by the m=100 pairing test.
+      .select(transform(sequence(lit(0), lit((m + 63) / 64 - 1)),
         w => coalesce(element_at(col("_wm"), w), lit(0L))).as("bloom_words"))
 
   /** Map-only membership against a [[bloomBitmapXx]] row cross-joined onto

@@ -2116,22 +2116,35 @@ class LlmSpec extends SparkSpec {
     // the Bloom-prefiltered two-phase form is EXACTLY equal (no false
     // negatives by construction, FPs killed by the verify join) — probe a
     // deliberately tiny m so collisions are plentiful and the verify path
-    // is genuinely exercised, not vacuously clean
+    // is genuinely exercised, not vacuously clean. exactMaxBytes=0 forces
+    // the Bloom path (the size cut-over would otherwise delegate straight
+    // to benchmarkOverlap on fixture-sized inputs); m=100 covers the
+    // PARTIAL final bitmap word (m % 64 != 0), whose floor-sized array
+    // used to drop bits 64..99 at build — silent false negatives.
     val exact = Dedup.benchmarkOverlap(Dedup.charGrams(corpus), Dedup.charGrams(bench))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    Seq(1 << 16, 64, 8).foreach { m =>
-      val pre = Dedup.benchmarkOverlapPrefiltered(
-          Dedup.charGrams(corpus), Dedup.charGrams(bench), k = 4, m = m)
-        .orderBy("doc_id").collect().map(_.toSeq).toSeq
-      assert(pre == exact, s"m=$m diverged: $pre vs $exact")
-    }
-    // plan shape: the corpus side never SortMergeJoins against the
-    // benchmark — the register probe and the verified-hit probe are both
-    // broadcast, so the gram stream crosses no gram-keyed exchange
-    val plan = Dedup.benchmarkOverlapPrefiltered(
+    spark.conf.set("spark.graft.decontam.exactMaxBytes", "0")
+    try {
+      Seq(1 << 16, 1000, 100, 64, 8).foreach { m =>
+        val pre = Dedup.benchmarkOverlapPrefiltered(
+            Dedup.charGrams(corpus), Dedup.charGrams(bench), k = 4, m = m)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(pre == exact, s"m=$m diverged: $pre vs $exact")
+      }
+      // plan shape: the corpus side never SortMergeJoins against the
+      // benchmark — the register probe and the verified-hit probe are both
+      // broadcast, so the gram stream crosses no gram-keyed exchange
+      val plan = Dedup.benchmarkOverlapPrefiltered(
+          Dedup.charGrams(corpus), Dedup.charGrams(bench))
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.unset("spark.graft.decontam.exactMaxBytes")
+    // default conf: fixture-sized bench grams sit under the cut-over, the
+    // operator delegates to the exact broadcast form — same rows
+    val cut = Dedup.benchmarkOverlapPrefiltered(
         Dedup.charGrams(corpus), Dedup.charGrams(bench))
-      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(cut == exact, s"cut-over path diverged: $cut vs $exact")
   }
 
   test("kmeans-trained IVF: pure clusters, stable assignment, nprobe=1 recall") {
@@ -2434,13 +2447,22 @@ class LlmSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(out.toSeq == Seq(
       ("a", 2L, 5L, 5L), ("a", 1L, 4L, 9L), ("b", 4L, 12L, 12L)))
-    // the running-sum exchange keys on (stratum, rank-range bucket) — a
-    // stratum ranks as ≤rankBuckets tasks, never one; no payload exchange
-    // keys on the stratum alone
-    val plan = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
+    // above the cut-over the running-sum exchange keys on (stratum,
+    // rank-range bucket) — a stratum ranks as ≤rankBuckets tasks, never
+    // one; no payload exchange keys on the stratum alone
+    spark.conf.set("spark.graft.sample.budget.singleWindowMaxBytes", "0")
+    try {
+      val plan = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(_g[#0-9L]*, _b[#0-9L]*, (4|32|200)\\)".r
+        .findFirstIn(plan).isDefined, plan)
+    } finally spark.conf.unset("spark.graft.sample.budget.singleWindowMaxBytes")
+    // under the cut-over (fixture-sized input, default conf) the same rows
+    // come from the single-window form — one stratum-keyed exchange only
+    val planSmall = graft.llm.Sampling.budgetCappedSample(d, 8L, col("r"))
       .queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(_g[#0-9L]*, _b[#0-9L]*, (4|32|200)\\)".r
-      .findFirstIn(plan).isDefined, plan)
+    assert("hashpartitioning\\(_g[#0-9L]*, (4|32|200)\\)".r
+      .findFirstIn(planSmall).isDefined, planSmall)
   }
 
   test("budget-capped sample: kept set and positions bit-identical across bucket widths") {
@@ -2455,15 +2477,23 @@ class LlmSpec extends SparkSpec {
       val r: java.lang.Double = if (i % 11 == 0) null else (rnd.nextInt(5) + 1).toDouble
       (i, src, (1 to (1 + rnd.nextInt(9))).map(_ => "w").mkString(" "), r)
     }.toDF("doc_id", "source", "text", "r")
+    // decomposed variants run with the size cut-over disabled (conf = 0)
+    // so fixture-sized input still exercises the rank-range machinery; the
+    // LAST variant runs under the DEFAULT conf and takes the single-window
+    // path — pinning the cut-over's bit-identity against every other form
     val wide = Seq[Option[(Double, Double)]](None, None, None,
         Some((1.0, 5.0)),      // arithmetic cuts, true range
         Some((100.0, 200.0)))  // arithmetic cuts, WRONG range — advisory only
       .zip(Seq(1, 32, 64, 64, 64)).map { case (rng, b) =>
-      graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 40L, rankCol = col("r"),
+      spark.conf.set("spark.graft.sample.budget.singleWindowMaxBytes", "0")
+      try graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 40L, rankCol = col("r"),
           rankBuckets = b, rankRange = rng)
         .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3)))
         .toSet
-    }
+      finally spark.conf.unset("spark.graft.sample.budget.singleWindowMaxBytes")
+    } :+ graft.llm.Sampling.budgetCappedSample(d, tokenBudget = 40L, rankCol = col("r"))
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
     assert(wide.forall(_ == wide.head),
       s"kept sets differ across bucket widths / cut sources: ${wide.map(_.size)}")
     // NULL stratum forms its own stratum (window semantics) — it must fill
