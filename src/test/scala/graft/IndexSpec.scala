@@ -863,7 +863,13 @@ class IndexSpec extends SparkSpec {
     assert(g.table("inputs").where(col("tx_id") === hex32(651)).count() == 1L)
   }
 
-  test("superset invariant holds under random raw-append/ingest/delete orderings (3 seeds)") {
+  test("superset invariant holds under random raw-append/ingest/delete orderings (seed 101)") {
+    supersetInvariantProperty(Seq(101))
+  }
+  test("superset invariant under two more seeded orderings", HeavyTest) {
+    supersetInvariantProperty(Seq(202, 303))
+  }
+  private def supersetInvariantProperty(seeds: Seq[Int]): Unit = {
     import graft.tools.FixtureChain._
     // The window-pruning soundness claim, as a property: however raw
     // appends (side tables not maintained), asset-free ingests (side
@@ -874,7 +880,7 @@ class IndexSpec extends SparkSpec {
     // populate-after-append) plus the empty-batch non-transition, walked
     // in random order instead of one pinned sequence each.
     val polOf = (i: Int) => hex28(90 + i % 3)
-    for (seed <- Seq(101, 202, 303)) {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       val g = new GraftIndex(spark, tmpDir(s"graft-supinv$seed"), vacuumGraceMs = 0L)
       var slot = 0L

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Stress re-run of BlockReaderSpec's end-to-end ingest: the same fixture
   * into many fresh indexes, checking the committed row counts every time —
-  * guards the atomic multi-table commit against scheduling-order races. */
+  * guards the atomic multi-table commit against scheduling-order races.
+  * 8 iterations per path run by default; the remaining 32 of the original
+  * 40 are HeavyTest-tagged amplification (same body, wider sample). */
 class IngestStressSpec extends SparkSpec {
   import spark.implicits._
 
@@ -39,8 +41,14 @@ class IngestStressSpec extends SparkSpec {
        |"outputs":[{"address":"$bech32Addr","value":{"ada":{"lovelace":1}}}],
        |"collateralReturn":{"address":"$bech32Addr","value":{"ada":{"lovelace":7000000}}}}""".stripMargin.replaceAll("\n", "")
 
-  test("40 single-table appends all commit 3 inputs (no concurrent commit)") {
-    (0 until 40).foreach { i =>
+  test("8 single-table appends all commit 3 inputs (no concurrent commit)") {
+    stressAppend(0 until 8)
+  }
+  test("iterations 8-39 of the single-table append stress", HeavyTest) {
+    stressAppend(8 until 40)
+  }
+  private def stressAppend(iters: Range): Unit = {
+    iters.foreach { i =>
       val env = BlockReader.parseEnvelope(
         Seq(fwd(100, "11" * 32, tx1), fwd(110, "12" * 32, tx2)).toDF("raw"))
       val blocks = BlockReader.blocks(env)
@@ -54,8 +62,14 @@ class IngestStressSpec extends SparkSpec {
     }
   }
 
-  test("40 ingests with pre-materialized frames all commit 3 inputs") {
-    (0 until 40).foreach { i =>
+  test("8 ingests with pre-materialized frames all commit 3 inputs") {
+    stressMaterialized(0 until 8)
+  }
+  test("iterations 8-39 of the pre-materialized ingest stress", HeavyTest) {
+    stressMaterialized(8 until 40)
+  }
+  private def stressMaterialized(iters: Range): Unit = {
+    iters.foreach { i =>
       val env = BlockReader.parseEnvelope(
         Seq(fwd(100, "11" * 32, tx1), fwd(110, "12" * 32, tx2)).toDF("raw"))
       val blocks = BlockReader.blocks(env)
@@ -75,8 +89,14 @@ class IngestStressSpec extends SparkSpec {
     }
   }
 
-  test("40 fresh-index ingests all commit 3 inputs") {
-    (0 until 40).foreach { i =>
+  test("8 fresh-index ingests all commit 3 inputs") {
+    stressIngest(0 until 8)
+  }
+  test("iterations 8-39 of the fresh-index ingest stress", HeavyTest) {
+    stressIngest(8 until 40)
+  }
+  private def stressIngest(iters: Range): Unit = {
+    iters.foreach { i =>
       val env = BlockReader.parseEnvelope(
         Seq(fwd(100, "11" * 32, tx1), fwd(110, "12" * 32, tx2)).toDF("raw"))
       val blocks = BlockReader.blocks(env)

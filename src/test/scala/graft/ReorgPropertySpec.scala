@@ -130,8 +130,18 @@ class ReorgPropertySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
 
-  for (seed <- Seq(1L, 42L, 2026L)) {
+  for (seed <- Seq(1L, 42L)) {
     test(s"random forward/rollback/GC sequence matches the model (seed=$seed)") {
+      forwardRollbackGc(seed)
+    }
+  }
+  // amplification: same property, one more seed — default run keeps two
+  test("random forward/rollback/GC sequence matches the model (seed=2026)",
+      HeavyTest) {
+    forwardRollbackGc(2026L)
+  }
+
+  private def forwardRollbackGc(seed: Long): Unit = {
       val gen = new Gen(seed)
       val model = new Model
       // retention > 1 so every reorg can ALSO assert the time-travel
@@ -220,7 +230,6 @@ class ReorgPropertySpec extends SparkSpec {
         .head()
       val engineMax = if (maxCp.isNullAt(0)) None else Some(maxCp.getLong(0))
       assert(engineMax == model.checkpoints.maxOption)
-    }
   }
 
   // U6-in-the-loop: the reference's state machine also inserts/retires
@@ -230,13 +239,24 @@ class ReorgPropertySpec extends SparkSpec {
   // random since-slot (occasionally as a full validated point), and
   // removePatterns retires one without touching its rows. 50 seeded
   // sequences, model asserted after EVERY step.
-  test("pattern put/remove interleaved with forward/rollback/GC matches the model (50 seeds)") {
+  test("pattern put/remove interleaved with forward/rollback/GC matches the model (6 seeds)") {
+    patternInterleave(100L until 106L)
+  }
+  // amplification: the remaining 44 of the original 50 seeded sequences —
+  // identical body, wider random sample (644 s of the default suite's wall
+  // before the split; the 6-seed default keeps every action type covered)
+  test("pattern put/remove interleaved with forward/rollback/GC matches the model (seeds 106-149)",
+      HeavyTest) {
+    patternInterleave(106L until 150L)
+  }
+
+  private def patternInterleave(seeds: Seq[Long]): Unit = {
     import graft.index.PatternManager
     val payCred = (0 to 2).map(s => s -> graft.tools.FixtureChain.hex28(2000 + s)).toMap
     def paySeedOf(addr: String): Int =
       (0 to 2).find(s => addr.endsWith(payCred(s))).get
 
-    for (seed <- 100L until 150L) {
+    for (seed <- seeds) {
       val gen = new Gen(seed)
       val model = new Model
       val ix = new GraftIndex(spark, tmpDir(s"graft-prop-pat-$seed"))

@@ -662,6 +662,13 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("curation property: random splits with random compaction points equal one-shot") {
+    curationSplitProperty(Seq(11))
+  }
+  // amplification: two more random split/compaction interleavings
+  test("curation property under two more seeded splits", HeavyTest) {
+    curationSplitProperty(Seq(23, 47))
+  }
+  private def curationSplitProperty(seeds: Seq[Int]): Unit = {
     import graft.streaming.CurationStream
     import graft.streaming.CurationStream.{CurationArtifacts, CurationSinks}
     import spark.implicits._
@@ -703,7 +710,7 @@ class StreamingSpec extends SparkSpec {
         docs.toDF("doc_id", "text", "embedding"), art)
       .select("doc_id").as[Long].collect().toSet
 
-    for (seed <- Seq(11, 23, 47)) {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       // random split preserving id order: each gap is a batch boundary
       // with probability 1/2; after each batch, fold up to its own id
