@@ -567,42 +567,77 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     * manifest, exposing partial batches). Empty frames register nothing
     * (M9). A no-op change set does not bump the version.
     *
-    * The segment writes run SEQUENTIALLY, deliberately. A previous revision
-    * ran them concurrently from a thread pool to overlap six job-floor
-    * latencies, but the six frames of one batch share subtrees of a single
-    * expression tree (MatchBlock derives them all from one parse), and
-    * driver-side optimization is not safe to run concurrently over plans
-    * sharing STATEFUL expression instances — `ConvertToLocalRelation`
-    * evaluates projections eagerly during optimization, and a shared
-    * `from_json` parser evaluated from six optimizer threads at once
-    * produced garbled rows (zeroed fields, lost/duplicated outputs;
-    * reproduced reliably by IngestStressSpec, clean when serialized). Five
-    * saved job floors are not worth a correctness race; the big segment
-    * write dominates wall-clock at scale anyway. */
+    * The segment writes run SEQUENTIALLY by default, deliberately. A
+    * previous revision ran them concurrently from a thread pool to overlap
+    * six job-floor latencies, but the six frames of one batch share
+    * subtrees of a single expression tree (MatchBlock derives them all
+    * from one parse), and driver-side optimization is not safe to run
+    * concurrently over plans sharing STATEFUL expression instances —
+    * `ConvertToLocalRelation` evaluates projections eagerly during
+    * optimization, and a shared `from_json` parser evaluated from six
+    * optimizer threads at once produced garbled rows (zeroed fields,
+    * lost/duplicated outputs; reproduced reliably by IngestStressSpec,
+    * clean when serialized). Five saved job floors are not worth a
+    * correctness race; the big segment write dominates wall-clock at scale
+    * anyway.
+    *
+    * `concurrentWrites = true` opts back into the overlap for call sites
+    * whose frames provably share NO stateful expression instances — frames
+    * derived from parquet read-backs, localCheckpointed RDDs, or literal
+    * local relations (copyFiltered's side-table prunes, rollback's
+    * straddling-segment rewrites). The caller asserts that property; the
+    * atomic single-manifest-bump semantics are unchanged (all writes
+    * complete before the one commit, any failure aborts the whole batch
+    * with no manifest change). */
   def commitAll(appends: Map[String, DataFrame] = Map.empty,
                 replaces: Map[String, DataFrame] = Map.empty,
-                replaceKeeping: Map[String, (List[Segment], Option[DataFrame])] = Map.empty)
+                replaceKeeping: Map[String, (List[Segment], Option[DataFrame])] = Map.empty,
+                staged: Map[String, List[Segment]] = Map.empty,
+                concurrentWrites: Boolean = false)
       : Unit = {
     val m = manifest
     val v = m.version + 1
     // (table, base segments to keep, whether a missing write keeps the base)
-    val results =
+    val tasks: Seq[() => (String, List[Segment], Boolean, Option[Segment])] =
       appends.toSeq.map { case (t, df) =>
-        (t, m.tables.getOrElse(t, Nil), true,
+        () => (t, m.tables.getOrElse(t, Nil), true,
           writeSegment(t, withSideBackfill(m, t, df), v))
       } ++
         replaces.toSeq.map { case (t, df) =>
-          (t, List.empty[Segment], false, writeSegment(t, df, v))
+          () => (t, List.empty[Segment], false, writeSegment(t, df, v))
         } ++
         replaceKeeping.toSeq.map { case (t, (kept, df)) =>
-          (t, kept, false, df.flatMap(writeSegment(t, _, v)))
+          () => (t, kept, false, df.flatMap(writeSegment(t, _, v)))
         }
-    val anyChange = results.exists { case (_, _, isAppend, seg) => seg.isDefined || !isAppend }
+    val results: Seq[(String, List[Segment], Boolean, Option[Segment])] =
+      if (!concurrentWrites || tasks.size <= 1) tasks.map(_())
+      else {
+        // fresh threads per commit: they inherit the caller's Spark local
+        // properties (scheduler pool, job description) at creation, and a
+        // mutation commit is rare enough that pool reuse buys nothing
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(tasks.size, 4))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+        } finally pool.shutdown()
+      }
+    val anyChange = staged.nonEmpty ||
+      results.exists { case (_, _, isAppend, seg) => seg.isDefined || !isAppend }
     if (!anyChange) return
-    val tables = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
+    // staged segments (pre-written via stageSegment) REPLACE their table and
+    // count as written for sidecar coverage — they are this commit's bytes,
+    // only flushed early so the caller could read them back before the bump
+    val tables0 = results.foldLeft(m.tables) { case (acc, (t, base, _, seg)) =>
       acc.updated(t, liveSegments(t, base ++ seg.toList))
     }
-    val written = results.flatMap { case (t, _, _, seg) => seg.map((t, _)) }
+    val tables = staged.foldLeft(tables0) { case (acc, (t, segs)) =>
+      acc.updated(t, liveSegments(t, segs))
+    }
+    val written = results.flatMap { case (t, _, _, seg) => seg.map((t, _)) } ++
+      staged.toSeq.flatMap { case (t, segs) => segs.map((t, _)) }
     commitManifest(Manifest(v, addBloomSidecar(v, tables, written)))
   }
 
@@ -633,6 +668,16 @@ final class GraftIndex(val spark: SparkSession, val root: String,
   private def writeSegment(table: String, df: DataFrame, version: Long): Option[Segment] =
     writeSegmentAt(table, df, f"$table/seg-$version%06d")
 
+  /** Pre-write one segment for a later [[commitAll]] `staged` entry: the
+    * bytes land now — so the caller can derive side tables by READING the
+    * written copy instead of re-running its producer plan or holding it in
+    * memory — but the manifest learns about them only at the commit, which
+    * stays one atomic bump. Bootstrap-only discipline: the caller owns the
+    * index (a fresh copy dst) and commits before any other writer bumps
+    * the version the path was named after. */
+  private[index] def stageSegment(table: String, df: DataFrame): Option[Segment] =
+    writeSegment(table, df, manifest.version + 1)
+
   private def writeSegmentAt(table: String, df: DataFrame, path: String): Option[Segment] = {
     val out = df.select(schemaOf(table).fieldNames.map(col): _*)
     // inputs segments are clustered by slot bucket and sorted by created_at:
@@ -641,7 +686,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // multi-segment reads stay trivial and small batches don't explode into
     // thousands of tiny partition dirs)
     val clustered =
-      if (table == "inputs")
+      if (table == "inputs") {
         // RANGE partitioning on created_at, not hash on created_bucket:
         // the bucket is a synthetic key with few distinct values (batch
         // slot span / BucketSize — ONE bucket for a steady-state
@@ -655,18 +700,52 @@ final class GraftIndex(val spark: SparkSession, val root: String,
         // unchanged — the within-partition sort below still governs — and
         // AQE still right-sizes the partition count from the batch's
         // bytes. Costs one range-bounds sampling pass per write.
-        out.repartitionByRange(col("created_at"))
-          .sortWithinPartitions(col("created_at"), col("address"))
+        //
+        // SMALL-batch cut-over (guide §1.2/§6): the sampling pass is a
+        // second full compute of the producer plan plus one extra job —
+        // the dominant per-commit cost of the mutation/streaming paths,
+        // whose rewrites and micro-batches are small by design. Below the
+        // plan-estimated byte threshold the frame lands as ONE sorted
+        // file instead: a single file is a single row group, so manifest
+        // min/max subsumes bucket-major clustering and nothing is lost to
+        // reads. A corpus-scale batch blows the threshold (plan stats
+        // over-, not under-estimate scans and joins) and ranges as before.
+        val rangeMin = GraftIndex.positiveLongConf(spark,
+          "spark.graft.write.rangeMinBytes", 32L << 20)
+        if (out.queryExecution.optimizedPlan.stats.sizeInBytes <= rangeMin)
+          (out.repartition(1)
+            .sortWithinPartitions(col("created_at"), col("address")), true)
+        else
+          (out.repartitionByRange(col("created_at"))
+            .sortWithinPartitions(col("created_at"), col("address")), false)
+      }
       else if (table == "policies")
         // slot-sorted within whatever partitioning the producer chose: no
         // extra shuffle, but row-group min/max stats on created_at line up
         // for slot-scoped scans of the side table
-        out.sortWithinPartitions(col("created_at"), col("policy_id"))
+        (out.sortWithinPartitions(col("created_at"), col("policy_id")), false)
       else if (table == "address_stats")
         // address-sorted: prefix probes (P5/P6 delegation part) prune row
         // groups via min/max; exact probes use the bloom/dictionary
-        out.sortWithinPartitions(col("address"))
-      else out
+        (out.sortWithinPartitions(col("address")), false)
+      else
+        // the bloom sidecar is ≤ one row per written segment — nothing for
+        // AQE to adapt, so it skips the per-stage job tax too
+        (out, table == "segment_blooms")
+    val (clusteredDf, skipAqe) = clustered
+    // AQE materializes every shuffle stage as its OWN job — pure per-commit
+    // job-floor tax on a write whose output is a single partition by
+    // construction (the small-batch cut-over / the one-row sidecar
+    // aggregate). Those writes execute in a conf-isolated sibling session
+    // with AQE off (same SparkContext, same SparkConf defaults): one job
+    // per write instead of two, and no session-conf mutation that could
+    // race with concurrent planner threads. Corpus-scale writes keep AQE
+    // (range-partition coalescing is exactly what sizes their files).
+    val toWrite =
+      if (skipAqe)
+        org.apache.spark.sql.graftshim.GraftShim
+          .rebind(GraftIndex.noAqeSession(spark), clusteredDf)
+      else clusteredDf
     // segment min/max stats ride along with the write action (Observation) —
     // no second read-the-parquet-back job per segment. inputs additionally
     // track max(spent_at): rollback must find baked-in spend marks beyond the
@@ -691,7 +770,7 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     // don't dictionary-compress at scale anyway (the encoder falls back to
     // plain mid-chunk and keeps the useless dictionary page).
     val hashBloomed = bloomColumns(table).foldLeft(
-      clustered.observe(obs, aggs.head, aggs.tail: _*)
+      toWrite.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode(SaveMode.Overwrite)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.enable.dictionary#$c", "false")
@@ -702,7 +781,14 @@ final class GraftIndex(val spark: SparkSession, val root: String,
     val writer = bloomDictColumns(table).foldLeft(hashBloomed) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    writer.parquet(s"$root/$path")
+    // labeled write jobs (guide §1.5) — scoped so a caller's own description
+    // (the bench labels per query) is restored afterwards; concurrent
+    // commitAll threads each carry their own local properties
+    val sc = spark.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft.write $path")
+    try writer.parquet(s"$root/$path")
+    finally sc.setJobDescription(prevDesc)
     val row: Map[String, Any] = obs.get
     if (row("cnt").asInstanceOf[java.lang.Long] == 0L) return None
     val stats = statColumn(table).flatMap { _ =>
@@ -1189,6 +1275,23 @@ object GraftIndex {
     * bare NumberFormatException at query/write time and a non-positive
     * bitsPerKey as a negative sketch size inside BloomFilterAggregate,
     * both far from the misconfigured key. */
+  /** Conf-isolated sibling session (same SparkContext, SparkConf defaults)
+    * with AQE off, for writes whose output is single-partition by
+    * construction — see the writeSegmentAt note. Cached per parent session;
+    * runtime conf set on the PARENT after creation is not visible here,
+    * which is fine: every graft conf is read at plan-BUILD time under the
+    * parent session, and only execution moves. */
+  private val noAqeSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+                                               org.apache.spark.sql.SparkSession]
+  private[index] def noAqeSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    noAqeSessions.computeIfAbsent(s, k => {
+      val ns = k.newSession()
+      ns.conf.set("spark.sql.adaptive.enabled", "false")
+      ns
+    })
+
   private[index] def positiveLongConf(spark: org.apache.spark.sql.SparkSession,
                                       key: String, default: Long): Long = {
     val v = spark.conf.getOption(key).map { s =>

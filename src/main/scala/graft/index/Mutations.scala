@@ -134,16 +134,19 @@ object Mutations {
         snap.reconcile(snap.readSegments("inputs", segs))
     }
     val kept = scan.where(Pattern.anyOf(patterns))
-    dst.replace("inputs", kept)
-    // the three side-table prunes semi-join against the WRITTEN inputs copy
-    // (read-back beats recomputing the filtered reconcile three times) and
-    // are independent of each other → one concurrent atomic commit instead
-    // of four serialized job-floor latencies
-    val keptRefs = dst.table("inputs").select("tx_id", "output_index")
-    val keptDatums = dst.table("inputs")
+    // STAGE the inputs copy (bytes land, manifest untouched): the side-table
+    // prunes then semi-join against the WRITTEN copy — read-back beats
+    // recomputing the filtered reconcile three times AND beats holding the
+    // copy in memory (a MatchAny copy of a 100 TB index must not
+    // localCheckpoint) — while the whole bootstrap still commits as ONE
+    // atomic manifest bump with one covering bloom sidecar
+    val keptSeg = dst.stageSegment("inputs", kept)
+    val inputsCopy = dst.readSegments("inputs", keptSeg.toList)
+    val keptRefs = inputsCopy.select("tx_id", "output_index")
+    val keptDatums = inputsCopy
       .where(col("datum_info").isNotNull)
       .select(col("datum_info.hash").as("binary_data_hash"))
-    val keptScripts = dst.table("inputs")
+    val keptScripts = inputsCopy
       .where(col("script_hash").isNotNull).select("script_hash")
     val spark = src.spark
     import spark.implicits._
@@ -153,12 +156,18 @@ object Mutations {
       // rebuilt (not copied): the copy holds fewer inputs, and a fresh
       // aggregate gives it exact windows instead of the source's stale-wide
       // ones
-      "address_stats" -> graft.ingest.MatchBlock.addressStats(dst.table("inputs")),
+      "address_stats" -> graft.ingest.MatchBlock.addressStats(inputsCopy),
       "binary_data" ->
         snap.table("binary_data").join(keptDatums, Seq("binary_data_hash"), "left_semi"),
       "scripts" ->
         snap.table("scripts").join(keptScripts, Seq("script_hash"), "left_semi"),
-      "patterns" -> patterns.map(_.toText).toSeq.toDF("pattern")))
+      "patterns" -> patterns.map(_.toText).toSeq.toDF("pattern")),
+      staged = Map("inputs" -> keptSeg.toList),
+      // safe concurrently: every frame derives from parquet read-backs of
+      // the already-written copy / pinned source segments plus one literal
+      // local relation — no shared stateful expression instances (see the
+      // commitAll serialization note); overlaps five job floors
+      concurrentWrites = true)
     // checkpoints copy unfiltered: adopt the immutable segment files
     // verbatim (file-level copy + manifest registration, no Spark job) —
     // from the SAME pinned snapshot the inputs scan read, never the live
@@ -186,7 +195,9 @@ object Mutations {
       inputsChange(ix, s),
       tableChange(ix, "spends", s, col("spent_at") <= s),
       tableChange(ix, "checkpoints", s, col("slot_no") <= s)).flatten.toMap
-    if (changes.nonEmpty) ix.commitAll(replaceKeeping = changes)
+    // concurrent: the straddling rewrites are plain filters over disjoint
+    // parquet scans — no shared stateful expression instances
+    if (changes.nonEmpty) ix.commitAll(replaceKeeping = changes, concurrentWrites = true)
     val row = ix.table("checkpoints").agg(max("slot_no")).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }

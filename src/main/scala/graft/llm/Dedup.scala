@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large text corpora — exact, MinHash+LSH, SimHash,
@@ -717,21 +718,25 @@ object Dedup {
   def spanDedup(docs: DataFrame, n: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wins = overlappingWindows(docs, n, idCol, textCol)
-    // ONE window-keyed shuffle: the occurrence list rides the count
-    // aggregate, so the duplicated-window filter explodes positions from
-    // the aggregated row instead of joining counts back onto a SECOND
-    // full shuffle of the window stream (r14: the join form shuffled the
-    // n×-corpus window stream twice; a hot window's occurrences land on
-    // one task either way — the join keyed them identically — so the
-    // skew exposure is unchanged, only the pass count drops).
+    // ONE window-keyed shuffle, SPILLABLE on hot keys: the per-occurrence
+    // duplication count comes from a window aggregate over the win
+    // partition, not from `collect_list(struct(id, pos))` on a groupBy
+    // (r14's form). The count-join it replaced shuffled the n×-corpus
+    // window stream twice; the r14 collect_list kept one shuffle but put
+    // EVERY occurrence of a hot window into ONE aggregation-buffer array —
+    // an unspillable OOM at web-corpus boilerplate scale (guide §5, r14
+    // verdict item 5). WindowExec buffers the hot group in a spillable
+    // row array instead (spark.sql.windowExec.buffer.spill.threshold), so
+    // a window duplicated a million times streams through disk, and the
+    // count never materializes an array at all. Still exactly one
+    // corpus-scale exchange; the per-doc collect_set below is bounded by
+    // document length.
     val covered = wins
-      .groupBy(col("win"))
-      .agg(count(lit(1)).as("n_occ"),
-        collect_list(struct(col(idCol), col("pos"))).as("occs"))
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("win"))))
       .where(col("n_occ") > 1)
-      .select(explode(col("occs")).as("o"))
-      .select(col(s"o.$idCol").as(idCol),
-        explode(sequence(col("o.pos"), col("o.pos") + (n - 1))).as("cp"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
       .groupBy(col(idCol)).agg(collect_set(col("cp")).as("cov"))
     docs.select(col(idCol), split(col(textCol), " ").as("toks"))
       .join(covered, Seq(idCol), "left_outer")
@@ -755,16 +760,15 @@ object Dedup {
     * corpus twice. When no tile of a doc is duplicated, `retained_text`
     * reconstructs the original text exactly (property-tested). */
   def chunkDedup(tiles: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    // ONE tile-keyed shuffle (the spanDedup discipline): occurrences ride
-    // the count aggregate and re-explode tagged with n_occ, instead of a
-    // second full shuffle of the tile stream to join the counts back on.
+    // ONE tile-keyed shuffle, SPILLABLE on hot keys (the spanDedup
+    // discipline, same §5 rationale): each occurrence reads its tile's
+    // corpus-wide count from a window aggregate over the tile partition —
+    // no counts join back onto a second full shuffle, and no
+    // collect_list(occurrences) whose one aggregation-buffer array must
+    // hold every occurrence of a boilerplate tile in memory.
     tiles
-      .groupBy(col("tile"))
-      .agg(count(lit(1)).as("n_occ"),
-        collect_list(struct(col(idCol), col("tile_idx"))).as("occs"))
-      .select(col("tile"), col("n_occ"), explode(col("occs")).as("o"))
-      .select(col(s"o.$idCol").as(idCol), col("o.tile_idx").as("tile_idx"),
-        col("tile"), col("n_occ"))
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("tile"))))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tiles"),

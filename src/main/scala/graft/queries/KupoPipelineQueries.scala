@@ -759,10 +759,14 @@ object KupoPipelineQueries {
         val bandA = inputs.where(col("created_at") % 16 === 0)
         val bandB = inputs.where(col("created_at") % 16 === 1)
         ix.append("inputs", bandA) // raw: policies/address_stats stay empty
+        // concurrent: all three frames derive from the localCheckpointed
+        // slice (an immutable LogicalRDD leaf) — no shared stateful
+        // expression instances, so the three write job floors overlap
         ix.commitAll(appends = Map(
           "inputs" -> bandB,
           "policies" -> graft.ingest.MatchBlock.policiesOf(bandB),
-          "address_stats" -> graft.ingest.MatchBlock.addressStats(bandB)))
+          "address_stats" -> graft.ingest.MatchBlock.addressStats(bandB)),
+          concurrentWrites = true)
         ix.table("policies")
           .groupBy(col("policy_id"))
           .agg(count(lit(1)).as("n_refs"),

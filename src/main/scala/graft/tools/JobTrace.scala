@@ -39,7 +39,8 @@ object JobTrace {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val j = J(js.jobId, js.time)
         j.site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         jobs.put(js.jobId, j)
         js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
       }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -19,4 +19,15 @@ object GraftShim {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
+
+  /** Rebind a DataFrame's ANALYZED plan into another session sharing the
+    * same SparkContext — used to execute a plan under per-session conf
+    * overrides (e.g. a no-AQE sibling session for single-partition segment
+    * writes) without mutating the caller's session conf, which would race
+    * with concurrent planners. The analyzed plan is fully resolved, so the
+    * target session's registry/catalog state is never consulted. */
+  def rebind(target: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }

@@ -2324,6 +2324,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("span/chunk dedup: a window duplicated across 50k docs streams through the spillable frame") {
+    // the r15 skew guard (guide §5): r14's collect_list(struct(id, pos))
+    // form put EVERY occurrence of a boilerplate window into ONE
+    // aggregation-buffer array — unspillable and unbounded at web-corpus
+    // scale. The window-aggregate form buffers the hot group in WindowExec's
+    // spillable row array (past spark.sql.windowExec.buffer.spill.threshold
+    // = 4096 rows this group spills to disk) and never materializes an
+    // occurrence array. One window shared by all 50k docs exercises exactly
+    // that path; the output is pinned per doc.
+    val boiler = "x1 x2 x3 x4 x5"
+    val docs = spark.range(50000).select($"id".as("doc_id"),
+      concat(lit(boiler + " u"), $"id".cast("string")).as("text"))
+    val spans = Dedup.spanDedup(docs, n = 5)
+    assert(spans.where($"n_tokens" =!= 6L || $"n_covered" =!= 5L ||
+      $"retained_text" =!= concat(lit("u"), $"doc_id".cast("string"))).isEmpty)
+    assert(spans.count() == 50000L)
+    val chunks = Dedup.chunkDedup(Dedup.tokenTiles(docs, n = 5))
+    assert(chunks.where($"n_tiles" =!= 2L || $"n_dup_tiles" =!= 1L ||
+      $"retained_text" =!= concat(lit("u"), $"doc_id".cast("string"))).isEmpty)
+    assert(chunks.count() == 50000L)
+  }
+
   test("new-operator plan shapes: keyed exchanges only, no cartesian anywhere") {
     val corpus = (1 to 40).map(i => (i.toLong, s"tok$i a b c d e f g")).toDF("doc_id", "text")
     // chunk dedup: every join is an equi-join on the tile / doc key — a
