@@ -353,14 +353,25 @@ object TextAnalysis {
     * thousand entries, so the corpus never shuffles on the token. */
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(filter(split(col(textCol), " "), t => t =!= "")).as("token"))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // ONE corpus tokenize (r15; guide §2.3): both consumers — the vocab
+    // cut and the per-doc coverage probe — derive from the same
+    // (doc, token, count) aggregate, so the explode+shuffle over the token
+    // stream runs once and the second consumer reuses the exchange. The
+    // vocab re-aggregate and the per-doc rollup then run over
+    // distinct-(doc, token) rows, strictly fewer than the raw stream.
+    // (array_remove over the split is the codegen'd form of the empty-token
+    // filter — the lambda HOF is CodegenFallback.)
+    val docTok = docs.select(col(idCol),
+        explode(array_remove(split(col(textCol), " "), "")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c_dt"))
+    val vocab = docTok.groupBy(col("token")).agg(sum(col("c_dt")).as("c"))
       .orderBy(col("c").desc, col("token")).limit(vocabSize)
       .select(col("token"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+    docTok.join(broadcast(vocab), Seq("token"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), count(col("in_vocab")).as("n_in_vocab"))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNotNull, col("c_dt"))), lit(0L))
+          .as("n_in_vocab"))
   }
 
   /** Winnowing-overlap pairing (the MOSS report shape): doc pairs sharing at
@@ -739,13 +750,32 @@ object TextAnalysis {
     // pairing, like every sibling token operator — otherwise space runs
     // mint ('', w) candidates that applyPhrases can never apply (it
     // filters empties before fusing)
-    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    val toks = array_remove(split(col(textCol), " "), "")
+    // ONE corpus pair-explode (r15; guide §2.3/§4). Two traps this shape
+    // dodges, both observed in the executed plan of the naive rewrites:
+    // (1) w1/w2 are fields of the GENERATE OUTPUT struct, not project
+    //     aliases over element_at(f(text), i) — predicate pushdown stops
+    //     at the Generate, so the join-inferred IsNotNulls can neither
+    //     re-derive array_remove(split(text)) per exploded row (O(len²)
+    //     per doc) nor fork the shared aggregate subtree per branch;
+    // (2) the explicit vacuous not-nulls keep every consumer's copy of
+    //     the pair aggregate canonical (the r14 sketch discipline), so
+    //     AQE reuses ONE pair exchange across the minCount filter, both
+    //     unigram marginals and the totals row.
+    // The former second corpus explode (unigrams) is now the pair
+    // marginal plus ONE NON-EXPLODED row per doc: a token is either
+    // some pair's w1 or its document's last token, exactly once.
     val prs = docs.where(size(toks) >= 2)
-      .select(toks.as("t"), explode(sequence(lit(1), size(toks) - 1)).as("i"))
-      .select(element_at(col("t"), col("i")).as("w1"),
-        element_at(col("t"), col("i") + 1).as("w2"))
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .where(col("w1").isNotNull && col("w2").isNotNull) // vacuously true
     val pcAll = prs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
-    val uni = docs.select(explode(toks).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uni = pcAll.select(col("w1").as("w"), col("c_pair").as("c"))
+      .unionByName(docs.where(size(toks) >= 1)
+        .select(element_at(toks, size(toks)).as("w"), lit(1L).as("c")))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
     val tot = broadcast(pcAll.agg(sum(col("c_pair")).as("n_pairs"))
       .crossJoin(uni.agg(sum(col("c")).as("n_uni"))))
     pcAll.where(col("c_pair") >= minCount)

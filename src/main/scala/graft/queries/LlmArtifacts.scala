@@ -32,11 +32,22 @@ private[queries] object LlmArtifacts {
   val setsCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
   /** Per-doc element-set arrays (Dedup.elementSets) — the Jaccard
-    * verification artifact, cached per (dir, kind). */
+    * verification artifact, cached per (dir, kind). PARQUET-backed rather
+    * than .cache()-backed (r15, measured): the consumers read the
+    * array<string> column twice per query (once per pair side), and
+    * materializing arrays out of the in-memory columnar cache cost ~6-7
+    * taskSec PER SCAN at sf0.1 — the dominant cost of the whole Jaccard
+    * family — where the vectorized parquet reader serves the same rows
+    * far cheaper. Same established warm-artifact set, different medium. */
   def setsOf(kind: String, elems: DataFrame, elemCol: String, d: String): DataFrame =
     synchronized {
-      setsCache.getOrElseUpdate((d, kind),
-        graft.llm.Dedup.elementSets(elems, elemCol).cache())
+      setsCache.getOrElseUpdate((d, kind), {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-sets-$kind-").toString
+        val df = graft.llm.Dedup.elementSets(elems, elemCol)
+        df.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      })
     }
 
   /** The testdata corpus is ONE small parquet file → one input partition —
