@@ -708,10 +708,16 @@ final class GraftIndex(val spark: SparkSession, val root: String,
         // plan-estimated byte threshold the frame lands as ONE sorted
         // file instead: a single file is a single row group, so manifest
         // min/max subsumes bucket-major clustering and nothing is lost to
-        // reads. A corpus-scale batch blows the threshold (plan stats
-        // over-, not under-estimate scans and joins) and ranges as before.
+        // reads. THRESHOLD CALIBRATION (measured): plan sizeInBytes for a
+        // parquet-derived frame tracks COMPRESSED scan bytes (the sf0.1
+        // shared build estimates ~24 MB for a 90 MB-raw segment), and a
+        // pattern filter estimates selectivity 1.0 — so the default must
+        // sit well under the smallest frame whose read parallelism
+        // matters, not at the raw-bytes scale. 8 MB keeps every
+        // micro-batch and copy-sized rewrite on the one-file path while
+        // corpus-scale builds range exactly as before.
         val rangeMin = GraftIndex.positiveLongConf(spark,
-          "spark.graft.write.rangeMinBytes", 32L << 20)
+          "spark.graft.write.rangeMinBytes", 8L << 20)
         if (out.queryExecution.optimizedPlan.stats.sizeInBytes <= rangeMin)
           (out.repartition(1)
             .sortWithinPartitions(col("created_at"), col("address")), true)
