@@ -31,23 +31,24 @@ private[queries] object LlmArtifacts {
   val pairsCache = scala.collection.mutable.Map.empty[String, DataFrame]
   val setsCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
-  /** Per-doc element-set arrays (Dedup.elementSets) — the Jaccard
-    * verification artifact, cached per (dir, kind). PARQUET-backed rather
-    * than .cache()-backed (r15, measured): the consumers read the
-    * array<string> column twice per query (once per pair side), and
-    * materializing arrays out of the in-memory columnar cache cost ~6-7
-    * taskSec PER SCAN at sf0.1 — the dominant cost of the whole Jaccard
-    * family — where the vectorized parquet reader serves the same rows
-    * far cheaper. Same established warm-artifact set, different medium. */
+  /** Materialize an artifact frame to parquet and hand back the read —
+    * the storage medium for artifacts whose consumers are dominated by
+    * re-SCANNING array columns: materializing array rows out of the
+    * in-memory columnar cache measured ~6-7 taskSec per scan at sf0.1
+    * (JobTrace, Jaccard set arrays) where the vectorized parquet reader
+    * serves the same rows for ~1. Build cost is identical to .cache()
+    * (one pass at warm); same established warm-artifact policy, different
+    * medium. */
+  private def parquetBacked(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-art-$tag-").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   def setsOf(kind: String, elems: DataFrame, elemCol: String, d: String): DataFrame =
     synchronized {
-      setsCache.getOrElseUpdate((d, kind), {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-sets-$kind-").toString
-        val df = graft.llm.Dedup.elementSets(elems, elemCol)
-        df.write.mode("overwrite").parquet(dir)
-        df.sparkSession.read.parquet(dir)
-      })
+      setsCache.getOrElseUpdate((d, kind),
+        parquetBacked(graft.llm.Dedup.elementSets(elems, elemCol), s"sets-$kind"))
     }
 
   /** The testdata corpus is ONE small parquet file → one input partition —
@@ -232,7 +233,7 @@ private[queries] object LlmArtifacts {
       val emb = spreadEmbeddings(s, d)
       val centroids = emb.where(col("vec_id").isin(10L, 20L, 30L, 40L))
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      Similarity.assignCells(emb, centroids).cache()
+      parquetBacked(Similarity.assignCells(emb, centroids), "ivf")
     })
   }
 
@@ -294,8 +295,8 @@ private[queries] object LlmArtifacts {
     * partitioned by cell. */
   def ivfL2Of(s: SparkSession, d: String): DataFrame = synchronized {
     ivfL2Cache.getOrElseUpdate(d, {
-      Similarity.assignCells(spreadEmbeddings(s, d), centroidsOf(s, d),
-        metric = "l2").cache()
+      parquetBacked(Similarity.assignCells(spreadEmbeddings(s, d),
+        centroidsOf(s, d), metric = "l2"), "ivfl2")
     })
   }
 
@@ -323,8 +324,8 @@ private[queries] object LlmArtifacts {
     * query scans only the probed cells' code columns. */
   def ivfPqOf(s: SparkSession, d: String): DataFrame = synchronized {
     ivfPqCache.getOrElseUpdate(d,
-      Similarity.ivfPqEncode(ivfL2Of(s, d), centroidsOf(s, d),
-        ivfPqCodebookOf(s, d), PqM, PqSubDim).cache())
+      parquetBacked(Similarity.ivfPqEncode(ivfL2Of(s, d), centroidsOf(s, d),
+        ivfPqCodebookOf(s, d), PqM, PqSubDim), "ivfpq"))
   }
 
   /** Materialize the shared index artifacts (shingle/token sets, MinHash
