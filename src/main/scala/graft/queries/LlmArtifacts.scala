@@ -60,11 +60,11 @@ private[queries] object LlmArtifacts {
 
   def gramsOf(s: SparkSession, d: String): DataFrame = synchronized {
     gramsCache.getOrElseUpdate(d,
-      graft.llm.Dedup.charGrams(spreadDocs(s, d), n = 8).cache())
+      parquetBacked(graft.llm.Dedup.charGrams(spreadDocs(s, d), n = 8), "grams"))
   }
   def tokensOf(s: SparkSession, d: String): DataFrame = synchronized {
     tokensCache.getOrElseUpdate(d,
-      graft.llm.Dedup.docTokens(spreadDocs(s, d)).cache())
+      parquetBacked(graft.llm.Dedup.docTokens(spreadDocs(s, d)), "tokens"))
   }
 
   // NOTE (r9, measured): sharing a CACHED (source, doc_id, token) explode
@@ -194,7 +194,9 @@ private[queries] object LlmArtifacts {
     * per-doc window is the expensive part; both queries read the result). */
   def winnowOf(s: SparkSession, d: String): DataFrame = synchronized {
     winnowCache.getOrElseUpdate(d,
-      graft.llm.TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4).cache())
+      parquetBacked(
+        graft.llm.TextAnalysis.winnowingFingerprints(spreadDocs(s, d), k = 8, w = 4),
+        "winnow"))
   }
 
   /** The per-doc simhash derivation as a DuckDB CTE (mirrors Dedup.simhash). */
